@@ -1,0 +1,23 @@
+"""raylink — a Ray-Data-native link-graph analytics engine.
+
+Built from scratch against the capability contract of METIS-MICOR/rad_ecg
+(see SURVEY.md): windowed stateful extraction, gate/filter cascades, grouped
+aggregation, iterative global analytics with carried state, top-k, dedup and
+checkpoint/resume — re-targeted at web-scale link-graph analytics over
+Common-Crawl-style page tables.
+
+Layout:
+    tables.py      Arrow schemas + deterministic synthetic page generator
+    extract.py     HTML -> text/links extraction (actor-pool map_batches stage)
+    graph.py       edge dedup, vertex dictionary, partitioned CSR block build
+    kernels/       pagerank, connected components, label propagation, triangles
+    checkpoint.py  per-superstep per-partition parquet state + manifest lineage
+    ops.py         generic relational ops (filter/agg/topk/dedup/window/joins)
+    dedup.py       exact / minhash-LSH / simhash / ngram-jaccard / embedding dedup
+    textops.py     lang-id, quality score, token count, fingerprints
+    similarity.py  cosine top-k ANN (brute force + LSH-bucketed)
+    multimodal.py  binary-column decode plumbing (decode kernels stubbed)
+    oracle.py      sequential NumPy/Python oracles for every kernel
+"""
+
+__version__ = "0.1.0"

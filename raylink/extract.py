@@ -1,0 +1,183 @@
+"""HTML -> text + out-link extraction as a Ray Data actor-pool stage.
+
+Reference analog: the stateful per-section extraction engine
+(``peak_detect_v4.py:96-114`` holds compiled tools per instance; sections are
+processed as units with quality gates that *annotate* rather than drop —
+``peak_detect_v4.py:189-233``). Here the per-worker state is the compiled
+regex toolkit, built once in ``ExtractorPool.__init__`` and reused per batch.
+
+The per-document kernel :func:`extract_one` is a pure function of the html
+bytes; the sequential oracle (``raylink/oracle.py``) calls the *same*
+function, which is what makes the BASELINE.json per-row invariant
+("byte-identical extracted text per url") hold by construction and testable.
+
+Gates (annotate-don't-crash, SURVEY §2.4): ``parse_ok`` (html structurally
+closed), ``n_links``; rows are never dropped by the extractor itself.
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+from urllib.parse import urlsplit, urlunsplit
+
+import pyarrow as pa
+
+
+class _Toolkit:
+    """Compiled patterns — constructed once per worker/oracle."""
+
+    def __init__(self) -> None:
+        flags = re.IGNORECASE | re.DOTALL
+        self.href = re.compile(r'<a\b[^>]*?\bhref\s*=\s*["\']([^"\'<>]*)["\']', flags)
+        self.drop = re.compile(r"<(script|style)\b.*?</\1\s*>", flags)
+        self.comment = re.compile(r"<!--.*?-->", flags)
+        self.tag = re.compile(r"<[^>]*>")
+        self.ws = re.compile(r"\s+")
+
+
+_DEFAULT_TOOLKIT: _Toolkit | None = None
+
+
+def _toolkit() -> _Toolkit:
+    global _DEFAULT_TOOLKIT
+    if _DEFAULT_TOOLKIT is None:
+        _DEFAULT_TOOLKIT = _Toolkit()
+    return _DEFAULT_TOOLKIT
+
+
+def normalize_url(raw: str, base: str | None = None) -> str | None:
+    """Deterministic URL canonicalization: lowercase scheme/host, drop
+    fragment, resolve scheme-relative against the base page, reject
+    non-http(s). Returns None for links that are not graph edges."""
+    raw = raw.strip()
+    if not raw or raw.startswith(("#", "javascript:", "mailto:", "data:")):
+        return None
+    if raw.startswith("//") and base:
+        raw = urlsplit(base).scheme + ":" + raw
+    elif raw.startswith("/") and base:
+        b = urlsplit(base)
+        raw = f"{b.scheme}://{b.netloc}{raw}"
+    try:
+        parts = urlsplit(raw)
+    except ValueError:
+        return None
+    if parts.scheme not in ("http", "https") or not parts.netloc:
+        return None
+    path = parts.path or "/"
+    return urlunsplit((parts.scheme.lower(), parts.netloc.lower(), path, parts.query, ""))
+
+
+def extract_one(html_bytes: bytes, base_url: str | None = None, tk: _Toolkit | None = None):
+    """Pure per-document kernel: (text, links, parse_ok, n_links).
+
+    ``text`` is the canonical whitespace-collapsed visible text (tags and
+    comments stripped, entities unescaped). Deterministic: identical bytes in
+    -> identical text out, regardless of worker, batch split or process.
+    """
+    tk = tk or _toolkit()
+    try:
+        doc = html_bytes.decode("utf-8", errors="replace")
+    except Exception:  # pragma: no cover - decode with replace cannot raise
+        return "", [], False, 0
+    parse_ok = doc.rstrip().endswith("</html>")
+    links_raw = tk.href.findall(doc)
+    links: list[str] = []
+    for raw in links_raw:
+        u = normalize_url(_htmlmod.unescape(raw), base_url)
+        if u is not None:
+            links.append(u)
+    stripped = tk.drop.sub(" ", doc)
+    stripped = tk.comment.sub(" ", stripped)
+    stripped = tk.tag.sub(" ", stripped)
+    text = tk.ws.sub(" ", _htmlmod.unescape(stripped)).strip()
+    return text, links, parse_ok, len(links_raw)
+
+
+DOCS_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us")),
+        pa.field("text", pa.string()),
+        pa.field("lang", pa.string()),
+        pa.field("links", pa.list_(pa.string())),
+        pa.field("parse_ok", pa.bool_()),
+        pa.field("n_links", pa.int32()),
+    ]
+)
+
+
+class ExtractorPool:
+    """Actor-pool ``map_batches`` stage: pages -> docs (html projected away).
+
+    Use as::
+
+        docs = pages.map_batches(ExtractorPool, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=256,
+                                 concurrency=(2, 8))
+
+    The wide ``html`` binary column is dropped here, at the earliest possible
+    point, so it never enters a shuffle (SURVEY §7.6 risk 5).
+    """
+
+    def __init__(self) -> None:
+        self.tk = _Toolkit()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        texts, links_col, ok_col, nl_col = [], [], [], []
+        for u, h in zip(urls, htmls):
+            text, links, ok, n_raw = extract_one(h, u, self.tk)
+            texts.append(text)
+            links_col.append(links)
+            ok_col.append(ok)
+            nl_col.append(n_raw)
+        return pa.table(
+            {
+                "url": batch["url"],
+                "warc_ts": batch["warc_ts"],
+                "text": pa.array(texts, pa.string()),
+                "lang": batch["lang"],
+                "links": pa.array(links_col, pa.list_(pa.string())),
+                "parse_ok": pa.array(ok_col, pa.bool_()),
+                "n_links": pa.array(nl_col, pa.int32()),
+            },
+            schema=DOCS_SCHEMA,
+        )
+
+
+def explode_edges(batch: pa.Table) -> pa.Table:
+    """docs(url, links) -> edges(src, dst), one row per anchor (dupes kept;
+    dedup is its own op, graph.dedup_edges). Vectorized via Arrow list
+    flatten — no Python loop."""
+    links = batch["links"]
+    if isinstance(links, pa.ChunkedArray):
+        links = links.combine_chunks()
+    import numpy as np
+
+    flat = links.flatten()
+    counts = pa.compute.list_value_length(links).fill_null(0).to_numpy(zero_copy_only=False)
+    idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    src = batch["url"].combine_chunks().take(pa.array(idx))
+    return pa.table({"src": src, "dst": flat}, schema=pa.schema(
+        [pa.field("src", pa.string()), pa.field("dst", pa.string())]
+    ))
+
+
+def pages_to_docs(pages, *, batch_size: int = 256, concurrency=(2, 8)):
+    """pages Dataset -> docs Dataset (the §7.1 minimum slice, first half)."""
+    return pages.map_batches(
+        ExtractorPool,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def docs_to_edges(docs):
+    """docs Dataset -> raw edges Dataset (src, dst) with duplicates."""
+    return docs.select_columns(["url", "links"]).map_batches(
+        explode_edges, batch_format="pyarrow", zero_copy_batch=True
+    )

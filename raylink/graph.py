@@ -1,0 +1,309 @@
+"""Edge table -> partitioned CSR graph, Ray-Data-first.
+
+Pipeline (SURVEY §7.2 steps 3-4):
+
+    raw edges(src, dst)                       strings or int64 keys
+      -> dedup_edges        drop self-loops, distinct (src,dst)   [shuffle]
+      -> build_vertices     distinct keys -> (key, vid, part)     [shuffle]
+      -> encode_edges       key -> vid lookup (broadcast dict)    [map]
+      -> build_blocks       groupby(src_part) -> CSR block rows   [shuffle]
+
+Vertex id scheme (deterministic, needs NO global sort — scales to any
+vertex count): ``part = crc32(key) % P``; within a partition keys are
+sorted and ``vid = local_rank * P + part``. Hence ``part = vid % P`` and
+``local = vid // P`` everywhere, and the oracle (oracle.py) reproduces the
+exact same ids from the same edge list.
+
+Skew note (SURVEY §7.5): the dst side of every kernel superstep is
+pre-aggregated *per source partition* inside the scatter (bincount), so a
+hub vertex receives at most P partial rows regardless of in-degree — the
+"salted partial sum" with salt = src_part is structural, not a special
+case. Source-side hub out-adjacency lands in one partition; at cluster
+scale the block build splits oversized partitions into chunk sub-blocks
+processed by independent scatter tasks (payloads are already stored as a
+list of chunks; round-1 scatter walks them within one task).
+
+Reference analogs: exact dedup = overlap-peak reconciliation
+(``peak_detect_v4.py:1710-1728``); partitioning = ``segment_ECG`` windowing
+(``utils.py:7-50``); per-partition grouped stats (``peak_detect_v4.py:1571``).
+"""
+
+from __future__ import annotations
+
+import pickle
+import zlib
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+DEFAULT_P = 32
+# target max edges per CSR chunk; oversized partitions split into sub-chunks
+CHUNK_EDGES = 4_000_000
+
+
+# ---------------------------------------------------------------------------
+# partition hashing (pure; replicated in oracle.py)
+# ---------------------------------------------------------------------------
+
+def part_of_keys(arr: pa.Array | pa.ChunkedArray, P: int) -> np.ndarray:
+    """Stable partition id per key. Strings: crc32(utf8); ints: crc32(le64)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_integer(arr.type):
+        vals = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        return np.array(
+            [zlib.crc32(int(v).to_bytes(8, "little", signed=True)) for v in vals],
+            dtype=np.int64,
+        ) % P
+    return np.array(
+        [zlib.crc32(s.encode()) for s in arr.to_pylist()], dtype=np.int64
+    ) % P
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def _local_dedup(batch: pa.Table) -> pa.Table:
+    """Combiner: batch-local distinct + self-loop drop, before the shuffle."""
+    batch = batch.filter(pc.invert(pc.equal(batch["src"], batch["dst"])))
+    return batch.group_by(["src", "dst"]).aggregate([]).rename_columns(["src", "dst"])
+
+
+def dedup_edges(edges: rd.Dataset) -> rd.Dataset:
+    """Exact (src,dst) distinct, self-loops dropped.
+
+    Pattern: vectorized batch-local combine (cuts shuffle volume), then a
+    hash-shuffle distinct via groupby on both key columns.
+    """
+    pre = edges.map_batches(_local_dedup, batch_format="pyarrow", zero_copy_batch=True)
+    return pre.groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+
+
+# ---------------------------------------------------------------------------
+# vertex dictionary
+# ---------------------------------------------------------------------------
+
+def build_vertices(edges: rd.Dataset, P: int) -> rd.Dataset:
+    """Distinct endpoint keys -> (key, vid, part). Fully distributed:
+    one distinct shuffle + one partition-grouped rank assignment."""
+
+    def keys_only(batch: pa.Table, col: str) -> pa.Table:
+        u = pc.unique(batch[col].combine_chunks())
+        return pa.table({"key": u})
+
+    srcs = edges.map_batches(lambda b: keys_only(b, "src"), batch_format="pyarrow")
+    dsts = edges.map_batches(lambda b: keys_only(b, "dst"), batch_format="pyarrow")
+    keys = srcs.union(dsts).groupby("key").count().select_columns(["key"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column("part", pa.array(part_of_keys(batch["key"], P)))
+
+    def assign(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group["key"])
+        g = group.take(order)
+        p = int(g["part"][0].as_py())
+        vids = np.arange(len(g), dtype=np.int64) * P + p
+        return pa.table({"key": g["key"], "vid": pa.array(vids), "part": g["part"]})
+
+    return (
+        keys.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(assign, batch_format="pyarrow")
+    )
+
+
+@dataclass
+class CSRBlock:
+    """Out-edge CSR chunk for one source partition.
+
+    Arrays (all edges of this chunk, sorted by (dst_part, dst_local,
+    src_local) for deterministic reduction order):
+      src_local  int32[m]   edge source, local index within this partition
+      dst_local  int32[m]   edge destination, local index within dst partition
+      bounds     int64[P+1] edge ranges per destination partition
+      deg        int64[n_local]  out-degree of local vertices (whole part,
+                                 repeated across chunks of the same part)
+      n_local    int        vertex count of this partition
+    """
+
+    part: int
+    src_local: np.ndarray
+    dst_local: np.ndarray
+    bounds: np.ndarray
+    deg: np.ndarray
+    n_local: int
+
+    @property
+    def m(self) -> int:
+        return len(self.src_local)
+
+
+@dataclass
+class Graph:
+    """Handle to a partitioned graph living in the Ray object store."""
+
+    P: int
+    n: int
+    m: int
+    n_per_part: np.ndarray  # int64[P]
+    blocks: dict[int, list[Any]]  # part -> [ObjectRef(CSRBlock chunk), ...]
+    vertices: rd.Dataset  # (key, vid, part) — materialized
+    key_type: pa.DataType
+
+    def parts_with_edges(self) -> list[int]:
+        return sorted(self.blocks)
+
+
+def _build_block_rows(group: pa.Table, P: int, n_per_part: np.ndarray,
+                      symmetric: bool, chunk_edges: int) -> pa.Table:
+    part = int(group["src_vid"][0].as_py() % P)
+    src = group["src_vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = group["dst_vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if symmetric:
+        # symmetrized inputs may contain (u,v) twice; local unique suffices
+        # because a given (src,dst) always lands in the same src partition.
+        pair = np.stack([src, dst], axis=1)
+        pair = np.unique(pair, axis=0)
+        src, dst = pair[:, 0], pair[:, 1]
+    n_local = int(n_per_part[part])
+    src_local = (src // P).astype(np.int32)
+    dst_part = (dst % P).astype(np.int64)
+    dst_local = (dst // P).astype(np.int32)
+    order = np.lexsort((src_local, dst_local, dst_part))
+    src_local, dst_local, dst_part = src_local[order], dst_local[order], dst_part[order]
+    bounds = np.searchsorted(dst_part, np.arange(P + 1), side="left").astype(np.int64)
+    deg = np.bincount(src_local, minlength=n_local).astype(np.int64)
+    m = len(src_local)
+    n_chunks = max(1, -(-m // chunk_edges))
+    rows = []
+    for c in range(n_chunks):
+        lo, hi = c * chunk_edges, min((c + 1) * chunk_edges, m)
+        # per-chunk bounds, clipped into [lo, hi) and rebased to 0
+        cb = np.clip(bounds, lo, hi) - lo
+        blk = CSRBlock(
+            part=part,
+            src_local=src_local[lo:hi],
+            dst_local=dst_local[lo:hi],
+            bounds=cb,
+            deg=deg,
+            n_local=n_local,
+        )
+        rows.append({"part": part, "chunk": c, "m": hi - lo,
+                     "payload": pickle.dumps(blk, protocol=5)})
+    return pa.table(
+        {
+            "part": pa.array([r["part"] for r in rows], pa.int64()),
+            "chunk": pa.array([r["chunk"] for r in rows], pa.int64()),
+            "m": pa.array([r["m"] for r in rows], pa.int64()),
+            "payload": pa.array([r["payload"] for r in rows], pa.binary()),
+        }
+    )
+
+
+@dataclass
+class PreparedEdges:
+    """Deduped edge table + vertex dictionary, shareable by several builds."""
+
+    edges: rd.Dataset  # deduped, materialized
+    vertices: rd.Dataset  # (key, vid, part), materialized
+    dict_ref: Any  # ObjectRef[(keys ArrowArray, vids ArrowArray)]
+    n: int
+    n_per_part: np.ndarray
+    P: int
+    key_type: pa.DataType
+
+
+def prepare_edges(edges: rd.Dataset, *, P: int = DEFAULT_P,
+                  already_deduped: bool = False) -> PreparedEdges:
+    """dedup + vertex dictionary; the expensive shared prefix of any build."""
+    key_type = edges.schema().base_schema.field("src").type if hasattr(
+        edges.schema(), "base_schema") else edges.schema().field("src").type
+    if not already_deduped:
+        edges = dedup_edges(edges)
+    edges = edges.materialize()
+    vertices = build_vertices(edges, P).materialize()
+
+    # Broadcast dictionary (key -> vid), shipped ONCE via ray.put and probed
+    # with pc.index_in (a C hash join against a constant value set). Scale
+    # path at 10^12 vertices: partitioned hash join, bucketing both sides by
+    # crc32(key) % B — the vid scheme needs no change.
+    vtab = pa.concat_tables(
+        list(vertices.iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+    )
+    n = vtab.num_rows
+    n_per_part = np.zeros(P, dtype=np.int64)
+    parts_np, counts_np = np.unique(
+        vtab["part"].to_numpy(zero_copy_only=False), return_counts=True
+    )
+    n_per_part[parts_np.astype(np.int64)] = counts_np
+    dict_ref = ray.put((vtab["key"].combine_chunks(), vtab["vid"].combine_chunks()))
+    return PreparedEdges(edges=edges, vertices=vertices, dict_ref=dict_ref,
+                         n=n, n_per_part=n_per_part, P=P, key_type=key_type)
+
+
+def build_graph_from_prepared(prep: PreparedEdges, *, symmetric: bool = False,
+                              chunk_edges: int = CHUNK_EDGES) -> Graph:
+    P, n_per_part, dict_ref = prep.P, prep.n_per_part, prep.dict_ref
+
+    def encode(batch: pa.Table) -> pa.Table:
+        keys, vids = ray.get(dict_ref)
+        sidx = pc.index_in(batch["src"].combine_chunks(), value_set=keys)
+        didx = pc.index_in(batch["dst"].combine_chunks(), value_set=keys)
+        out = pa.table({"src_vid": vids.take(sidx), "dst_vid": vids.take(didx)})
+        if symmetric:
+            rev = pa.table({"src_vid": out["dst_vid"], "dst_vid": out["src_vid"]})
+            out = pa.concat_tables([out, rev])
+        return out.append_column(
+            "src_part",
+            pa.array(out["src_vid"].to_numpy(zero_copy_only=False) % P, pa.int64()),
+        )
+
+    enc = prep.edges.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+
+    block_rows = (
+        enc.groupby("src_part")
+        .map_groups(
+            lambda g: _build_block_rows(g, P, n_per_part, symmetric, chunk_edges),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    blocks: dict[int, list[Any]] = {}
+    m_total = 0
+    for b in block_rows.iter_batches(batch_format="pyarrow", batch_size=4):
+        for i in range(b.num_rows):
+            p = int(b["part"][i].as_py())
+            m_total += int(b["m"][i].as_py())
+            blk = pickle.loads(b["payload"][i].as_py())
+            blocks.setdefault(p, []).append(ray.put(blk))
+
+    return Graph(
+        P=P, n=prep.n, m=m_total, n_per_part=n_per_part, blocks=blocks,
+        vertices=prep.vertices, key_type=prep.key_type,
+    )
+
+
+def build_graph(
+    edges: rd.Dataset,
+    *,
+    P: int = DEFAULT_P,
+    symmetric: bool = False,
+    already_deduped: bool = False,
+    chunk_edges: int = CHUNK_EDGES,
+) -> Graph:
+    """Full build: dedup -> vertices -> encode -> CSR blocks.
+
+    ``symmetric=True`` adds reversed edges before partitioning (undirected
+    kernels: connected components, label propagation, triangles).
+    """
+    prep = prepare_edges(edges, P=P, already_deduped=already_deduped)
+    return build_graph_from_prepared(prep, symmetric=symmetric,
+                                     chunk_edges=chunk_edges)

@@ -1,0 +1,24 @@
+"""Iterative graph kernels as Ray-Data superstep rounds.
+
+Each kernel follows the same bulk-synchronous shape (SURVEY §7.4, §2.10
+re-designed order-independent):
+
+    state Dataset (one row per partition: part, vec)
+      -> map_batches(scatter)    per-partition CSR scan, emits per
+                                 (src_part -> dst_part) *pre-aggregated*
+                                 sparse partials  [the combiner / salt step]
+      -> groupby("dst_part")     the only shuffle of the superstep
+      -> map_groups(combine)     deterministic ordered reduction -> new state
+      -> materialize()           the carried state == the checkpoint unit
+
+Driver holds only scalars (dangling mass, L1 delta, changed counts) —
+mirroring the reference's history-fed convergence gates
+(peak_detect_v4.py:1733-1746) made order-independent.
+"""
+
+from .pagerank import pagerank
+from .cc import connected_components
+from .labelprop import label_propagation
+from .triangles import triangle_count
+
+__all__ = ["pagerank", "connected_components", "label_propagation", "triangle_count"]

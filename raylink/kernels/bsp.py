@@ -1,0 +1,102 @@
+"""Shared plumbing for bulk-synchronous superstep kernels."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..graph import CSRBlock, Graph
+
+PARTIAL_FIELDS = [
+    ("dst_part", pa.int64()),
+    ("src_part", pa.int64()),
+    ("sub", pa.int64()),
+    ("kind", pa.int8()),  # 0 = contribution, 1 = previous state
+    ("idx", pa.list_(pa.int32())),
+    ("vec", pa.list_(pa.float64())),
+    ("lab", pa.list_(pa.int64())),
+    ("cnt", pa.list_(pa.int64())),
+]
+PARTIAL_SCHEMA = pa.schema([pa.field(n, t) for n, t in PARTIAL_FIELDS])
+
+
+def partial_row(dst_part: int, src_part: int, sub: int, kind: int,
+                idx=None, vec=None, lab=None, cnt=None) -> dict:
+    return {"dst_part": dst_part, "src_part": src_part, "sub": sub, "kind": kind,
+            "idx": idx, "vec": vec, "lab": lab, "cnt": cnt}
+
+
+_EMPTY = ()
+
+
+def partials_table(rows: list[dict]) -> pa.Table:
+    cols = {}
+    for name, typ in PARTIAL_FIELDS:
+        if pa.types.is_list(typ):
+            # empty list, NOT null: downstream unwraps lists zero-copy via
+            # (offsets, flatten), which misalign in the presence of nulls.
+            cols[name] = pa.array([r.get(name) if r.get(name) is not None else _EMPTY
+                                   for r in rows], typ)
+        else:
+            cols[name] = pa.array([r.get(name) for r in rows], typ)
+    return pa.Table.from_pydict(cols, schema=PARTIAL_SCHEMA)
+
+
+def iter_state_rows(batch: pa.Table, col: str = "vec"):
+    """Yield (part, numpy_vector) per state row — zero-copy list unwrap."""
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    offs = arr.offsets.to_numpy(zero_copy_only=False)
+    parts = batch.column("part").to_numpy(zero_copy_only=False)
+    for i in range(len(parts)):
+        yield int(parts[i]), flat[offs[i]: offs[i + 1]]
+
+
+def init_state(graph: Graph, values_of_part, col: str = "vec",
+               dtype=pa.float64()) -> rd.Dataset:
+    """One row per non-empty partition: (part, <col>=values_of_part(p))."""
+    parts = [p for p in range(graph.P) if graph.n_per_part[p] > 0]
+    tab = pa.table(
+        {
+            "part": pa.array(parts, pa.int64()),
+            col: pa.array([values_of_part(p) for p in parts], pa.list_(dtype)),
+        }
+    )
+    return rd.from_arrow(tab).materialize()
+
+
+def state_to_vertex_table(state: rd.Dataset, graph: Graph, col: str,
+                          out_col: str) -> rd.Dataset:
+    """(part, vec) state -> per-vertex rows (vid, <out_col>)."""
+    P = graph.P
+
+    def expand(batch: pa.Table) -> pa.Table:
+        vids, vals = [], []
+        for part, vec in iter_state_rows(batch, col):
+            vids.append(np.arange(len(vec), dtype=np.int64) * P + part)
+            vals.append(np.asarray(vec))
+        if not vids:
+            return pa.table({"vid": pa.array([], pa.int64()),
+                             out_col: pa.array([], pa.float64())})
+        return pa.table({"vid": pa.array(np.concatenate(vids)),
+                         out_col: pa.array(np.concatenate(vals))})
+
+    return state.map_batches(expand, batch_format="pyarrow")
+
+
+def gather_state(state: rd.Dataset, col: str = "vec") -> dict[int, np.ndarray]:
+    """Driver-side gather (tests / small results only)."""
+    out = {}
+    for batch in state.iter_batches(batch_format="pyarrow", batch_size=64):
+        for part, vec in iter_state_rows(batch, col):
+            out[part] = np.asarray(vec).copy()
+    return out
+
+
+def get_blocks(graph: Graph, part: int) -> list[CSRBlock]:
+    return [ray.get(r) for r in graph.blocks.get(part, [])]

@@ -1,0 +1,160 @@
+"""Synchronous label propagation as Ray-Data superstep rounds.
+
+Vote rule (shared verbatim with the oracle, SURVEY §7.6 risk 7): each vertex
+tallies the labels of its undirected (deduped) neighbors plus ONE vote for
+its own current label; the new label is the most frequent, ties broken by
+the smallest label value. Deterministic; capped at ``max_iter`` because
+synchronous LP can oscillate on bipartite structures.
+
+Scatter pre-aggregates votes per (src_part -> dst_part) into
+(dst_local, label, count) triples (the grouped-count -> argmax pattern of
+SURVEY §2.8 "mode"), so label traffic is bounded by distinct
+(vertex, label) pairs per partition pair, not raw edges.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..checkpoint import CheckpointStore, graph_fingerprint
+from ..graph import Graph
+from .bsp import init_state, iter_state_rows, partial_row, partials_table, state_to_vertex_table
+
+
+def _make_scatter(graph: Graph):
+    refs = graph.blocks
+    P = graph.P
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        rows = []
+        for part, labels in iter_state_rows(batch, "vec"):
+            labels = labels.astype(np.int64, copy=False)
+            for sub, ref in enumerate(refs.get(part, [])):
+                blk = _ray.get(ref)
+                vals = labels[blk.src_local]
+                for q in range(P):
+                    lo, hi = blk.bounds[q], blk.bounds[q + 1]
+                    if hi <= lo:
+                        continue
+                    pairs = np.stack([blk.dst_local[lo:hi].astype(np.int64),
+                                      vals[lo:hi]], axis=1)
+                    uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
+                    rows.append(
+                        partial_row(q, part, sub, 0,
+                                    idx=uniq[:, 0].astype(np.int32),
+                                    lab=uniq[:, 1],
+                                    cnt=cnt.astype(np.int64))
+                    )
+            rows.append(partial_row(part, -1, -1, 1, lab=labels))
+        return partials_table(rows)
+
+    return scatter
+
+
+def _list_np(col: pa.ChunkedArray):
+    arr = col.combine_chunks()
+    return (arr.flatten().to_numpy(zero_copy_only=False),
+            arr.offsets.to_numpy(zero_copy_only=False))
+
+
+def _make_combine(graph: Graph):
+    n_per_part = graph.n_per_part
+
+    def combine(group: pa.Table) -> pa.Table:
+        kinds = group["kind"].to_numpy(zero_copy_only=False)
+        prev_i = int(np.flatnonzero(kinds == 1)[0])
+        part = int(group["dst_part"][prev_i].as_py())
+        n_q = int(n_per_part[part])
+        idx_flat, idx_offs = _list_np(group["idx"])
+        lab_flat, lab_offs = _list_np(group["lab"])
+        cnt_flat, cnt_offs = _list_np(group["cnt"])
+        prev = lab_flat[lab_offs[prev_i]: lab_offs[prev_i + 1]].astype(np.int64)
+        Is, Ls, Cs = [np.arange(n_q, dtype=np.int64)], [prev], [np.ones(n_q, np.int64)]
+        for i in range(group.num_rows):
+            if kinds[i] != 0:
+                continue
+            Is.append(idx_flat[idx_offs[i]: idx_offs[i + 1]].astype(np.int64))
+            Ls.append(lab_flat[lab_offs[i]: lab_offs[i + 1]].astype(np.int64))
+            Cs.append(cnt_flat[cnt_offs[i]: cnt_offs[i + 1]].astype(np.int64))
+        I = np.concatenate(Is)
+        L = np.concatenate(Ls)
+        C = np.concatenate(Cs)
+        # sum counts per (vertex, label)
+        order = np.lexsort((L, I))
+        I, L, C = I[order], L[order], C[order]
+        boundary = np.r_[True, (I[1:] != I[:-1]) | (L[1:] != L[:-1])]
+        starts = np.flatnonzero(boundary)
+        Cs2 = np.add.reduceat(C, starts)
+        I2, L2 = I[starts], L[starts]
+        # per vertex: max count, tiebreak min label
+        order2 = np.lexsort((L2, -Cs2, I2))
+        I2, L2 = I2[order2], L2[order2]
+        firsts = np.flatnonzero(np.r_[True, I2[1:] != I2[:-1]])
+        new = prev.copy()
+        new[I2[firsts]] = L2[firsts]
+        changed = int((new != prev).sum())
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int64()),
+                "vec": pa.array([new], pa.list_(pa.int64())),
+                "changed": pa.array([changed], pa.int64()),
+            }
+        )
+
+    return combine
+
+
+def label_propagation(
+    graph: Graph,
+    *,
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
+    metrics_out: list | None = None,
+) -> rd.Dataset:
+    """Per-vertex Dataset (vid, label). ``graph`` must be a symmetric build."""
+    store = None
+    start_iter = 0
+    state = init_state(
+        graph,
+        lambda p: np.arange(int(graph.n_per_part[p]), dtype=np.int64) * graph.P + p,
+        dtype=pa.int64(),
+    )
+    if checkpoint_dir:
+        store = CheckpointStore(checkpoint_dir, "labelprop",
+                                graph_fingerprint(graph), {"max_iter": max_iter})
+        resumed = store.latest()
+        if resumed is not None:
+            start_iter, state = resumed
+
+    scatter = _make_scatter(graph)
+    combine = _make_combine(graph)
+
+    for it in range(start_iter + 1, max_iter + 1):
+        t0 = time.perf_counter()
+        new_state = (
+            state.map_batches(scatter, batch_format="pyarrow", batch_size=1,
+                              zero_copy_batch=True)
+            .groupby("dst_part")
+            .map_groups(combine, batch_format="pyarrow")
+            .materialize()
+        )
+        changed = int(new_state.sum("changed") or 0)
+        state = new_state
+        dt = time.perf_counter() - t0
+        metrics = {"iter": it, "changed": changed, "sec": dt,
+                   "edges_per_sec": graph.m / dt if dt > 0 else None}
+        if metrics_out is not None:
+            metrics_out.append(metrics)
+        if store is not None:
+            store.save(it, state.select_columns(["part", "vec"]), metrics)
+        if changed == 0:
+            break
+
+    return state_to_vertex_table(state, graph, "vec", "label")

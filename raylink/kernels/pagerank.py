@@ -1,0 +1,203 @@
+"""Power-iteration PageRank as Ray-Data superstep rounds.
+
+Per superstep (SURVEY §7.2 step 5):
+
+  1. dangling mass: tiny map+sum over the state rows (driver scalar) —
+     the reference's "driver-held convergence scalars" pattern.
+  2. scatter: ``state.map_batches`` — each partition's CSR chunks are read
+     zero-copy from the object store; contributions ``score/out_deg`` are
+     pre-aggregated per (src_part -> dst_part) segment with ``np.bincount``
+     and emitted *sparse* (idx, val). This is the combiner/salt step: a hub
+     destination receives at most P partial rows however large its in-degree
+     (SURVEY §7.5 hub splitting with salt = src_part).
+  3. the superstep's single shuffle: ``groupby("dst_part")``.
+  4. combine: ordered deterministic reduction (rows sorted by
+     (kind, src_part, sub); float64 accumulators; ``np.add.at`` sequential)
+     -> new scores + per-partition L1 delta.
+
+Determinism (SURVEY §7.6 risk 1): fixed partition count, fixed reduction
+order, float64 everywhere => bit-stable across runs and parallelism levels;
+matches the sequential oracle within allclose 1e-6 at convergence.
+
+Invariant: scores sum to 1 after every superstep (dangling-mass
+redistribution) — checked in tests, mirroring the reference's per-section
+invariant columns.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..checkpoint import CheckpointStore, graph_fingerprint
+from ..graph import Graph
+from .bsp import (
+    get_blocks,
+    init_state,
+    iter_state_rows,
+    partial_row,
+    partials_table,
+    state_to_vertex_table,
+)
+
+
+def _make_scatter(graph: Graph):
+    refs = graph.blocks
+    P = graph.P
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        rows = []
+        for part, scores in iter_state_rows(batch):
+            chunks = [_ray.get(r) for r in refs.get(part, [])]
+            if chunks:
+                deg = chunks[0].deg
+                w = np.where(deg > 0, scores / np.maximum(deg, 1), 0.0)
+            for sub, blk in enumerate(chunks):
+                vals = w[blk.src_local]
+                for q in range(P):
+                    lo, hi = blk.bounds[q], blk.bounds[q + 1]
+                    if hi <= lo:
+                        continue
+                    seg_dst = blk.dst_local[lo:hi]
+                    acc = np.bincount(seg_dst, weights=vals[lo:hi])
+                    nz = np.flatnonzero(acc)
+                    rows.append(
+                        partial_row(q, part, sub, 0,
+                                    idx=nz.astype(np.int32), vec=acc[nz])
+                    )
+            # previous-state row (also carries nothing else; dangling handled
+            # by the pre-pass in pagerank())
+            rows.append(partial_row(part, -1, -1, 1, vec=scores))
+        return partials_table(rows)
+
+    return scatter
+
+
+def _make_combine(graph: Graph, damping: float, dangling_mass: float):
+    n = graph.n
+    P = graph.P
+    n_per_part = graph.n_per_part
+
+    def combine(group: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(
+            group.select(["kind", "src_part", "sub"]),
+            sort_keys=[("kind", "ascending"), ("src_part", "ascending"),
+                       ("sub", "ascending")],
+        )
+        g = group.take(order)
+        kinds = g["kind"].to_numpy(zero_copy_only=False)
+        prev_i = int(np.flatnonzero(kinds == 1)[0])
+        part = int(g["dst_part"][prev_i].as_py())
+        n_q = int(n_per_part[part])
+        idx_col = g["idx"].combine_chunks()
+        vec_col = g["vec"].combine_chunks()
+        idx_flat = idx_col.flatten().to_numpy(zero_copy_only=False)
+        idx_offs = idx_col.offsets.to_numpy(zero_copy_only=False)
+        vec_flat = vec_col.flatten().to_numpy(zero_copy_only=False)
+        vec_offs = vec_col.offsets.to_numpy(zero_copy_only=False)
+        prev = np.asarray(
+            vec_flat[vec_offs[prev_i]: vec_offs[prev_i + 1]], dtype=np.float64
+        )
+        acc = np.zeros(n_q, dtype=np.float64)
+        for i in range(g.num_rows):
+            if kinds[i] != 0:
+                continue
+            idx = idx_flat[idx_offs[i]: idx_offs[i + 1]].astype(np.int64)
+            val = vec_flat[vec_offs[i]: vec_offs[i + 1]]
+            np.add.at(acc, idx, val)
+        new = (1.0 - damping) / n + damping * (acc + dangling_mass / n)
+        delta = float(np.abs(new - prev).sum())
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int64()),
+                "vec": pa.array([new], pa.list_(pa.float64())),
+                "delta": pa.array([delta], pa.float64()),
+            }
+        )
+
+    return combine
+
+
+def _dangling_pass(graph: Graph) -> "callable":
+    refs = graph.blocks
+
+    def dangling_local(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        out = []
+        for part, scores in iter_state_rows(batch):
+            if part in refs:
+                deg = _ray.get(refs[part][0]).deg
+                out.append(float(scores[deg == 0].sum()))
+            else:
+                out.append(float(scores.sum()))
+        return pa.table({"dm": pa.array(out, pa.float64())})
+
+    return dangling_local
+
+
+def pagerank(
+    graph: Graph,
+    *,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 200,
+    checkpoint_dir: str | None = None,
+    metrics_out: list | None = None,
+) -> rd.Dataset:
+    """Run to convergence; returns per-vertex Dataset (vid, score).
+
+    With ``checkpoint_dir``, every superstep writes per-partition state +
+    manifest; a rerun resumes from the newest complete iteration.
+    """
+    store = None
+    start_iter = 0
+    state = init_state(graph, lambda p: np.full(int(graph.n_per_part[p]), 1.0 / graph.n))
+    if checkpoint_dir:
+        store = CheckpointStore(
+            checkpoint_dir, "pagerank", graph_fingerprint(graph),
+            {"damping": damping, "tol": tol},
+        )
+        resumed = store.latest()
+        if resumed is not None:
+            start_iter, state = resumed
+
+    scatter = _make_scatter(graph)
+    dangling_local = _dangling_pass(graph)
+
+    for it in range(start_iter + 1, max_iter + 1):
+        t0 = time.perf_counter()
+        dm = state.map_batches(dangling_local, batch_format="pyarrow").sum("dm")
+        partials = state.map_batches(
+            scatter, batch_format="pyarrow", batch_size=1, zero_copy_batch=True
+        )
+        combine = _make_combine(graph, damping, float(dm))
+        new_state = (
+            partials.groupby("dst_part")
+            .map_groups(combine, batch_format="pyarrow")
+            .materialize()
+        )
+        delta = float(new_state.sum("delta"))
+        state = new_state
+        dt = time.perf_counter() - t0
+        metrics = {
+            "iter": it,
+            "l1_delta": delta,
+            "dangling_mass": float(dm),
+            "sec": dt,
+            "edges_per_sec": graph.m / dt if dt > 0 else None,
+        }
+        if metrics_out is not None:
+            metrics_out.append(metrics)
+        if store is not None:
+            store.save(it, state.select_columns(["part", "vec"]), metrics)
+        if delta < tol:
+            break
+
+    return state_to_vertex_table(state, graph, "vec", "score")

@@ -1,0 +1,99 @@
+"""The flagship end-to-end pipeline (SURVEY §7.1 + §7.2):
+
+    pages parquet
+      -> ExtractorPool (actor pool, html -> text+links, html dropped early)
+      -> explode to edges(src, dst)
+      -> dedup + vertex dictionary + partitioned CSR blocks
+      -> PageRank to convergence, connected components, label propagation,
+         triangle count
+      -> per-vertex results joined back to urls
+
+Every stage streams; only P-row state tables and scalars ever sit on the
+driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..extract import docs_to_edges, pages_to_docs
+from ..graph import Graph, build_graph_from_prepared, prepare_edges
+from ..kernels import connected_components, label_propagation, pagerank, triangle_count
+
+
+@dataclass
+class FlagshipResult:
+    docs: rd.Dataset
+    graph: Graph
+    sym_graph: Graph
+    ranks: rd.Dataset  # (vid, score)
+    comps: rd.Dataset  # (vid, comp)
+    labels: rd.Dataset  # (vid, label)
+    triangles: int
+    metrics: dict = field(default_factory=dict)
+
+    def ranks_by_url(self) -> rd.Dataset:
+        """(key, score): ranks joined back to the vertex dictionary via the
+        broadcast dict (vid -> key is a dense local lookup, no shuffle)."""
+        return join_keys(self.ranks, self.graph, "score")
+
+
+def join_keys(vertex_table: rd.Dataset, graph: Graph, value_col: str) -> rd.Dataset:
+    """(vid, value) -> (key, value) using the broadcast vertex dictionary."""
+    import pyarrow.compute as pc
+
+    vert = pa.concat_tables(
+        list(graph.vertices.iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+    )
+    ref = ray.put((vert["vid"].combine_chunks(), vert["key"].combine_chunks()))
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        vids, keys = ray.get(ref)
+        pos = pc.index_in(batch["vid"].combine_chunks(), value_set=vids)
+        return pa.table({"key": keys.take(pos), value_col: batch[value_col]})
+
+    return vertex_table.map_batches(lookup, batch_format="pyarrow")
+
+
+def flagship(
+    pages: rd.Dataset,
+    *,
+    P: int = 32,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    checkpoint_dir: str | None = None,
+    extract_concurrency=(2, 8),
+    run_lp: bool = True,
+    run_triangles: bool = True,
+) -> FlagshipResult:
+    docs = pages_to_docs(pages, concurrency=extract_concurrency).materialize()
+    edges = docs_to_edges(docs)
+    prep = prepare_edges(edges, P=P)
+    graph = build_graph_from_prepared(prep, symmetric=False)
+    sym = build_graph_from_prepared(prep, symmetric=True)
+
+    pr_metrics: list = []
+    ranks = pagerank(graph, damping=damping, tol=tol,
+                     checkpoint_dir=checkpoint_dir, metrics_out=pr_metrics)
+    cc_metrics: list = []
+    comps = connected_components(sym, checkpoint_dir=checkpoint_dir,
+                                 metrics_out=cc_metrics)
+    labels = label_propagation(sym, checkpoint_dir=checkpoint_dir) if run_lp else None
+    tri = triangle_count(sym) if run_triangles else -1
+
+    return FlagshipResult(
+        docs=docs, graph=graph, sym_graph=sym, ranks=ranks, comps=comps,
+        labels=labels, triangles=tri,
+        metrics={
+            "n_vertices": graph.n,
+            "n_edges": graph.m,
+            "pagerank_iters": pr_metrics[-1]["iter"] if pr_metrics else 0,
+            "pagerank": pr_metrics,
+            "cc": cc_metrics,
+        },
+    )

@@ -1,0 +1,199 @@
+"""Graph build + iterative kernels vs the sequential oracle.
+
+Known-answer subgraphs (FIXTURES §B.2): ring -> uniform PageRank, one
+component, zero triangles; cliques -> K components, K*C(c,3) triangles, one
+LP label per clique; dangling tail -> mass conservation. Random overlay ->
+oracle-computed truth. PageRank allclose 1e-6; CC/LP/triangles exact.
+"""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from raylink import graph as G
+from raylink import oracle as O
+from raylink.kernels import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    triangle_count,
+)
+from raylink.pipelines.flagship import join_keys
+
+P = 8
+
+
+def edges_ds(pairs):
+    src, dst = zip(*pairs) if pairs else ((), ())
+    return rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())})
+    )
+
+
+def ring_pairs(n):
+    return [(f"v{i}", f"v{(i + 1) % n}") for i in range(n)]
+
+
+def clique_pairs(k, c):
+    out = []
+    for b in range(k):
+        for i in range(c):
+            for j in range(c):
+                if i != j:
+                    out.append((f"c{b}_{i}", f"c{b}_{j}"))
+    return out
+
+
+def overlay_pairs(seed=42, n=60, m=150):
+    rng = np.random.default_rng(seed)
+    pairs = set()
+    while len(pairs) < m:
+        a, b = rng.integers(0, n, size=2)
+        if a != b:
+            pairs.add((f"o{a}", f"o{b}"))
+    return sorted(pairs)
+
+
+def values_by_key(ds, g, col):
+    out = {}
+    for b in join_keys(ds, g, col).iter_batches(batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            out[b["key"][i].as_py()] = b[col][i].as_py()
+    return out
+
+
+def oracle_by_key(og, arr):
+    return {og.keys[i]: arr[i] for i in range(og.n)}
+
+
+def test_vid_scheme_matches_oracle():
+    pairs = overlay_pairs()
+    g = G.build_graph(edges_ds(pairs), P=P)
+    og = O.build_oracle_graph(pairs, P)
+    got = {}
+    for b in g.vertices.iter_batches(batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            got[b["key"][i].as_py()] = b["vid"][i].as_py()
+    assert got == og.vid_of
+    assert g.n == og.n
+    assert g.m == len(og.edges)
+
+
+def test_dedup_and_self_loops():
+    pairs = [("a", "b"), ("a", "b"), ("b", "a"), ("a", "a"), ("b", "c")]
+    g = G.build_graph(edges_ds(pairs), P=P)
+    assert g.n == 3
+    assert g.m == 3  # a->b, b->a, b->c
+
+
+def test_pagerank_ring_uniform():
+    n = 24
+    g = G.build_graph(edges_ds(ring_pairs(n)), P=P)
+    ranks = values_by_key(pagerank(g), g, "score")
+    for v in ranks.values():
+        assert abs(v - 1.0 / n) < 1e-6
+
+
+def test_pagerank_star_and_dangling_mass():
+    # leaves -> hub; hub dangling. Closed form after convergence.
+    H = 10
+    pairs = [(f"leaf{i}", "hub") for i in range(H)]
+    metrics = []
+    g = G.build_graph(edges_ds(pairs), P=P)
+    ranks = values_by_key(pagerank(g, metrics_out=metrics), g, "score")
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9  # mass conservation
+    og = O.build_oracle_graph(pairs, P)
+    truth, _ = O.pagerank(og)
+    tv = oracle_by_key(og, truth)
+    for k, v in ranks.items():
+        assert abs(v - tv[k]) < 1e-6
+    # every superstep conserved mass
+    for m in metrics:
+        assert m["l1_delta"] >= 0
+
+
+def test_pagerank_overlay_vs_oracle():
+    pairs = overlay_pairs()
+    g = G.build_graph(edges_ds(pairs), P=P)
+    ranks = values_by_key(pagerank(g, tol=1e-10), g, "score")
+    og = O.build_oracle_graph(pairs, P)
+    truth, _ = O.pagerank(og, tol=1e-10)
+    tv = oracle_by_key(og, truth)
+    assert set(ranks) == set(tv)
+    for k in ranks:
+        assert abs(ranks[k] - tv[k]) < 1e-6
+
+
+def test_cc_cliques_and_ring():
+    pairs = clique_pairs(3, 4) + ring_pairs(10)
+    sg = G.build_graph(edges_ds(pairs), P=P, symmetric=True)
+    comps = values_by_key(connected_components(sg), sg, "comp")
+    assert len(set(comps.values())) == 4  # 3 cliques + 1 ring
+    og = O.build_oracle_graph(pairs, P)
+    truth = oracle_by_key(og, O.connected_components(og))
+    assert comps == truth
+
+
+def test_cc_overlay_vs_oracle():
+    pairs = overlay_pairs(seed=7, n=40, m=50)  # sparse -> several comps
+    sg = G.build_graph(edges_ds(pairs), P=P, symmetric=True)
+    comps = values_by_key(connected_components(sg), sg, "comp")
+    og = O.build_oracle_graph(pairs, P)
+    truth = oracle_by_key(og, O.connected_components(og))
+    assert comps == truth
+
+
+def test_lp_cliques_exact():
+    pairs = clique_pairs(3, 5)
+    sg = G.build_graph(edges_ds(pairs), P=P, symmetric=True)
+    labels = values_by_key(label_propagation(sg), sg, "label")
+    og = O.build_oracle_graph(pairs, P)
+    truth = oracle_by_key(og, O.label_propagation(og))
+    assert labels == truth
+    # one label per clique
+    by_clique = {}
+    for k, lab in labels.items():
+        by_clique.setdefault(k.split("_")[0], set()).add(lab)
+    for labs in by_clique.values():
+        assert len(labs) == 1
+
+
+def test_lp_overlay_vs_oracle():
+    pairs = overlay_pairs(seed=3, n=30, m=60)
+    sg = G.build_graph(edges_ds(pairs), P=P, symmetric=True)
+    labels = values_by_key(label_propagation(sg, max_iter=7), sg, "label")
+    og = O.build_oracle_graph(pairs, P)
+    truth = oracle_by_key(og, O.label_propagation(og, max_iter=7))
+    assert labels == truth
+
+
+def test_triangles_cliques_ring_overlay():
+    k, c = 3, 5
+    pairs = clique_pairs(k, c) + ring_pairs(12)
+    sg = G.build_graph(edges_ds(pairs), P=P, symmetric=True)
+    assert triangle_count(sg) == k * math.comb(c, 3)
+    pairs2 = overlay_pairs(seed=11, n=30, m=120)
+    sg2 = G.build_graph(edges_ds(pairs2), P=P, symmetric=True)
+    og = O.build_oracle_graph(pairs2, P)
+    assert triangle_count(sg2) == O.triangle_count(og)
+
+
+def test_checkpoint_resume_equivalence(tmp_path):
+    pairs = overlay_pairs(seed=5, n=50, m=140)
+    g = G.build_graph(edges_ds(pairs), P=P)
+    direct = values_by_key(pagerank(g, tol=1e-9), g, "score")
+    ckpt = str(tmp_path / "state")
+    # run 3 supersteps, "crash", then resume to convergence
+    pagerank(g, tol=1e-9, max_iter=3, checkpoint_dir=ckpt)
+    resumed = values_by_key(pagerank(g, tol=1e-9, checkpoint_dir=ckpt), g, "score")
+    assert set(direct) == set(resumed)
+    for k in direct:
+        assert abs(direct[k] - resumed[k]) < 1e-12
+    # lineage mismatch is refused
+    g2 = G.build_graph(edges_ds(pairs + [("x", "y")]), P=P)
+    with pytest.raises(ValueError):
+        pagerank(g2, checkpoint_dir=ckpt)
