@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship link-graph suite on sf0.001. ``queries()``
+exposes one callable per implemented operator family (SURVEY.md §2 + the
+training-data extensions); ``oracle_sql()`` gives DuckDB-equivalent SQL for
+every relationally-expressible entry (same column names; float aggregates
+rounded on both sides to absorb summation-order noise). Iterative graph
+queries are expressed as *fixed-superstep* runs so the SQL side can unroll
+the same number of iterations.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +17,689 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+DAMPING = 0.85
+PR_ITERS = 5
+GRAPH_P = 16
+
+# deterministic synthetic page corpus used by the pages_* queries
+# (generated in-process, seed-pinned; edges ground truth is known, so the
+# SQL oracle runs over a VALUES list of the true edge set while the Ray
+# side must re-derive it from the HTML)
+from raylink.tables import PageSpec
+
+PAGES_SPEC = PageSpec()
+
+
+def _read(sf_dir: str, name: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _rename(ds, mapping: dict[str, str]):
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([mapping.get(c, c) for c in batch.column_names])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# relational battery (TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """Grouped aggregation with partial pre-compute (SURVEY §2.8)."""
+    from ray.data.aggregate import Count, Mean, Sum
+    from raylink.ops import scale_columns
+
+    li = _read(sf_dir, "lineitem")
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return batch.append_column("disc_price", disc_price)
+
+    ds = li.map_batches(prep, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="n"),
+    )
+    return scale_columns(out, {"sum_qty": 100, "sum_base": 100,
+                               "sum_disc_price": 100, "avg_disc": 1e6})
+
+
+def q_revenue_filter(sf_dir: str):
+    """Vectorized filter + computed projection (SURVEY §2.3/2.4)."""
+    li = _read(sf_dir, "lineitem")
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.greater_equal(batch["l_discount"], 0.05),
+                       pc.greater(batch["l_quantity"], 10.0))
+        b = batch.filter(mask)
+        m = pc.multiply(b["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        rev = pc.cast(pc.floor(pc.add(pc.multiply(m, pa.scalar(10000.0)),
+                                      pa.scalar(0.5))), pa.int64())
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_linenumber": b["l_linenumber"],
+                         "revenue": rev})
+
+    return li.map_batches(f, batch_format="pyarrow")
+
+
+def q_topk_orders(sf_dir: str):
+    from raylink.ops import top_k
+
+    return top_k(
+        _read(sf_dir, "orders").select_columns(["o_orderkey", "o_totalprice"]),
+        [("o_totalprice", True), ("o_orderkey", False)], 10,
+    )
+
+
+def q_first_event(sf_dir: str):
+    """Exact dedup / keep-first per key (overlap-dedup analog, §2.9)."""
+    from raylink.ops import keep_first
+
+    ev = _read(sf_dir, "events")
+    out = keep_first(ev, ["user_id", "event_type"], ["ts", "event_id"])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"], "event_type": batch["event_type"],
+            "first_event_id": batch["event_id"], "first_ts": batch["ts"],
+        })
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+def q_event_lag(sf_dir: str):
+    """Ordered per-key window/lag op (§2.10)."""
+    from raylink.ops import lag_delta_us
+
+    ev = _read(sf_dir, "events").select_columns(["event_id", "user_id", "ts"])
+    out = lag_delta_us(ev, "user_id", "ts", ["ts", "event_id"], "delta_us")
+    return out.select_columns(["event_id", "user_id", "delta_us"])
+
+
+def q_orders_window_items(sf_dir: str):
+    """Banded range join: items shipped within 30 days of order date (§2.7)."""
+    from raylink.ops import count_in_window_join
+
+    return count_in_window_join(
+        _read(sf_dir, "lineitem").select_columns(["l_orderkey", "l_shipdate"]),
+        _read(sf_dir, "orders"), "l_orderkey", "o_orderkey",
+        "l_shipdate", "o_orderdate", 30, "n_items",
+    )
+
+
+def q_region_revenue(sf_dir: str):
+    """Broadcast dimension-chain join + grouped agg (§2.7 small-side)."""
+    from ray.data.aggregate import Count, Sum
+    from raylink.ops import broadcast_left_join, scale_columns
+
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey").merge(
+        reg, left_on="n_regionkey", right_on="r_regionkey"
+    )[["c_custkey", "r_name"]].rename(columns={"c_custkey": "o_custkey"})
+    orders = _read(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"])
+    joined = broadcast_left_join(orders, dim, "o_custkey", ["r_name"])
+    out = joined.groupby("r_name").aggregate(
+        Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders")
+    )
+    return scale_columns(out, {"revenue": 100})
+
+
+def q_mode_event_type(sf_dir: str):
+    """Grouped mode with deterministic tiebreak (§2.8)."""
+    from raylink.ops import grouped_mode
+
+    return grouped_mode(_read(sf_dir, "events"), "user_id", "event_type", "mode_type")
+
+
+def q_price_outliers(sf_dir: str):
+    """Two-pass IQR outlier filter (§2.4 EDA gates)."""
+    from raylink.ops import iqr_outliers
+
+    return iqr_outliers(
+        _read(sf_dir, "lineitem"), "l_extendedprice", 0.3,
+        ["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+
+
+def q_distinct_users(sf_dir: str):
+    from raylink.ops import distinct_count
+
+    return distinct_count(_read(sf_dir, "events"), "event_type", "user_id", "n_users")
+
+
+def q_hourly_rollup(sf_dir: str):
+    """Tumbling-window aggregate over the event stream (§2.10 analog)."""
+    from ray.data.aggregate import Count, Sum
+    from raylink.ops import scale_columns
+
+    ev = _read(sf_dir, "events")
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        hb = pc.divide(
+            pc.cast(pc.floor_temporal(batch["ts"], unit="hour"), pa.int64()),
+            3_600_000_000,
+        )
+        return pa.table({"event_type": batch["event_type"],
+                         "hour_bucket": hb, "value": batch["value"]})
+
+    out = ev.map_batches(bucket, batch_format="pyarrow").groupby(
+        ["event_type", "hour_bucket"]
+    ).aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    return scale_columns(out, {"sum_value": 1e4})
+
+
+# ---------------------------------------------------------------------------
+# graph battery (user-transition graph from the event log)
+# ---------------------------------------------------------------------------
+
+def _user_edges(sf_dir: str):
+    from raylink.ops import transition_edges
+
+    return transition_edges(_read(sf_dir, "events"))
+
+
+def q_graph_degrees(sf_dir: str):
+    from raylink.ops import degree_table
+
+    return degree_table(_user_edges(sf_dir))
+
+
+def q_graph_pagerank(sf_dir: str):
+    from raylink.graph import build_graph
+    from raylink.kernels import pagerank
+    from raylink.pipelines.flagship import join_keys
+    from raylink.ops import scale_columns
+
+    g = build_graph(_user_edges(sf_dir), P=GRAPH_P, already_deduped=True)
+    ranks = pagerank(g, damping=DAMPING, tol=0.0, max_iter=PR_ITERS)
+    out = _rename(join_keys(ranks, g, "score"), {"key": "user_id"})
+    return scale_columns(out, {"score": 1e9})
+
+
+def q_graph_components(sf_dir: str):
+    from raylink.graph import build_graph
+    from raylink.kernels import connected_components
+    from raylink.pipelines.flagship import join_keys
+
+    sg = build_graph(_user_edges(sf_dir), P=GRAPH_P, symmetric=True,
+                     already_deduped=True)
+    comps = connected_components(sg, init="key")
+    return _rename(join_keys(comps, sg, "comp"), {"key": "user_id"})
+
+
+def q_graph_lp1(sf_dir: str):
+    from raylink.graph import build_graph
+    from raylink.kernels import label_propagation
+    from raylink.pipelines.flagship import join_keys
+
+    sg = build_graph(_user_edges(sf_dir), P=GRAPH_P, symmetric=True,
+                     already_deduped=True)
+    labels = label_propagation(sg, max_iter=1, init="key")
+    return _rename(join_keys(labels, sg, "label"), {"key": "user_id"})
+
+
+def q_graph_triangles(sf_dir: str):
+    from raylink.graph import build_graph
+    from raylink.kernels import triangle_count
+
+    sg = build_graph(_user_edges(sf_dir), P=GRAPH_P, symmetric=True,
+                     already_deduped=True)
+    return pa.table({"n_triangles": pa.array([triangle_count(sg)], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# flagship pages pipeline (synthetic corpus; SQL oracle over the known
+# true edge list — the Ray side must re-derive it from raw HTML)
+# ---------------------------------------------------------------------------
+
+def _pages_graph(symmetric: bool):
+    from raylink.extract import docs_to_edges, pages_to_docs
+    from raylink.graph import build_graph
+    from raylink.tables import pages_dataset
+
+    pages = pages_dataset(PAGES_SPEC, parallelism=8)
+    docs = pages_to_docs(pages, batch_size=64, concurrency=2)
+    return build_graph(docs_to_edges(docs), P=GRAPH_P, symmetric=symmetric)
+
+
+def q_pages_pagerank(sf_dir: str):
+    from raylink.kernels import pagerank
+    from raylink.pipelines.flagship import join_keys
+    from raylink.ops import scale_columns
+
+    g = _pages_graph(False)
+    ranks = pagerank(g, damping=DAMPING, tol=0.0, max_iter=PR_ITERS)
+    out = _rename(join_keys(ranks, g, "score"), {"key": "url"})
+    return scale_columns(out, {"score": 1e9})
+
+
+def q_pages_components(sf_dir: str):
+    """CC over the extracted page graph, canonical label = min url."""
+    from raylink.kernels import connected_components
+    from raylink.pipelines.flagship import join_keys
+
+    sg = _pages_graph(True)
+    comps = connected_components(sg)  # min-vid labels
+    keyed = join_keys(comps, sg, "comp")
+
+    def canon(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"url": g["key"], "comp": g["key"].min()})
+
+    return keyed.groupby("comp").map_groups(canon, batch_format="pandas")
+
+
+def q_pages_triangles(sf_dir: str):
+    from raylink.kernels import triangle_count
+
+    sg = _pages_graph(True)
+    return pa.table({"n_triangles": pa.array([triangle_count(sg)], pa.int64())})
+
+
+def q_pages_docs(sf_dir: str):
+    """Extraction stage output (url, text, parse_ok, n_links) — checked
+    against the generator-derived truth via SQL VALUES."""
+    from raylink.extract import pages_to_docs
+    from raylink.tables import pages_dataset
+
+    docs = pages_to_docs(pages_dataset(PAGES_SPEC, parallelism=8),
+                         batch_size=64, concurrency=2)
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch["url"],
+            "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+            "parse_ok": batch["parse_ok"],
+            "n_links": pc.cast(pc.list_value_length(batch["links"]), pa.int64()),
+        })
+
+    return docs.map_batches(proj, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# text / dedup / similarity battery (documents, embeddings)
+# ---------------------------------------------------------------------------
+
+def q_doc_fingerprints(sf_dir: str):
+    from raylink.textops import fingerprints
+
+    out = fingerprints(_read(sf_dir, "documents"))
+    return out.select_columns(["doc_id", "fp"])
+
+
+def q_doc_exact_dedup(sf_dir: str):
+    from raylink.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_read(sf_dir, "documents"))
+
+
+def q_doc_token_counts(sf_dir: str):
+    from raylink.textops import token_counts
+
+    return token_counts(_read(sf_dir, "documents"))
+
+
+def q_doc_quality(sf_dir: str):
+    from raylink.textops import quality_scores
+
+    return quality_scores(_read(sf_dir, "documents"))
+
+
+def q_doc_lang_id(sf_dir: str):
+    from raylink.textops import lang_id
+
+    return lang_id(_read(sf_dir, "documents"))
+
+
+def q_doc_minhash_pairs(sf_dir: str):
+    from raylink.dedup import lsh_candidate_pairs, minhash_signatures, verify_jaccard
+
+    docs = _read(sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    cand = lsh_candidate_pairs(sigs)
+    return verify_jaccard(cand, docs, threshold=0.5)
+
+
+def q_doc_simhash(sf_dir: str):
+    from raylink.dedup import simhash_table
+
+    return simhash_table(_read(sf_dir, "documents"))
+
+
+def q_emb_knn(sf_dir: str):
+    from raylink.similarity import cosine_topk
+
+    emb = _read(sf_dir, "embeddings")
+    qvec = _query_vec(sf_dir)
+    return cosine_topk(emb, qvec, 10, exclude_ids=(0,))
+
+
+def q_emb_knn_lsh(sf_dir: str):
+    from raylink.similarity import lsh_topk
+
+    emb = _read(sf_dir, "embeddings")
+    return lsh_topk(emb, _query_vec(sf_dir), 10)
+
+
+def q_emb_near_dups(sf_dir: str):
+    from raylink.dedup import embedding_near_dups
+
+    return embedding_near_dups(_read(sf_dir, "embeddings"), threshold=0.4)
+
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    i = t["vec_id"].to_pylist().index(0)
+    return np.asarray(t["embedding"][i].as_py(), dtype=np.float64)
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship at sf0.001: user-transition graph -> converged PageRank +
+    components, joined into one per-user summary table."""
+    sf_dir = "/root/testdata/sf0.001"
+    from raylink.graph import build_graph_from_prepared, prepare_edges
+    from raylink.kernels import connected_components, pagerank
+    from raylink.pipelines.flagship import join_keys
+
+    edges = _user_edges(sf_dir)
+    prep = prepare_edges(edges, P=GRAPH_P, already_deduped=True)
+    g = build_graph_from_prepared(prep)
+    sg = build_graph_from_prepared(prep, symmetric=True)
+    ranks = join_keys(pagerank(g), g, "score").to_pandas()
+    comps = join_keys(connected_components(sg, init="key"), sg, "comp").to_pandas()
+    out = ranks.merge(comps, on="key").rename(columns={"key": "user_id"})
+    return out.sort_values("user_id").reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "revenue_filter": q_revenue_filter,
+        "topk_orders": q_topk_orders,
+        "first_event": q_first_event,
+        "event_lag": q_event_lag,
+        "orders_window_items": q_orders_window_items,
+        "region_revenue": q_region_revenue,
+        "mode_event_type": q_mode_event_type,
+        "price_outliers": q_price_outliers,
+        "distinct_users": q_distinct_users,
+        "hourly_rollup": q_hourly_rollup,
+        "graph_degrees": q_graph_degrees,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_components": q_graph_components,
+        "graph_lp1": q_graph_lp1,
+        "graph_triangles": q_graph_triangles,
+        "pages_docs": q_pages_docs,
+        "pages_pagerank": q_pages_pagerank,
+        "pages_components": q_pages_components,
+        "pages_triangles": q_pages_triangles,
+        "doc_fingerprints": q_doc_fingerprints,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_token_counts": q_doc_token_counts,
+        "doc_quality": q_doc_quality,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_simhash": q_doc_simhash,
+        "emb_knn": q_emb_knn,
+        "emb_knn_lsh": q_emb_knn_lsh,
+        "emb_near_dups": q_emb_near_dups,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# SQL oracles
+# ---------------------------------------------------------------------------
+
+_E_CTE = (
+    "e AS (SELECT DISTINCT a.user_id AS src, b.user_id AS dst "
+    "FROM events a JOIN events b ON b.event_id = a.event_id + 1 "
+    "WHERE a.user_id <> b.user_id)"
+)
+
+
+def _pr_sql_body(edge_cte: str, iters: int, out_key: str) -> str:
+    d = DAMPING
+    parts = [
+        edge_cte,
+        "v AS (SELECT src AS v FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v)",
+        "s0 AS (SELECT v.v, 1.0/nn.n AS s FROM v CROSS JOIN nn)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"dm{k} AS (SELECT coalesce(sum(p.s), 0) AS dm FROM s{k-1} p "
+            f"LEFT JOIN deg ON p.v = deg.src WHERE deg.src IS NULL)"
+        )
+        parts.append(
+            f"c{k} AS (SELECT e.dst AS v, sum(p.s/deg.d) AS contrib "
+            f"FROM s{k-1} p JOIN e ON p.v = e.src JOIN deg ON deg.src = e.src "
+            f"GROUP BY e.dst)"
+        )
+        parts.append(
+            f"s{k} AS (SELECT v.v, (1.0-{d})/nn.n + {d}*(coalesce(c{k}.contrib,0) "
+            f"+ dm{k}.dm/nn.n) AS s FROM v CROSS JOIN nn CROSS JOIN dm{k} "
+            f"LEFT JOIN c{k} ON c{k}.v = v.v)"
+        )
+    return ("WITH " + ",\n".join(parts) +
+            f"\nSELECT v AS {out_key}, CAST(floor(s*1000000000 + 0.5) AS BIGINT) "
+            f"AS score FROM s{iters}")
+
+
+def _pages_edge_values() -> str:
+    """The generator's ground-truth edge list (deduped, no self-loops) as a
+    SQL VALUES CTE — the oracle for the extract->graph path."""
+    from raylink.tables import true_edges
+
+    pairs = sorted({(s, d) for s, d in true_edges(PAGES_SPEC) if s != d})
+    rows = ", ".join(f"('{s}', '{d}')" for s, d in pairs)
+    return f"e(src, dst) AS (VALUES {rows})"
+
+
+def _pages_docs_values() -> str:
+    from raylink.oracle import extract_pages
+
+    truth = extract_pages(PAGES_SPEC)
+    rows = ", ".join(
+        f"('{url}', {len(text)}, {str(ok).upper()}, {len(links_all)})"
+        for url, (text, links_all, ok) in sorted(truth.items())
+    )
+    return rows
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+    sql["pricing_summary"] = (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(floor(sum(l_quantity)*100 + 0.5) AS BIGINT) AS sum_qty, "
+        "CAST(floor(sum(l_extendedprice)*100 + 0.5) AS BIGINT) AS sum_base, "
+        "CAST(floor(sum(l_extendedprice*(1.0-l_discount))*100 + 0.5) AS BIGINT) "
+        "AS sum_disc_price, "
+        "CAST(floor(avg(l_discount)*1000000 + 0.5) AS BIGINT) AS avg_disc, "
+        "CAST(count(*) AS BIGINT) AS n "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus"
+    )
+    sql["revenue_filter"] = (
+        "SELECT l_orderkey, l_linenumber, "
+        "CAST(floor(l_extendedprice*(1.0-l_discount)*10000 + 0.5) AS BIGINT) "
+        "AS revenue FROM lineitem "
+        "WHERE l_discount >= 0.05 AND l_quantity > 10"
+    )
+    sql["topk_orders"] = (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    )
+    sql["first_event"] = (
+        "SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type "
+        "ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 1"
+    )
+    sql["event_lag"] = (
+        "SELECT event_id, user_id, CAST(epoch_us(ts) - epoch_us(lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS delta_us "
+        "FROM events"
+    )
+    sql["orders_window_items"] = (
+        "SELECT o.o_orderkey, CAST(count(l.l_orderkey) AS BIGINT) AS n_items "
+        "FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "AND l.l_shipdate >= o.o_orderdate "
+        "AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY "
+        "GROUP BY o.o_orderkey"
+    )
+    sql["region_revenue"] = (
+        "SELECT r_name, CAST(floor(sum(o_totalprice)*100 + 0.5) AS BIGINT) AS revenue, "
+        "CAST(count(*) AS BIGINT) AS n_orders FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+    )
+    sql["mode_event_type"] = (
+        "WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events "
+        "GROUP BY 1, 2), m AS (SELECT user_id, max(n) AS mx FROM c GROUP BY 1) "
+        "SELECT c.user_id, min(c.event_type) AS mode_type FROM c "
+        "JOIN m ON c.user_id = m.user_id AND c.n = m.mx GROUP BY c.user_id"
+    )
+    sql["price_outliers"] = (
+        "WITH q AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1, "
+        "quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem) "
+        "SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice FROM lineitem l "
+        "CROSS JOIN q WHERE l.l_extendedprice < q.q1 - 0.3*(q.q3 - q.q1) "
+        "OR l.l_extendedprice > q.q3 + 0.3*(q.q3 - q.q1)"
+    )
+    sql["distinct_users"] = (
+        "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+        "FROM events GROUP BY event_type"
+    )
+    sql["hourly_rollup"] = (
+        "SELECT event_type, CAST(epoch_us(date_trunc('hour', ts))//3600000000 "
+        "AS BIGINT) AS hour_bucket, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(floor(sum(value)*10000 + 0.5) AS BIGINT) AS sum_value FROM events GROUP BY 1, 2"
+    )
+    sql["graph_degrees"] = (
+        f"WITH {_E_CTE} "
+        "SELECT v, CAST(sum(o) AS BIGINT) AS out_deg, "
+        "CAST(sum(i) AS BIGINT) AS in_deg FROM "
+        "(SELECT src AS v, 1 AS o, 0 AS i FROM e "
+        "UNION ALL SELECT dst, 0, 1 FROM e) GROUP BY v"
+    )
+    sql["graph_pagerank"] = _pr_sql_body(_E_CTE, PR_ITERS, "user_id")
+    sql["graph_components"] = (
+        f"WITH RECURSIVE {_E_CTE}, "
+        "und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e), "
+        "r(a, b) AS (SELECT a, b FROM und "
+        "UNION SELECT r.a, u.b FROM r JOIN und u ON r.b = u.a) "
+        "SELECT a AS user_id, CAST(least(a, min(b)) AS BIGINT) AS comp "
+        "FROM r GROUP BY a"
+    )
+    sql["graph_lp1"] = (
+        f"WITH {_E_CTE}, "
+        "v AS (SELECT src AS v FROM e UNION SELECT dst FROM e), "
+        "und AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM e "
+        "UNION ALL SELECT dst, src FROM e)), "
+        "votes AS (SELECT b AS v, a AS lab FROM und "
+        "UNION ALL SELECT v, v FROM v), "
+        "c AS (SELECT v, lab, count(*) AS n FROM votes GROUP BY v, lab), "
+        "w AS (SELECT v, lab, row_number() OVER (PARTITION BY v "
+        "ORDER BY n DESC, lab) AS rn FROM c) "
+        "SELECT v AS user_id, CAST(lab AS BIGINT) AS label FROM w WHERE rn = 1"
+    )
+    sql["graph_triangles"] = (
+        f"WITH {_E_CTE}, "
+        "u2 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM e) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM u2 e1 "
+        "JOIN u2 e2 ON e2.a = e1.b JOIN u2 e3 ON e3.a = e1.a AND e3.b = e2.b"
+    )
+    # pages_* oracles run over the generator's ground-truth edge list
+    pages_e = _pages_edge_values()
+    sql["pages_pagerank"] = _pr_sql_body(pages_e, PR_ITERS, "url")
+    sql["pages_components"] = (
+        f"WITH RECURSIVE {pages_e}, "
+        "und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e), "
+        "r(a, b) AS (SELECT a, b FROM und "
+        "UNION SELECT r.a, u.b FROM r JOIN und u ON r.b = u.a) "
+        "SELECT a AS url, least(a, min(b)) AS comp FROM r GROUP BY a"
+    )
+    sql["pages_triangles"] = (
+        f"WITH {pages_e}, "
+        "u2 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM e) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM u2 e1 "
+        "JOIN u2 e2 ON e2.a = e1.b JOIN u2 e3 ON e3.a = e1.a AND e3.b = e2.b"
+    )
+    sql["pages_docs"] = (
+        "SELECT * FROM (VALUES " + _pages_docs_values() +
+        ") AS t(url, n_chars, parse_ok, n_links)"
+    )
+    sql["doc_fingerprints"] = "SELECT doc_id, md5(text) AS fp FROM documents"
+    sql["doc_exact_dedup"] = (
+        "SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keep_id, "
+        "CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY md5(text)"
+    )
+    sql["doc_token_counts"] = (
+        "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "array_length(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) "
+        "AS n_tokens, CAST(length(regexp_extract_all(text, '\\w+|[^\\w\\s]')) "
+        "AS BIGINT) AS n_subtokens FROM documents"
+    )
+    sql["doc_quality"] = (
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_chars, "
+        "CAST(floor(pn / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE)"
+        "*1000000 + 0.5) AS BIGINT) AS punct_ratio, "
+        "CAST(floor(dg / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE)"
+        "*1000000 + 0.5) AS BIGINT) AS digit_ratio, "
+        "CAST(floor(ws / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE)"
+        "*1000000 + 0.5) AS BIGINT) AS ws_ratio, "
+        "CAST(floor((n - ws) / CAST(CASE WHEN tok = 0 THEN 1 ELSE tok END AS DOUBLE)"
+        "*1000000 + 0.5) AS BIGINT) AS mean_tok_len FROM ("
+        "SELECT doc_id, length(text) AS n, "
+        "length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS pn, "
+        "length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS dg, "
+        "length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS ws, "
+        "CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "array_length(regexp_split_to_array(trim(text), '\\s+')) END AS tok "
+        "FROM documents)"
+    )
+    sql["emb_knn"] = (
+        "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
+        "SELECT e.vec_id, CAST(floor(list_cosine_similarity("
+        "CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))*1000000 "
+        "+ 0.5) AS BIGINT) AS cos_sim "
+        "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0 "
+        "ORDER BY cos_sim DESC, e.vec_id LIMIT 10"
+    )
+    sql["emb_near_dups"] = (
+        "SELECT a.vec_id AS a_id, b.vec_id AS b_id, "
+        "CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[]))*1000000 + 0.5) AS BIGINT) AS cos_sim "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) > 0.4"
+    )
+    # doc_lang_id, doc_minhash_pairs, doc_simhash, emb_knn_lsh: model/sketch
+    # ops with no faithful ANSI-SQL equivalent -> rows-only checks.
+    return sql

@@ -59,6 +59,11 @@ class CheckpointStore:
                 "checkpoint lineage mismatch: store was written for input "
                 f"{self.manifest.get('input_fingerprint')}, got {fingerprint}"
             )
+        elif self.manifest.get("params") != params:
+            raise ValueError(
+                "checkpoint lineage mismatch: params "
+                f"{self.manifest.get('params')} != {params}"
+            )
 
     def _load_manifest(self):
         if not os.path.exists(self.manifest_path):

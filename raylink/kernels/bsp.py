@@ -100,3 +100,26 @@ def gather_state(state: rd.Dataset, col: str = "vec") -> dict[int, np.ndarray]:
 
 def get_blocks(graph: Graph, part: int) -> list[CSRBlock]:
     return [ray.get(r) for r in graph.blocks.get(part, [])]
+
+
+def key_init_state(graph: Graph) -> rd.Dataset:
+    """Label state initialized from the vertex *keys* (int64 keys only):
+    vec[local] = key of vid local*P+part. Used when downstream semantics
+    (and the SQL oracle) are defined over user-facing ids rather than vids."""
+    import pyarrow.compute as pc
+
+    if not pa.types.is_integer(graph.key_type):
+        raise TypeError("key-initialized labels require int64 vertex keys")
+
+    def to_state(group: pa.Table) -> pa.Table:
+        part = int(group["part"][0].as_py())
+        order = pc.sort_indices(group["key"])  # ascending == local-rank order
+        keys = group["key"].take(order).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"part": pa.array([part], pa.int64()),
+             "vec": pa.array([keys], pa.list_(pa.int64()))}
+        )
+
+    return graph.vertices.groupby("part").map_groups(
+        to_state, batch_format="pyarrow"
+    ).materialize()

@@ -97,20 +97,31 @@ def connected_components(
     graph: Graph,
     *,
     max_iter: int = 10_000,
+    init: str = "vid",
     checkpoint_dir: str | None = None,
     metrics_out: list | None = None,
 ) -> rd.Dataset:
-    """Per-vertex Dataset (vid, comp). ``graph`` must be a symmetric build."""
+    """Per-vertex Dataset (vid, comp). ``graph`` must be a symmetric build.
+
+    ``init="vid"``: canonical component label = min vid (oracle-exact).
+    ``init="key"``: labels start from int64 vertex keys, so the component
+    label is the min *key* — matches relational (SQL) formulations directly.
+    """
+    from .bsp import key_init_state
+
     store = None
     start_iter = 0
-    state = init_state(
-        graph,
-        lambda p: np.arange(int(graph.n_per_part[p]), dtype=np.int64) * graph.P + p,
-        dtype=pa.int64(),
-    )
+    if init == "key":
+        state = key_init_state(graph)
+    else:
+        state = init_state(
+            graph,
+            lambda p: np.arange(int(graph.n_per_part[p]), dtype=np.int64) * graph.P + p,
+            dtype=pa.int64(),
+        )
     if checkpoint_dir:
         store = CheckpointStore(
-            checkpoint_dir, "cc", graph_fingerprint(graph), {}
+            checkpoint_dir, "cc", graph_fingerprint(graph), {"init": init}
         )
         resumed = store.latest()
         if resumed is not None:

@@ -115,20 +115,29 @@ def label_propagation(
     graph: Graph,
     *,
     max_iter: int = 20,
+    init: str = "vid",
     checkpoint_dir: str | None = None,
     metrics_out: list | None = None,
 ) -> rd.Dataset:
-    """Per-vertex Dataset (vid, label). ``graph`` must be a symmetric build."""
+    """Per-vertex Dataset (vid, label). ``graph`` must be a symmetric build.
+    ``init="key"`` starts labels from int64 vertex keys (tiebreak then runs
+    over user-facing ids, matching the SQL formulation)."""
+    from .bsp import key_init_state
+
     store = None
     start_iter = 0
-    state = init_state(
-        graph,
-        lambda p: np.arange(int(graph.n_per_part[p]), dtype=np.int64) * graph.P + p,
-        dtype=pa.int64(),
-    )
+    if init == "key":
+        state = key_init_state(graph)
+    else:
+        state = init_state(
+            graph,
+            lambda p: np.arange(int(graph.n_per_part[p]), dtype=np.int64) * graph.P + p,
+            dtype=pa.int64(),
+        )
     if checkpoint_dir:
         store = CheckpointStore(checkpoint_dir, "labelprop",
-                                graph_fingerprint(graph), {"max_iter": max_iter})
+                                graph_fingerprint(graph),
+                                {"max_iter": max_iter, "init": init})
         resumed = store.latest()
         if resumed is not None:
             start_iter, state = resumed

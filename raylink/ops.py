@@ -1,0 +1,311 @@
+"""Generic relational operators, Ray-Data-first.
+
+One function per operator family from SURVEY §2 (filters/projections §2.3-4,
+grouped aggregation §2.8, sort/top-k/dedup §2.9, joins/lookups §2.7,
+ordered/window ops §2.10). These back both the graph pipelines and the
+driver harness ``__ray_entry__.queries()`` (each has a DuckDB oracle).
+
+Conventions:
+- hot paths are vectorized over Arrow/pandas batches; no per-row Python in
+  ``map_batches`` bodies except where the unit of work is a document;
+- small sides are broadcast via ``ray.put`` + per-batch lookup (no shuffle);
+- float aggregate columns are rounded explicitly where results feed the
+  hash-comparing oracle harness (summation-order tolerance).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+
+# ---------------------------------------------------------------------------
+# projection / rounding helpers
+# ---------------------------------------------------------------------------
+
+def round_columns(ds: rd.Dataset, decimals: dict[str, int]) -> rd.Dataset:
+    def f(batch: pa.Table) -> pa.Table:
+        for col, dec in decimals.items():
+            arr = pc.round(pc.cast(batch[col], pa.float64()), ndigits=dec)
+            batch = batch.set_column(batch.schema.get_field_index(col), col, arr)
+        return batch
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def scale_columns(ds: rd.Dataset, scales: dict[str, float]) -> rd.Dataset:
+    """Fixed-point conversion: col -> int64 floor(col*scale + 0.5).
+
+    Used on float aggregate outputs compared against a SQL oracle: decimal
+    ``round()`` produces engine-dependent nearest-doubles, while this exact
+    IEEE multiply/add/floor sequence is bit-reproducible across engines
+    (SQL twin: ``CAST(floor(x*S + 0.5) AS BIGINT)``)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        for col, s in scales.items():
+            arr = pc.cast(
+                pc.floor(pc.add(pc.multiply(pc.cast(batch[col], pa.float64()),
+                                            pa.scalar(float(s))),
+                                pa.scalar(0.5))),
+                pa.int64(),
+            )
+            batch = batch.set_column(batch.schema.get_field_index(col), col, arr)
+        return batch
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# top-k (sort + limit; SURVEY §2.9 global top-10 discords analog)
+# ---------------------------------------------------------------------------
+
+def top_k(ds: rd.Dataset, keys: Sequence[tuple[str, bool]], k: int) -> rd.Dataset:
+    """keys = [(col, descending), ...]; deterministic with a full tiebreak."""
+    return ds.sort(key=[c for c, _ in keys], descending=[d for _, d in keys]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup / keep-first (overlap-peak reconciliation analog, §2.9)
+# ---------------------------------------------------------------------------
+
+def keep_first(ds: rd.Dataset, group_keys: list[str], order_keys: list[str]) -> rd.Dataset:
+    """Hash-partition by group key, keep the first row per group under
+    ``order_keys`` (deterministic richest/earliest-row dedup)."""
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_keys, kind="mergesort").head(1)
+
+    return ds.groupby(group_keys).map_groups(first, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# ordered window / lag op (§2.10 ordered pairwise comparison analog)
+# ---------------------------------------------------------------------------
+
+def lag_delta_us(events: rd.Dataset, part_col: str, ts_col: str,
+                 order_cols: list[str], out_col: str) -> rd.Dataset:
+    """Per-partition lag: microseconds since the previous event of the same
+    ``part_col`` (ordering: ``order_cols``). First event per key -> null."""
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort")
+        prev = g[ts_col].shift(1)
+        delta = (g[ts_col] - prev).dt.total_seconds() * 1_000_000
+        g[out_col] = delta.round().astype("Int64")
+        return g
+
+    return events.groupby(part_col).map_groups(f, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# broadcast joins (§2.7: small-side lookup, no shuffle)
+# ---------------------------------------------------------------------------
+
+def broadcast_left_join(ds: rd.Dataset, small: pd.DataFrame, on: str,
+                        add_cols: list[str]) -> rd.Dataset:
+    """Left join against a small dimension frame shipped once via ray.put."""
+    ref = ray.put(small.set_index(on)[add_cols])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        idx = ray.get(ref)
+        return batch.join(idx, on=on)
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# grouped mode with deterministic tiebreak (§2.8 "mode / most_common")
+# ---------------------------------------------------------------------------
+
+def grouped_mode(ds: rd.Dataset, group_col: str, value_col: str,
+                 out_col: str) -> rd.Dataset:
+    """Most frequent value per group; ties -> minimum value. Two-level:
+    vectorized per-batch (group, value) pre-count, then a grouped final
+    reduce — the partial+final combine pattern."""
+
+    def precount(batch: pa.Table) -> pa.Table:
+        t = batch.group_by([group_col, value_col]).aggregate([([], "count_all")])
+        return t.rename_columns([group_col, value_col, "n"])
+
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(value_col, sort=True)["n"].sum()
+        best = agg[agg == agg.max()].index.min()
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]], out_col: [best]})
+
+    pre = ds.map_batches(precount, batch_format="pyarrow")
+    return pre.groupby(group_col).map_groups(reduce_group, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# two-pass quantile outlier filter (§2.4 EDA drop_outliers analog)
+# ---------------------------------------------------------------------------
+
+def iqr_outliers(ds: rd.Dataset, col: str, k: float = 1.5,
+                 keep_cols: list[str] | None = None) -> rd.Dataset:
+    """Pass 1: exact global quantiles (gathered column; at scale this becomes
+    a mergeable KLL/TDigest sketch). Pass 2: vectorized filter to rows
+    OUTSIDE [q1 - k*iqr, q3 + k*iqr]."""
+    vals = np.concatenate(
+        [b[col].to_numpy(zero_copy_only=False)
+         for b in ds.select_columns([col]).iter_batches(batch_format="pyarrow",
+                                                        batch_size=1 << 20)]
+    )
+    q1, q3 = np.quantile(vals, [0.25, 0.75])  # linear interp == percentile_cont
+    lo, hi = q1 - k * (q3 - q1), q3 + k * (q3 - q1)
+
+    def f(batch: pa.Table) -> pa.Table:
+        c = batch[col]
+        mask = pc.or_(pc.less(c, lo), pc.greater(c, hi))
+        out = batch.filter(mask)
+        return out.select(keep_cols) if keep_cols else out
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# grouped distinct count (§2.8 distinct counts)
+# ---------------------------------------------------------------------------
+
+def distinct_count(ds: rd.Dataset, group_col: str, value_col: str,
+                   out_col: str) -> rd.Dataset:
+    """Vectorized per-batch (group, value) dedup, shuffle only the distinct
+    pairs, then count per group."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        return batch.select([group_col, value_col]).group_by(
+            [group_col, value_col]).aggregate([])
+
+    pre = ds.map_batches(pairs, batch_format="pyarrow")
+
+    def count_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]],
+                             out_col: [g[value_col].nunique()]})
+
+    return pre.groupby(group_col).map_groups(count_group, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# banded range join (§2.7 proximity join analog)
+# ---------------------------------------------------------------------------
+
+def count_in_window_join(
+    fact: rd.Dataset, dim: rd.Dataset, fact_key: str, dim_key: str,
+    fact_ts: str, dim_ts: str, window_days: int, out_col: str,
+) -> rd.Dataset:
+    """For each dim row: count fact rows with matching key and
+    ``dim_ts <= fact_ts < dim_ts + window``. Small-dim broadcast variant:
+    the dim (key -> ts) map ships once; fact side streams, emitting partial
+    counts; final tiny grouped sum is joined back to ALL dim keys (zero
+    counts kept)."""
+    dim_rows = pa.concat_tables(
+        list(dim.select_columns([dim_key, dim_ts]).iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20))
+    )
+    key_np = dim_rows[dim_key].to_numpy(zero_copy_only=False)
+    ts_np = dim_rows[dim_ts].to_numpy(zero_copy_only=False)
+    ref = ray.put((key_np, ts_np))
+    window = np.timedelta64(window_days, "D")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, tss = ray.get(ref)
+        order = np.argsort(keys, kind="mergesort")
+        skeys, stss = keys[order], tss[order]
+        fk = batch[fact_key].to_numpy(zero_copy_only=False)
+        fts = batch[fact_ts].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(skeys, fk)
+        ok = (pos < len(skeys)) & (skeys[np.minimum(pos, len(skeys) - 1)] == fk)
+        base = stss[np.minimum(pos, len(skeys) - 1)]
+        hit = ok & (fts >= base) & (fts < base + window)
+        ks, cnt = np.unique(fk[hit], return_counts=True)
+        return pa.table({fact_key: pa.array(ks), "partial_n": pa.array(cnt.astype(np.int64))})
+
+    partials = fact.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    summed = partials.groupby(fact_key).aggregate(Sum("partial_n", alias_name=out_col))
+    counts = {}
+    for b in summed.iter_batches(batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            counts[b[fact_key][i].as_py()] = b[out_col][i].as_py()
+    cref = ray.put(counts)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        cmap = ray.get(cref)
+        ks = batch[dim_key].to_pylist()
+        return pa.table({
+            dim_key: batch[dim_key],
+            out_col: pa.array([cmap.get(k, 0) for k in ks], pa.int64()),
+        })
+
+    return dim.select_columns([dim_key]).map_batches(attach, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# transition graph from an ordered event log (§2.10 lag as self-join)
+# ---------------------------------------------------------------------------
+
+def transition_edges(events: rd.Dataset, *, id_col: str = "event_id",
+                     actor_col: str = "user_id") -> rd.Dataset:
+    """(actor of event i) -> (actor of event i+1) over dense event ids.
+
+    Physical plan: the (dense id -> actor) array is broadcast once and the
+    successor lookup is a vectorized gather inside ``map_batches`` — the
+    lag-join becomes an O(1) index probe. Scale path: hash join of the log
+    with itself on ``id+1`` (both sides bucketed); semantics unchanged.
+    Self-transitions dropped; result deduplicated (distinct edges).
+    """
+    tab = pa.concat_tables(
+        list(events.select_columns([id_col, actor_col]).iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20))
+    )
+    ids = tab[id_col].to_numpy(zero_copy_only=False)
+    actors = tab[actor_col].to_numpy(zero_copy_only=False)
+    n = int(ids.max()) + 1 if len(ids) else 0
+    lut = np.zeros(n, dtype=actors.dtype)
+    lut[ids] = actors
+    ref = ray.put(lut)
+
+    def f(batch: pa.Table) -> pa.Table:
+        lut_ = ray.get(ref)
+        eid = batch[id_col].to_numpy(zero_copy_only=False)
+        src = batch[actor_col].to_numpy(zero_copy_only=False)
+        keep = eid + 1 < len(lut_)
+        src, eid = src[keep], eid[keep]
+        dst = lut_[eid + 1]
+        m = src != dst
+        return pa.table({"src": pa.array(src[m]), "dst": pa.array(dst[m])})
+
+    from .graph import dedup_edges
+
+    return dedup_edges(events.map_batches(f, batch_format="pyarrow"))
+
+
+def degree_table(edges: rd.Dataset) -> rd.Dataset:
+    """(v, out_deg, in_deg) from a deduped edge table — partial counts per
+    batch, then one small grouped sum (§2.8 partial+final combine)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        sv, sc = np.unique(src, return_counts=True)
+        dv, dc = np.unique(dst, return_counts=True)
+        return pa.table({
+            "v": pa.array(np.concatenate([sv, dv])),
+            "po": pa.array(np.concatenate([sc, np.zeros_like(dc)]).astype(np.int64)),
+            "pi": pa.array(np.concatenate([np.zeros_like(sc), dc]).astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("po", alias_name="out_deg"), Sum("pi", alias_name="in_deg"))
+    )

@@ -1,0 +1,123 @@
+"""Text-analysis operators over document tables (SURVEY-extension family:
+language-ID, quality scoring, token counting, fingerprinting).
+
+All operate on a Dataset with (id_col, text_col) and are vectorized with
+pandas str kernels / hashlib (C speed) inside ``map_batches``; the language
+identifier is an actor-pool stage with per-worker compiled profiles (the
+reference's compiled-toolkit-per-worker pattern, peak_detect_v4.py:96-114).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+_WS_TOKEN = re.compile(r"\S+")
+_BPE_ISH = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+_PUNCT = r"[.!?,;:]"
+
+
+def token_counts(ds: rd.Dataset, id_col: str = "doc_id",
+                 text_col: str = "text") -> rd.Dataset:
+    """(id, n_tokens, n_subtokens): whitespace tokens and a BPE-ish
+    word/punct split count."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        txt = batch[text_col].fillna("")
+        return pd.DataFrame({
+            id_col: batch[id_col],
+            "n_tokens": txt.str.count(_WS_TOKEN).astype("int64"),
+            "n_subtokens": txt.str.count(_BPE_ISH).astype("int64"),
+        })
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def quality_scores(ds: rd.Dataset, id_col: str = "doc_id",
+                   text_col: str = "text") -> rd.Dataset:
+    """(id, n_chars, punct_ratio, digit_ratio, ws_ratio, mean_tok_len)
+    — length/punctuation heuristics (rounded to 6 for oracle comparison)."""
+
+    def fixed6(x: pd.Series) -> pd.Series:
+        # bit-reproducible fixed-point (SQL twin: floor(x*1e6 + 0.5))
+        return np.floor(x * 1_000_000.0 + 0.5).astype("int64")
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        txt = batch[text_col].fillna("")
+        n = txt.str.len().astype("int64")
+        safe = n.replace(0, 1).astype("float64")
+        toks = txt.str.count(_WS_TOKEN).astype("int64")
+        ws = txt.str.count(r"\s").astype("int64")
+        return pd.DataFrame({
+            id_col: batch[id_col],
+            "n_chars": n,
+            "punct_ratio": fixed6(txt.str.count(_PUNCT) / safe),
+            "digit_ratio": fixed6(txt.str.count(r"[0-9]") / safe),
+            "ws_ratio": fixed6(ws / safe),
+            "mean_tok_len": fixed6((n - ws) / toks.replace(0, 1).astype("float64")),
+        })
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def fingerprints(ds: rd.Dataset, id_col: str = "doc_id",
+                 text_col: str = "text") -> rd.Dataset:
+    """(id, fp): md5 content fingerprint (hex), plus a 64-bit rolling
+    polynomial hash ``rh`` (int64) for cheap near-position probes."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        fps = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+        rhs = []
+        for t in texts:
+            h = np.uint64(1469598103934665603)
+            for b in (t or "").encode():
+                h = np.uint64((int(h) * 1099511628211 + b) & 0xFFFFFFFFFFFFFFFF)
+            rhs.append(np.int64(np.uint64(h).astype(np.int64)))
+        return pa.table({id_col: batch[id_col],
+                         "fp": pa.array(fps, pa.string()),
+                         "rh": pa.array(rhs, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+_PROFILES = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "that"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "nicht", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "un", "est", "que"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un"],
+}
+
+
+class LangId:
+    """Actor-pool stage: n-gram/stopword-overlap language heuristic.
+    Per-worker state: compiled token pattern + profile sets."""
+
+    def __init__(self) -> None:
+        self.tok = re.compile(r"[a-zA-Z]+")
+        self.profiles = {k: frozenset(v) for k, v in _PROFILES.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds = []
+        for t in batch["text"].fillna(""):
+            words = self.tok.findall(t.lower())
+            ws = set(words)
+            scores = {
+                lang: len(ws & prof) for lang, prof in self.profiles.items()
+            }
+            best = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            preds.append(best[0] if best[1] > 0 else "xx")
+        out = batch[["doc_id"]].copy()
+        out["pred_lang"] = preds
+        return out
+
+
+def lang_id(ds: rd.Dataset, *, concurrency=2) -> rd.Dataset:
+    return ds.map_batches(LangId, batch_format="pandas", batch_size=1024,
+                          concurrency=concurrency)
