@@ -35,10 +35,10 @@ from raylink.tables import PageSpec
 PAGES_SPEC = PageSpec()
 
 
-def _read(sf_dir: str, name: str):
+def _read(sf_dir: str, name: str, columns: list[str] | None = None):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet")
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
 def _rename(ds, mapping: dict[str, str]):
@@ -53,35 +53,53 @@ def _rename(ds, mapping: dict[str, str]):
 # ---------------------------------------------------------------------------
 
 def q_pricing_summary(sf_dir: str):
-    """Grouped aggregation with partial pre-compute (SURVEY §2.8)."""
-    from ray.data.aggregate import Count, Mean, Sum
+    """Grouped aggregation, partial-combine pattern (SURVEY §2.8): each
+    batch pre-aggregates to <=|groups| rows inside map_batches; the global
+    shuffle only moves partials. Columns pruned at the read."""
+    from ray.data.aggregate import Sum
     from raylink.ops import scale_columns
 
-    li = _read(sf_dir, "lineitem")
     cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
 
-    def prep(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
         disc_price = pc.multiply(
             batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
         )
-        return batch.append_column("disc_price", disc_price)
+        batch = batch.append_column("disc_price", disc_price)
+        return batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_discount", "sum"), ([], "count_all")]
+        )
 
-    ds = li.map_batches(prep, batch_format="pyarrow")
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base"),
-        Sum("disc_price", alias_name="sum_disc_price"),
-        Mean("l_discount", alias_name="avg_disc"),
-        Count(alias_name="n"),
+    out = _read(sf_dir, "lineitem",
+                ["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"]).map_batches(
+        partial, batch_format="pyarrow"
+    ).groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity_sum", alias_name="sum_qty"),
+        Sum("l_extendedprice_sum", alias_name="sum_base"),
+        Sum("disc_price_sum", alias_name="sum_disc_price"),
+        Sum("l_discount_sum", alias_name="disc_total"),
+        Sum("count_all", alias_name="n"),
     )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        avg = pc.divide(pc.cast(batch["disc_total"], pa.float64()),
+                        pc.cast(batch["n"], pa.float64()))
+        batch = batch.append_column("avg_disc", avg)
+        return batch.drop_columns(["disc_total"])
+
+    out = out.map_batches(finish, batch_format="pyarrow")
     return scale_columns(out, {"sum_qty": 100, "sum_base": 100,
                                "sum_disc_price": 100, "avg_disc": 1e6})
 
 
 def q_revenue_filter(sf_dir: str):
     """Vectorized filter + computed projection (SURVEY §2.3/2.4)."""
-    li = _read(sf_dir, "lineitem")
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice",
+                "l_discount", "l_quantity"])
 
     def f(batch: pa.Table) -> pa.Table:
         mask = pc.and_(pc.greater_equal(batch["l_discount"], 0.05),
@@ -111,7 +129,7 @@ def q_first_event(sf_dir: str):
     """Exact dedup / keep-first per key (overlap-dedup analog, §2.9)."""
     from raylink.ops import keep_first
 
-    ev = _read(sf_dir, "events")
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
     out = keep_first(ev, ["user_id", "event_type"], ["ts", "event_id"])
 
     def proj(batch: pa.Table) -> pa.Table:
@@ -127,7 +145,7 @@ def q_event_lag(sf_dir: str):
     """Ordered per-key window/lag op (§2.10)."""
     from raylink.ops import lag_delta_us
 
-    ev = _read(sf_dir, "events").select_columns(["event_id", "user_id", "ts"])
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     out = lag_delta_us(ev, "user_id", "ts", ["ts", "event_id"], "delta_us")
     return out.select_columns(["event_id", "user_id", "delta_us"])
 
@@ -166,7 +184,8 @@ def q_mode_event_type(sf_dir: str):
     """Grouped mode with deterministic tiebreak (§2.8)."""
     from raylink.ops import grouped_mode
 
-    return grouped_mode(_read(sf_dir, "events"), "user_id", "event_type", "mode_type")
+    return grouped_mode(_read(sf_dir, "events", ["user_id", "event_type"]),
+                        "user_id", "event_type", "mode_type")
 
 
 def q_price_outliers(sf_dir: str):
@@ -182,7 +201,8 @@ def q_price_outliers(sf_dir: str):
 def q_distinct_users(sf_dir: str):
     from raylink.ops import distinct_count
 
-    return distinct_count(_read(sf_dir, "events"), "event_type", "user_id", "n_users")
+    return distinct_count(_read(sf_dir, "events", ["event_type", "user_id"]),
+                          "event_type", "user_id", "n_users")
 
 
 def q_hourly_rollup(sf_dir: str):
@@ -190,7 +210,7 @@ def q_hourly_rollup(sf_dir: str):
     from ray.data.aggregate import Count, Sum
     from raylink.ops import scale_columns
 
-    ev = _read(sf_dir, "events")
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
     def bucket(batch: pa.Table) -> pa.Table:
         hb = pc.divide(
@@ -213,7 +233,7 @@ def q_hourly_rollup(sf_dir: str):
 def _user_edges(sf_dir: str):
     from raylink.ops import transition_edges
 
-    return transition_edges(_read(sf_dir, "events"))
+    return transition_edges(_read(sf_dir, "events", ["event_id", "user_id"]))
 
 
 def q_graph_degrees(sf_dir: str):

@@ -1,0 +1,196 @@
+"""Benchmark harness.
+
+Default: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) plus the synthetic-corpus flagship (extract -> graph
+build -> PageRank supersteps -> CC -> triangles) and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling``: runs the identical flagship job in two fresh processes at
+``num_cpus=8`` and ``num_cpus=32`` (the sandbox stand-in for N vs 4N nodes)
+and reports both throughputs plus ``efficiency = (t_lo/t_hi)/(hi/lo)``.
+
+Env: RAY_GRAFT_CPUS (default 32), GRAFT_SF_DIR, GRAFT_BENCH_PAGES (corpus
+size knob), GRAFT_BENCH_OVERLAY (extra links/page).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "120000"))
+OVERLAY = float(os.environ.get("GRAFT_BENCH_OVERLAY", "6.0"))
+PR_SUPERSTEPS = int(os.environ.get("GRAFT_BENCH_PR_ITERS", "8"))
+
+
+def bench_spec():
+    from raylink.tables import PageSpec
+
+    # mostly-overlay corpus; ring/star/cliques keep known-answer structure
+    extra = max(0, N_PAGES - 20000)
+    return PageSpec(ring=8192, star_leaves=4096, cliques=64, clique_size=8,
+                    dangling=2048, overlay_avg_links=OVERLAY, extra_pages=extra)
+
+
+def run_flagship(timings: dict) -> dict:
+    """The headline job: synthetic corpus -> extract -> build -> kernels."""
+    import ray
+
+    from raylink.extract import docs_to_edges, pages_to_docs
+    from raylink.graph import build_graph_from_prepared, prepare_edges
+    from raylink.kernels import connected_components, pagerank, triangle_count
+    from raylink.tables import pages_dataset
+
+    spec = bench_spec()
+    info: dict = {"n_pages": spec.n_pages}
+
+    t0 = time.perf_counter()
+    pages = pages_dataset(spec, parallelism=4 * NCPU)
+    docs = pages_to_docs(pages, batch_size=512,
+                         concurrency=(2, max(2, NCPU))).materialize()
+    timings["extract"] = round(time.perf_counter() - t0, 3)
+    info["n_docs"] = docs.count()
+
+    t0 = time.perf_counter()
+    edges = docs_to_edges(docs)
+    prep = prepare_edges(edges, P=2 * NCPU)
+    g = build_graph_from_prepared(prep)
+    timings["graph_build"] = round(time.perf_counter() - t0, 3)
+    info["n_vertices"], info["n_edges"] = g.n, g.m
+
+    t0 = time.perf_counter()
+    pr_metrics: list = []
+    pagerank(g, tol=0.0, max_iter=PR_SUPERSTEPS,
+             metrics_out=pr_metrics).count()
+    timings["pagerank"] = round(time.perf_counter() - t0, 3)
+    step_secs = [m["sec"] for m in pr_metrics]
+    info["pr_supersteps"] = len(step_secs)
+    info["pr_sec_per_superstep"] = round(sum(step_secs) / len(step_secs), 3)
+    info["pr_edges_per_sec_per_superstep"] = int(g.m / (sum(step_secs) / len(step_secs)))
+
+    t0 = time.perf_counter()
+    sg = build_graph_from_prepared(prep, symmetric=True)
+    timings["sym_build"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    cc_metrics: list = []
+    connected_components(sg, metrics_out=cc_metrics).count()
+    timings["cc"] = round(time.perf_counter() - t0, 3)
+    info["cc_supersteps"] = len(cc_metrics)
+
+    t0 = time.perf_counter()
+    info["triangles"] = triangle_count(sg)
+    timings["triangles"] = round(time.perf_counter() - t0, 3)
+    return info
+
+
+def run_sf_queries(timings: dict) -> None:
+    """Representative operator battery over the driver's sf tables."""
+    import __ray_entry__ as entry
+
+    picks = ["pricing_summary", "event_lag", "graph_pagerank",
+             "doc_exact_dedup", "emb_knn"]
+    qs = entry.queries()
+    for name in picks:
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        # consume
+        try:
+            import ray.data as rd
+
+            if isinstance(res, rd.Dataset):
+                res.count()
+        except Exception:
+            pass
+        timings[f"sf:{name}"] = round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    import ray
+    from ray.data import DataContext
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    # small-block workloads: let shuffle map tasks stay fine-grained so the
+    # sort/groupby stages use the full CPU budget at sandbox scale
+    ctx.target_min_block_size = 64 * 1024
+
+    import gc
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    # untimed warm-up: spin up the Ray worker pool (first execution pays
+    # ~250ms/worker process startup) and warm the OS page cache for the sf
+    # tables, so the timed section measures compute + shuffle
+    import ray.data as rd
+
+    rd.range(NCPU * 8, override_num_blocks=NCPU * 8).map_batches(
+        lambda b: b, batch_size=1
+    ).materialize()
+    rd.read_parquet(f"{SF_DIR}/lineitem.parquet").count()
+    rd.read_parquet(f"{SF_DIR}/events.parquet").count()
+
+    timings: dict = {}
+    t_all = time.perf_counter()
+    info = run_flagship(timings)
+    gc.collect()
+    run_sf_queries(timings)
+    total = round(time.perf_counter() - t_all, 3)
+
+    print(json.dumps({
+        "metric": "flagship extract->graph->pagerank/cc/tri + sf operator battery, wall sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        **info,
+    }))
+    ray.shutdown()
+
+
+def scaling(lo: int = 8, hi: int = 32) -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    run(hi)  # warm page cache / compile, untimed
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling efficiency, identical flagship job, fresh processes",
+        f"sec_{lo}cpu": t_lo,
+        f"sec_{hi}cpu": t_hi,
+        f"throughput_{lo}cpu_pages_per_sec": int(r_lo["n_pages"] / t_lo),
+        f"throughput_{hi}cpu_pages_per_sec": int(r_hi["n_pages"] / t_hi),
+        "pr_edges_per_sec_per_superstep": {
+            str(lo): r_lo["pr_edges_per_sec_per_superstep"],
+            str(hi): r_hi["pr_edges_per_sec_per_superstep"],
+        },
+        "scaling_efficiency": round(eff, 3),
+        "queries_lo": r_lo["queries"],
+        "queries_hi": r_hi["queries"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

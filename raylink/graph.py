@@ -76,14 +76,33 @@ def _local_dedup(batch: pa.Table) -> pa.Table:
     return batch.group_by(["src", "dst"]).aggregate([]).rename_columns(["src", "dst"])
 
 
-def dedup_edges(edges: rd.Dataset) -> rd.Dataset:
+DEDUP_BUCKETS = 256
+
+
+def dedup_edges(edges: rd.Dataset, *, buckets: int = DEDUP_BUCKETS) -> rd.Dataset:
     """Exact (src,dst) distinct, self-loops dropped.
 
-    Pattern: vectorized batch-local combine (cuts shuffle volume), then a
-    hash-shuffle distinct via groupby on both key columns.
-    """
+    Pattern: vectorized batch-local combine (cuts shuffle volume), then an
+    explicit partitioned distinct — bucket by a hash of the pair (a single
+    int key, far cheaper to shuffle than sorting the string pair globally)
+    and dedup within each bucket with an Arrow hash group-by. A given
+    (src,dst) always lands in the same bucket, so the result is globally
+    distinct."""
     pre = edges.map_batches(_local_dedup, batch_format="pyarrow", zero_copy_batch=True)
-    return pre.groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (part_of_keys(batch["src"], 1 << 30) * 1_000_003
+             + part_of_keys(batch["dst"], 1 << 30)) % buckets
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    def bucket_distinct(group: pa.Table) -> pa.Table:
+        return group.select(["src", "dst"]).group_by(["src", "dst"]).aggregate([])
+
+    return (
+        pre.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_distinct, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -91,32 +110,47 @@ def dedup_edges(edges: rd.Dataset) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 def build_vertices(edges: rd.Dataset, P: int) -> rd.Dataset:
-    """Distinct endpoint keys -> (key, vid, part). Fully distributed:
-    one distinct shuffle + one partition-grouped rank assignment."""
+    """Distinct endpoint keys -> (key, vid, part). Fully distributed with a
+    single shuffle: each batch packs its unique keys into ONE list row per
+    partition (so the shuffle moves ~blocks*P rows, not one row per key),
+    then an int-keyed groupby(part) dedups, sorts and assigns local ranks
+    (vid = rank * P + part)."""
 
-    def keys_only(batch: pa.Table, col: str) -> pa.Table:
-        u = pc.unique(batch[col].combine_chunks())
-        return pa.table({"key": u})
+    def keys_lists(batch: pa.Table) -> pa.Table:
+        u = pc.unique(pa.chunked_array(
+            [batch["src"].combine_chunks(), batch["dst"].combine_chunks()]
+        ).combine_chunks())
+        parts = part_of_keys(u, P)
+        order = np.argsort(parts, kind="stable")
+        sorted_u = u.take(pa.array(order))
+        sorted_p = parts[order]
+        bounds = np.searchsorted(sorted_p, np.arange(P + 1))
+        out_parts, out_lists = [], []
+        for p in range(P):
+            lo, hi = int(bounds[p]), int(bounds[p + 1])
+            if hi > lo:
+                out_parts.append(p)
+                out_lists.append(sorted_u.slice(lo, hi - lo).to_pylist())
+        return pa.table({
+            "part": pa.array(out_parts, pa.int64()),
+            "keys": pa.array(out_lists, pa.list_(u.type)),
+        })
 
-    srcs = edges.map_batches(lambda b: keys_only(b, "src"), batch_format="pyarrow")
-    dsts = edges.map_batches(lambda b: keys_only(b, "dst"), batch_format="pyarrow")
-    keys = srcs.union(dsts).groupby("key").count().select_columns(["key"])
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        return batch.append_column("part", pa.array(part_of_keys(batch["key"], P)))
+    packed = edges.map_batches(keys_lists, batch_format="pyarrow",
+                               zero_copy_batch=True)
 
     def assign(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group["key"])
-        g = group.take(order)
-        p = int(g["part"][0].as_py())
-        vids = np.arange(len(g), dtype=np.int64) * P + p
-        return pa.table({"key": g["key"], "vid": pa.array(vids), "part": g["part"]})
+        kl = group["keys"].combine_chunks()
+        u = pc.unique(kl.flatten())
+        u = u.take(pc.sort_indices(u))
+        p = int(group["part"][0].as_py())
+        vids = np.arange(len(u), dtype=np.int64) * P + p
+        return pa.table({
+            "key": u, "vid": pa.array(vids),
+            "part": pa.array(np.full(len(u), p, dtype=np.int64)),
+        })
 
-    return (
-        keys.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(assign, batch_format="pyarrow")
-    )
+    return packed.groupby("part").map_groups(assign, batch_format="pyarrow")
 
 
 @dataclass

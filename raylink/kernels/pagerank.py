@@ -83,6 +83,7 @@ def _make_combine(graph: Graph, damping: float, dangling_mass: float):
     n = graph.n
     P = graph.P
     n_per_part = graph.n_per_part
+    refs = graph.blocks
 
     def combine(group: pa.Table) -> pa.Table:
         order = pa.compute.sort_indices(
@@ -113,11 +114,22 @@ def _make_combine(graph: Graph, damping: float, dangling_mass: float):
             np.add.at(acc, idx, val)
         new = (1.0 - damping) / n + damping * (acc + dangling_mass / n)
         delta = float(np.abs(new - prev).sum())
+        # next superstep's dangling contribution of this partition, computed
+        # here so the iteration needs no extra dangling pass (one Dataset
+        # execution per superstep)
+        import ray as _ray
+
+        if part in refs:
+            deg = _ray.get(refs[part][0]).deg
+            dm_next = float(new[deg == 0].sum())
+        else:
+            dm_next = float(new.sum())
         return pa.table(
             {
                 "part": pa.array([part], pa.int64()),
                 "vec": pa.array([new], pa.list_(pa.float64())),
                 "delta": pa.array([delta], pa.float64()),
+                "dm": pa.array([dm_next], pa.float64()),
             }
         )
 
@@ -171,19 +183,27 @@ def pagerank(
     scatter = _make_scatter(graph)
     dangling_local = _dangling_pass(graph)
 
+    # dangling mass of the current state: one explicit pass at start / resume,
+    # thereafter carried forward by the combine ("dm" column)
+    dm = float(state.map_batches(dangling_local, batch_format="pyarrow").sum("dm"))
+
     for it in range(start_iter + 1, max_iter + 1):
         t0 = time.perf_counter()
-        dm = state.map_batches(dangling_local, batch_format="pyarrow").sum("dm")
         partials = state.map_batches(
             scatter, batch_format="pyarrow", batch_size=1, zero_copy_batch=True
         )
-        combine = _make_combine(graph, damping, float(dm))
+        combine = _make_combine(graph, damping, dm)
         new_state = (
             partials.groupby("dst_part")
             .map_groups(combine, batch_format="pyarrow")
             .materialize()
         )
-        delta = float(new_state.sum("delta"))
+        scalars = pa.concat_tables(list(
+            new_state.select_columns(["delta", "dm"]).iter_batches(
+                batch_format="pyarrow", batch_size=1 << 20)
+        ))
+        delta = float(pa.compute.sum(scalars["delta"]).as_py() or 0.0)
+        dm = float(pa.compute.sum(scalars["dm"]).as_py() or 0.0)
         state = new_state
         dt = time.perf_counter() - t0
         metrics = {

@@ -119,7 +119,8 @@ def out_links(spec: PageSpec, i: int) -> list[int]:
         base = spec.clique_base + k * spec.clique_size
         links.extend(j for j in range(base, base + spec.clique_size) if j != i)
     # dangling tail and extra pages: no structural out-links
-    if spec.overlay_avg_links > 0 and i < spec.dangling_base:
+    in_dangling_tail = spec.dangling_base <= i < spec.dangling_base + spec.dangling
+    if spec.overlay_avg_links > 0 and not in_dangling_tail:
         rng = _page_rng(spec, i, "ov")
         n_extra = rng.poisson(spec.overlay_avg_links)
         if n_extra:
@@ -177,28 +178,59 @@ def pages_table(spec: PageSpec) -> pa.Table:
     return pages_batch(spec, 0, spec.n_pages)
 
 
+_EST_PAGE_BYTES = 1600
+
+
+class SyntheticPagesDatasource:
+    """Custom Ray Data datasource for the synthetic corpus (SURVEY §2.1:
+    the reference's binary readers map to custom datasources).
+
+    One ReadTask per index range — the scheduler sees the true output size
+    (a range row expands to thousands of pages, so a plain from_items +
+    map_batches would be bundled into far too few tasks)."""
+
+    def __init__(self, spec: PageSpec):
+        self.spec = spec
+
+    def get_read_tasks(self, parallelism: int):
+        from ray.data.block import BlockMetadata
+        from ray.data.datasource import ReadTask
+
+        spec = self.spec
+        n = spec.n_pages
+        step = max(1, -(-n // max(1, parallelism)))
+        tasks = []
+        for lo in range(0, n, step):
+            hi = min(lo + step, n)
+            meta = BlockMetadata(
+                num_rows=hi - lo, size_bytes=(hi - lo) * _EST_PAGE_BYTES,
+                exec_stats=None, input_files=None,
+            )
+            tasks.append(ReadTask(
+                lambda lo=lo, hi=hi: [pages_batch(spec, lo, hi)], meta
+            ))
+        return tasks
+
+    def estimate_inmemory_data_size(self):
+        return self.spec.n_pages * _EST_PAGE_BYTES
+
+    def get_name(self) -> str:
+        return "SyntheticPages"
+
+
 def pages_dataset(spec: PageSpec, *, parallelism: int = 16):
-    """Corpus as a Ray Dataset, generated in parallel blocks.
+    """Corpus as a Ray Dataset, generated in parallel read tasks.
 
     Bit-identical to :func:`pages_table` at any ``parallelism`` because each
     page depends only on (spec, index).
     """
     import ray.data as rd
+    from ray.data.datasource import Datasource
 
-    n = spec.n_pages
-    step = max(1, -(-n // parallelism))
-    starts = rd.from_items(
-        [{"lo": lo, "hi": min(lo + step, n)} for lo in range(0, n, step)]
-    )
+    class _DS(SyntheticPagesDatasource, Datasource):
+        pass
 
-    def gen(batch: pa.Table) -> pa.Table:
-        tabs = [
-            pages_batch(spec, int(lo), int(hi))
-            for lo, hi in zip(batch["lo"].to_pylist(), batch["hi"].to_pylist())
-        ]
-        return pa.concat_tables(tabs) if tabs else pages_batch(spec, 0, 0)
-
-    return starts.map_batches(gen, batch_format="pyarrow", batch_size=1)
+    return rd.read_datasource(_DS(spec), override_num_blocks=parallelism)
 
 
 def true_edges(spec: PageSpec) -> list[tuple[str, str]]:
