@@ -164,6 +164,10 @@ def main() -> None:
 def scaling(lo: int = 8, hi: int = 32) -> None:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # the scaling job uses a larger corpus so per-stage compute dominates
+        # the fixed superstep-launch overhead (documented in BASELINE.md)
+        env.setdefault("GRAFT_BENCH_PAGES", "400000")
+        env.setdefault("GRAFT_BENCH_OVERLAY", "8.0")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout

@@ -9,10 +9,10 @@ Pipeline (SURVEY §7.2 steps 3-4):
       -> build_blocks       groupby(src_part) -> CSR block rows   [shuffle]
 
 Vertex id scheme (deterministic, needs NO global sort — scales to any
-vertex count): ``part = crc32(key) % P``; within a partition keys are
-sorted and ``vid = local_rank * P + part``. Hence ``part = vid % P`` and
-``local = vid // P`` everywhere, and the oracle (oracle.py) reproduces the
-exact same ids from the same edge list.
+vertex count): ``part = hash64(key) % P`` (seeded vectorized hash); within a
+partition keys are sorted and ``vid = local_rank * P + part``. Hence
+``part = vid % P`` and ``local = vid // P`` everywhere, and the oracle
+(oracle.py) reproduces the exact same ids from the same edge list.
 
 Skew note (SURVEY §7.5): the dst side of every kernel superstep is
 pre-aggregated *per source partition* inside the scatter (bincount), so a
@@ -31,7 +31,7 @@ Reference analogs: exact dedup = overlap-peak reconciliation
 from __future__ import annotations
 
 import pickle
-import zlib
+
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -51,19 +51,19 @@ CHUNK_EDGES = 4_000_000
 # partition hashing (pure; replicated in oracle.py)
 # ---------------------------------------------------------------------------
 
+_HASH_SEED = 42
+
+
 def part_of_keys(arr: pa.Array | pa.ChunkedArray, P: int) -> np.ndarray:
-    """Stable partition id per key. Strings: crc32(utf8); ints: crc32(le64)."""
+    """Stable partition id per key — vectorized 64-bit hash (polars/ahash,
+    fixed seed: deterministic across processes and parallelism levels for a
+    pinned polars version; the oracle calls this same function)."""
+    import polars as pl
+
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    if pa.types.is_integer(arr.type):
-        vals = arr.to_numpy(zero_copy_only=False).astype(np.int64)
-        return np.array(
-            [zlib.crc32(int(v).to_bytes(8, "little", signed=True)) for v in vals],
-            dtype=np.int64,
-        ) % P
-    return np.array(
-        [zlib.crc32(s.encode()) for s in arr.to_pylist()], dtype=np.int64
-    ) % P
+    h = pl.from_arrow(arr).hash(seed=_HASH_SEED).to_numpy()
+    return (h % np.uint64(P)).astype(np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -124,16 +124,15 @@ def build_vertices(edges: rd.Dataset, P: int) -> rd.Dataset:
         order = np.argsort(parts, kind="stable")
         sorted_u = u.take(pa.array(order))
         sorted_p = parts[order]
-        bounds = np.searchsorted(sorted_p, np.arange(P + 1))
-        out_parts, out_lists = [], []
-        for p in range(P):
-            lo, hi = int(bounds[p]), int(bounds[p + 1])
-            if hi > lo:
-                out_parts.append(p)
-                out_lists.append(sorted_u.slice(lo, hi - lo).to_pylist())
+        bounds = np.searchsorted(sorted_p, np.arange(P + 1)).astype(np.int64)
+        present = np.flatnonzero(np.diff(bounds) > 0)
+        # zero-copy list packing: values stay one Arrow buffer, offsets slice it
+        offsets = pa.array(np.concatenate([[0], np.diff(bounds)[present].cumsum()]),
+                           pa.int32())
+        keys_list = pa.ListArray.from_arrays(offsets, sorted_u)
         return pa.table({
-            "part": pa.array(out_parts, pa.int64()),
-            "keys": pa.array(out_lists, pa.list_(u.type)),
+            "part": pa.array(present.astype(np.int64), pa.int64()),
+            "keys": keys_list,
         })
 
     packed = edges.map_batches(keys_lists, batch_format="pyarrow",
@@ -196,16 +195,16 @@ class Graph:
 
 
 def _build_block_rows(group: pa.Table, P: int, n_per_part: np.ndarray,
-                      symmetric: bool, chunk_edges: int) -> pa.Table:
-    part = int(group["src_vid"][0].as_py() % P)
-    src = group["src_vid"].to_numpy(zero_copy_only=False).astype(np.int64)
-    dst = group["dst_vid"].to_numpy(zero_copy_only=False).astype(np.int64)
-    if symmetric:
-        # symmetrized inputs may contain (u,v) twice; local unique suffices
-        # because a given (src,dst) always lands in the same src partition.
-        pair = np.stack([src, dst], axis=1)
-        pair = np.unique(pair, axis=0)
-        src, dst = pair[:, 0], pair[:, 1]
+                      chunk_edges: int) -> pa.Table:
+    part = int(group["src_part"][0].as_py())
+    src = group["srcs"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    dst = group["dsts"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    # global exact dedup happens HERE, for free: any given (src,dst) pair
+    # always lands in this partition, so a local unique is a global one.
+    # (Self-loops were dropped before the vertex build.)
+    pair = np.stack([src, dst], axis=1)
+    pair = np.unique(pair, axis=0)
+    src, dst = pair[:, 0].astype(np.int64), pair[:, 1].astype(np.int64)
     n_local = int(n_per_part[part])
     src_local = (src // P).astype(np.int32)
     dst_part = (dst % P).astype(np.int64)
@@ -256,11 +255,20 @@ class PreparedEdges:
 
 def prepare_edges(edges: rd.Dataset, *, P: int = DEFAULT_P,
                   already_deduped: bool = False) -> PreparedEdges:
-    """dedup + vertex dictionary; the expensive shared prefix of any build."""
+    """Self-loop drop + vertex dictionary; the shared prefix of any build.
+
+    NOTE exact (src,dst) dedup is NOT a separate shuffle: it happens inside
+    the partition-grouped CSR block build (a pair always lands in its src
+    partition, so local unique == global unique). ``already_deduped`` now
+    only skips the self-loop filter."""
     key_type = edges.schema().base_schema.field("src").type if hasattr(
         edges.schema(), "base_schema") else edges.schema().field("src").type
     if not already_deduped:
-        edges = dedup_edges(edges)
+        def drop_self(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.invert(pc.equal(batch["src"], batch["dst"])))
+
+        edges = edges.map_batches(drop_self, batch_format="pyarrow",
+                                  zero_copy_batch=True)
     edges = edges.materialize()
     vertices = build_vertices(edges, P).materialize()
 
@@ -287,24 +295,35 @@ def build_graph_from_prepared(prep: PreparedEdges, *, symmetric: bool = False,
     P, n_per_part, dict_ref = prep.P, prep.n_per_part, prep.dict_ref
 
     def encode(batch: pa.Table) -> pa.Table:
+        """vid-encode and PACK per source partition: one (src_part,
+        srcs list, dsts list) row per partition per batch, so the block
+        shuffle moves ~blocks*P packed rows instead of one row per edge."""
         keys, vids = ray.get(dict_ref)
         sidx = pc.index_in(batch["src"].combine_chunks(), value_set=keys)
         didx = pc.index_in(batch["dst"].combine_chunks(), value_set=keys)
-        out = pa.table({"src_vid": vids.take(sidx), "dst_vid": vids.take(didx)})
+        sv = vids.take(sidx).to_numpy(zero_copy_only=False)
+        dv = vids.take(didx).to_numpy(zero_copy_only=False)
         if symmetric:
-            rev = pa.table({"src_vid": out["dst_vid"], "dst_vid": out["src_vid"]})
-            out = pa.concat_tables([out, rev])
-        return out.append_column(
-            "src_part",
-            pa.array(out["src_vid"].to_numpy(zero_copy_only=False) % P, pa.int64()),
-        )
+            sv, dv = np.concatenate([sv, dv]), np.concatenate([dv, sv])
+        part = sv % P
+        order = np.argsort(part, kind="stable")
+        sv, dv, part = sv[order], dv[order], part[order]
+        bounds = np.searchsorted(part, np.arange(P + 1)).astype(np.int64)
+        present = np.flatnonzero(np.diff(bounds) > 0)
+        offsets = pa.array(np.concatenate([[0], np.diff(bounds)[present].cumsum()]),
+                           pa.int32())
+        return pa.table({
+            "src_part": pa.array(present.astype(np.int64), pa.int64()),
+            "srcs": pa.ListArray.from_arrays(offsets, pa.array(sv, pa.int64())),
+            "dsts": pa.ListArray.from_arrays(offsets, pa.array(dv, pa.int64())),
+        })
 
     enc = prep.edges.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
 
     block_rows = (
         enc.groupby("src_part")
         .map_groups(
-            lambda g: _build_block_rows(g, P, n_per_part, symmetric, chunk_edges),
+            lambda g: _build_block_rows(g, P, n_per_part, chunk_edges),
             batch_format="pyarrow",
         )
         .materialize()

@@ -16,7 +16,7 @@ is checked against.
 
 from __future__ import annotations
 
-import zlib
+
 from dataclasses import dataclass
 
 import numpy as np
@@ -26,9 +26,16 @@ from .tables import PageSpec, pages_table
 
 
 def part_of_key(key, P: int) -> int:
+    """Single-key twin of graph.part_of_keys (same vectorized hash)."""
+    import pyarrow as pa
+
+    from .graph import part_of_keys
+
     if isinstance(key, (int, np.integer)):
-        return zlib.crc32(int(key).to_bytes(8, "little", signed=True)) % P
-    return zlib.crc32(str(key).encode()) % P
+        arr = pa.array([int(key)], pa.int64())
+    else:
+        arr = pa.array([str(key)], pa.string())
+    return int(part_of_keys(arr, P)[0])
 
 
 @dataclass
