@@ -146,9 +146,11 @@ def lsh_candidate_pairs(sigs: rd.Dataset, *, bands: int = 16) -> rd.Dataset:
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].to_numpy())[:CAP]
         if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype("int64")
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
         ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+        return pd.DataFrame({"a": ids[ii].astype("int64"),
+                             "b": ids[jj].astype("int64")})
 
     cand = buckets.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
     # distinct pairs across bands

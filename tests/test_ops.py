@@ -1,0 +1,155 @@
+"""Relational ops, text ops, dedup family, similarity, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+def ds_of(d: dict) -> rd.Dataset:
+    return rd.from_arrow(pa.table(d))
+
+
+def test_keep_first_and_topk():
+    from raylink.ops import keep_first, top_k
+
+    ds = ds_of({"k": [1, 1, 2], "o": [5, 3, 9], "v": ["a", "b", "c"]})
+    out = keep_first(ds, ["k"], ["o"]).to_pandas().sort_values("k")
+    assert out["v"].tolist() == ["b", "c"]
+    top = top_k(ds, [("o", True)], 2).to_pandas()
+    assert top["o"].tolist() == [9, 5]
+
+
+def test_grouped_mode_tiebreak():
+    from raylink.ops import grouped_mode
+
+    ds = ds_of({"g": [1, 1, 1, 2, 2], "v": ["b", "a", "b", "z", "a"]})
+    out = grouped_mode(ds, "g", "v", "m").to_pandas().sort_values("g")
+    assert out["m"].tolist() == ["b", "a"]  # count wins; tie -> min value
+
+
+def test_distinct_count_and_degrees():
+    from raylink.ops import degree_table, distinct_count
+
+    ds = ds_of({"g": ["x", "x", "y"], "v": [1, 1, 2]})
+    out = distinct_count(ds, "g", "v", "n").to_pandas().sort_values("g")
+    assert out["n"].tolist() == [1, 1]
+    edges = ds_of({"src": [1, 1, 2], "dst": [2, 3, 3]})
+    deg = degree_table(edges).to_pandas().set_index("v").sort_index()
+    assert deg.loc[1, "out_deg"] == 2 and deg.loc[3, "in_deg"] == 2
+
+
+def test_transition_edges_dedup():
+    from raylink.ops import transition_edges
+
+    ev = ds_of({"event_id": [0, 1, 2, 3, 4], "user_id": [7, 7, 8, 7, 8]})
+    out = transition_edges(ev).to_pandas()
+    got = sorted(map(tuple, out[["src", "dst"]].values.tolist()))
+    assert got == [(7, 8), (8, 7)]
+
+
+def test_exact_dedup_and_fingerprints():
+    from raylink.dedup import exact_dedup_groups
+    from raylink.textops import fingerprints
+
+    docs = ds_of({"doc_id": [3, 1, 2], "text": ["xx", "xx", "yy"]})
+    out = exact_dedup_groups(docs).to_pandas().sort_values("keep_id")
+    assert out["keep_id"].tolist() == [1, 2]
+    assert out["n_copies"].tolist() == [2, 1]
+    fp = fingerprints(docs).to_pandas()
+    assert fp[fp.doc_id == 3]["fp"].iloc[0] == fp[fp.doc_id == 1]["fp"].iloc[0]
+
+
+def test_minhash_lsh_finds_near_dups():
+    from raylink.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        near_dup_clusters,
+        verify_jaccard,
+    )
+
+    words = [f"word{i}" for i in range(60)]
+    base = " ".join(words)
+    near = " ".join(words[:55] + ["changed"] + words[56:])  # ~0.9 Jaccard
+    docs = ds_of({
+        "doc_id": [0, 1, 2],
+        "text": [base, near, "completely different words here entirely"],
+    })
+    sigs = minhash_signatures(docs)
+    cand = lsh_candidate_pairs(sigs, bands=32)
+    ver = verify_jaccard(cand, docs, threshold=0.5).to_pandas()
+    pairs = set(map(tuple, ver[["a", "b"]].values.tolist()))
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)
+    clusters = near_dup_clusters(verify_jaccard(cand, docs, threshold=0.5))
+    assert clusters.get(1) == 0
+
+
+def test_simhash_close_for_similar():
+    from raylink.dedup import SimHasher
+
+    sh = SimHasher()
+    a = sh.simhash("alpha beta gamma delta epsilon zeta eta theta")
+    b = sh.simhash("alpha beta gamma delta epsilon zeta eta iota")
+    c = sh.simhash("totally unrelated content words xyzzy plugh")
+    ham = lambda x, y: bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham(a, b) < ham(a, c)
+
+
+def test_cosine_topk_and_lsh_recall():
+    from raylink.similarity import cosine_topk, lsh_topk
+
+    rng = np.random.default_rng(0)
+    mat = rng.standard_normal((200, 16)).astype(np.float32)
+    q = mat[17] + rng.standard_normal(16) * 0.01
+    emb = ds_of({"vec_id": list(range(200)),
+                 "embedding": [v.tolist() for v in mat]})
+    top = cosine_topk(emb, q, 5).to_pandas()
+    assert top["vec_id"].iloc[0] == 17
+    approx = lsh_topk(emb, q, 5, n_planes=6).to_pandas()
+    assert 17 in approx["vec_id"].tolist()  # query's own bucket is probed
+
+
+def test_lang_id_heuristic():
+    from raylink.textops import lang_id
+
+    docs = ds_of({
+        "doc_id": [0, 1, 2],
+        "text": ["the cat and the dog of it is that",
+                 "der hund und die katze ist ein nicht zu",
+                 "qqq www zzz"],
+    })
+    out = lang_id(ds := docs).to_pandas().sort_values("doc_id")
+    assert out["pred_lang"].tolist() == ["en", "de", "xx"]
+
+
+def test_multimodal_plumbing():
+    from raylink.multimodal import DecoderPool, extract_features, frame_sample, media_dataset
+
+    media = media_dataset(30, parallelism=3)
+    feats = extract_features(media, codec="fake", batch_size=8).to_pandas()
+    assert len(feats) == 30 and feats["decode_ok"].all()
+    assert all(len(f) == DecoderPool.DIM for f in feats["feature"])
+    # deterministic
+    feats2 = extract_features(media_dataset(30, parallelism=5), codec="fake").to_pandas()
+    f1 = feats.sort_values("media_id")["feature"].tolist()
+    f2 = feats2.sort_values("media_id")["feature"].tolist()
+    assert all(list(a) == list(b) for a, b in zip(f1, f2))
+    # real codec is an explicit stub
+    with pytest.raises(NotImplementedError):
+        DecoderPool(codec="real")(media_dataset(2).take_batch(2, batch_format="pyarrow"))
+    frames = frame_sample(media_dataset(10), every_k=5).to_pandas()
+    assert (frames["frame_idx"] % 5 == 0).all()
+
+
+def test_iqr_outliers_two_pass():
+    from raylink.ops import iqr_outliers
+
+    vals = list(np.linspace(0.0, 1.0, 101))
+    ds = ds_of({"x": vals, "id": list(range(101))})
+    out = iqr_outliers(ds, "x", 0.1, ["id", "x"]).to_pandas()
+    # uniform: q1=0.25 q3=0.75 iqr=0.5 -> keep outside [0.2, 0.8]
+    assert len(out) > 0
+    assert (out["x"] < 0.2).sum() + (out["x"] > 0.8).sum() == len(out)
