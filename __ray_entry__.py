@@ -397,6 +397,16 @@ def q_doc_minhash_pairs(sf_dir: str):
     return verify_jaccard(cand, docs, threshold=0.5)
 
 
+def q_doc_ngram_jaccard(sf_dir: str):
+    """Exact word-set Jaccard over (lang, length-window) candidate pairs —
+    the banded range-join + verify kernel of the dedup family."""
+    from raylink.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    )
+
+
 def q_doc_simhash(sf_dir: str):
     from raylink.dedup import simhash_table
 
@@ -482,6 +492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
         "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_simhash": q_doc_simhash,
         "emb_knn": q_emb_knn,
         "emb_knn_lsh": q_emb_knn_lsh,
@@ -674,6 +685,23 @@ def oracle_sql() -> dict[str, str]:
     sql["pages_docs"] = (
         "SELECT * FROM (VALUES " + _pages_docs_values() +
         ") AS t(url, n_chars, parse_ok, n_links)"
+    )
+    sql["doc_ngram_jaccard"] = (
+        "WITH w AS (SELECT doc_id, unnest(list_distinct("
+        "regexp_split_to_array(trim(text),'\\s+'))) AS w FROM documents "
+        "WHERE trim(text) <> ''), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id), "
+        "cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM documents a "
+        "JOIN documents b ON a.lang = b.lang AND a.doc_id < b.doc_id "
+        "AND abs(a.n_chars - b.n_chars) <= 10), "
+        "inter AS (SELECT c.a_id, c.b_id, count(*) AS i FROM cand c "
+        "JOIN w wa ON wa.doc_id = c.a_id "
+        "JOIN w wb ON wb.doc_id = c.b_id AND wb.w = wa.w GROUP BY c.a_id, c.b_id) "
+        "SELECT c.a_id, c.b_id, CAST(floor(COALESCE(i.i,0)/"
+        "CAST(sa.n + sb.n - COALESCE(i.i,0) AS DOUBLE)*1000000 + 0.5) AS BIGINT) "
+        "AS jaccard FROM cand c JOIN sizes sa ON sa.doc_id = c.a_id "
+        "JOIN sizes sb ON sb.doc_id = c.b_id "
+        "LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id"
     )
     sql["doc_fingerprints"] = "SELECT doc_id, md5(text) AS fp FROM documents"
     sql["doc_exact_dedup"] = (

@@ -209,6 +209,49 @@ def near_dup_clusters(verified_pairs: rd.Dataset) -> dict[int, int]:
     return {x: find(x) for x in list(parent)}
 
 
+def ngram_jaccard_pairs(docs: rd.Dataset, *, lang_col: str = "lang",
+                        len_col: str = "n_chars", window: int = 10,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> rd.Dataset:
+    """Exact word-set Jaccard for candidate pairs bucketed by (lang, length
+    window): pairs (a < b) with equal ``lang_col`` and |len diff| <= window.
+
+    Physical plan: groupby(lang) -> within group, sort by length and sweep a
+    sliding window (the banded range-join pattern, SURVEY §2.7); word sets
+    are built once per doc per group. Jaccard emitted as fixed-point int64
+    (floor(j*1e6+0.5), SQL-twin exact). Pairs where either side has no
+    words are dropped (matches the SQL inner join on non-empty word sets).
+    """
+
+    def per_lang(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([len_col, id_col], kind="mergesort")
+        ids = g[id_col].to_numpy()
+        lens = g[len_col].to_numpy()
+        sets = [set((t or "").split()) for t in g[text_col]]
+        a_out, b_out, j_out = [], [], []
+        for i in range(len(g)):
+            if not sets[i]:
+                continue
+            j = i + 1
+            while j < len(g) and lens[j] - lens[i] <= window:
+                if sets[j]:
+                    inter = len(sets[i] & sets[j])
+                    union = len(sets[i]) + len(sets[j]) - inter
+                    a, b = (int(ids[i]), int(ids[j])) if ids[i] < ids[j] else (
+                        int(ids[j]), int(ids[i]))
+                    a_out.append(a)
+                    b_out.append(b)
+                    j_out.append(int(np.floor(inter / float(union) * 1_000_000 + 0.5)))
+                j += 1
+        return pd.DataFrame({
+            "a_id": pd.Series(a_out, dtype="int64"),
+            "b_id": pd.Series(b_out, dtype="int64"),
+            "jaccard": pd.Series(j_out, dtype="int64"),
+        })
+
+    return docs.groupby(lang_col).map_groups(per_lang, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------

@@ -1,0 +1,88 @@
+"""End-to-end flagship pipeline + sinks + scatter-shape (hub bound) tests."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from raylink import oracle as O
+from raylink import tables
+from raylink.pipelines.flagship import flagship
+from raylink.sinks import save_flagship, write_table
+
+SPEC = tables.PageSpec(ring=20, star_leaves=10, cliques=2, clique_size=4,
+                       dangling=5, dup_every=7, malformed_every=5)
+
+
+def test_flagship_end_to_end_and_sinks(tmp_path):
+    pages = tables.pages_dataset(SPEC, parallelism=4)
+    res = flagship(pages, P=8, extract_concurrency=2)
+    og = O.build_oracle_graph(
+        [(s, d) for s, d in tables.true_edges(SPEC) if s != d], 8
+    )
+    assert res.graph.n == og.n
+    assert res.graph.m == len(og.edges)
+    truth, _ = O.pagerank(og)
+    got = {}
+    for b in res.ranks.iter_batches(batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            got[b["vid"][i].as_py()] = b["score"][i].as_py()
+    for pos, key in enumerate(og.keys):
+        assert abs(got[og.vid_of[key]] - truth[pos]) < 1e-6
+    assert res.triangles == O.triangle_count(og)
+
+    out = str(tmp_path / "out")
+    written = save_flagship(res, out)
+    assert all(written.values())
+    # resume: second save skips everything
+    written2 = save_flagship(res, out)
+    assert not any(written2.values())
+    ranks = rd.read_parquet(os.path.join(out, "ranks")).to_pandas()
+    assert len(ranks) == og.n
+    assert abs(ranks["score"].sum() - 1.0) < 1e-9
+    with open(os.path.join(out, "metrics.json")) as f:
+        m = json.load(f)
+    assert m["n_edges"] == len(og.edges)
+
+
+def test_scatter_bounds_hub_fanin():
+    """Skew guarantee: however large a hub's in-degree, the shuffle carries
+    at most P partial rows per destination partition per chunk (SURVEY §7.5
+    structural hub splitting)."""
+    from raylink import graph as G
+    from raylink.kernels.pagerank import _make_scatter
+    from raylink.kernels.bsp import init_state
+
+    H = 500  # hub with 500 in-edges
+    pairs = [(f"leaf{i}", "hub") for i in range(H)]
+    src, dst = zip(*pairs)
+    edges = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    g = G.build_graph(edges, P=8)
+    state = init_state(g, lambda p: np.full(int(g.n_per_part[p]), 1.0 / g.n))
+    scatter = _make_scatter(g)
+    batch = pa.concat_tables(list(state.iter_batches(batch_format="pyarrow")))
+    out = scatter(batch)
+    contrib = out.filter(pa.compute.equal(out["kind"], 0))
+    # every (src_part -> dst_part) pair appears at most once per chunk
+    assert contrib.num_rows <= g.P * g.P
+    # and the hub's partials are pre-summed: total contribution rows that
+    # target the hub's partition are bounded by P, not by in-degree
+    hub_part = None
+    for b in g.vertices.iter_batches(batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            if b["key"][i].as_py() == "hub":
+                hub_part = b["part"][i].as_py()
+    to_hub = contrib.filter(pa.compute.equal(contrib["dst_part"], hub_part))
+    assert to_hub.num_rows <= g.P
+
+
+def test_write_table_atomic(tmp_path):
+    ds = rd.from_arrow(pa.table({"a": [1, 2, 3]}))
+    p = str(tmp_path / "t")
+    assert write_table(ds, p)
+    assert not write_table(ds, p)  # resume skip
+    back = rd.read_parquet(p).to_pandas()
+    assert sorted(back["a"].tolist()) == [1, 2, 3]
