@@ -242,9 +242,10 @@ def _build_block_rows(group: pa.Table, P: int, n_per_part: np.ndarray,
 
 @dataclass
 class PreparedEdges:
-    """Deduped edge table + vertex dictionary, shareable by several builds."""
+    """Encoded edge table + vertex dictionary, shareable by several builds
+    (directed + symmetric builds pay the key->vid lookup only once)."""
 
-    edges: rd.Dataset  # deduped, materialized
+    enc_edges: rd.Dataset  # (src_vid, dst_vid), self-loop-free, materialized
     vertices: rd.Dataset  # (key, vid, part), materialized
     dict_ref: Any  # ObjectRef[(keys ArrowArray, vids ArrowArray)]
     n: int
@@ -275,7 +276,7 @@ def prepare_edges(edges: rd.Dataset, *, P: int = DEFAULT_P,
     # Broadcast dictionary (key -> vid), shipped ONCE via ray.put and probed
     # with pc.index_in (a C hash join against a constant value set). Scale
     # path at 10^12 vertices: partitioned hash join, bucketing both sides by
-    # crc32(key) % B — the vid scheme needs no change.
+    # hash64(key) % B — the vid scheme needs no change.
     vtab = pa.concat_tables(
         list(vertices.iter_batches(batch_format="pyarrow", batch_size=1 << 20))
     )
@@ -286,23 +287,29 @@ def prepare_edges(edges: rd.Dataset, *, P: int = DEFAULT_P,
     )
     n_per_part[parts_np.astype(np.int64)] = counts_np
     dict_ref = ray.put((vtab["key"].combine_chunks(), vtab["vid"].combine_chunks()))
-    return PreparedEdges(edges=edges, vertices=vertices, dict_ref=dict_ref,
+
+    def encode(batch: pa.Table) -> pa.Table:
+        keys, vids = ray.get(dict_ref)
+        sidx = pc.index_in(batch["src"].combine_chunks(), value_set=keys)
+        didx = pc.index_in(batch["dst"].combine_chunks(), value_set=keys)
+        return pa.table({"src_vid": vids.take(sidx), "dst_vid": vids.take(didx)})
+
+    enc = edges.map_batches(encode, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    return PreparedEdges(enc_edges=enc, vertices=vertices, dict_ref=dict_ref,
                          n=n, n_per_part=n_per_part, P=P, key_type=key_type)
 
 
 def build_graph_from_prepared(prep: PreparedEdges, *, symmetric: bool = False,
                               chunk_edges: int = CHUNK_EDGES) -> Graph:
-    P, n_per_part, dict_ref = prep.P, prep.n_per_part, prep.dict_ref
+    P, n_per_part = prep.P, prep.n_per_part
 
-    def encode(batch: pa.Table) -> pa.Table:
-        """vid-encode and PACK per source partition: one (src_part,
-        srcs list, dsts list) row per partition per batch, so the block
-        shuffle moves ~blocks*P packed rows instead of one row per edge."""
-        keys, vids = ray.get(dict_ref)
-        sidx = pc.index_in(batch["src"].combine_chunks(), value_set=keys)
-        didx = pc.index_in(batch["dst"].combine_chunks(), value_set=keys)
-        sv = vids.take(sidx).to_numpy(zero_copy_only=False)
-        dv = vids.take(didx).to_numpy(zero_copy_only=False)
+    def pack(batch: pa.Table) -> pa.Table:
+        """PACK encoded edges per source partition: one (src_part, srcs
+        list, dsts list) row per partition per batch, so the block shuffle
+        moves ~blocks*P packed rows instead of one row per edge."""
+        sv = batch["src_vid"].to_numpy(zero_copy_only=False)
+        dv = batch["dst_vid"].to_numpy(zero_copy_only=False)
         if symmetric:
             sv, dv = np.concatenate([sv, dv]), np.concatenate([dv, sv])
         part = sv % P
@@ -318,7 +325,7 @@ def build_graph_from_prepared(prep: PreparedEdges, *, symmetric: bool = False,
             "dsts": pa.ListArray.from_arrays(offsets, pa.array(dv, pa.int64())),
         })
 
-    enc = prep.edges.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+    enc = prep.enc_edges.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
 
     block_rows = (
         enc.groupby("src_part")
