@@ -198,6 +198,24 @@ def q_price_outliers(sf_dir: str):
     )
 
 
+def q_scaled_quantity(sf_dir: str):
+    """Scaler fit (global mean/std) + broadcast transform (SURVEY §2.11)."""
+    from raylink.ops import standard_scale
+
+    return standard_scale(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"]),
+        "l_quantity", "q_z", ["l_orderkey", "l_linenumber"],
+    )
+
+
+def q_circular_variance(sf_dir: str):
+    """Custom mergeable aggregate: circular variance per group (§2.8)."""
+    from raylink.ops import circular_variance
+
+    return circular_variance(_read(sf_dir, "events", ["event_type", "value"]),
+                             "event_type", "value", "circ_var")
+
+
 def q_distinct_users(sf_dir: str):
     from raylink.ops import distinct_count
 
@@ -475,6 +493,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_revenue": q_region_revenue,
         "mode_event_type": q_mode_event_type,
         "price_outliers": q_price_outliers,
+        "scaled_quantity": q_scaled_quantity,
+        "circular_variance": q_circular_variance,
         "distinct_users": q_distinct_users,
         "hourly_rollup": q_hourly_rollup,
         "graph_degrees": q_graph_degrees,
@@ -620,6 +640,17 @@ def oracle_sql() -> dict[str, str]:
         "SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice FROM lineitem l "
         "CROSS JOIN q WHERE l.l_extendedprice < q.q1 - 0.3*(q.q3 - q.q1) "
         "OR l.l_extendedprice > q.q3 + 0.3*(q.q3 - q.q1)"
+    )
+    sql["scaled_quantity"] = (
+        "WITH s AS (SELECT avg(l_quantity) AS m, stddev_samp(l_quantity) AS sd "
+        "FROM lineitem) SELECT l.l_orderkey, l.l_linenumber, "
+        "CAST(floor((l.l_quantity - s.m)/s.sd*1000000 + 0.5) AS BIGINT) AS q_z "
+        "FROM lineitem l CROSS JOIN s"
+    )
+    sql["circular_variance"] = (
+        "SELECT event_type, CAST(floor((1 - sqrt(power(sum(cos(value)),2) "
+        "+ power(sum(sin(value)),2))/count(*))*1000000 + 0.5) AS BIGINT) "
+        "AS circ_var FROM events GROUP BY event_type"
     )
     sql["distinct_users"] = (
         "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "

@@ -287,6 +287,67 @@ def transition_edges(events: rd.Dataset, *, id_col: str = "event_id",
     return dedup_edges(events.map_batches(f, batch_format="pyarrow"))
 
 
+def standard_scale(ds: rd.Dataset, col: str, out_col: str,
+                   keep_cols: list[str]) -> rd.Dataset:
+    """Scaler fit + broadcast transform (SURVEY §2.11 DataPrep analog):
+    pass 1 computes exact global mean/std (sample std, ddof=1; at scale a
+    mergeable (n, sum, sumsq) aggregate), pass 2 is a vectorized transform.
+    Output is fixed-point int64 (x-m)/s * 1e6."""
+    vals = np.concatenate(
+        [b[col].to_numpy(zero_copy_only=False)
+         for b in ds.select_columns([col]).iter_batches(batch_format="pyarrow",
+                                                        batch_size=1 << 20)]
+    )
+    m = float(vals.mean())
+    s = float(vals.std(ddof=1))
+
+    def f(batch: pa.Table) -> pa.Table:
+        x = batch[col].to_numpy(zero_copy_only=False)
+        z = np.floor((x - m) / s * 1_000_000.0 + 0.5).astype(np.int64)
+        out = batch.select(keep_cols)
+        return out.append_column(out_col, pa.array(z, pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def circular_variance(ds: rd.Dataset, group_col: str, angle_col: str,
+                      out_col: str) -> rd.Dataset:
+    """Custom mergeable aggregate (SURVEY §2.8 circular variance,
+    porcine/pig_extract.py:2159-2164 analog): per group,
+    1 - |sum(e^{i*theta})| / n, computed as per-batch partial (sum cos,
+    sum sin, n) rows then one tiny grouped sum. Fixed-point int64 output."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        a = batch[angle_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(g, kind="stable")
+        g, a = g[order], a[order]
+        bounds = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        cs = np.add.reduceat(np.cos(a), bounds)
+        ss = np.add.reduceat(np.sin(a), bounds)
+        ns = np.diff(np.r_[bounds, len(g)])
+        return pa.table({group_col: pa.array(g[bounds]),
+                         "pc_": pa.array(cs), "ps_": pa.array(ss),
+                         "pn_": pa.array(ns.astype(np.int64))})
+
+    summed = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        group_col
+    ).aggregate(Sum("pc_", alias_name="sc"), Sum("ps_", alias_name="ss"),
+                Sum("pn_", alias_name="n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sc = batch["sc"].to_numpy(zero_copy_only=False)
+        ss = batch["ss"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cv = 1.0 - np.sqrt(sc ** 2 + ss ** 2) / n
+        fixed = np.floor(cv * 1_000_000.0 + 0.5).astype(np.int64)
+        return pa.table({group_col: batch[group_col],
+                         out_col: pa.array(fixed, pa.int64())})
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
 def degree_table(edges: rd.Dataset) -> rd.Dataset:
     """(v, out_deg, in_deg) from a deduped edge table — partial counts per
     batch, then one small grouped sum (§2.8 partial+final combine)."""

@@ -1,0 +1,50 @@
+"""User-extension registries (SURVEY §2.12).
+
+The reference exposes string-keyed registries for schemas, scalers, CV
+strategies, models and wavelets (setup_globals.py:18-71,
+porcine/pig_extract.py:1216-1244, 4166-4177). raylink mirrors the pattern:
+pluggable kernels, extractors and partitioners addressed by name, so a
+pipeline spec can be pure data (e.g. ``run_kernel("pagerank", graph)``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from .kernels import connected_components, label_propagation, pagerank, triangle_count
+
+KERNELS: dict[str, Callable] = {
+    "pagerank": pagerank,
+    "cc": connected_components,
+    "labelprop": label_propagation,
+    "triangles": triangle_count,
+}
+
+# kernels that require a symmetric (undirected) graph build
+SYMMETRIC_KERNELS = frozenset({"cc", "labelprop", "triangles"})
+
+
+def register_kernel(name: str, fn: Callable, *, symmetric: bool = False) -> None:
+    KERNELS[name] = fn
+    if symmetric:
+        global SYMMETRIC_KERNELS
+        SYMMETRIC_KERNELS = SYMMETRIC_KERNELS | {name}
+
+
+def run_kernel(name: str, graph, **kwargs):
+    if name not in KERNELS:
+        raise KeyError(f"unknown kernel {name!r}; have {sorted(KERNELS)}")
+    return KERNELS[name](graph, **kwargs)
+
+
+def _default_extractor():
+    from .extract import ExtractorPool
+
+    return ExtractorPool
+
+
+EXTRACTORS: dict[str, Callable] = {"html": _default_extractor}
+
+
+def register_extractor(name: str, factory: Callable) -> None:
+    EXTRACTORS[name] = factory
