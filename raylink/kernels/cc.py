@@ -93,11 +93,105 @@ def _make_combine(graph: Graph):
     return combine
 
 
+def _jump_round(state: rd.Dataset, graph: Graph) -> tuple[rd.Dataset, int]:
+    """One pointer-jumping round: labels[v] <- min(labels[v],
+    labels[labels[v]]). Labels are vids, so the owner partition of a label
+    is ``label % P`` — the round is two partition-keyed exchanges:
+
+      1. each partition requests the label-of-label for its *distinct*
+         labels from the owner partitions (dedup bounds traffic);
+      2. owners answer from their own state; answers are routed back and
+         applied with a vectorized sorted lookup.
+
+    Combined with the neighbor-min superstep this gives O(log n)
+    convergence on long chains instead of O(diameter) (SURVEY §7.2 step 6
+    "pointer-jumping + path-halving")."""
+    P = graph.P
+
+    def request(batch: pa.Table) -> pa.Table:
+        rows = []
+        for part, labels in iter_state_rows(batch, "vec"):
+            labels = labels.astype(np.int64, copy=False)
+            u = np.unique(labels)
+            owner = u % P
+            for q in range(P):
+                sel = u[owner == q]
+                if len(sel):
+                    rows.append(partial_row(int(q), part, 0, 0, lab=sel))
+            rows.append(partial_row(part, -1, -1, 1, lab=labels))
+        return partials_table(rows)
+
+    def respond(group: pa.Table) -> pa.Table:
+        kinds = group["kind"].to_numpy(zero_copy_only=False)
+        prev_i = int(np.flatnonzero(kinds == 1)[0])
+        part = int(group["dst_part"][prev_i].as_py())
+        lab_col = group["lab"].combine_chunks()
+        lab_flat = lab_col.flatten().to_numpy(zero_copy_only=False)
+        lab_offs = lab_col.offsets.to_numpy(zero_copy_only=False)
+        mine = lab_flat[lab_offs[prev_i]: lab_offs[prev_i + 1]].astype(np.int64)
+        srcs = group["src_part"].to_numpy(zero_copy_only=False)
+        rows = [partial_row(part, -1, -1, 1, lab=mine)]  # carry state forward
+        for i in range(group.num_rows):
+            if kinds[i] != 0:
+                continue
+            req = lab_flat[lab_offs[i]: lab_offs[i + 1]].astype(np.int64)
+            ans = mine[req // P]
+            rows.append(partial_row(int(srcs[i]), part, 0, 0, lab=req, cnt=ans))
+        return partials_table(rows)
+
+    def apply(group: pa.Table) -> pa.Table:
+        kinds = group["kind"].to_numpy(zero_copy_only=False)
+        prev_i = int(np.flatnonzero(kinds == 1)[0])
+        part = int(group["dst_part"][prev_i].as_py())
+        lab_col = group["lab"].combine_chunks()
+        cnt_col = group["cnt"].combine_chunks()
+        lab_flat = lab_col.flatten().to_numpy(zero_copy_only=False)
+        lab_offs = lab_col.offsets.to_numpy(zero_copy_only=False)
+        cnt_flat = cnt_col.flatten().to_numpy(zero_copy_only=False)
+        cnt_offs = cnt_col.offsets.to_numpy(zero_copy_only=False)
+        prev = lab_flat[lab_offs[prev_i]: lab_offs[prev_i + 1]].astype(np.int64)
+        reqs, anss = [], []
+        for i in range(group.num_rows):
+            if kinds[i] != 0:
+                continue
+            reqs.append(lab_flat[lab_offs[i]: lab_offs[i + 1]].astype(np.int64))
+            anss.append(cnt_flat[cnt_offs[i]: cnt_offs[i + 1]].astype(np.int64))
+        new = prev.copy()
+        if reqs:
+            R = np.concatenate(reqs)
+            A = np.concatenate(anss)
+            order = np.argsort(R, kind="stable")
+            R, A = R[order], A[order]
+            pos = np.searchsorted(R, prev)
+            # every label present in prev was requested, so pos is exact
+            new = np.minimum(prev, A[pos])
+        changed = int((new != prev).sum())
+        return pa.table({
+            "part": pa.array([part], pa.int64()),
+            "vec": pa.array([new], pa.list_(pa.int64())),
+            "changed": pa.array([changed], pa.int64()),
+        })
+
+    responses = (
+        state.map_batches(request, batch_format="pyarrow", batch_size=1,
+                          zero_copy_batch=True)
+        .groupby("dst_part")
+        .map_groups(respond, batch_format="pyarrow")
+    )
+    new_state = (
+        responses.groupby("dst_part")
+        .map_groups(apply, batch_format="pyarrow")
+        .materialize()
+    )
+    return new_state, int(new_state.sum("changed") or 0)
+
+
 def connected_components(
     graph: Graph,
     *,
     max_iter: int = 10_000,
     init: str = "vid",
+    method: str = "minlabel",
     checkpoint_dir: str | None = None,
     metrics_out: list | None = None,
 ) -> rd.Dataset:
@@ -106,7 +200,15 @@ def connected_components(
     ``init="vid"``: canonical component label = min vid (oracle-exact).
     ``init="key"``: labels start from int64 vertex keys, so the component
     label is the min *key* — matches relational (SQL) formulations directly.
+
+    ``method="minlabel"``: pure neighbor-min supersteps, O(diameter) rounds.
+    ``method="jump"``: each round adds a pointer-jumping exchange
+    (labels[v] <- labels[labels[v]]) — O(log n) rounds on long chains.
+    Both reach the identical exact fixpoint (min label of the component);
+    "jump" requires ``init="vid"`` (labels must be vids for owner routing).
     """
+    if method == "jump" and init != "vid":
+        raise ValueError("pointer jumping requires vid-labels (init='vid')")
     from .bsp import key_init_state
 
     store = None
@@ -121,7 +223,8 @@ def connected_components(
         )
     if checkpoint_dir:
         store = CheckpointStore(
-            checkpoint_dir, "cc", graph_fingerprint(graph), {"init": init}
+            checkpoint_dir, "cc", graph_fingerprint(graph),
+            {"init": init, "method": method},
         )
         resumed = store.latest()
         if resumed is not None:
@@ -141,14 +244,18 @@ def connected_components(
         )
         changed = int(new_state.sum("changed") or 0)
         state = new_state
+        jump_changed = 0
+        if method == "jump":
+            state, jump_changed = _jump_round(state, graph)
         dt = time.perf_counter() - t0
-        metrics = {"iter": it, "changed": changed, "sec": dt,
+        metrics = {"iter": it, "changed": changed, "jump_changed": jump_changed,
+                   "sec": dt,
                    "edges_per_sec": graph.m / dt if dt > 0 else None}
         if metrics_out is not None:
             metrics_out.append(metrics)
         if store is not None:
             store.save(it, state.select_columns(["part", "vec"]), metrics)
-        if changed == 0:
+        if changed == 0 and jump_changed == 0:
             break
 
     return state_to_vertex_table(state, graph, "vec", "comp")

@@ -138,6 +138,23 @@ def test_cc_cliques_and_ring():
     assert comps == truth
 
 
+def test_cc_pointer_jumping_chain():
+    # long chain: min-label needs O(n) rounds, jumping needs O(log n)
+    n = 60
+    pairs = [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(n)]
+    sg = G.build_graph(edges_ds(pairs), P=P, symmetric=True)
+    m_plain, m_jump = [], []
+    plain = values_by_key(
+        connected_components(sg, metrics_out=m_plain), sg, "comp")
+    jump = values_by_key(
+        connected_components(sg, method="jump", metrics_out=m_jump), sg, "comp")
+    assert plain == jump
+    assert len(set(jump.values())) == 1
+    assert len(m_jump) < len(m_plain) / 2  # asymptotically fewer rounds
+    og = O.build_oracle_graph(pairs, P)
+    assert jump == oracle_by_key(og, O.connected_components(og))
+
+
 def test_cc_overlay_vs_oracle():
     pairs = overlay_pairs(seed=7, n=40, m=50)  # sparse -> several comps
     sg = G.build_graph(edges_ds(pairs), P=P, symmetric=True)
