@@ -102,6 +102,17 @@ def get_blocks(graph: Graph, part: int) -> list[CSRBlock]:
     return [ray.get(r) for r in graph.blocks.get(part, [])]
 
 
+def sum_columns(state: rd.Dataset, cols: list[str]) -> dict[str, float]:
+    """Driver scalars from a materialized P-row state in ONE light pass
+    (Dataset.sum would launch one execution per column)."""
+    import pyarrow.compute as pc
+
+    tabs = list(state.select_columns(cols).iter_batches(
+        batch_format="pyarrow", batch_size=1 << 20))
+    t = pa.concat_tables(tabs) if tabs else None
+    return {c: (pc.sum(t[c]).as_py() or 0) if t is not None else 0 for c in cols}
+
+
 def key_init_state(graph: Graph) -> rd.Dataset:
     """Label state initialized from the vertex *keys* (int64 keys only):
     vec[local] = key of vid local*P+part. Used when downstream semantics

@@ -183,7 +183,9 @@ def _jump_round(state: rd.Dataset, graph: Graph) -> tuple[rd.Dataset, int]:
         .map_groups(apply, batch_format="pyarrow")
         .materialize()
     )
-    return new_state, int(new_state.sum("changed") or 0)
+    from .bsp import sum_columns
+
+    return new_state, int(sum_columns(new_state, ["changed"])["changed"])
 
 
 def connected_components(
@@ -242,7 +244,9 @@ def connected_components(
             .map_groups(combine, batch_format="pyarrow")
             .materialize()
         )
-        changed = int(new_state.sum("changed") or 0)
+        from .bsp import sum_columns
+
+        changed = int(sum_columns(new_state, ["changed"])["changed"])
         state = new_state
         jump_changed = 0
         if method == "jump":

@@ -154,7 +154,9 @@ def label_propagation(
             .map_groups(combine, batch_format="pyarrow")
             .materialize()
         )
-        changed = int(new_state.sum("changed") or 0)
+        from .bsp import sum_columns
+
+        changed = int(sum_columns(new_state, ["changed"])["changed"])
         state = new_state
         dt = time.perf_counter() - t0
         metrics = {"iter": it, "changed": changed, "sec": dt,

@@ -65,6 +65,30 @@ def test_edges_match_ground_truth():
     assert got == sorted(truth_edges)
 
 
+def test_extract_garbage_bytes_annotates_not_crashes():
+    # annotate-don't-crash gate on non-HTML binary payloads
+    text, links, ok, n = extract.extract_one(b"\x00\xff\xfe garbage \x80")
+    assert not ok and links == [] and isinstance(text, str)
+
+
+def test_csv_source_roundtrip(tmp_path):
+    """SURVEY §2.1 CSV reader family: rd.read_csv feeds the same ops."""
+    import ray.data as rd
+    import duckdb
+
+    path = str(tmp_path / "ev.csv")
+    duckdb.connect().sql(
+        "COPY (SELECT event_id, user_id, event_type FROM "
+        "'/root/testdata/sf0.001/events.parquet' LIMIT 200) TO "
+        f"'{path}' (HEADER, DELIMITER ',')"
+    )
+    from raylink.ops import grouped_mode
+
+    ds = rd.read_csv(path)
+    out = grouped_mode(ds, "user_id", "event_type", "mode_type").to_pandas()
+    assert len(out) > 0 and out["mode_type"].notna().all()
+
+
 def test_normalize_url():
     n = extract.normalize_url
     assert n("HTTPS://Example.COM/a#frag") == "https://example.com/a"
