@@ -150,6 +150,14 @@ def q_event_lag(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "delta_us"])
 
 
+def q_sessionize(sf_dir: str):
+    """Session windows (30-min gap) over the event stream (§2.10)."""
+    from raylink.ops import sessionize
+
+    return sessionize(_read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+                      "user_id", "ts", ["ts", "event_id"], 1_800_000_000)
+
+
 def q_orders_window_items(sf_dir: str):
     """Banded range join: items shipped within 30 days of order date (§2.7)."""
     from raylink.ops import count_in_window_join
@@ -489,6 +497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": q_topk_orders,
         "first_event": q_first_event,
         "event_lag": q_event_lag,
+        "sessionize": q_sessionize,
         "orders_window_items": q_orders_window_items,
         "region_revenue": q_region_revenue,
         "mode_event_type": q_mode_event_type,
@@ -613,6 +622,18 @@ def oracle_sql() -> dict[str, str]:
         "SELECT event_id, user_id, CAST(epoch_us(ts) - epoch_us(lag(ts) OVER "
         "(PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS delta_us "
         "FROM events"
+    )
+    sql["sessionize"] = (
+        "WITH x AS (SELECT user_id, ts, event_id, CASE WHEN "
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+        "OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id)) > 1800000000 THEN 1 ELSE 0 END AS new_s "
+        "FROM events), "
+        "y AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM x) "
+        "SELECT user_id, CAST(sid AS BIGINT) AS session_id, "
+        "CAST(count(*) AS BIGINT) AS n_events, min(ts) AS session_start "
+        "FROM y GROUP BY user_id, sid"
     )
     sql["orders_window_items"] = (
         "SELECT o.o_orderkey, CAST(count(l.l_orderkey) AS BIGINT) AS n_items "

@@ -104,6 +104,32 @@ def lag_delta_us(events: rd.Dataset, part_col: str, ts_col: str,
     return events.groupby(part_col).map_groups(f, batch_format="pandas")
 
 
+def sessionize(events: rd.Dataset, part_col: str, ts_col: str,
+               order_cols: list[str], gap_us: int) -> rd.Dataset:
+    """Session windows per key: a new session starts when the gap since the
+    previous event exceeds ``gap_us``. Emits one row per session:
+    (key, session_id, n_events, session_start). Ordering is explicit
+    (``order_cols``); per-key state never crosses partitions — the
+    reference's ordered-scan semantics re-expressed as a keyed group op
+    (SURVEY §2.10)."""
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort")
+        prev = g[ts_col].shift(1)
+        delta = (g[ts_col] - prev).dt.total_seconds() * 1_000_000
+        new_s = (delta.isna() | (delta > gap_us)).astype("int64")
+        sid = new_s.cumsum()
+        out = g.groupby(sid).agg(
+            n_events=(ts_col, "size"), session_start=(ts_col, "min")
+        ).reset_index(names="session_id")
+        out.insert(0, part_col, g[part_col].iloc[0])
+        out["session_id"] = out["session_id"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return events.groupby(part_col).map_groups(f, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # broadcast joins (§2.7: small-side lookup, no shuffle)
 # ---------------------------------------------------------------------------
