@@ -54,16 +54,19 @@ CHUNK_EDGES = 4_000_000
 _HASH_SEED = 42
 
 
-def part_of_keys(arr: pa.Array | pa.ChunkedArray, P: int) -> np.ndarray:
-    """Stable partition id per key — vectorized 64-bit hash (polars/ahash,
-    fixed seed: deterministic across processes and parallelism levels for a
-    pinned polars version; the oracle calls this same function)."""
+def hash64(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Vectorized seeded 64-bit key hash (deterministic across processes
+    for a pinned polars version; the oracle calls through this too)."""
     import polars as pl
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    h = pl.from_arrow(arr).hash(seed=_HASH_SEED).to_numpy()
-    return (h % np.uint64(P)).astype(np.int64)
+    return pl.from_arrow(arr).hash(seed=_HASH_SEED).to_numpy().astype(np.uint64)
+
+
+def part_of_keys(arr: pa.Array | pa.ChunkedArray, P: int) -> np.ndarray:
+    """Stable partition id per key."""
+    return (hash64(arr) % np.uint64(P)).astype(np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -286,10 +289,30 @@ def prepare_edges(edges: rd.Dataset, *, P: int = DEFAULT_P,
         vtab["part"].to_numpy(zero_copy_only=False), return_counts=True
     )
     n_per_part[parts_np.astype(np.int64)] = counts_np
-    dict_ref = ray.put((vtab["key"].combine_chunks(), vtab["vid"].combine_chunks()))
+
+    # Broadcast lookup structure, built ONCE: keys hashed to 64 bits and
+    # sorted, so each worker probes with a vectorized searchsorted instead
+    # of rebuilding pc.index_in's hash table per batch. Collisions are
+    # checked here (64-bit over the key set); on the astronomically rare
+    # hit we fall back to the exact Arrow value-set join.
+    keys_arr = vtab["key"].combine_chunks()
+    vids_np = vtab["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h = hash64(keys_arr)
+    order = np.argsort(h, kind="stable")
+    h_sorted, vids_sorted = h[order], vids_np[order]
+    hash_unique = bool(len(np.unique(h_sorted)) == len(h_sorted))
+    dict_ref = ray.put((keys_arr, vtab["vid"].combine_chunks(),
+                        h_sorted, vids_sorted, hash_unique))
 
     def encode(batch: pa.Table) -> pa.Table:
-        keys, vids = ray.get(dict_ref)
+        keys, vids, hs, vs, uniq = ray.get(dict_ref)
+        if uniq:
+            sh = hash64(batch["src"])
+            dh = hash64(batch["dst"])
+            sv = vs[np.searchsorted(hs, sh)]
+            dv = vs[np.searchsorted(hs, dh)]
+            return pa.table({"src_vid": pa.array(sv, pa.int64()),
+                             "dst_vid": pa.array(dv, pa.int64())})
         sidx = pc.index_in(batch["src"].combine_chunks(), value_set=keys)
         didx = pc.index_in(batch["dst"].combine_chunks(), value_set=keys)
         return pa.table({"src_vid": vids.take(sidx), "dst_vid": vids.take(didx)})

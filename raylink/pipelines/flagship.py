@@ -44,18 +44,24 @@ class FlagshipResult:
 
 
 def join_keys(vertex_table: rd.Dataset, graph: Graph, value_col: str) -> rd.Dataset:
-    """(vid, value) -> (key, value) using the broadcast vertex dictionary."""
-    import pyarrow.compute as pc
+    """(vid, value) -> (key, value) using the broadcast vertex dictionary
+    (sorted-vid array + vectorized searchsorted probe; vids are unique)."""
+    import numpy as np
 
     vert = pa.concat_tables(
         list(graph.vertices.iter_batches(batch_format="pyarrow", batch_size=1 << 20))
     )
-    ref = ray.put((vert["vid"].combine_chunks(), vert["key"].combine_chunks()))
+    vids_np = vert["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(vids_np, kind="stable")
+    keys_sorted = vert["key"].combine_chunks().take(pa.array(order))
+    ref = ray.put((vids_np[order], keys_sorted))
 
     def lookup(batch: pa.Table) -> pa.Table:
         vids, keys = ray.get(ref)
-        pos = pc.index_in(batch["vid"].combine_chunks(), value_set=vids)
-        return pa.table({"key": keys.take(pos), value_col: batch[value_col]})
+        bv = batch["vid"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(vids, bv)
+        return pa.table({"key": keys.take(pa.array(pos)),
+                         value_col: batch[value_col]})
 
     return vertex_table.map_batches(lookup, batch_format="pyarrow")
 
