@@ -51,7 +51,8 @@ def main() -> None:
 
     if args.pages.startswith("synthetic:"):
         n = int(args.pages.split(":", 1)[1])
-        spec = PageSpec(overlay_avg_links=6.0, extra_pages=max(0, n - 20000))
+        base = PageSpec(overlay_avg_links=6.0).n_pages
+        spec = PageSpec(overlay_avg_links=6.0, extra_pages=max(0, n - base))
         pages = pages_dataset(spec, parallelism=4 * args.num_cpus)
     else:
         pages = rd.read_parquet(args.pages)
