@@ -144,6 +144,38 @@ def test_multimodal_plumbing():
     assert (frames["frame_idx"] % 5 == 0).all()
 
 
+def test_sessionize_gap_splitting():
+    from raylink.ops import sessionize
+
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    mins = [0, 5, 10, 120, 125, 500]  # two gaps > 30 min -> 3 sessions
+    ds = ds_of({
+        "event_id": list(range(6)),
+        "user_id": [1] * 6,
+        "ts": [base + np.timedelta64(m, "m") for m in mins],
+    })
+    out = sessionize(ds, "user_id", "ts", ["ts", "event_id"],
+                     30 * 60 * 1_000_000).to_pandas().sort_values("session_id")
+    assert out["session_id"].tolist() == [1, 2, 3]
+    assert out["n_events"].tolist() == [3, 2, 1]
+
+
+def test_ngram_jaccard_pairs_windowing():
+    from raylink.dedup import ngram_jaccard_pairs
+
+    ds = ds_of({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b c d", "a b c e", "z y x w", "a b c d"],
+        "lang": ["en", "en", "en", "de"],
+        "n_chars": [7, 7, 7, 7],
+    })
+    out = ngram_jaccard_pairs(ds, window=0).to_pandas()
+    pairs = {(r.a_id, r.b_id): r.jaccard for r in out.itertuples()}
+    assert pairs[(1, 2)] == 600_000  # |{a,b,c}| / |{a,b,c,d,e}| = 3/5
+    assert pairs[(1, 3)] == 0
+    assert (1, 4) not in pairs  # different lang bucket
+
+
 def test_iqr_outliers_two_pass():
     from raylink.ops import iqr_outliers
 
