@@ -44,7 +44,7 @@ def run_flagship(timings: dict) -> dict:
     import ray
 
     from raylink.extract import docs_to_edges, pages_to_docs
-    from raylink.graph import build_graph_from_prepared, prepare_edges
+    from raylink.graph import build_graph_pair, prepare_edges
     from raylink.kernels import connected_components, pagerank, triangle_count
     from raylink.tables import pages_dataset
 
@@ -67,7 +67,7 @@ def run_flagship(timings: dict) -> dict:
     t0 = time.perf_counter()
     edges = docs_to_edges(docs)
     prep = prepare_edges(edges, P=P)
-    g = build_graph_from_prepared(prep)
+    g, sg = build_graph_pair(prep)  # one shuffle builds both graphs
     timings["graph_build"] = round(time.perf_counter() - t0, 3)
     info["n_vertices"], info["n_edges"] = g.n, g.m
 
@@ -80,10 +80,6 @@ def run_flagship(timings: dict) -> dict:
     info["pr_supersteps"] = len(step_secs)
     info["pr_sec_per_superstep"] = round(sum(step_secs) / len(step_secs), 3)
     info["pr_edges_per_sec_per_superstep"] = int(g.m / (sum(step_secs) / len(step_secs)))
-
-    t0 = time.perf_counter()
-    sg = build_graph_from_prepared(prep, symmetric=True)
-    timings["sym_build"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
     cc_metrics: list = []
@@ -167,8 +163,7 @@ def main() -> None:
     ray.shutdown()
 
 
-FLAGSHIP_STAGES = ("extract", "graph_build", "pagerank", "sym_build", "cc",
-                   "triangles")
+FLAGSHIP_STAGES = ("extract", "graph_build", "pagerank", "cc", "triangles")
 
 
 def _ceiling_work(_):

@@ -200,6 +200,7 @@ class Graph:
 def _build_block_rows(group: pa.Table, P: int, n_per_part: np.ndarray,
                       chunk_edges: int) -> pa.Table:
     part = int(group["src_part"][0].as_py())
+    direction = int(group["dir"][0].as_py()) if "dir" in group.column_names else 0
     src = group["srcs"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
     dst = group["dsts"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
     # global exact dedup happens HERE, for free: any given (src,dst) pair
@@ -235,6 +236,7 @@ def _build_block_rows(group: pa.Table, P: int, n_per_part: np.ndarray,
                      "payload": pickle.dumps(blk, protocol=5)})
     return pa.table(
         {
+            "dir": pa.array([direction] * len(rows), pa.int64()),
             "part": pa.array([r["part"] for r in rows], pa.int64()),
             "chunk": pa.array([r["chunk"] for r in rows], pa.int64()),
             "m": pa.array([r["m"] for r in rows], pa.int64()),
@@ -323,55 +325,93 @@ def prepare_edges(edges: rd.Dataset, *, P: int = DEFAULT_P,
                          n=n, n_per_part=n_per_part, P=P, key_type=key_type)
 
 
-def build_graph_from_prepared(prep: PreparedEdges, *, symmetric: bool = False,
-                              chunk_edges: int = CHUNK_EDGES) -> Graph:
-    P, n_per_part = prep.P, prep.n_per_part
+def _pack_fn(P: int, directions: tuple[bool, ...]):
+    """Pack encoded edges per (direction, source partition): one
+    (dir, src_part, srcs list, dsts list) row per partition per batch, so
+    the block shuffle moves ~blocks*P packed rows instead of per-edge rows.
+    ``directions``: False = directed edge set, True = symmetrized — both can
+    ride the same shuffle (grouped by (dir, src_part))."""
 
     def pack(batch: pa.Table) -> pa.Table:
-        """PACK encoded edges per source partition: one (src_part, srcs
-        list, dsts list) row per partition per batch, so the block shuffle
-        moves ~blocks*P packed rows instead of one row per edge."""
-        sv = batch["src_vid"].to_numpy(zero_copy_only=False)
-        dv = batch["dst_vid"].to_numpy(zero_copy_only=False)
-        if symmetric:
-            sv, dv = np.concatenate([sv, dv]), np.concatenate([dv, sv])
-        part = sv % P
-        order = np.argsort(part, kind="stable")
-        sv, dv, part = sv[order], dv[order], part[order]
-        bounds = np.searchsorted(part, np.arange(P + 1)).astype(np.int64)
-        present = np.flatnonzero(np.diff(bounds) > 0)
-        offsets = pa.array(np.concatenate([[0], np.diff(bounds)[present].cumsum()]),
-                           pa.int32())
-        return pa.table({
-            "src_part": pa.array(present.astype(np.int64), pa.int64()),
-            "srcs": pa.ListArray.from_arrays(offsets, pa.array(sv, pa.int64())),
-            "dsts": pa.ListArray.from_arrays(offsets, pa.array(dv, pa.int64())),
-        })
+        sv0 = batch["src_vid"].to_numpy(zero_copy_only=False)
+        dv0 = batch["dst_vid"].to_numpy(zero_copy_only=False)
+        tabs = []
+        for symmetric in directions:
+            if symmetric:
+                sv = np.concatenate([sv0, dv0])
+                dv = np.concatenate([dv0, sv0])
+            else:
+                sv, dv = sv0, dv0
+            part = sv % P
+            order = np.argsort(part, kind="stable")
+            sv, dv, part = sv[order], dv[order], part[order]
+            bounds = np.searchsorted(part, np.arange(P + 1)).astype(np.int64)
+            present = np.flatnonzero(np.diff(bounds) > 0)
+            offsets = pa.array(
+                np.concatenate([[0], np.diff(bounds)[present].cumsum()]),
+                pa.int32())
+            tabs.append(pa.table({
+                "dir": pa.array(np.full(len(present), int(symmetric)), pa.int64()),
+                "src_part": pa.array(present.astype(np.int64), pa.int64()),
+                "srcs": pa.ListArray.from_arrays(offsets, pa.array(sv, pa.int64())),
+                "dsts": pa.ListArray.from_arrays(offsets, pa.array(dv, pa.int64())),
+            }))
+        return pa.concat_tables(tabs)
 
-    enc = prep.enc_edges.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+    return pack
 
+
+def _collect_blocks(block_rows: rd.Dataset) -> dict[int, dict[int, list[Any]]]:
+    """block rows -> {dir: {part: [ObjectRef(CSRBlock), ...]}} + edge counts."""
+    blocks: dict[int, dict[int, list[Any]]] = {}
+    m_total: dict[int, int] = {}
+    for b in block_rows.iter_batches(batch_format="pyarrow", batch_size=4):
+        for i in range(b.num_rows):
+            d = int(b["dir"][i].as_py())
+            p = int(b["part"][i].as_py())
+            m_total[d] = m_total.get(d, 0) + int(b["m"][i].as_py())
+            blk = pickle.loads(b["payload"][i].as_py())
+            blocks.setdefault(d, {}).setdefault(p, []).append(ray.put(blk))
+    return blocks, m_total
+
+
+def _build_blocks(prep: PreparedEdges, directions: tuple[bool, ...],
+                  chunk_edges: int):
+    P, n_per_part = prep.P, prep.n_per_part
+    enc = prep.enc_edges.map_batches(_pack_fn(P, directions),
+                                     batch_format="pyarrow", zero_copy_batch=True)
     block_rows = (
-        enc.groupby("src_part")
+        enc.groupby(["dir", "src_part"])
         .map_groups(
             lambda g: _build_block_rows(g, P, n_per_part, chunk_edges),
             batch_format="pyarrow",
         )
         .materialize()
     )
+    return _collect_blocks(block_rows)
 
-    blocks: dict[int, list[Any]] = {}
-    m_total = 0
-    for b in block_rows.iter_batches(batch_format="pyarrow", batch_size=4):
-        for i in range(b.num_rows):
-            p = int(b["part"][i].as_py())
-            m_total += int(b["m"][i].as_py())
-            blk = pickle.loads(b["payload"][i].as_py())
-            blocks.setdefault(p, []).append(ray.put(blk))
 
+def _graph_of(prep: PreparedEdges, blocks: dict[int, list[Any]], m: int) -> Graph:
     return Graph(
-        P=P, n=prep.n, m=m_total, n_per_part=n_per_part, blocks=blocks,
+        P=prep.P, n=prep.n, m=m, n_per_part=prep.n_per_part, blocks=blocks,
         vertices=prep.vertices, key_type=prep.key_type,
     )
+
+
+def build_graph_from_prepared(prep: PreparedEdges, *, symmetric: bool = False,
+                              chunk_edges: int = CHUNK_EDGES) -> Graph:
+    blocks, m = _build_blocks(prep, (symmetric,), chunk_edges)
+    d = int(symmetric)
+    return _graph_of(prep, blocks.get(d, {}), m.get(d, 0))
+
+
+def build_graph_pair(prep: PreparedEdges,
+                     chunk_edges: int = CHUNK_EDGES) -> tuple[Graph, Graph]:
+    """Directed AND symmetric graphs from ONE pack pass + ONE shuffle
+    (grouped by (dir, src_part)) — the flagship needs both."""
+    blocks, m = _build_blocks(prep, (False, True), chunk_edges)
+    return (_graph_of(prep, blocks.get(0, {}), m.get(0, 0)),
+            _graph_of(prep, blocks.get(1, {}), m.get(1, 0)))
 
 
 def build_graph(

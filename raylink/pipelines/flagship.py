@@ -22,7 +22,7 @@ import ray
 import ray.data as rd
 
 from ..extract import docs_to_edges, pages_to_docs
-from ..graph import Graph, build_graph_from_prepared, prepare_edges
+from ..graph import Graph, build_graph_pair, prepare_edges
 from ..kernels import connected_components, label_propagation, pagerank, triangle_count
 
 
@@ -80,8 +80,7 @@ def flagship(
     docs = pages_to_docs(pages, concurrency=extract_concurrency).materialize()
     edges = docs_to_edges(docs)
     prep = prepare_edges(edges, P=P)
-    graph = build_graph_from_prepared(prep, symmetric=False)
-    sym = build_graph_from_prepared(prep, symmetric=True)
+    graph, sym = build_graph_pair(prep)  # one shuffle builds both
 
     pr_metrics: list = []
     ranks = pagerank(graph, damping=damping, tol=tol,
