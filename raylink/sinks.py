@@ -21,20 +21,26 @@ def _done_marker(path: str) -> str:
 
 
 def write_table(ds: rd.Dataset, path: str, *, meta: dict | None = None,
+                partition_cols: list[str] | None = None,
                 min_rows_per_file: int = 200_000) -> bool:
     """Write ``ds`` to ``path`` as a parquet dataset; returns False if the
     table was already complete (resume skip). Atomic: writes to ``path.tmp``
-    then renames, then drops a _SUCCESS manifest."""
+    then renames, then drops a _SUCCESS manifest. ``partition_cols`` gives
+    hive-style per-key directories (the reference's per-group NPZ files,
+    ``porcine/pig_extract.py:1320-1345``)."""
     if os.path.exists(_done_marker(path)):
         return False
     tmp = path + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    kwargs = {}
+    if partition_cols:
+        kwargs["partition_cols"] = partition_cols
     try:
-        ds.write_parquet(tmp, min_rows_per_file=min_rows_per_file)
+        ds.write_parquet(tmp, min_rows_per_file=min_rows_per_file, **kwargs)
     except TypeError:  # older Ray releases
-        ds.write_parquet(tmp)
+        ds.write_parquet(tmp, **kwargs)
     if os.path.exists(path):
         shutil.rmtree(path)
     os.replace(tmp, path)
