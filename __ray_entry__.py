@@ -343,7 +343,7 @@ def q_pages_components(sf_dir: str):
     from raylink.pipelines.flagship import join_keys
 
     sg = _pages_graph(True)
-    comps = connected_components(sg)  # min-vid labels
+    comps = connected_components(sg, method="jump")  # min-vid labels
     keyed = join_keys(comps, sg, "comp")
 
     def canon(g: pd.DataFrame) -> pd.DataFrame:

@@ -9,6 +9,10 @@ Superstep: scatter emits per (src_part -> dst_part) the *elementwise min*
 label per destination vertex (pre-aggregation again bounds any hub's fan-in
 to P partial rows); combine takes min(prev, partial mins) and counts
 changes; driver stops at zero changes (global fixpoint).
+
+Reference parity: 1-D cluster-merge via min-labels (group_numbers,
+ml/anomaly/stump_anom.py:9-34) generalized to graphs; convergence-gated
+iteration per SURVEY §2.10.
 """
 
 from __future__ import annotations

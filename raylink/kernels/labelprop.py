@@ -10,6 +10,9 @@ Scatter pre-aggregates votes per (src_part -> dst_part) into
 (dst_local, label, count) triples (the grouped-count -> argmax pattern of
 SURVEY §2.8 "mode"), so label traffic is bounded by distinct
 (vertex, label) pairs per partition pair, not raw edges.
+
+Reference parity: grouped mode / most_common aggregation
+(porcine/pig_extract.py:1007) lifted to an iterative neighborhood vote.
 """
 
 from __future__ import annotations

@@ -22,6 +22,12 @@ matches the sequential oracle within allclose 1e-6 at convergence.
 Invariant: scores sum to 1 after every superstep (dangling-mass
 redistribution) — checked in tests, mirroring the reference's per-section
 invariant columns.
+
+Reference parity: iterative global analytics with carried state and
+convergence gates — the FLUSS/matrix-profile global pass
+(porcine/stumpy_fluss_phase_angle.py:574-649) and the history-fed staleness
+gates (peak_detect_v4.py:1733-1746), redesigned order-independent
+(SURVEY §2.10, §7.0).
 """
 
 from __future__ import annotations

@@ -14,6 +14,10 @@ per-batch partial sums -> ``ds.sum``. At 10^12-edge scale the broadcast
 becomes a partitioned join (ship N+(v) lists bucketed by hash(v)); the
 counting stage is unchanged. Partitioning assumption documented per
 SURVEY §2 "custom operators" rule.
+
+Reference parity: global top-k/sort analytics over the whole series
+(stumpy_discord.py:462-468) — a whole-graph exact aggregate with the same
+sort-within-partition + global-reduce shape (SURVEY §2.9).
 """
 
 from __future__ import annotations

@@ -11,7 +11,9 @@ sizing, actor signature, output layout — is real and tested.
 Scale notes: media rows are wide; callers should size ``batch_size`` small
 (payload_bytes * batch_size * concurrency must fit worker heap) and write
 outputs partitioned by input shard. ``media_dataset`` is the deterministic
-synthetic source used by tests/bench.
+synthetic source used by tests/bench. Reference parity: opaque binary
+block parsing behind a typed schema (lib_ebm/pyebmreader.py:159-170) with
+per-worker decoder state (lib_adicht/convert.py:59-88).
 """
 
 from __future__ import annotations
