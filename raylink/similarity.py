@@ -1,5 +1,9 @@
 """Similarity search over an embedding column (list<float>).
 
+Reference parity: cosine-similarity feature comparison
+(porcine/pig_extract.py:3142-3175) and the two-stage lead-candidate ranking
+(porcine/pig_extract.py:1487-1525) re-expressed as top-k retrieval.
+
 - ``cosine_topk``: brute-force cosine top-k — the baseline. The query
   matrix is broadcast once (``ray.put``); each batch does one float64
   matmul; global top-k = sort + limit.
