@@ -12,14 +12,14 @@ Partitioning notes (per-operator, SURVEY §2 custom-op rule):
 - LSH bucket groupby shuffles (band, bucket_hash, doc_id) triples — O(docs ×
   bands) small rows; candidate verification broadcasts the shingle-hash sets
   at sandbox scale (scale path: co-partitioned pair join shipping sketches);
+- cluster formation = min-label propagation over the candidate-pair graph —
+  the same CC kernel family; done driver-side here because verified pair sets
+  are tiny relative to the corpus (documented assumption).
+
 Reference parity: exact dedup mirrors overlap-peak reconciliation
 (peak_detect_v4.py:1710-1728, set-intersection keep-richest); candidate
 banding mirrors the banded proximity join of discords to invalid peaks
 (ml/anomaly/stump_anom.py:89-103).
-
-- cluster formation = min-label propagation over the candidate-pair graph —
-  the same CC kernel family; done driver-side here because verified pair sets
-  are tiny relative to the corpus (documented assumption).
 """
 
 from __future__ import annotations
