@@ -378,8 +378,15 @@ def _collect_blocks(block_rows: rd.Dataset) -> dict[int, dict[int, list[Any]]]:
 def _build_blocks(prep: PreparedEdges, directions: tuple[bool, ...],
                   chunk_edges: int):
     P, n_per_part = prep.P, prep.n_per_part
-    enc = prep.enc_edges.map_batches(_pack_fn(P, directions),
-                                     batch_format="pyarrow", zero_copy_batch=True)
+    # coalesce the encoded edges into ~8 blocks per partition before packing:
+    # the pack stage emits one row per (dir, part) per input block, so block
+    # count directly multiplies the shuffle's row count
+    n_blocks = max(64, 8 * P)
+    enc_in = prep.enc_edges
+    if enc_in.num_blocks() > n_blocks:
+        enc_in = enc_in.repartition(n_blocks)
+    enc = enc_in.map_batches(_pack_fn(P, directions),
+                             batch_format="pyarrow", zero_copy_batch=True)
     block_rows = (
         enc.groupby(["dir", "src_part"])
         .map_groups(
