@@ -10,9 +10,12 @@ Pipeline (SURVEY §7.2 steps 3-4):
 
 Vertex id scheme (deterministic, needs NO global sort — scales to any
 vertex count): ``part = hash64(key) % P`` (seeded vectorized hash); within a
-partition keys are sorted and ``vid = local_rank * P + part``. Hence
-``part = vid % P`` and ``local = vid // P`` everywhere, and the oracle
-(oracle.py) reproduces the exact same ids from the same edge list.
+partition keys are ranked by (hash64(key), key) and
+``vid = local_rank * P + part``. Hence ``part = vid % P`` and
+``local = vid // P`` everywhere, the dictionary build ships only 8-byte
+hashes (strings are materialized lazily, only for vid->key output joins),
+and the oracle (oracle.py) reproduces the exact same ids from the same
+edge list.
 
 Skew note (SURVEY §7.5): the dst side of every kernel superstep is
 pre-aggregated *per source partition* inside the scatter (bincount), so a
@@ -112,12 +115,86 @@ def dedup_edges(edges: rd.Dataset, *, buckets: int = DEDUP_BUCKETS) -> rd.Datase
 # vertex dictionary
 # ---------------------------------------------------------------------------
 
+def _canonical_order(u: pa.Array, h: np.ndarray) -> np.ndarray:
+    """Indices sorting keys by the canonical within-part rank order:
+    (hash64(key), key). The key tiebreak only matters on 64-bit hash
+    collisions — astronomically rare, but keeps ranks well-defined."""
+    by_key = pc.sort_indices(u).to_numpy(zero_copy_only=False)
+    return by_key[np.argsort(h[by_key], kind="stable")]
+
+
+def build_vertex_ranks(edges: rd.Dataset, P: int):
+    """Distinct endpoint HASHES -> dense ranks, via an INT-ONLY shuffle.
+
+    The dictionary rank order is (hash64(key), key) within each partition,
+    so when the 64-bit hashes are globally collision-free (checked), ranks
+    are fully determined by the hashes alone and the shuffle never ships a
+    single key string — ~8 bytes/occurrence instead of whole URLs. Returns
+    (h_sorted, vid_sorted, n_per_part, n) with h_sorted globally sorted for
+    vectorized probes, or None when a collision is detected (caller falls
+    back to the string path, same canonical order).
+    """
+
+    def hash_lists(batch: pa.Table) -> pa.Table:
+        h = np.unique(np.concatenate(
+            [hash64(batch["src"]), hash64(batch["dst"])]
+        ))
+        part = (h % np.uint64(P)).astype(np.int64)
+        order = np.argsort(part, kind="stable")
+        hs, ps = h[order], part[order]
+        bounds = np.searchsorted(ps, np.arange(P + 1)).astype(np.int64)
+        present = np.flatnonzero(np.diff(bounds) > 0)
+        offsets = pa.array(np.concatenate([[0], np.diff(bounds)[present].cumsum()]),
+                           pa.int32())
+        return pa.table({
+            "part": pa.array(present.astype(np.int64), pa.int64()),
+            "hashes": pa.ListArray.from_arrays(offsets, pa.array(hs, pa.uint64())),
+        })
+
+    packed = edges.map_batches(hash_lists, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def assign(group: pa.Table) -> pa.Table:
+        hl = group["hashes"].combine_chunks()
+        u = np.unique(hl.flatten().to_numpy(zero_copy_only=False))  # sorted
+        p = int(group["part"][0].as_py())
+        return pa.table({
+            "part": pa.array([p], pa.int64()),
+            "hashes": pa.array([u], pa.list_(pa.uint64())),
+        })
+
+    rows = packed.groupby("part").map_groups(
+        assign, batch_format="pyarrow").materialize()
+
+    n_per_part = np.zeros(P, dtype=np.int64)
+    hs_parts, vid_parts = [], []
+    for b in rows.iter_batches(batch_format="pyarrow"):
+        col = b["hashes"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        parts = b["part"].to_numpy(zero_copy_only=False)
+        for i, p in enumerate(parts):
+            u = flat[offs[i]: offs[i + 1]]
+            n_per_part[p] = len(u)
+            hs_parts.append(u)
+            vid_parts.append(np.arange(len(u), dtype=np.int64) * P + int(p))
+    if not hs_parts:
+        return np.array([], np.uint64), np.array([], np.int64), n_per_part, 0
+    h_all = np.concatenate(hs_parts)
+    vid_all = np.concatenate(vid_parts)
+    order = np.argsort(h_all, kind="stable")
+    h_sorted, vid_sorted = h_all[order], vid_all[order]
+    if len(np.unique(h_sorted)) != len(h_sorted):
+        return None  # collision: caller uses the string fallback
+    return h_sorted, vid_sorted, n_per_part, int(len(h_sorted))
+
+
 def build_vertices(edges: rd.Dataset, P: int) -> rd.Dataset:
-    """Distinct endpoint keys -> (key, vid, part). Fully distributed with a
-    single shuffle: each batch packs its unique keys into ONE list row per
-    partition (so the shuffle moves ~blocks*P rows, not one row per key),
-    then an int-keyed groupby(part) dedups, sorts and assigns local ranks
-    (vid = rank * P + part)."""
+    """Distinct endpoint keys -> (key, vid, part) TABLE. The string-keyed
+    sibling of :func:`build_vertex_ranks` (same canonical rank order:
+    (hash64(key), key) within partition) — needed only where actual keys
+    must be materialized (vid->key output joins, key-initialized labels,
+    the collision fallback). One packed-string shuffle."""
 
     def keys_lists(batch: pa.Table) -> pa.Table:
         u = pc.unique(pa.chunked_array(
@@ -144,7 +221,8 @@ def build_vertices(edges: rd.Dataset, P: int) -> rd.Dataset:
     def assign(group: pa.Table) -> pa.Table:
         kl = group["keys"].combine_chunks()
         u = pc.unique(kl.flatten())
-        u = u.take(pc.sort_indices(u))
+        order = _canonical_order(u, hash64(u))
+        u = u.take(pa.array(order))
         p = int(group["part"][0].as_py())
         vids = np.arange(len(u), dtype=np.int64) * P + p
         return pa.table({
@@ -190,8 +268,14 @@ class Graph:
     m: int
     n_per_part: np.ndarray  # int64[P]
     blocks: dict[int, list[Any]]  # part -> [ObjectRef(CSRBlock chunk), ...]
-    vertices: rd.Dataset  # (key, vid, part) — materialized
+    prep: "PreparedEdges"  # shared dictionary state (lazy vertices table)
     key_type: pa.DataType
+
+    @property
+    def vertices(self) -> rd.Dataset:
+        """(key, vid, part) table — built lazily on first use (the kernels
+        themselves never need key strings)."""
+        return self.prep.vertices
 
     def parts_with_edges(self) -> list[int]:
         return sorted(self.blocks)
@@ -248,25 +332,42 @@ def _build_block_rows(group: pa.Table, P: int, n_per_part: np.ndarray,
 @dataclass
 class PreparedEdges:
     """Encoded edge table + vertex dictionary, shareable by several builds
-    (directed + symmetric builds pay the key->vid lookup only once)."""
+    (directed + symmetric builds pay the key->vid lookup only once).
+
+    The (key, vid, part) string TABLE is built lazily — the kernels only
+    need hashes and ranks; keys are materialized the first time something
+    joins vids back to keys (``vertices``)."""
 
     enc_edges: rd.Dataset  # (src_vid, dst_vid), self-loop-free, materialized
-    vertices: rd.Dataset  # (key, vid, part), materialized
-    dict_ref: Any  # ObjectRef[(keys ArrowArray, vids ArrowArray)]
+    dict_ref: Any  # ObjectRef[(h_sorted uint64[], vid_sorted int64[])]
     n: int
     n_per_part: np.ndarray
     P: int
     key_type: pa.DataType
+    edges: rd.Dataset | None = None  # raw (self-loop-free) edges, for lazy build
+    vertices_cache: rd.Dataset | None = None
+
+    @property
+    def vertices(self) -> rd.Dataset:
+        if self.vertices_cache is None:
+            self.vertices_cache = build_vertices(self.edges, self.P).materialize()
+        return self.vertices_cache
 
 
 def prepare_edges(edges: rd.Dataset, *, P: int = DEFAULT_P,
                   already_deduped: bool = False) -> PreparedEdges:
-    """Self-loop drop + vertex dictionary; the shared prefix of any build.
+    """Self-loop drop + vertex ranks + vid encoding; the shared prefix of
+    any build.
 
     NOTE exact (src,dst) dedup is NOT a separate shuffle: it happens inside
     the partition-grouped CSR block build (a pair always lands in its src
     partition, so local unique == global unique). ``already_deduped`` now
-    only skips the self-loop filter."""
+    only skips the self-loop filter.
+
+    The dictionary is built hash-only (:func:`build_vertex_ranks`, int
+    shuffle, no strings); encode probes a broadcast sorted-hash array with
+    vectorized searchsorted. Scale path at 10^12 vertices: partitioned
+    hash join bucketing both sides by hash64(key) % B — same vid scheme."""
     key_type = edges.schema().base_schema.field("src").type if hasattr(
         edges.schema(), "base_schema") else edges.schema().field("src").type
     if not already_deduped:
@@ -276,53 +377,51 @@ def prepare_edges(edges: rd.Dataset, *, P: int = DEFAULT_P,
         edges = edges.map_batches(drop_self, batch_format="pyarrow",
                                   zero_copy_batch=True)
     edges = edges.materialize()
-    vertices = build_vertices(edges, P).materialize()
 
-    # Broadcast dictionary (key -> vid), shipped ONCE via ray.put and probed
-    # with pc.index_in (a C hash join against a constant value set). Scale
-    # path at 10^12 vertices: partitioned hash join, bucketing both sides by
-    # hash64(key) % B — the vid scheme needs no change.
-    vtab = pa.concat_tables(
-        list(vertices.iter_batches(batch_format="pyarrow", batch_size=1 << 20))
-    )
-    n = vtab.num_rows
-    n_per_part = np.zeros(P, dtype=np.int64)
-    parts_np, counts_np = np.unique(
-        vtab["part"].to_numpy(zero_copy_only=False), return_counts=True
-    )
-    n_per_part[parts_np.astype(np.int64)] = counts_np
+    ranks = build_vertex_ranks(edges, P)
+    if ranks is None:
+        # 64-bit hash collision in the key set: fall back to the string
+        # table (same canonical (hash, key) rank order, so ids agree)
+        vertices = build_vertices(edges, P).materialize()
+        vtab = pa.concat_tables(list(
+            vertices.iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+        n = vtab.num_rows
+        n_per_part = np.zeros(P, dtype=np.int64)
+        parts_np, counts_np = np.unique(
+            vtab["part"].to_numpy(zero_copy_only=False), return_counts=True)
+        n_per_part[parts_np.astype(np.int64)] = counts_np
+        keys_arr = vtab["key"].combine_chunks()
+        vids_arr = vtab["vid"].combine_chunks()
+        keys_ref = ray.put((keys_arr, vids_arr))
 
-    # Broadcast lookup structure, built ONCE: keys hashed to 64 bits and
-    # sorted, so each worker probes with a vectorized searchsorted instead
-    # of rebuilding pc.index_in's hash table per batch. Collisions are
-    # checked here (64-bit over the key set); on the astronomically rare
-    # hit we fall back to the exact Arrow value-set join.
-    keys_arr = vtab["key"].combine_chunks()
-    vids_np = vtab["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
-    h = hash64(keys_arr)
-    order = np.argsort(h, kind="stable")
-    h_sorted, vids_sorted = h[order], vids_np[order]
-    hash_unique = bool(len(np.unique(h_sorted)) == len(h_sorted))
-    dict_ref = ray.put((keys_arr, vtab["vid"].combine_chunks(),
-                        h_sorted, vids_sorted, hash_unique))
+        def encode_exact(batch: pa.Table) -> pa.Table:
+            keys, vids = ray.get(keys_ref)
+            sidx = pc.index_in(batch["src"].combine_chunks(), value_set=keys)
+            didx = pc.index_in(batch["dst"].combine_chunks(), value_set=keys)
+            return pa.table({"src_vid": vids.take(sidx),
+                             "dst_vid": vids.take(didx)})
+
+        enc = edges.map_batches(encode_exact, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+        return PreparedEdges(enc_edges=enc, dict_ref=keys_ref, n=n,
+                             n_per_part=n_per_part, P=P, key_type=key_type,
+                             edges=edges, vertices_cache=vertices)
+
+    h_sorted, vid_sorted, n_per_part, n = ranks
+    dict_ref = ray.put((h_sorted, vid_sorted))
 
     def encode(batch: pa.Table) -> pa.Table:
-        keys, vids, hs, vs, uniq = ray.get(dict_ref)
-        if uniq:
-            sh = hash64(batch["src"])
-            dh = hash64(batch["dst"])
-            sv = vs[np.searchsorted(hs, sh)]
-            dv = vs[np.searchsorted(hs, dh)]
-            return pa.table({"src_vid": pa.array(sv, pa.int64()),
-                             "dst_vid": pa.array(dv, pa.int64())})
-        sidx = pc.index_in(batch["src"].combine_chunks(), value_set=keys)
-        didx = pc.index_in(batch["dst"].combine_chunks(), value_set=keys)
-        return pa.table({"src_vid": vids.take(sidx), "dst_vid": vids.take(didx)})
+        hs, vs = ray.get(dict_ref)
+        sv = vs[np.searchsorted(hs, hash64(batch["src"]))]
+        dv = vs[np.searchsorted(hs, hash64(batch["dst"]))]
+        return pa.table({"src_vid": pa.array(sv, pa.int64()),
+                         "dst_vid": pa.array(dv, pa.int64())})
 
     enc = edges.map_batches(encode, batch_format="pyarrow",
                             zero_copy_batch=True).materialize()
-    return PreparedEdges(enc_edges=enc, vertices=vertices, dict_ref=dict_ref,
-                         n=n, n_per_part=n_per_part, P=P, key_type=key_type)
+    return PreparedEdges(enc_edges=enc, dict_ref=dict_ref, n=n,
+                         n_per_part=n_per_part, P=P, key_type=key_type,
+                         edges=edges)
 
 
 def _pack_fn(P: int, directions: tuple[bool, ...]):
@@ -401,7 +500,7 @@ def _build_blocks(prep: PreparedEdges, directions: tuple[bool, ...],
 def _graph_of(prep: PreparedEdges, blocks: dict[int, list[Any]], m: int) -> Graph:
     return Graph(
         P=prep.P, n=prep.n, m=m, n_per_part=prep.n_per_part, blocks=blocks,
-        vertices=prep.vertices, key_type=prep.key_type,
+        prep=prep, key_type=prep.key_type,
     )
 
 

@@ -124,11 +124,14 @@ def key_init_state(graph: Graph) -> rd.Dataset:
 
     def to_state(group: pa.Table) -> pa.Table:
         part = int(group["part"][0].as_py())
-        order = pc.sort_indices(group["key"])  # ascending == local-rank order
-        keys = group["key"].take(order).to_numpy(zero_copy_only=False).astype(np.int64)
+        vids = group["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = group["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # place each key at its local rank (robust to any vid rank order)
+        arr = np.empty(len(vids), dtype=np.int64)
+        arr[vids // graph.P] = keys
         return pa.table(
             {"part": pa.array([part], pa.int64()),
-             "vec": pa.array([keys], pa.list_(pa.int64()))}
+             "vec": pa.array([arr], pa.list_(pa.int64()))}
         )
 
     return graph.vertices.groupby("part").map_groups(

@@ -107,9 +107,10 @@ def _jump_round(state: rd.Dataset, graph: Graph) -> tuple[rd.Dataset, int]:
       2. owners answer from their own state; answers are routed back and
          applied with a vectorized sorted lookup.
 
-    Combined with the neighbor-min superstep this gives O(log n)
-    convergence on long chains instead of O(diameter) (SURVEY §7.2 step 6
-    "pointer-jumping + path-halving")."""
+    Combined with the neighbor-min superstep this compresses label chains
+    and converges in strictly fewer rounds than pure neighbor-min on
+    long-diameter graphs (SURVEY §7.2 step 6 "pointer-jumping"); the full
+    O(log n) Shiloach-Vishkin hook-and-compress variant is ROADMAP work."""
     P = graph.P
 
     def request(batch: pa.Table) -> pa.Table:

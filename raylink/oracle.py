@@ -50,16 +50,30 @@ class OracleGraph:
     pos_of: dict  # vid -> dense position 0..n-1
 
 
+def _hash_of_keys(keys: list) -> "np.ndarray":
+    import pyarrow as pa
+
+    from .graph import hash64
+
+    if keys and isinstance(keys[0], (int, np.integer)):
+        arr = pa.array([int(k) for k in keys], pa.int64())
+    else:
+        arr = pa.array([str(k) for k in keys], pa.string())
+    return hash64(arr)
+
+
 def build_oracle_graph(edge_pairs, P: int) -> OracleGraph:
-    """edge_pairs: iterable of (src_key, dst_key). Replicates graph.py ids."""
+    """edge_pairs: iterable of (src_key, dst_key). Replicates graph.py ids:
+    part = hash64(key) % P, rank within part by (hash64(key), key)."""
     pairs = {(s, d) for s, d in edge_pairs if s != d}
     keys = sorted({k for e in pairs for k in e})
+    h = _hash_of_keys(keys)
     by_part: dict[int, list] = {}
-    for k in keys:
-        by_part.setdefault(part_of_key(k, P), []).append(k)
+    for i, k in enumerate(keys):
+        by_part.setdefault(int(h[i] % np.uint64(P)), []).append((int(h[i]), k))
     vid_of = {}
-    for p, ks in by_part.items():
-        for rank, k in enumerate(sorted(ks)):
+    for p, hk in by_part.items():
+        for rank, (_, k) in enumerate(sorted(hk)):
             vid_of[k] = rank * P + p
     key_of = {v: k for k, v in vid_of.items()}
     edges = np.array(
