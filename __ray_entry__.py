@@ -66,15 +66,24 @@ def q_pricing_summary(sf_dir: str):
 
     cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
 
+    def cents(col) -> pa.Array:
+        # per-row fixed-point BEFORE summing: the per-row double expression
+        # is bit-identical across engines, and integer sums are exact at
+        # any scale (float accumulation would drift at sf>=0.1 magnitudes)
+        return pc.cast(pc.floor(pc.add(pc.multiply(col, pa.scalar(100.0)),
+                                       pa.scalar(0.5))), pa.int64())
+
     def partial(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
         disc_price = pc.multiply(
             batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
         )
-        batch = batch.append_column("disc_price", disc_price)
+        batch = batch.append_column("qty_c", cents(batch["l_quantity"]))
+        batch = batch.append_column("base_c", cents(batch["l_extendedprice"]))
+        batch = batch.append_column("disc_c", cents(disc_price))
         return batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
-            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
-             ("disc_price", "sum"), ("l_discount", "sum"), ([], "count_all")]
+            [("qty_c", "sum"), ("base_c", "sum"),
+             ("disc_c", "sum"), ("l_discount", "sum"), ([], "count_all")]
         )
 
     out = _read(sf_dir, "lineitem",
@@ -82,9 +91,9 @@ def q_pricing_summary(sf_dir: str):
                  "l_extendedprice", "l_discount", "l_shipdate"]).map_batches(
         partial, batch_format="pyarrow"
     ).groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity_sum", alias_name="sum_qty"),
-        Sum("l_extendedprice_sum", alias_name="sum_base"),
-        Sum("disc_price_sum", alias_name="sum_disc_price"),
+        Sum("qty_c_sum", alias_name="sum_qty"),
+        Sum("base_c_sum", alias_name="sum_base"),
+        Sum("disc_c_sum", alias_name="sum_disc_price"),
         Sum("l_discount_sum", alias_name="disc_total"),
         Sum("count_all", alias_name="n"),
     )
@@ -96,8 +105,7 @@ def q_pricing_summary(sf_dir: str):
         return batch.drop_columns(["disc_total"])
 
     out = out.map_batches(finish, batch_format="pyarrow")
-    return scale_columns(out, {"sum_qty": 100, "sum_base": 100,
-                               "sum_disc_price": 100, "avg_disc": 1e6})
+    return scale_columns(out, {"avg_disc": 1e6})
 
 
 def q_revenue_filter(sf_dir: str):
@@ -185,12 +193,20 @@ def q_region_revenue(sf_dir: str):
     dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey").merge(
         reg, left_on="n_regionkey", right_on="r_regionkey"
     )[["c_custkey", "r_name"]].rename(columns={"c_custkey": "o_custkey"})
-    orders = _read(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     joined = broadcast_left_join(orders, dim, "o_custkey", ["r_name"])
-    out = joined.groupby("r_name").aggregate(
-        Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders")
-    )
-    return scale_columns(out, {"revenue": 100})
+
+    def cents(batch: pa.Table) -> pa.Table:
+        # per-row integer cents, then exact integer sums (no float drift)
+        c = pc.cast(pc.floor(pc.add(pc.multiply(batch["o_totalprice"],
+                                                pa.scalar(100.0)),
+                                    pa.scalar(0.5))), pa.int64())
+        return pa.table({"r_name": batch["r_name"], "price_c": c})
+
+    out = joined.map_batches(cents, batch_format="pyarrow").groupby(
+        "r_name"
+    ).aggregate(Sum("price_c", alias_name="revenue"), Count(alias_name="n_orders"))
+    return out
 
 
 def q_mode_event_type(sf_dir: str):
@@ -599,10 +615,12 @@ def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
     sql["pricing_summary"] = (
         "SELECT l_returnflag, l_linestatus, "
-        "CAST(floor(sum(l_quantity)*100 + 0.5) AS BIGINT) AS sum_qty, "
-        "CAST(floor(sum(l_extendedprice)*100 + 0.5) AS BIGINT) AS sum_base, "
-        "CAST(floor(sum(l_extendedprice*(1.0-l_discount))*100 + 0.5) AS BIGINT) "
-        "AS sum_disc_price, "
+        "CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS sum_qty, "
+        "CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS sum_base, "
+        "CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) "
+        "AS BIGINT)) AS BIGINT) AS sum_disc_price, "
         "CAST(floor(avg(l_discount)*1000000 + 0.5) AS BIGINT) AS avg_disc, "
         "CAST(count(*) AS BIGINT) AS n "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
@@ -648,7 +666,8 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY o.o_orderkey"
     )
     sql["region_revenue"] = (
-        "SELECT r_name, CAST(floor(sum(o_totalprice)*100 + 0.5) AS BIGINT) AS revenue, "
+        "SELECT r_name, CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS revenue, "
         "CAST(count(*) AS BIGINT) AS n_orders FROM orders "
         "JOIN customer ON o_custkey = c_custkey "
         "JOIN nation ON c_nationkey = n_nationkey "
