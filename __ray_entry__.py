@@ -245,6 +245,16 @@ def q_circular_variance(sf_dir: str):
                              "event_type", "value", "circ_var")
 
 
+def q_approx_distinct_users(sf_dir: str):
+    """HLL sketch distinct count — the mergeable-sketch scale path of
+    distinct_users (approximate; rows-only check; accuracy bounded in
+    tests/test_ops.py)."""
+    from raylink.sketches import approx_distinct
+
+    return approx_distinct(_read(sf_dir, "events", ["event_type", "user_id"]),
+                           "event_type", "user_id", "n_users_approx")
+
+
 def q_distinct_users(sf_dir: str):
     from raylink.ops import distinct_count
 
@@ -526,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scaled_quantity": q_scaled_quantity,
         "circular_variance": q_circular_variance,
         "distinct_users": q_distinct_users,
+        "approx_distinct_users": q_approx_distinct_users,
         "hourly_rollup": q_hourly_rollup,
         "graph_degrees": q_graph_degrees,
         "graph_pagerank": q_graph_pagerank,

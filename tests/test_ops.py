@@ -185,3 +185,20 @@ def test_iqr_outliers_two_pass():
     # uniform: q1=0.25 q3=0.75 iqr=0.5 -> keep outside [0.2, 0.8]
     assert len(out) > 0
     assert (out["x"] < 0.2).sum() + (out["x"] > 0.8).sum() == len(out)
+
+
+def test_hll_approx_distinct_accuracy():
+    from raylink.sketches import approx_distinct
+
+    rng = np.random.default_rng(7)
+    groups, vals = [], []
+    truth = {"a": 5000, "b": 300, "c": 12}
+    for g, n in truth.items():
+        ids = rng.choice(n * 10, size=n, replace=False)  # n distinct
+        for rep in range(2):  # duplicates must not inflate the estimate
+            groups += [g] * n
+            vals += [int(x) for x in ids]
+    ds = ds_of({"g": groups, "v": vals})
+    out = approx_distinct(ds, "g", "v", "nd", p=12).to_pandas().set_index("g")["nd"]
+    for g, n in truth.items():
+        assert abs(out[g] - n) / n < 0.06, (g, out[g], n)
