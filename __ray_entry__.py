@@ -62,7 +62,6 @@ def q_pricing_summary(sf_dir: str):
     batch pre-aggregates to <=|groups| rows inside map_batches; the global
     shuffle only moves partials. Columns pruned at the read."""
     from ray.data.aggregate import Sum
-    from raylink.ops import scale_columns
 
     cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
 
@@ -78,12 +77,19 @@ def q_pricing_summary(sf_dir: str):
         disc_price = pc.multiply(
             batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
         )
+        # l_discount in per-row fixed-point 1e-7 units too: float partial
+        # sums would accumulate in engine-dependent order and drift vs the
+        # oracle at larger scale factors (same trick as the cents columns)
+        disc_fp = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["l_discount"], pa.scalar(1e7)),
+                            pa.scalar(0.5))), pa.int64())
         batch = batch.append_column("qty_c", cents(batch["l_quantity"]))
         batch = batch.append_column("base_c", cents(batch["l_extendedprice"]))
         batch = batch.append_column("disc_c", cents(disc_price))
+        batch = batch.append_column("disc_fp", disc_fp)
         return batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("qty_c", "sum"), ("base_c", "sum"),
-             ("disc_c", "sum"), ("l_discount", "sum"), ([], "count_all")]
+             ("disc_c", "sum"), ("disc_fp", "sum"), ([], "count_all")]
         )
 
     out = _read(sf_dir, "lineitem",
@@ -94,18 +100,24 @@ def q_pricing_summary(sf_dir: str):
         Sum("qty_c_sum", alias_name="sum_qty"),
         Sum("base_c_sum", alias_name="sum_base"),
         Sum("disc_c_sum", alias_name="sum_disc_price"),
-        Sum("l_discount_sum", alias_name="disc_total"),
+        Sum("disc_fp_sum", alias_name="disc_total"),
         Sum("count_all", alias_name="n"),
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        avg = pc.divide(pc.cast(batch["disc_total"], pa.float64()),
-                        pc.cast(batch["n"], pa.float64()))
+        # exact integer sum -> ONE float expression mirrored in the SQL twin:
+        # floor(S/1e7/n*1e6 + 0.5)
+        avg = pc.multiply(
+            pc.divide(
+                pc.divide(pc.cast(batch["disc_total"], pa.float64()),
+                          pa.scalar(1e7)),
+                pc.cast(batch["n"], pa.float64())),
+            pa.scalar(1e6))
+        avg = pc.cast(pc.floor(pc.add(avg, pa.scalar(0.5))), pa.int64())
         batch = batch.append_column("avg_disc", avg)
         return batch.drop_columns(["disc_total"])
 
-    out = out.map_batches(finish, batch_format="pyarrow")
-    return scale_columns(out, {"avg_disc": 1e6})
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def q_revenue_filter(sf_dir: str):
@@ -632,7 +644,8 @@ def oracle_sql() -> dict[str, str]:
         "AS sum_base, "
         "CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) "
         "AS BIGINT)) AS BIGINT) AS sum_disc_price, "
-        "CAST(floor(avg(l_discount)*1000000 + 0.5) AS BIGINT) AS avg_disc, "
+        "CAST(floor(sum(CAST(floor(l_discount*10000000 + 0.5) AS BIGINT))"
+        "/10000000.0/count(*)*1000000 + 0.5) AS BIGINT) AS avg_disc, "
         "CAST(count(*) AS BIGINT) AS n "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
         "GROUP BY l_returnflag, l_linestatus"

@@ -16,6 +16,14 @@ is on disk — it is the commit point.
 Reference analog: output-exists resume (``peak_detect_v4.py:1850-1853``) and
 cached-feature resume (``porcine/pig_extract.py:1090-1096``), upgraded from
 file-granular to (iteration, partition)-granular with explicit lineage.
+
+Filesystem requirement: part files are written by worker processes and read
+back by the driver through the SAME ``root`` path, so ``root`` must be a
+shared filesystem (NFS / FUSE-mounted object storage) on a multi-node
+cluster — a node-local path is only correct single-node. At cluster scale
+point ``root`` at a storage URI via a pyarrow/fsspec filesystem; the write
+protocol (tmp + atomic rename, skip-existing, manifest commit) carries over
+unchanged on any store with atomic rename.
 """
 
 from __future__ import annotations

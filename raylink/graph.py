@@ -55,16 +55,17 @@ CHUNK_EDGES = 4_000_000
 # ---------------------------------------------------------------------------
 
 _HASH_SEED = 42
+_HASH_SEED2 = 777  # independent check hash for collision detection
 
 
-def hash64(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+def hash64(arr: pa.Array | pa.ChunkedArray, *, seed: int = _HASH_SEED) -> np.ndarray:
     """Vectorized seeded 64-bit key hash (deterministic across processes
     for a pinned polars version; the oracle calls through this too)."""
     import polars as pl
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    return pl.from_arrow(arr).hash(seed=_HASH_SEED).to_numpy().astype(np.uint64)
+    return pl.from_arrow(arr).hash(seed=seed).to_numpy().astype(np.uint64)
 
 
 def part_of_keys(arr: pa.Array | pa.ChunkedArray, P: int) -> np.ndarray:
@@ -130,18 +131,35 @@ def build_vertex_ranks(edges: rd.Dataset, P: int):
     so when the 64-bit hashes are globally collision-free (checked), ranks
     are fully determined by the hashes alone and the shuffle never ships a
     single key string — ~8 bytes/occurrence instead of whole URLs. Returns
-    (h_sorted, vid_sorted, n_per_part, n) with h_sorted globally sorted for
-    vectorized probes, or None when a collision is detected (caller falls
-    back to the string path, same canonical order).
-    """
+    ``(rows, n_per_part, n, n_collisions)`` where ``rows`` is the
+    MATERIALIZED per-partition dictionary Dataset (part, hashes asc-sorted,
+    n, collisions) living in the object store; only O(P) metadata (counts)
+    ever touches the driver.
+
+    Collision detection is SOUND (not per-batch): a second independent
+    64-bit hash rides along the shuffle; two distinct keys colliding on h1
+    produce two (h1, h2) pairs with equal h1 and (w.p. 1 - 2^-64) distinct
+    h2, which the per-partition union detects. Only a simultaneous 128-bit
+    collision escapes."""
 
     def hash_lists(batch: pa.Table) -> pa.Table:
-        h = np.unique(np.concatenate(
-            [hash64(batch["src"]), hash64(batch["dst"])]
-        ))
-        part = (h % np.uint64(P)).astype(np.int64)
+        h1 = np.concatenate([hash64(batch["src"]), hash64(batch["dst"])])
+        h2 = np.concatenate([hash64(batch["src"], seed=_HASH_SEED2),
+                             hash64(batch["dst"], seed=_HASH_SEED2)])
+        if len(h1) == 0:
+            return pa.table({
+                "part": pa.array([], pa.int64()),
+                "hashes": pa.array([], pa.list_(pa.uint64())),
+                "hashes2": pa.array([], pa.list_(pa.uint64())),
+            })
+        # distinct (h1, h2) PAIRS — a within-batch h1 collision keeps both
+        order = np.lexsort((h2, h1))
+        h1, h2 = h1[order], h2[order]
+        keep = np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])]
+        h1, h2 = h1[keep], h2[keep]
+        part = (h1 % np.uint64(P)).astype(np.int64)
         order = np.argsort(part, kind="stable")
-        hs, ps = h[order], part[order]
+        hs, hs2, ps = h1[order], h2[order], part[order]
         bounds = np.searchsorted(ps, np.arange(P + 1)).astype(np.int64)
         present = np.flatnonzero(np.diff(bounds) > 0)
         offsets = pa.array(np.concatenate([[0], np.diff(bounds)[present].cumsum()]),
@@ -149,44 +167,67 @@ def build_vertex_ranks(edges: rd.Dataset, P: int):
         return pa.table({
             "part": pa.array(present.astype(np.int64), pa.int64()),
             "hashes": pa.ListArray.from_arrays(offsets, pa.array(hs, pa.uint64())),
+            "hashes2": pa.ListArray.from_arrays(offsets, pa.array(hs2, pa.uint64())),
         })
 
     packed = edges.map_batches(hash_lists, batch_format="pyarrow",
                                zero_copy_batch=True)
 
     def assign(group: pa.Table) -> pa.Table:
-        hl = group["hashes"].combine_chunks()
-        u = np.unique(hl.flatten().to_numpy(zero_copy_only=False))  # sorted
+        h1 = group["hashes"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        h2 = group["hashes2"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
         p = int(group["part"][0].as_py())
+        order = np.lexsort((h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        keep = np.r_[True, (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])]
+        u1 = h1s[keep]  # distinct (h1,h2) pairs, sorted by h1
+        # duplicate h1 among distinct pairs == two distinct keys colliding
+        n_coll = int((u1[1:] == u1[:-1]).sum()) if len(u1) else 0
+        u = u1 if n_coll == 0 else np.unique(u1)
         return pa.table({
             "part": pa.array([p], pa.int64()),
             "hashes": pa.array([u], pa.list_(pa.uint64())),
+            "n": pa.array([len(u)], pa.int64()),
+            "collisions": pa.array([n_coll], pa.int64()),
         })
 
     rows = packed.groupby("part").map_groups(
         assign, batch_format="pyarrow").materialize()
 
+    # O(P) metadata only: counts per part + collision flags
     n_per_part = np.zeros(P, dtype=np.int64)
+    n_collisions = 0
+    for b in rows.select_columns(["part", "n", "collisions"]).iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20):
+        parts = b["part"].to_numpy(zero_copy_only=False)
+        ns = b["n"].to_numpy(zero_copy_only=False)
+        n_per_part[parts] = ns
+        n_collisions += int(pc.sum(b["collisions"]).as_py() or 0)
+    return rows, n_per_part, int(n_per_part.sum()), n_collisions
+
+
+def _ranks_arrays(rows: rd.Dataset, P: int) -> tuple[np.ndarray, np.ndarray]:
+    """Broadcast-path driver gather of the dictionary rows: globally
+    h-sorted (h, vid) arrays for vectorized searchsorted probes. Used only
+    when the dictionary is small enough to broadcast (``prepare_edges``
+    auto-threshold); the partitioned join path never calls this."""
     hs_parts, vid_parts = [], []
-    for b in rows.iter_batches(batch_format="pyarrow"):
+    for b in rows.select_columns(["part", "hashes"]).iter_batches(
+            batch_format="pyarrow"):
         col = b["hashes"].combine_chunks()
         flat = col.flatten().to_numpy(zero_copy_only=False)
         offs = col.offsets.to_numpy(zero_copy_only=False)
         parts = b["part"].to_numpy(zero_copy_only=False)
         for i, p in enumerate(parts):
             u = flat[offs[i]: offs[i + 1]]
-            n_per_part[p] = len(u)
             hs_parts.append(u)
             vid_parts.append(np.arange(len(u), dtype=np.int64) * P + int(p))
     if not hs_parts:
-        return np.array([], np.uint64), np.array([], np.int64), n_per_part, 0
+        return np.array([], np.uint64), np.array([], np.int64)
     h_all = np.concatenate(hs_parts)
     vid_all = np.concatenate(vid_parts)
     order = np.argsort(h_all, kind="stable")
-    h_sorted, vid_sorted = h_all[order], vid_all[order]
-    if len(np.unique(h_sorted)) != len(h_sorted):
-        return None  # collision: caller uses the string fallback
-    return h_sorted, vid_sorted, n_per_part, int(len(h_sorted))
+    return h_all[order], vid_all[order]
 
 
 def build_vertices(edges: rd.Dataset, P: int) -> rd.Dataset:
@@ -339,13 +380,14 @@ class PreparedEdges:
     joins vids back to keys (``vertices``)."""
 
     enc_edges: rd.Dataset  # (src_vid, dst_vid), self-loop-free, materialized
-    dict_ref: Any  # ObjectRef[(h_sorted uint64[], vid_sorted int64[])]
+    dict_ref: Any  # ObjectRef[(h_sorted, vid_sorted)] | None (partitioned path)
     n: int
     n_per_part: np.ndarray
     P: int
     key_type: pa.DataType
     edges: rd.Dataset | None = None  # raw (self-loop-free) edges, for lazy build
     vertices_cache: rd.Dataset | None = None
+    encode_mode: str = "broadcast"  # which key->vid path built enc_edges
 
     @property
     def vertices(self) -> rd.Dataset:
@@ -354,8 +396,127 @@ class PreparedEdges:
         return self.vertices_cache
 
 
+_REQ_FIELDS = [
+    ("part", pa.int64()), ("kind", pa.int8()), ("bid", pa.int64()),
+    ("side", pa.int8()), ("idx", pa.list_(pa.int32())),
+    ("hashes", pa.list_(pa.uint64())),
+]
+_REQ_SCHEMA = pa.schema([pa.field(n, t) for n, t in _REQ_FIELDS])
+
+
+def _encode_partitioned(edges: rd.Dataset, dict_rows: rd.Dataset,
+                        P: int) -> rd.Dataset:
+    """key -> vid encode as a hash-bucketed dictionary JOIN (the 10^12-vertex
+    scale path, ROADMAP 1): NO broadcast dictionary, no driver-resident
+    structure proportional to the vertex count. Any single task holds at
+    most one dictionary partition (O(n/P) hashes).
+
+    Physical plan (two packed int-only shuffles):
+      1. each edge batch emits per-(endpoint-partition) request rows
+         ``(part, bid, side, idx list, hashes list)`` (bid = unique batch
+         transport key); the per-part dictionary rows ride the same shuffle;
+      2. ``groupby(part)``: rank = searchsorted(dict_p, h), vid = rank*P+part;
+      3. ``groupby(bid)``: src/dst halves re-align by (side, idx) into
+         (src_vid, dst_vid) rows.
+    Vid assignment is identical to the broadcast path (same dictionary);
+    only edge-row ORDER differs, which every downstream consumer is
+    insensitive to (the CSR build sorts + dedups per partition)."""
+
+    def to_requests(batch: pa.Table) -> pa.Table:
+        import uuid
+
+        if batch.num_rows == 0:
+            return _REQ_SCHEMA.empty_table()
+        bid = uuid.uuid4().int & ((1 << 62) - 1)  # transport key only
+        tabs = []
+        for side, col in ((0, "src"), (1, "dst")):
+            h = hash64(batch[col])
+            part = (h % np.uint64(P)).astype(np.int64)
+            order = np.argsort(part, kind="stable")
+            hs, ps = h[order], part[order]
+            idx = order.astype(np.int32)
+            bounds = np.searchsorted(ps, np.arange(P + 1)).astype(np.int64)
+            present = np.flatnonzero(np.diff(bounds) > 0)
+            offsets = pa.array(
+                np.concatenate([[0], np.diff(bounds)[present].cumsum()]),
+                pa.int32())
+            k = len(present)
+            tabs.append(pa.table({
+                "part": pa.array(present.astype(np.int64), pa.int64()),
+                "kind": pa.array(np.ones(k, np.int8), pa.int8()),
+                "bid": pa.array(np.full(k, bid), pa.int64()),
+                "side": pa.array(np.full(k, side, np.int8), pa.int8()),
+                "idx": pa.ListArray.from_arrays(offsets, pa.array(idx, pa.int32())),
+                "hashes": pa.ListArray.from_arrays(offsets, pa.array(hs, pa.uint64())),
+            }, schema=_REQ_SCHEMA))
+        return pa.concat_tables(tabs)
+
+    def dict_to_rows(batch: pa.Table) -> pa.Table:
+        k = batch.num_rows
+        empty_idx = pa.ListArray.from_arrays(
+            pa.array(np.zeros(k + 1, np.int32), pa.int32()),
+            pa.array([], pa.int32()))
+        return pa.table({
+            "part": batch["part"],
+            "kind": pa.array(np.zeros(k, np.int8), pa.int8()),
+            "bid": pa.array(np.full(k, -1), pa.int64()),
+            "side": pa.array(np.full(k, -1, np.int8), pa.int8()),
+            "idx": empty_idx,
+            "hashes": batch["hashes"],
+        }, schema=_REQ_SCHEMA)
+
+    reqs = edges.map_batches(to_requests, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    dicts = dict_rows.select_columns(["part", "hashes"]).map_batches(
+        dict_to_rows, batch_format="pyarrow")
+
+    def encode_group(g: pa.Table) -> pa.Table:
+        kinds = g["kind"].to_numpy(zero_copy_only=False)
+        di = np.flatnonzero(kinds == 0)
+        part = int(g["part"][0].as_py())
+        hl = g["hashes"].combine_chunks()
+        h_flat = hl.flatten().to_numpy(zero_copy_only=False)
+        h_offs = hl.offsets.to_numpy(zero_copy_only=False)
+        u = h_flat[h_offs[di[0]]: h_offs[di[0] + 1]]  # asc-sorted dictionary
+        # one vectorized probe over the whole group's flattened hashes
+        # (the dict row's own hashes harmlessly map to themselves)
+        vids_flat = (np.searchsorted(u, h_flat).astype(np.int64) * P + part)
+        vid_list = pa.ListArray.from_arrays(
+            pa.array(h_offs, pa.int32()), pa.array(vids_flat, pa.int64()))
+        out = pa.table({
+            "bid": g["bid"], "side": g["side"],
+            "idx": g["idx"], "vids": vid_list,
+        })
+        return out.filter(pa.array(kinds == 1))
+
+    halves = reqs.union(dicts).groupby("part").map_groups(
+        encode_group, batch_format="pyarrow")
+
+    def reassemble(g: pa.Table) -> pa.Table:
+        sides = g["side"].to_numpy(zero_copy_only=False)
+        il = g["idx"].combine_chunks()
+        i_flat = il.flatten().to_numpy(zero_copy_only=False)
+        i_offs = il.offsets.to_numpy(zero_copy_only=False)
+        vl = g["vids"].combine_chunks()
+        v_flat = vl.flatten().to_numpy(zero_copy_only=False)
+        v_offs = vl.offsets.to_numpy(zero_copy_only=False)
+        m = int(sum(i_offs[i + 1] - i_offs[i]
+                    for i in range(g.num_rows) if sides[i] == 0))
+        src = np.empty(m, np.int64)
+        dst = np.empty(m, np.int64)
+        for i in range(g.num_rows):  # O(2P) rows, vectorized scatter inside
+            tgt = src if sides[i] == 0 else dst
+            tgt[i_flat[i_offs[i]: i_offs[i + 1]]] = \
+                v_flat[v_offs[i]: v_offs[i + 1]]
+        return pa.table({"src_vid": pa.array(src, pa.int64()),
+                         "dst_vid": pa.array(dst, pa.int64())})
+
+    return halves.groupby("bid").map_groups(reassemble, batch_format="pyarrow")
+
+
 def prepare_edges(edges: rd.Dataset, *, P: int = DEFAULT_P,
-                  already_deduped: bool = False) -> PreparedEdges:
+                  already_deduped: bool = False, encode: str = "auto",
+                  broadcast_max_vertices: int = 4_000_000) -> PreparedEdges:
     """Self-loop drop + vertex ranks + vid encoding; the shared prefix of
     any build.
 
@@ -365,9 +526,17 @@ def prepare_edges(edges: rd.Dataset, *, P: int = DEFAULT_P,
     only skips the self-loop filter.
 
     The dictionary is built hash-only (:func:`build_vertex_ranks`, int
-    shuffle, no strings); encode probes a broadcast sorted-hash array with
-    vectorized searchsorted. Scale path at 10^12 vertices: partitioned
-    hash join bucketing both sides by hash64(key) % B — same vid scheme."""
+    shuffle, no strings) and STAYS in the object store. The key->vid encode
+    picks between two physical plans (``encode=``):
+      - ``"broadcast"``: gather the (h, vid) arrays once, ``ray.put``, probe
+        per batch with vectorized searchsorted — fastest while the
+        dictionary fits comfortably (16 B/vertex);
+      - ``"partitioned"``: hash-bucketed dictionary join
+        (:func:`_encode_partitioned`) — no structure proportional to vertex
+        count anywhere; the 10^12-vertex path;
+      - ``"auto"`` (default): broadcast iff n <= ``broadcast_max_vertices``
+        (64 MB dictionary), else partitioned.
+    Both produce identical vids."""
     key_type = edges.schema().base_schema.field("src").type if hasattr(
         edges.schema(), "base_schema") else edges.schema().field("src").type
     if not already_deduped:
@@ -378,8 +547,8 @@ def prepare_edges(edges: rd.Dataset, *, P: int = DEFAULT_P,
                                   zero_copy_batch=True)
     edges = edges.materialize()
 
-    ranks = build_vertex_ranks(edges, P)
-    if ranks is None:
+    rank_rows, n_per_part, n, n_collisions = build_vertex_ranks(edges, P)
+    if n_collisions > 0:
         # 64-bit hash collision in the key set: fall back to the string
         # table (same canonical (hash, key) rank order, so ids agree)
         vertices = build_vertices(edges, P).materialize()
@@ -405,23 +574,30 @@ def prepare_edges(edges: rd.Dataset, *, P: int = DEFAULT_P,
                                 zero_copy_batch=True).materialize()
         return PreparedEdges(enc_edges=enc, dict_ref=keys_ref, n=n,
                              n_per_part=n_per_part, P=P, key_type=key_type,
-                             edges=edges, vertices_cache=vertices)
+                             edges=edges, vertices_cache=vertices,
+                             encode_mode="string-fallback")
 
-    h_sorted, vid_sorted, n_per_part, n = ranks
-    dict_ref = ray.put((h_sorted, vid_sorted))
+    if encode == "broadcast" or (encode == "auto" and n <= broadcast_max_vertices):
+        h_sorted, vid_sorted = _ranks_arrays(rank_rows, P)
+        dict_ref = ray.put((h_sorted, vid_sorted))
 
-    def encode(batch: pa.Table) -> pa.Table:
-        hs, vs = ray.get(dict_ref)
-        sv = vs[np.searchsorted(hs, hash64(batch["src"]))]
-        dv = vs[np.searchsorted(hs, hash64(batch["dst"]))]
-        return pa.table({"src_vid": pa.array(sv, pa.int64()),
-                         "dst_vid": pa.array(dv, pa.int64())})
+        def encode_fn(batch: pa.Table) -> pa.Table:
+            hs, vs = ray.get(dict_ref)
+            sv = vs[np.searchsorted(hs, hash64(batch["src"]))]
+            dv = vs[np.searchsorted(hs, hash64(batch["dst"]))]
+            return pa.table({"src_vid": pa.array(sv, pa.int64()),
+                             "dst_vid": pa.array(dv, pa.int64())})
 
-    enc = edges.map_batches(encode, batch_format="pyarrow",
-                            zero_copy_batch=True).materialize()
+        enc = edges.map_batches(encode_fn, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+        mode = "broadcast"
+    else:
+        dict_ref = None
+        enc = _encode_partitioned(edges, rank_rows, P).materialize()
+        mode = "partitioned"
     return PreparedEdges(enc_edges=enc, dict_ref=dict_ref, n=n,
                          n_per_part=n_per_part, P=P, key_type=key_type,
-                         edges=edges)
+                         edges=edges, encode_mode=mode)
 
 
 def _pack_fn(P: int, directions: tuple[bool, ...]):
@@ -460,17 +636,41 @@ def _pack_fn(P: int, directions: tuple[bool, ...]):
     return pack
 
 
+@ray.remote
+def _unpack_block(tab: pa.Table, i: int):
+    """Worker-side payload -> CSRBlock; the RETURN goes plasma-to-plasma and
+    the resulting ObjectRef is owned by the caller (driver) — CSR payloads
+    never pass through the driver process."""
+    return pickle.loads(tab["payload"][i].as_py())
+
+
+@ray.remote
+def _block_meta(tab: pa.Table):
+    if tab.num_rows == 0 or "dir" not in tab.schema.names:
+        return ([], [], [], [])  # empty / schema-less blocks occur
+    return (tab["dir"].to_pylist(), tab["part"].to_pylist(),
+            tab["chunk"].to_pylist(), tab["m"].to_pylist())
+
+
 def _collect_blocks(block_rows: rd.Dataset) -> dict[int, dict[int, list[Any]]]:
-    """block rows -> {dir: {part: [ObjectRef(CSRBlock), ...]}} + edge counts."""
-    blocks: dict[int, dict[int, list[Any]]] = {}
+    """block rows -> {dir: {part: [ObjectRef(CSRBlock chunk), ...]}} + edge
+    counts. The driver reads only O(#chunks) metadata ints (fetched by
+    worker tasks per arrow block, so row<->block alignment is structural);
+    each payload is unpacked by a worker task whose plasma-stored return
+    value becomes the kernel-visible block (ROADMAP 2: CSR bytes never pass
+    through the driver)."""
+    arrow_refs = block_rows.to_arrow_refs()
+    metas = ray.get([_block_meta.remote(r) for r in arrow_refs])
+    entries: list[tuple[int, int, int, Any]] = []
     m_total: dict[int, int] = {}
-    for b in block_rows.iter_batches(batch_format="pyarrow", batch_size=4):
-        for i in range(b.num_rows):
-            d = int(b["dir"][i].as_py())
-            p = int(b["part"][i].as_py())
-            m_total[d] = m_total.get(d, 0) + int(b["m"][i].as_py())
-            blk = pickle.loads(b["payload"][i].as_py())
-            blocks.setdefault(d, {}).setdefault(p, []).append(ray.put(blk))
+    for r, (dirs, parts, chunks, ms) in zip(arrow_refs, metas):
+        for i in range(len(dirs)):
+            d, p, c = int(dirs[i]), int(parts[i]), int(chunks[i])
+            m_total[d] = m_total.get(d, 0) + int(ms[i])
+            entries.append((d, p, c, _unpack_block.remote(r, i)))
+    blocks: dict[int, dict[int, list[Any]]] = {}
+    for d, p, c, ref in sorted(entries, key=lambda e: (e[0], e[1], e[2])):
+        blocks.setdefault(d, {}).setdefault(p, []).append(ref)
     return blocks, m_total
 
 

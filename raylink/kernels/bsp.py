@@ -81,8 +81,11 @@ def state_to_vertex_table(state: rd.Dataset, graph: Graph, col: str,
             vids.append(np.arange(len(vec), dtype=np.int64) * P + part)
             vals.append(np.asarray(vec))
         if not vids:
+            # derive the empty column's type from the state column (int64
+            # labels vs float64 scores) so empty blocks unify with the rest
+            vt = batch.schema.field(col).type.value_type
             return pa.table({"vid": pa.array([], pa.int64()),
-                             out_col: pa.array([], pa.float64())})
+                             out_col: pa.array([], vt)})
         return pa.table({"vid": pa.array(np.concatenate(vids)),
                          out_col: pa.array(np.concatenate(vals))})
 

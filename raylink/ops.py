@@ -92,14 +92,24 @@ def keep_first(ds: rd.Dataset, group_keys: list[str], order_keys: list[str]) -> 
 def lag_delta_us(events: rd.Dataset, part_col: str, ts_col: str,
                  order_cols: list[str], out_col: str) -> rd.Dataset:
     """Per-partition lag: microseconds since the previous event of the same
-    ``part_col`` (ordering: ``order_cols``). First event per key -> null."""
+    ``part_col`` (ordering: ``order_cols``). First event per key -> null.
 
-    def f(g: pd.DataFrame) -> pd.DataFrame:
+    The delta is computed in the integer-microsecond domain (no
+    ``total_seconds()`` float round-trip) and each group returns an Arrow
+    block with a plain ``int64`` column: pandas nullable ``Int64``
+    extension blocks canonicalize differently from SQL ``BIGINT NULL`` in
+    downstream hash compares."""
+
+    def f(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(order_cols, kind="mergesort")
-        prev = g[ts_col].shift(1)
-        delta = (g[ts_col] - prev).dt.total_seconds() * 1_000_000
-        g[out_col] = delta.round().astype("Int64")
-        return g
+        t = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        delta = np.zeros(len(t), dtype=np.int64)
+        mask = np.zeros(len(t), dtype=bool)
+        if len(t):
+            delta[1:] = t[1:] - t[:-1]
+            mask[0] = True  # first event per key -> null
+        tab = pa.Table.from_pandas(g, preserve_index=False)
+        return tab.append_column(out_col, pa.array(delta, pa.int64(), mask=mask))
 
     return events.groupby(part_col).map_groups(f, batch_format="pandas")
 
@@ -256,18 +266,26 @@ def count_in_window_join(
     from ray.data.aggregate import Sum
 
     summed = partials.groupby(fact_key).aggregate(Sum("partial_n", alias_name=out_col))
-    counts = {}
-    for b in summed.iter_batches(batch_format="pyarrow"):
-        for i in range(b.num_rows):
-            counts[b[fact_key][i].as_py()] = b[out_col][i].as_py()
-    cref = ray.put(counts)
+    # dim-sized second broadcast (sorted arrays, no Python dict); the
+    # attach below is one vectorized searchsorted per batch
+    stab = pa.concat_tables(list(summed.iter_batches(batch_format="pyarrow",
+                                                     batch_size=1 << 20)))
+    sk = stab[fact_key].to_numpy(zero_copy_only=False)
+    sc = stab[out_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    s_order = np.argsort(sk, kind="stable")
+    cref = ray.put((sk[s_order], sc[s_order]))
 
     def attach(batch: pa.Table) -> pa.Table:
-        cmap = ray.get(cref)
-        ks = batch[dim_key].to_pylist()
+        keys_s, cnts_s = ray.get(cref)
+        dk = batch[dim_key].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys_s, dk)
+        safe = np.minimum(pos, max(len(keys_s) - 1, 0))
+        hit = (pos < len(keys_s)) & (keys_s[safe] == dk) if len(keys_s) else \
+            np.zeros(len(dk), dtype=bool)
+        out = np.where(hit, cnts_s[safe] if len(keys_s) else 0, 0)
         return pa.table({
             dim_key: batch[dim_key],
-            out_col: pa.array([cmap.get(k, 0) for k in ks], pa.int64()),
+            out_col: pa.array(out.astype(np.int64), pa.int64()),
         })
 
     return dim.select_columns([dim_key]).map_batches(attach, batch_format="pyarrow")
@@ -278,39 +296,49 @@ def count_in_window_join(
 # ---------------------------------------------------------------------------
 
 def transition_edges(events: rd.Dataset, *, id_col: str = "event_id",
-                     actor_col: str = "user_id") -> rd.Dataset:
-    """(actor of event i) -> (actor of event i+1) over dense event ids.
+                     actor_col: str = "user_id",
+                     chunk: int = 1 << 14) -> rd.Dataset:
+    """(actor of event i) -> (actor of event i+1): the ordered self-join on
+    ``id + 1``, distributed as a range-bucketed exchange — NO driver gather,
+    no dense-id assumption.
 
-    Physical plan: the (dense id -> actor) array is broadcast once and the
-    successor lookup is a vectorized gather inside ``map_batches`` — the
-    lag-join becomes an O(1) index probe. Scale path: hash join of the log
-    with itself on ``id+1`` (both sides bucketed); semantics unchanged.
-    Self-transitions dropped; result deduplicated (distinct edges).
-    """
-    tab = pa.concat_tables(
-        list(events.select_columns([id_col, actor_col]).iter_batches(
-            batch_format="pyarrow", batch_size=1 << 20))
-    )
-    ids = tab[id_col].to_numpy(zero_copy_only=False)
-    actors = tab[actor_col].to_numpy(zero_copy_only=False)
-    n = int(ids.max()) + 1 if len(ids) else 0
-    lut = np.zeros(n, dtype=actors.dtype)
-    lut[ids] = actors
-    ref = ray.put(lut)
+    Physical plan: every event row is routed to bucket ``id // chunk``; a
+    row on a chunk boundary (``id % chunk == 0``) is mirrored to the
+    previous bucket too, so each (i, i+1) pair is co-located in exactly one
+    group. Within a group the successor lookup is one vectorized
+    ``searchsorted``. Gaps in the id space simply yield no pair (identical
+    to the SQL join on ``event_id + 1``). Self-transitions dropped; result
+    deduplicated (distinct edges)."""
 
-    def f(batch: pa.Table) -> pa.Table:
-        lut_ = ray.get(ref)
-        eid = batch[id_col].to_numpy(zero_copy_only=False)
-        src = batch[actor_col].to_numpy(zero_copy_only=False)
-        keep = eid + 1 < len(lut_)
-        src, eid = src[keep], eid[keep]
-        dst = lut_[eid + 1]
+    def bucketize(batch: pa.Table) -> pa.Table:
+        eid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        act = batch[actor_col].to_numpy(zero_copy_only=False)
+        b = eid // chunk
+        bound = (eid % chunk == 0) & (eid > 0)
+        return pa.table({
+            "bkt": pa.array(np.concatenate([b, b[bound] - 1]), pa.int64()),
+            id_col: pa.array(np.concatenate([eid, eid[bound]]), pa.int64()),
+            actor_col: pa.array(np.concatenate([act, act[bound]])),
+        })
+
+    def pairs(g: pa.Table) -> pa.Table:
+        eid = g[id_col].to_numpy(zero_copy_only=False)
+        act = g[actor_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(eid, kind="stable")
+        eid, act = eid[order], act[order]
+        pos = np.searchsorted(eid, eid + 1)
+        safe = np.minimum(pos, len(eid) - 1)
+        ok = (pos < len(eid)) & (eid[safe] == eid + 1)
+        src, dst = act[ok], act[pos[ok]]
         m = src != dst
         return pa.table({"src": pa.array(src[m]), "dst": pa.array(dst[m])})
 
     from .graph import dedup_edges
 
-    return dedup_edges(events.map_batches(f, batch_format="pyarrow"))
+    bucketed = events.select_columns([id_col, actor_col]).map_batches(
+        bucketize, batch_format="pyarrow", zero_copy_batch=True)
+    return dedup_edges(
+        bucketed.groupby("bkt").map_groups(pairs, batch_format="pyarrow"))
 
 
 def standard_scale(ds: rd.Dataset, col: str, out_col: str,

@@ -216,3 +216,27 @@ def test_checkpoint_resume_equivalence(tmp_path):
     g2 = G.build_graph(edges_ds(pairs + [("x", "y")]), P=P)
     with pytest.raises(ValueError):
         pagerank(g2, checkpoint_dir=ckpt)
+
+
+def test_partitioned_encode_matches_broadcast():
+    """The 10^12-vertex dictionary-JOIN encode must assign the exact same
+    vids / edge set as the broadcast searchsorted path (graph.py
+    _encode_partitioned); PageRank over both builds is bit-identical."""
+    pairs = overlay_pairs()
+    ds = edges_ds(pairs)
+    pb = G.prepare_edges(ds, P=P, encode="broadcast")
+    pp = G.prepare_edges(ds, P=P, encode="partitioned")
+    assert pb.encode_mode == "broadcast" and pp.encode_mode == "partitioned"
+    assert pb.n == pp.n and np.array_equal(pb.n_per_part, pp.n_per_part)
+
+    def edge_set(prep):
+        t = pa.concat_tables(list(prep.enc_edges.iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20)))
+        return set(zip(t["src_vid"].to_pylist(), t["dst_vid"].to_pylist()))
+
+    assert edge_set(pb) == edge_set(pp)
+    gb = G.build_graph_from_prepared(pb)
+    gp = G.build_graph_from_prepared(pp)
+    rb = pagerank(gb, tol=0.0, max_iter=4).to_pandas().sort_values("vid")
+    rp = pagerank(gp, tol=0.0, max_iter=4).to_pandas().sort_values("vid")
+    assert np.array_equal(rb["score"].to_numpy(), rp["score"].to_numpy())
