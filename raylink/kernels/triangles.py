@@ -1,23 +1,36 @@
-"""Triangle counting: degree-oriented sorted-adjacency intersection.
+"""Triangle counting: degree-oriented wedge join, fully partitioned.
 
 Algorithm (the standard orientation trick; exact):
   1. take the undirected simple graph (a *symmetric* ``build_graph``);
   2. orient every undirected edge {u,v} from the lower- to the
      higher-(degree, vid) endpoint — the oriented out-degree is bounded by
-     O(sqrt(m)) on any graph, which is what tames power-law hubs here;
+     O(sqrt(m)) on any graph, which is what tames power-law hubs;
   3. every triangle is counted exactly once as |N+(u) ∩ N+(v)| summed over
-     oriented edges (u,v), with N+ sorted.
+     oriented edges (u,v).
 
-Round-1 physical plan: the oriented CSR is broadcast once via ``ray.put``
-(size O(m)); counting is a ``map_batches`` over the oriented edge table with
-per-batch partial sums -> ``ds.sum``. At 10^12-edge scale the broadcast
-becomes a partitioned join (ship N+(v) lists bucketed by hash(v)); the
-counting stage is unchanged. Partitioning assumption documented per
-SURVEY §2 "custom operators" rule.
+Physical plan (NO whole-graph materialization anywhere — round 2 replaces
+the round-1 driver gather):
+  - per-partition tasks (``map_batches`` over a parts dataset, one task per
+    partition) read that partition's CSR chunks zero-copy, fetch only the
+    per-partition degree arrays they reference (shipped once as
+    driver-owned refs, O(n/P) each), orient, and emit
+      * oriented EDGES  (u,v)  bucketed by hash(u), and
+      * WEDGES (v,w), v<w in (deg,vid) order, from each sorted N+(u),
+        bucketed by hash(v)
+    as packed per-bucket pair-code list rows;
+  - one ``groupby("bucket")`` co-locates each wedge with the only edge that
+    can close it; the group op is a vectorized sorted-array membership
+    probe; the count is a tiny per-group partial summed by ``ds.sum``.
 
-Reference parity: global top-k/sort analytics over the whole series
-(stumpy_discord.py:462-468) — a whole-graph exact aggregate with the same
-sort-within-partition + global-reduce shape (SURVEY §2.9).
+Shuffle volume is O(#wedges) = O(m^1.5) worst-case (the MR-NodeIterator++
+bound); wedge generation is sliced (``max_emit``) so no single list row
+exceeds a bounded size. Pair codes are ``vid_a*(max_vid+1)+vid_b`` —
+requires n < ~3e9 per int64; beyond that widen to two-column probes
+(documented partitioning assumption per SURVEY §2 custom-op rule).
+
+Reference parity: global exact aggregate over the whole series with
+sort-within-partition + global-reduce shape (stumpy_discord.py:462-468,
+SURVEY §2.9).
 """
 
 from __future__ import annotations
@@ -30,75 +43,156 @@ import ray.data as rd
 
 from ..graph import Graph
 
-
-def _gather_sym_edges(graph: Graph) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(u, v) global-vid arrays of the symmetric graph + degree-by-vid."""
-    P = graph.P
-    max_vid = int((graph.n_per_part.max()) * P + P)
-    deg_by_vid = np.zeros(max_vid, dtype=np.int64)
-    us, vs = [], []
-    for p, refs in sorted(graph.blocks.items()):
-        for ref in refs:
-            blk = ray.get(ref)
-            u = blk.src_local.astype(np.int64) * P + p
-            for q in range(P):
-                lo, hi = blk.bounds[q], blk.bounds[q + 1]
-                if hi <= lo:
-                    continue
-                us.append(u[lo:hi])
-                vs.append(blk.dst_local[lo:hi].astype(np.int64) * P + q)
-        blk0 = ray.get(refs[0])
-        vids = np.arange(blk0.n_local, dtype=np.int64) * P + p
-        deg_by_vid[vids] = blk0.deg
-    if not us:
-        return np.array([], np.int64), np.array([], np.int64), deg_by_vid
-    return np.concatenate(us), np.concatenate(vs), deg_by_vid
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 
-def triangle_count(graph: Graph, *, batch_size: int = 65536) -> int:
+def _bucket_of(vids: np.ndarray, B: int) -> np.ndarray:
+    return ((vids.astype(np.uint64) * _GOLD) >> np.uint64(33)).astype(np.int64) % B
+
+
+@ray.remote
+def _deg_of(blk) -> np.ndarray:
+    return blk.deg
+
+
+_PAIR_SCHEMA = pa.schema([
+    pa.field("bucket", pa.int64()),
+    pa.field("kind", pa.int8()),  # 0 = oriented edge, 1 = wedge
+    pa.field("codes", pa.list_(pa.int64())),
+])
+
+
+def _pack_rows(bucket: np.ndarray, codes: np.ndarray, kind: int) -> pa.Table:
+    """(bucket, code) pairs -> one packed list row per bucket present."""
+    order = np.argsort(bucket, kind="stable")
+    b, c = bucket[order], codes[order]
+    bounds = np.flatnonzero(np.r_[True, b[1:] != b[:-1], True])
+    starts, ends = bounds[:-1], bounds[1:]
+    offsets = pa.array(np.concatenate([[0], (ends - starts).cumsum()]), pa.int32())
+    k = len(starts)
+    return pa.table({
+        "bucket": pa.array(b[starts], pa.int64()),
+        "kind": pa.array(np.full(k, kind, np.int8), pa.int8()),
+        "codes": pa.ListArray.from_arrays(offsets, pa.array(c, pa.int64())),
+    }, schema=_PAIR_SCHEMA)
+
+
+def triangle_count(graph: Graph, *, buckets: int | None = None,
+                   max_emit: int = 1 << 22) -> int:
     """Exact global triangle count. ``graph`` must be a symmetric build."""
-    u, v, deg = _gather_sym_edges(graph)
-    if len(u) == 0:
+    P = graph.P
+    parts = graph.parts_with_edges()
+    if not parts:
         return 0
-    # orient: keep (u,v) with rank(u) < rank(v), rank = (deg, vid)
-    keep = (deg[u] < deg[v]) | ((deg[u] == deg[v]) & (u < v))
-    ou, ov = u[keep], v[keep]
-    # oriented CSR over vid space, neighbors sorted; plus the sorted
-    # edge-code array for O(log m) membership probes
-    order = np.lexsort((ov, ou))
-    ou, ov = ou[order], ov[order]
-    indptr = np.searchsorted(ou, np.arange(len(deg) + 1)).astype(np.int64)
-    M = np.int64(len(deg) + 1)
-    codes = ou * M + ov  # sorted because (ou, ov) is lexsorted
-    csr_ref = ray.put((indptr, ov.copy(), codes))
+    B = buckets or max(32, P)
+    max_vid = int(graph.n_per_part.max()) * P + P
+    if graph.n >= (1 << 31):
+        raise NotImplementedError(
+            "int64 pair codes require n < ~3e9; widen to 2-column probes")
+    C = np.int64(max_vid + 1)
+    refs = graph.blocks
+    deg_refs = {p: _deg_of.remote(refs[p][0]) for p in parts}
 
-    edges_tab = pa.table({"u": pa.array(ou), "v": pa.array(ov)})
-    edges_ds = rd.from_arrow(edges_tab)
+    def emit(batch: pa.Table) -> pa.Table:
+        import ray as _ray
 
-    def count(batch: pa.Table) -> pa.Table:
-        """Vectorized wedge counting: for every oriented edge (u, v) in the
-        batch, enumerate wedges (v, w) for w in N+(u) beyond v's position
-        ... equivalently count pairs (w in N+(u)) with (v, w) present.
-        Implementation: expand each edge into its candidate wedge targets
-        via np.repeat on CSR slices, then one vectorized sorted-array
-        membership probe on the edge codes. No per-edge Python loop."""
-        iptr, nbrs, codes_ = ray.get(csr_ref)
-        bu = batch["u"].to_numpy(zero_copy_only=False)
-        bv = batch["v"].to_numpy(zero_copy_only=False)
-        starts, ends = iptr[bu], iptr[bu + 1]
-        counts = ends - starts
-        if counts.sum() == 0:
+        tabs = [_PAIR_SCHEMA.empty_table()]
+        for p in batch["part"].to_pylist():
+            chunks = [_ray.get(r) for r in refs[p]]
+            deg_u = chunks[0].deg.astype(np.int64)
+            # gather this partition's full edge list as global-vid arrays
+            us, vs, dvs = [], [], []
+            need_q = set()
+            for blk in chunks:
+                for q in range(P):
+                    lo, hi = blk.bounds[q], blk.bounds[q + 1]
+                    if hi > lo:
+                        need_q.add(q)
+            deg_q = {q: np.asarray(_ray.get(deg_refs[q]), dtype=np.int64)
+                     for q in need_q if q in deg_refs}
+            for blk in chunks:
+                for q in range(P):
+                    lo, hi = blk.bounds[q], blk.bounds[q + 1]
+                    if hi <= lo:
+                        continue
+                    sl = blk.src_local[lo:hi].astype(np.int64)
+                    dl = blk.dst_local[lo:hi].astype(np.int64)
+                    us.append(sl * P + p)
+                    vs.append(dl * P + q)
+                    dvs.append(deg_q[q][dl])
+            u = np.concatenate(us)
+            v = np.concatenate(vs)
+            du = deg_u[(u // P)]
+            dv = np.concatenate(dvs)
+            # orient: keep (u,v) with (deg,vid)-rank(u) < rank(v)
+            keep = (du < dv) | ((du == dv) & (u < v))
+            ou, ov, odv = u[keep], v[keep], dv[keep]
+            if len(ou) == 0:
+                continue
+            # sort by (u, (deg_v, vid_v)) so each N+(u) is code-ordered
+            cv = odv * C + ov  # (deg, vid) code of the target
+            order = np.lexsort((cv, ou))
+            ou, ov, cv = ou[order], ov[order], cv[order]
+            # oriented edges, pair code (vid_u, vid_v), bucketed by vid_u
+            ecodes = ou * C + ov
+            tabs.append(_pack_rows(_bucket_of(ou, B), ecodes, 0))
+            # wedges from each N+(u): all ordered pairs of targets; sliced
+            seg = np.flatnonzero(np.r_[True, ou[1:] != ou[:-1], True])
+            starts, ends = seg[:-1], seg[1:]
+            lens = ends - starts
+            pos = np.arange(len(ou)) - np.repeat(starts, lens)
+            first_counts = (np.repeat(lens, lens) - 1 - pos)
+            total = int(first_counts.sum())
+            if total == 0:
+                continue
+            # slice the edge positions so one expansion stays bounded
+            cum = np.concatenate([[0], first_counts.cumsum()])
+            cut_edges = [0]
+            while cum[cut_edges[-1]] < total:
+                nxt = int(np.searchsorted(cum, cum[cut_edges[-1]] + max_emit))
+                nxt = max(nxt, cut_edges[-1] + 1)
+                cut_edges.append(min(nxt, len(ou)))
+            for a, bnd in zip(cut_edges[:-1], cut_edges[1:]):
+                fc = first_counts[a:bnd]
+                tot = int(fc.sum())
+                if tot == 0:
+                    continue
+                rep_first = np.repeat(np.arange(a, bnd), fc)
+                offs = fc.cumsum()
+                second = (np.arange(tot) - np.repeat(offs - fc, fc)
+                          + rep_first + 1)
+                wv = ov[rep_first]
+                ww = ov[second]
+                wcodes = wv * C + ww
+                tabs.append(_pack_rows(_bucket_of(wv, B), wcodes, 1))
+        return pa.concat_tables(tabs)
+
+    parts_ds = rd.from_arrow(
+        pa.table({"part": pa.array(parts, pa.int64())})
+    ).repartition(len(parts))
+
+    def probe(group: pa.Table) -> pa.Table:
+        kinds = group["kind"].to_numpy(zero_copy_only=False)
+        cl = group["codes"].combine_chunks()
+        flat = cl.flatten().to_numpy(zero_copy_only=False)
+        offs = cl.offsets.to_numpy(zero_copy_only=False)
+        e_parts, w_parts = [], []
+        for i in range(group.num_rows):
+            (e_parts if kinds[i] == 0 else w_parts).append(
+                flat[offs[i]: offs[i + 1]])
+        if not e_parts or not w_parts:
             return pa.table({"tri": pa.array([0], pa.int64())})
-        # gather w = N+(u) for each edge (u,v): flat index construction
-        offs = np.concatenate([[0], np.cumsum(counts)])
-        flat_idx = np.repeat(starts - offs[:-1], counts) + np.arange(int(counts.sum()))
-        w = nbrs[flat_idx]
-        vv = np.repeat(bv, counts)
-        probe = vv * M + w
-        pos = np.searchsorted(codes_, probe)
-        hit = (pos < len(codes_)) & (codes_[np.minimum(pos, len(codes_) - 1)] == probe)
+        ecodes = np.sort(np.concatenate(e_parts))
+        wcodes = np.concatenate(w_parts)
+        pos = np.searchsorted(ecodes, wcodes)
+        safe = np.minimum(pos, len(ecodes) - 1)
+        hit = (pos < len(ecodes)) & (ecodes[safe] == wcodes)
         return pa.table({"tri": pa.array([int(hit.sum())], pa.int64())})
 
-    out = edges_ds.map_batches(count, batch_format="pyarrow",
-                               batch_size=batch_size, zero_copy_batch=True)
+    out = (
+        parts_ds.map_batches(emit, batch_format="pyarrow", batch_size=1,
+                             zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(probe, batch_format="pyarrow")
+    )
     return int(out.sum("tri") or 0)
