@@ -482,6 +482,23 @@ def q_doc_simhash(sf_dir: str):
     return simhash_table(_read(sf_dir, "documents"))
 
 
+def q_doc_dedup_clusters(sf_dir: str):
+    """Near-dup clustering end-to-end: exact word-set Jaccard pairs
+    (banded candidate join) thresholded at 0.5, then the DISTRIBUTED CC
+    kernel labels each doc with its cluster's min doc_id. The whole dedup
+    family's scale path, hash-checked against a recursive-CTE oracle."""
+    from raylink.dedup import near_dup_components, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"]))
+
+    def thr(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater_equal(batch["jaccard"], 500_000))
+        return pa.table({"a": b["a_id"], "b": b["b_id"]})
+
+    return near_dup_components(pairs.map_batches(thr, batch_format="pyarrow"))
+
+
 def q_emb_knn(sf_dir: str):
     from raylink.similarity import cosine_topk
 
@@ -567,6 +584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_simhash": q_doc_simhash,
+        "doc_dedup_clusters": q_doc_dedup_clusters,
         "emb_knn": q_emb_knn,
         "emb_knn_lsh": q_emb_knn_lsh,
         "emb_near_dups": q_emb_near_dups,
@@ -786,8 +804,8 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM (VALUES " + _pages_docs_values() +
         ") AS t(url, n_chars, parse_ok, n_links)"
     )
-    sql["doc_ngram_jaccard"] = (
-        "WITH w AS (SELECT doc_id, unnest(list_distinct("
+    ngram_ctes = (
+        "w AS (SELECT doc_id, unnest(list_distinct("
         "regexp_split_to_array(trim(text),'\\s+'))) AS w FROM documents "
         "WHERE trim(text) <> ''), "
         "sizes AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id), "
@@ -796,12 +814,25 @@ def oracle_sql() -> dict[str, str]:
         "AND abs(a.n_chars - b.n_chars) <= 10), "
         "inter AS (SELECT c.a_id, c.b_id, count(*) AS i FROM cand c "
         "JOIN w wa ON wa.doc_id = c.a_id "
-        "JOIN w wb ON wb.doc_id = c.b_id AND wb.w = wa.w GROUP BY c.a_id, c.b_id) "
-        "SELECT c.a_id, c.b_id, CAST(floor(COALESCE(i.i,0)/"
+        "JOIN w wb ON wb.doc_id = c.b_id AND wb.w = wa.w GROUP BY c.a_id, c.b_id), "
+        "jp AS (SELECT c.a_id, c.b_id, CAST(floor(COALESCE(i.i,0)/"
         "CAST(sa.n + sb.n - COALESCE(i.i,0) AS DOUBLE)*1000000 + 0.5) AS BIGINT) "
         "AS jaccard FROM cand c JOIN sizes sa ON sa.doc_id = c.a_id "
         "JOIN sizes sb ON sb.doc_id = c.b_id "
-        "LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id"
+        "LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id)"
+    )
+    sql["doc_ngram_jaccard"] = (
+        f"WITH {ngram_ctes} SELECT a_id, b_id, jaccard FROM jp"
+    )
+    sql["doc_dedup_clusters"] = (
+        f"WITH RECURSIVE {ngram_ctes}, "
+        "p AS (SELECT a_id, b_id FROM jp WHERE jaccard >= 500000), "
+        "und AS (SELECT a_id AS a, b_id AS b FROM p "
+        "UNION SELECT b_id, a_id FROM p), "
+        "r(a, b) AS (SELECT a, b FROM und "
+        "UNION SELECT r.a, u.b FROM r JOIN und u ON r.b = u.a) "
+        "SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster "
+        "FROM r GROUP BY a"
     )
     sql["doc_fingerprints"] = "SELECT doc_id, md5(text) AS fp FROM documents"
     sql["doc_exact_dedup"] = (

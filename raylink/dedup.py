@@ -10,11 +10,11 @@
 Partitioning notes (per-operator, SURVEY §2 custom-op rule):
 - exact dedup shuffles only (fp, id) pairs, not text;
 - LSH bucket groupby shuffles (band, bucket_hash, doc_id) triples — O(docs ×
-  bands) small rows; candidate verification broadcasts the shingle-hash sets
-  at sandbox scale (scale path: co-partitioned pair join shipping sketches);
-- cluster formation = min-label propagation over the candidate-pair graph —
-  the same CC kernel family; done driver-side here because verified pair sets
-  are tiny relative to the corpus (documented assumption).
+  bands) small rows; oversized buckets are truncated WITH a logged warning;
+- candidate verification is a co-partitioned two-hop join keyed by doc_id
+  shipping precomputed shingle-hash arrays (no text broadcast anywhere);
+- cluster formation runs the distributed CC kernel over the verified-pair
+  graph (min doc_id labels) — same superstep machinery as the web graph.
 
 Reference parity: exact dedup mirrors overlap-peak reconciliation
 (peak_detect_v4.py:1710-1728, set-intersection keep-richest); candidate
@@ -115,41 +115,62 @@ def minhash_signatures(docs: rd.Dataset, *, k: int = 3, num_perm: int = 64,
     )
 
 
-def lsh_candidate_pairs(sigs: rd.Dataset, *, bands: int = 16) -> rd.Dataset:
+# fixed odd multipliers for the vectorized polynomial band hash (equal band
+# chunks -> equal hash; unequal -> collision only at ~2^-63, and any such
+# false candidate is filtered by verify_jaccard)
+_BAND_COEFS = np.random.default_rng(1234).integers(
+    1, 1 << 62, size=256, dtype=np.int64).astype(np.uint64) | np.uint64(1)
+_GOLD64 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def lsh_candidate_pairs(sigs: rd.Dataset, *, bands: int = 16,
+                        cap: int = 256) -> rd.Dataset:
     """signatures -> banded buckets -> distinct candidate pairs (a < b).
 
-    Shuffle payload: (band, bucket_hash, doc_id). Pair explosion happens
-    per bucket group; a bucket of g docs yields C(g,2) pairs — buckets are
-    capped (cap documented) to bound worst-case blowup on degenerate data.
+    Shuffle payload: (band, bucket_hash, doc_id). Banding is fully
+    vectorized: the signature matrix is reshaped (n, bands, r) and each
+    band row is hashed with one polynomial dot product — no per-row
+    Python. Pair explosion happens per bucket group; a bucket of g docs
+    yields C(g,2) pairs, so buckets larger than ``cap`` are truncated to
+    bound degenerate blowup — every truncation is LOGGED (bucket id +
+    dropped count) rather than silent.
     """
 
     def to_buckets(batch: pa.Table) -> pa.Table:
         sig = batch["sig"].combine_chunks()
-        flat = sig.flatten().to_numpy(zero_copy_only=False)
-        offs = sig.offsets.to_numpy(zero_copy_only=False)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        rows_band, rows_hash, rows_id = [], [], []
-        for i in range(len(ids)):
-            s = flat[offs[i]: offs[i + 1]]
-            r = len(s) // bands
-            for b in range(bands):
-                chunk = s[b * r: (b + 1) * r]
-                hb = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                rows_band.append(b)
-                rows_hash.append(int.from_bytes(hb, "little") >> 1)
-                rows_id.append(int(ids[i]))
+        flat = sig.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        if n == 0 or len(flat) == 0:
+            return pa.table({"band": pa.array([], pa.int32()),
+                             "bucket": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        num_perm = len(flat) // n
+        r = num_perm // bands
+        mat = flat.reshape(n, num_perm)[:, : bands * r].reshape(n, bands, r)
+        hb = (mat * _BAND_COEFS[None, None, :r]).sum(axis=2)  # mod 2^64
+        hb = ((hb * _GOLD64) >> np.uint64(1)).astype(np.int64)  # 63-bit, >=0
         return pa.table({
-            "band": pa.array(rows_band, pa.int32()),
-            "bucket": pa.array(rows_hash, pa.int64()),
-            "doc_id": pa.array(rows_id, pa.int64()),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n),
+                             pa.int32()),
+            "bucket": pa.array(hb.ravel(), pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
         })
 
-    buckets = sigs.map_batches(to_buckets, batch_format="pyarrow")
-
-    CAP = 256  # max docs per bucket considered (degenerate-data guard)
+    buckets = sigs.map_batches(to_buckets, batch_format="pyarrow",
+                               zero_copy_batch=True)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())[:CAP]
+        ids = np.sort(g["doc_id"].to_numpy())
+        if len(ids) > cap:
+            import logging
+
+            logging.getLogger("raylink.dedup").warning(
+                "LSH bucket truncated: band=%s bucket=%s had %d docs, "
+                "kept %d (dropped %d candidate sources)",
+                g["band"].iloc[0], g["bucket"].iloc[0], len(ids), cap,
+                len(ids) - cap)
+            ids = ids[:cap]
         if len(ids) < 2:
             return pd.DataFrame({"a": pd.Series(dtype="int64"),
                                  "b": pd.Series(dtype="int64")})
@@ -162,56 +183,148 @@ def lsh_candidate_pairs(sigs: rd.Dataset, *, bands: int = 16) -> rd.Dataset:
     return cand.groupby(["a", "b"]).count().select_columns(["a", "b"])
 
 
-def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset, *, k: int = 3,
-                   threshold: float = 0.0) -> rd.Dataset:
-    """(a, b, jaccard) with exact k-shingle Jaccard; docs broadcast once
-    (scale path: co-partitioned join shipping shingle sketches)."""
-    texts = {}
-    for b in docs.select_columns(["doc_id", "text"]).iter_batches(batch_format="pyarrow"):
-        for i in range(b.num_rows):
-            texts[b["doc_id"][i].as_py()] = b["text"][i].as_py()
-    ref = ray.put(texts)
+class _Shingler:
+    """Actor-pool stage: doc -> sorted k-shingle hash array (list<uint64>).
+    The same shingle hashes minhash is built from; computed once and
+    SHIPPED through the verify join instead of re-broadcasting texts."""
 
-    def f(batch: pa.Table) -> pa.Table:
-        t = ray.get(ref)
-        a = batch["a"].to_pylist()
-        bb = batch["b"].to_pylist()
+    def __init__(self, k: int = 3) -> None:
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sh = [_shingle_hashes(t or "", self.k)
+              for t in batch["text"].to_pylist()]
+        return pa.table({
+            "key": batch["doc_id"],
+            "kind": pa.array(np.zeros(batch.num_rows, np.int8), pa.int8()),
+            "other": pa.array(np.full(batch.num_rows, -1), pa.int64()),
+            "sh": pa.array(sh, pa.list_(pa.uint64())),
+        }, schema=_VJ_SCHEMA)
+
+
+_VJ_SCHEMA = pa.schema([
+    pa.field("key", pa.int64()), pa.field("kind", pa.int8()),
+    pa.field("other", pa.int64()), pa.field("sh", pa.list_(pa.uint64())),
+])
+
+
+def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset, *, k: int = 3,
+                   threshold: float = 0.0, concurrency=2) -> rd.Dataset:
+    """(a, b, jaccard) with exact k-shingle Jaccard, as a CO-PARTITIONED
+    two-hop join shipping precomputed shingle-hash arrays (round 2 — no
+    corpus-sized text broadcast anywhere):
+
+      hop 1: ``groupby(a)`` co-locates each candidate pair with doc a's
+             shingle row and re-keys the pair by b, carrying sh_a;
+      hop 2: ``groupby(b)`` attaches sh_b; the intersection per pair is a
+             vectorized sorted-array ``intersect1d``.
+
+    Only shingle arrays of docs that actually appear in pairs ride the
+    second hop; the shuffles are keyed by doc_id (no skew beyond a doc's
+    pair fan-out)."""
+    shingles = docs.select_columns(["doc_id", "text"]).map_batches(
+        _Shingler, fn_constructor_kwargs={"k": k}, batch_format="pyarrow",
+        batch_size=1024, concurrency=concurrency).materialize()
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        empty_sh = pa.ListArray.from_arrays(
+            pa.array(np.zeros(n + 1, np.int32), pa.int32()),
+            pa.array([], pa.uint64()))
+        return pa.table({
+            "key": batch["a"],
+            "kind": pa.array(np.ones(n, np.int8), pa.int8()),
+            "other": batch["b"],
+            "sh": empty_sh,
+        }, schema=_VJ_SCHEMA)
+
+    def _unwrap(g: pa.Table):
+        kinds = g["kind"].to_numpy(zero_copy_only=False)
+        sh = g["sh"].combine_chunks()
+        flat = sh.flatten().to_numpy(zero_copy_only=False)
+        offs = sh.offsets.to_numpy(zero_copy_only=False)
+        return kinds, flat, offs
+
+    def hop1(g: pa.Table) -> pa.Table:
+        kinds, flat, offs = _unwrap(g)
+        di = np.flatnonzero(kinds == 0)
+        pi = np.flatnonzero(kinds == 1)
+        if len(pi) == 0 or len(di) == 0:
+            return _VJ_SCHEMA.empty_table()
+        a = int(g["key"][0].as_py())
+        sha = flat[offs[di[0]]: offs[di[0] + 1]]
+        bs = g["other"].to_numpy(zero_copy_only=False)[pi]
+        n = len(bs)
+        sh_col = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32) * len(sha), pa.int32()),
+            pa.array(np.tile(sha, n), pa.uint64()))
+        return pa.table({
+            "key": pa.array(bs, pa.int64()),
+            "kind": pa.array(np.ones(n, np.int8), pa.int8()),
+            "other": pa.array(np.full(n, a), pa.int64()),
+            "sh": sh_col,
+        }, schema=_VJ_SCHEMA)
+
+    def hop2(g: pa.Table) -> pa.Table:
+        kinds, flat, offs = _unwrap(g)
+        di = np.flatnonzero(kinds == 0)
+        pi = np.flatnonzero(kinds == 1)
+        if len(pi) == 0 or len(di) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+        b_id = int(g["key"][0].as_py())
+        shb = flat[offs[di[0]]: offs[di[0] + 1]]
+        others = g["other"].to_numpy(zero_copy_only=False)
         out_a, out_b, out_j = [], [], []
-        for x, y in zip(a, bb):
-            ha = _shingle_hashes(t.get(x, "") or "", k)
-            hb = _shingle_hashes(t.get(y, "") or "", k)
-            inter = np.intersect1d(ha, hb, assume_unique=True).size
-            union = len(ha) + len(hb) - inter
+        for i in pi:
+            sha = flat[offs[i]: offs[i + 1]]
+            inter = np.intersect1d(sha, shb, assume_unique=True).size
+            union = len(sha) + len(shb) - inter
             j = inter / union if union else 0.0
             if j >= threshold:
-                out_a.append(x); out_b.append(y); out_j.append(round(j, 6))
+                out_a.append(int(others[i]))
+                out_b.append(b_id)
+                out_j.append(round(j, 6))
         return pa.table({"a": pa.array(out_a, pa.int64()),
                          "b": pa.array(out_b, pa.int64()),
                          "jaccard": pa.array(out_j, pa.float64())})
 
-    return pairs.map_batches(f, batch_format="pyarrow")
+    prows = pairs.map_batches(pair_rows, batch_format="pyarrow")
+    mid = shingles.union(prows).groupby("key").map_groups(
+        hop1, batch_format="pyarrow")
+    return shingles.union(mid).groupby("key").map_groups(
+        hop2, batch_format="pyarrow")
+
+
+def near_dup_components(verified_pairs: rd.Dataset, *, P: int = 8) -> rd.Dataset:
+    """Verified pairs -> (doc_id, cluster) via the DISTRIBUTED CC kernel
+    (round 2: the pair graph is a graph — min-doc_id labels come from the
+    same superstep machinery as the web-graph components; round 1's driver
+    union-find removed). Docs in no verified pair are absent (singletons)."""
+    from .graph import build_graph
+    from .kernels import connected_components
+    from .pipelines.flagship import join_keys
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["a"], "dst": batch["b"]})
+
+    edges = verified_pairs.map_batches(to_edges, batch_format="pyarrow")
+    sg = build_graph(edges, P=P, symmetric=True)
+    comps = connected_components(sg, init="key")
+    keyed = join_keys(comps, sg, "comp")
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["key"], "cluster": batch["comp"]})
+
+    return keyed.map_batches(proj, batch_format="pyarrow")
 
 
 def near_dup_clusters(verified_pairs: rd.Dataset) -> dict[int, int]:
-    """Verified pairs -> cluster id (min doc_id) per doc. Driver union-find;
-    assumption (documented): verified near-dup pairs are tiny vs the corpus.
-    At scale: run the CC kernel on the pair graph instead."""
-    parent: dict[int, int] = {}
-
-    def find(x):
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for b in verified_pairs.iter_batches(batch_format="pyarrow"):
-        for i in range(b.num_rows):
-            a, c = b["a"][i].as_py(), b["b"][i].as_py()
-            ra, rc = find(a), find(c)
-            if ra != rc:
-                lo, hi = min(ra, rc), max(ra, rc)
-                parent[hi] = lo
-    return {x: find(x) for x in list(parent)}
+    """Driver dict view of :func:`near_dup_components` (tests / small
+    results only — the dataset form is the scale path)."""
+    df = near_dup_components(verified_pairs).to_pandas()
+    return dict(zip(df["doc_id"].astype(int), df["cluster"].astype(int)))
 
 
 def ngram_jaccard_pairs(docs: rd.Dataset, *, lang_col: str = "lang",
@@ -262,29 +375,51 @@ def ngram_jaccard_pairs(docs: rd.Dataset, *, lang_col: str = "lang",
 # ---------------------------------------------------------------------------
 
 class SimHasher:
-    """Actor-pool stage: 64-bit simhash over whitespace tokens."""
+    """Actor-pool stage: 64-bit simhash over whitespace tokens, fully
+    vectorized (round 2 — the per-token Python loop removed): one Arrow
+    whitespace split + ONE bulk polars token hash per batch, a (tokens, 64)
+    sign matrix, and a per-doc segment reduction (``np.add.reduceat``).
+    Determinism is pinned to the polars hash like graph.hash64."""
+
+    _SEED = 9
 
     def __init__(self) -> None:
-        self.bits = np.arange(64, dtype=np.uint64)
+        self.bitpos = np.arange(64, dtype=np.uint64)
+
+    def _sim_batch(self, texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = len(texts)
+        toks = pc.utf8_split_whitespace(pc.coalesce(texts, pa.scalar("")))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(flat) == 0:
+            return np.zeros(n, np.int64)
+        import polars as pl
+
+        h = pl.from_arrow(flat).hash(seed=self._SEED).to_numpy().astype(np.uint64)
+        signed = (((h[:, None] >> self.bitpos[None, :]) & np.uint64(1))
+                  .astype(np.int32) * 2 - 1)
+        # whitespace runs can yield empty tokens: they must not vote
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        signed[tok_len == 0] = 0
+        counts = np.diff(offs)
+        nonempty = np.flatnonzero(counts > 0)
+        acc = np.zeros((n, 64), np.int64)
+        if len(nonempty):
+            acc[nonempty] = np.add.reduceat(signed, offs[nonempty], axis=0)
+        bits = (acc > 0).astype(np.uint64)
+        return (bits << self.bitpos[None, :]).sum(axis=1).view(np.int64)
 
     def simhash(self, text: str) -> int:
-        toks = (text or "").split()
-        if not toks:
-            return 0
-        acc = np.zeros(64, dtype=np.int64)
-        for t in toks:
-            h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                               "little")
-            bits = (h >> self.bits) & np.uint64(1)
-            acc += np.where(bits.astype(bool), 1, -1)
-        v = np.uint64(0)
-        for i in range(64):
-            if acc[i] > 0:
-                v |= np.uint64(1) << np.uint64(i)
-        return int(np.int64(v.astype(np.int64)))
+        return int(self._sim_batch(pa.array([text or ""], pa.string()))[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vals = [self.simhash(t) for t in batch["text"].to_pylist()]
+        vals = self._sim_batch(batch["text"])
         return pa.table({"doc_id": batch["doc_id"],
                          "simhash": pa.array(vals, pa.int64())})
 
