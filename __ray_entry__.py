@@ -520,6 +520,15 @@ def q_emb_near_dups(sf_dir: str):
     return embedding_near_dups(_read(sf_dir, "embeddings"), threshold=0.4)
 
 
+def q_emb_near_dups_lsh(sf_dir: str):
+    """Sub-quadratic LSH-bucketed near-dup (approximate; candidates exactly
+    verified so zero false positives; recall bounded in tests)."""
+    from raylink.dedup import embedding_near_dups_lsh
+
+    return embedding_near_dups_lsh(_read(sf_dir, "embeddings"), threshold=0.4,
+                                   n_planes=6, n_tables=6)
+
+
 def _query_vec(sf_dir: str) -> np.ndarray:
     import pyarrow.parquet as pq
 
@@ -588,6 +597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn": q_emb_knn,
         "emb_knn_lsh": q_emb_knn_lsh,
         "emb_near_dups": q_emb_near_dups,
+        "emb_near_dups_lsh": q_emb_near_dups_lsh,
     }
 
 

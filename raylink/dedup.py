@@ -433,42 +433,142 @@ def simhash_table(docs: rd.Dataset, *, concurrency=2) -> rd.Dataset:
 # embedding near-dup
 # ---------------------------------------------------------------------------
 
-def embedding_near_dups(emb: rd.Dataset, *, threshold: float = 0.95,
-                        id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> rd.Dataset:
-    """(a_id, b_id, cos_sim) for pairs with cosine > threshold.
-
-    Physical plan: the (id, matrix) block is broadcast once; each batch
-    computes a vectorized float64 matmul against the broadcast side and
-    keeps pairs a < b. Scale path: LSH-bucket by random hyperplane signs
-    and compare within buckets (similarity.lsh_buckets)."""
-    rows = pa.concat_tables(list(
-        emb.select_columns([id_col, vec_col]).iter_batches(
-            batch_format="pyarrow", batch_size=1 << 20)))
-    ids = rows[id_col].to_numpy(zero_copy_only=False)
-    vec = rows[vec_col].combine_chunks()
-    mat = vec.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    dim = len(mat) // max(1, len(ids))
-    mat = mat.reshape(len(ids), dim)
+@ray.remote
+def _prep_chunk(tab: pa.Table, id_col: str, vec_col: str):
+    """Arrow block -> (ids, unit-ish matrix parts); returned plasma-to-
+    plasma, driver owns only the ref."""
+    if tab.num_rows == 0 or id_col not in tab.schema.names:
+        return None
+    ids = tab[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = tab[vec_col].combine_chunks()
+    mat = v.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    mat = mat.reshape(len(ids), -1)
     norm = np.linalg.norm(mat, axis=1)
     norm[norm == 0] = 1.0
-    ref = ray.put((ids, mat, norm))
+    return ids, mat, norm
 
-    def f(batch: pa.Table) -> pa.Table:
-        all_ids, all_mat, all_norm = ray.get(ref)
-        bid = batch[id_col].to_numpy(zero_copy_only=False)
-        bv = batch[vec_col].combine_chunks()
-        bm = bv.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-        bm = bm.reshape(len(bid), -1)
-        bn = np.linalg.norm(bm, axis=1)
-        bn[bn == 0] = 1.0
-        sims = (bm @ all_mat.T) / bn[:, None] / all_norm[None, :]
-        ii, jj = np.nonzero((sims > threshold) & (bid[:, None] < all_ids[None, :]))
-        fixed = np.floor(sims[ii, jj] * 1_000_000.0 + 0.5).astype(np.int64)
+
+def embedding_near_dups(emb: rd.Dataset, *, threshold: float = 0.95,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        chunk_rows: int = 4096) -> rd.Dataset:
+    """(a_id, b_id, cos_sim) for ALL pairs with cosine > threshold — exact.
+
+    Physical plan (round 2 — the full-matrix broadcast removed): the corpus
+    is split into B = ceil(n/chunk_rows) chunks prepared in worker tasks
+    (driver holds refs only); a Dataset of the C(B+1, 2) chunk PAIRS fans
+    out, each task fetching exactly two chunks and running one float64
+    matmul. Work is O(n^2) — that is the exact-answer lower bound — but
+    per-task memory is O(chunk_rows * dim) and the quadratic grid
+    parallelizes across the cluster. For the sub-quadratic approximate
+    path see :func:`embedding_near_dups_lsh`."""
+    memb = emb.select_columns([id_col, vec_col]).materialize()
+    n = memb.count()
+    if n == 0:
+        return rd.from_arrow(pa.table({"a_id": pa.array([], pa.int64()),
+                                       "b_id": pa.array([], pa.int64()),
+                                       "cos_sim": pa.array([], pa.int64())}))
+    B = max(1, -(-n // chunk_rows))
+    blocks = memb.repartition(B).materialize().to_arrow_refs()
+    prep = [_prep_chunk.remote(r, id_col, vec_col) for r in blocks]
+
+    ii, jj = np.triu_indices(len(prep))
+    pairs_ds = rd.from_arrow(pa.table({
+        "i": pa.array(ii.astype(np.int64)), "j": pa.array(jj.astype(np.int64)),
+    })).repartition(min(len(ii), 64))
+
+    def compare(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        out_a, out_b, out_s = [], [], []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ci = _ray.get(prep[i])
+            cj = ci if i == j else _ray.get(prep[j])
+            if ci is None or cj is None:
+                continue
+            ids_i, mat_i, norm_i = ci
+            ids_j, mat_j, norm_j = cj
+            sims = (mat_i @ mat_j.T) / norm_i[:, None] / norm_j[None, :]
+            mask = sims > threshold
+            if i == j:
+                mask &= ids_i[:, None] < ids_j[None, :]
+            else:
+                mask &= ids_i[:, None] != ids_j[None, :]
+            ai, bj = np.nonzero(mask)
+            if len(ai) == 0:
+                continue
+            a = ids_i[ai]
+            b = ids_j[bj]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_s.append(np.floor(sims[ai, bj] * 1_000_000.0 + 0.5).astype(np.int64))
+        if not out_a:
+            return pa.table({"a_id": pa.array([], pa.int64()),
+                             "b_id": pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.int64())})
         return pa.table({
-            "a_id": pa.array(bid[ii], pa.int64()),
-            "b_id": pa.array(all_ids[jj], pa.int64()),
-            "cos_sim": pa.array(fixed, pa.int64()),
+            "a_id": pa.array(np.concatenate(out_a), pa.int64()),
+            "b_id": pa.array(np.concatenate(out_b), pa.int64()),
+            "cos_sim": pa.array(np.concatenate(out_s), pa.int64()),
         })
 
-    return emb.map_batches(f, batch_format="pyarrow", batch_size=2048)
+    return pairs_ds.map_batches(compare, batch_format="pyarrow")
+
+
+def embedding_near_dups_lsh(emb: rd.Dataset, *, threshold: float = 0.95,
+                            n_planes: int = 8, n_tables: int = 4,
+                            seed: int = 42, id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> rd.Dataset:
+    """Approximate near-dup pairs: ``n_tables`` independent random-
+    hyperplane LSH tables bucket the vectors; exact cosine runs only
+    WITHIN buckets; pairs are deduplicated across tables. Sub-quadratic —
+    the 100 TB path. Never emits a false positive (every candidate is
+    exactly verified); recall rises with n_tables (measured in tests
+    against :func:`embedding_near_dups`)."""
+    from ray.data.aggregate import Max
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[vec_col].combine_chunks()
+        mat = v.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = mat.reshape(len(ids), -1)
+        dim = mat.shape[1]
+        tabs = []
+        for t in range(n_tables):
+            rng = np.random.default_rng(seed + t)  # same planes in every task
+            planes = rng.standard_normal((n_planes, dim))
+            sig = ((mat @ planes.T) > 0) @ (1 << np.arange(n_planes))
+            tabs.append(pa.table({
+                "table": pa.array(np.full(len(ids), t), pa.int64()),
+                "bucket": pa.array(sig.astype(np.int64), pa.int64()),
+                id_col: pa.array(ids, pa.int64()),
+                vec_col: batch[vec_col],
+            }))
+        return pa.concat_tables(tabs)
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) < 2:
+            return pa.table({"a_id": pa.array([], pa.int64()),
+                             "b_id": pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.int64())})
+        v = g[vec_col].combine_chunks()
+        mat = v.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = mat.reshape(len(ids), -1)
+        norm = np.linalg.norm(mat, axis=1)
+        norm[norm == 0] = 1.0
+        sims = (mat @ mat.T) / norm[:, None] / norm[None, :]
+        mask = (sims > threshold) & (ids[:, None] < ids[None, :])
+        ai, bj = np.nonzero(mask)
+        fixed = np.floor(sims[ai, bj] * 1_000_000.0 + 0.5).astype(np.int64)
+        return pa.table({"a_id": pa.array(ids[ai], pa.int64()),
+                         "b_id": pa.array(ids[bj], pa.int64()),
+                         "cos_sim": pa.array(fixed, pa.int64())})
+
+    cand = (emb.select_columns([id_col, vec_col])
+            .map_batches(bucketize, batch_format="pyarrow")
+            .groupby(["table", "bucket"])
+            .map_groups(bucket_pairs, batch_format="pyarrow"))
+    # distinct across tables (cos_sim identical wherever the pair appears)
+    return cand.groupby(["a_id", "b_id"]).aggregate(
+        Max("cos_sim", alias_name="cos_sim"))

@@ -202,3 +202,25 @@ def test_hll_approx_distinct_accuracy():
     out = approx_distinct(ds, "g", "v", "nd", p=12).to_pandas().set_index("g")["nd"]
     for g, n in truth.items():
         assert abs(out[g] - n) / n < 0.06, (g, out[g], n)
+
+
+def test_embedding_near_dups_chunked_exact_and_lsh_recall():
+    """The chunk-pair exact path must find every pair regardless of
+    chunking; the LSH-bucketed path emits no false positives and has
+    useful recall (dedup.embedding_near_dups / embedding_near_dups_lsh)."""
+    from raylink.dedup import embedding_near_dups, embedding_near_dups_lsh
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((20, 16))
+    vecs = [(b + 0.05 * rng.standard_normal(16)).tolist()
+            for b in base for _ in range(3)]
+    ds = ds_of({"vec_id": list(range(len(vecs))), "embedding": vecs})
+    exact = embedding_near_dups(ds, threshold=0.9, chunk_rows=16).to_pandas()
+    one_chunk = embedding_near_dups(ds, threshold=0.9).to_pandas()
+    ep = set(zip(exact.a_id, exact.b_id))
+    assert ep == set(zip(one_chunk.a_id, one_chunk.b_id))
+    assert len(ep) >= 20  # the planted triples are found
+    approx = embedding_near_dups_lsh(ds, threshold=0.9, n_tables=6).to_pandas()
+    ap = set(zip(approx.a_id, approx.b_id))
+    assert ap <= ep  # verified candidates: no false positives
+    assert len(ap) >= 0.7 * len(ep)
