@@ -239,6 +239,18 @@ def q_price_outliers(sf_dir: str):
     )
 
 
+def q_approx_price_outliers(sf_dir: str):
+    """Sketch-backed IQR outliers: thresholds from the mergeable quantile
+    summary (O(batches*q) driver bytes — the 100 TB path; error bounded in
+    tests/test_ops.py). Exact twin: price_outliers."""
+    from raylink.sketches import approx_iqr_outliers
+
+    return approx_iqr_outliers(
+        _read(sf_dir, "lineitem"), "l_extendedprice", 0.3,
+        ["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+
+
 def q_scaled_quantity(sf_dir: str):
     """Scaler fit (global mean/std) + broadcast transform (SURVEY §2.11)."""
     from raylink.ops import standard_scale
@@ -571,6 +583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_revenue": q_region_revenue,
         "mode_event_type": q_mode_event_type,
         "price_outliers": q_price_outliers,
+        "approx_price_outliers": q_approx_price_outliers,
         "scaled_quantity": q_scaled_quantity,
         "circular_variance": q_circular_variance,
         "distinct_users": q_distinct_users,

@@ -341,19 +341,40 @@ def transition_edges(events: rd.Dataset, *, id_col: str = "event_id",
         bucketed.groupby("bkt").map_groups(pairs, batch_format="pyarrow"))
 
 
+def column_moments(ds: rd.Dataset, col: str) -> tuple[int, float, float]:
+    """Global (n, mean, sample std) via MERGEABLE per-batch (n, sum, sumsq)
+    partials — the driver sees O(#batches) scalars, never the column.
+    (Adequate when |mean| is not >> std; a shifted two-pass variant would
+    cover the pathological-cancellation case.)"""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x[~np.isnan(x)]
+        return pa.table({"pn": pa.array([len(x)], pa.int64()),
+                         "ps": pa.array([float(x.sum())], pa.float64()),
+                         "pss": pa.array([float((x * x).sum())], pa.float64())})
+
+    rows = pa.concat_tables(list(
+        ds.select_columns([col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    n = int(pc.sum(rows["pn"]).as_py() or 0)
+    if n == 0:
+        return 0, float("nan"), float("nan")
+    s = float(pc.sum(rows["ps"]).as_py())
+    ss = float(pc.sum(rows["pss"]).as_py())
+    mean = s / n
+    var = max(0.0, (ss - s * s / n) / max(n - 1, 1))
+    return n, mean, float(np.sqrt(var))
+
+
 def standard_scale(ds: rd.Dataset, col: str, out_col: str,
                    keep_cols: list[str]) -> rd.Dataset:
     """Scaler fit + broadcast transform (SURVEY §2.11 DataPrep analog):
-    pass 1 computes exact global mean/std (sample std, ddof=1; at scale a
-    mergeable (n, sum, sumsq) aggregate), pass 2 is a vectorized transform.
-    Output is fixed-point int64 (x-m)/s * 1e6."""
-    vals = np.concatenate(
-        [b[col].to_numpy(zero_copy_only=False)
-         for b in ds.select_columns([col]).iter_batches(batch_format="pyarrow",
-                                                        batch_size=1 << 20)]
-    )
-    m = float(vals.mean())
-    s = float(vals.std(ddof=1))
+    pass 1 is the distributed mergeable (n, sum, sumsq) aggregate
+    (:func:`column_moments` — no full-column driver gather), pass 2 a
+    vectorized transform. Output is fixed-point int64 (x-m)/s * 1e6."""
+    _, m, s = column_moments(ds, col)
 
     def f(batch: pa.Table) -> pa.Table:
         x = batch[col].to_numpy(zero_copy_only=False)

@@ -91,3 +91,91 @@ def approx_distinct(ds: rd.Dataset, group_col: str, value_col: str,
         .groupby(group_col)
         .map_groups(merge, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile summary (the KLL/t-digest role; VERDICT r1 item 6)
+# ---------------------------------------------------------------------------
+
+def quantile_summary(ds: rd.Dataset, col: str, *, q: int = 512):
+    """Mergeable quantile summary: each batch emits at most ``q`` equally
+    spaced order statistics, each weighted ``n_b / q`` — a one-level
+    compaction. Returns driver-side ``(vals, weights, n)`` with total size
+    O(#batches * q), INDEPENDENT of row count (vs the full-column gather of
+    the exact twin). Merged rank error is bounded by sum_b(n_b/q) = n/q
+    (each batch's summary displaces any rank by at most its grid step), so
+    a quantile from the merged summary is off by at most ~1/q in rank.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = np.sort(x[~np.isnan(x)])
+        n_b = len(x)
+        if n_b == 0:
+            return pa.table({"vals": pa.array([], pa.list_(pa.float64())),
+                             "w": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        if n_b <= q:
+            vals, w = x, 1.0
+        else:
+            pos = ((np.arange(q) + 0.5) * n_b / q).astype(np.int64)
+            vals, w = x[np.clip(pos, 0, n_b - 1)], n_b / q
+        return pa.table({
+            "vals": pa.array([vals], pa.list_(pa.float64())),
+            "w": pa.array([float(w)], pa.float64()),
+            "n": pa.array([n_b], pa.int64()),
+        })
+
+    rows = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    vals_parts, w_parts, n = [], [], 0
+    for b in rows.iter_batches(batch_format="pyarrow"):
+        vl = b["vals"].combine_chunks()
+        flat = vl.flatten().to_numpy(zero_copy_only=False)
+        offs = vl.offsets.to_numpy(zero_copy_only=False)
+        ws = b["w"].to_numpy(zero_copy_only=False)
+        ns = b["n"].to_numpy(zero_copy_only=False)
+        for i in range(b.num_rows):
+            seg = flat[offs[i]: offs[i + 1]]
+            vals_parts.append(seg)
+            w_parts.append(np.full(len(seg), ws[i]))
+            n += int(ns[i])
+    if not vals_parts:
+        return np.array([]), np.array([]), 0
+    vals = np.concatenate(vals_parts)
+    weights = np.concatenate(w_parts)
+    order = np.argsort(vals, kind="stable")
+    return vals[order], weights[order], n
+
+
+def summary_quantile(vals: np.ndarray, weights: np.ndarray,
+                     p: float) -> float:
+    """Weighted nearest-rank quantile from a merged summary."""
+    if len(vals) == 0:
+        return float("nan")
+    cum = np.cumsum(weights)
+    idx = int(np.searchsorted(cum, p * cum[-1]))
+    return float(vals[min(idx, len(vals) - 1)])
+
+
+def approx_iqr_outliers(ds: rd.Dataset, col: str, k: float = 1.5,
+                        keep_cols: list | None = None, *,
+                        q: int = 512) -> rd.Dataset:
+    """Sketch-backed twin of ``ops.iqr_outliers``: pass 1 is the mergeable
+    quantile summary (O(batches*q) driver bytes instead of the full
+    column), pass 2 the identical vectorized filter. Thresholds differ
+    from exact by <= ~1/q in rank (bounded in tests)."""
+    import pyarrow.compute as pc
+
+    vals, weights, _ = quantile_summary(ds, col, q=q)
+    q1 = summary_quantile(vals, weights, 0.25)
+    q3 = summary_quantile(vals, weights, 0.75)
+    lo, hi = q1 - k * (q3 - q1), q3 + k * (q3 - q1)
+
+    def f(batch: pa.Table) -> pa.Table:
+        c = batch[col]
+        mask = pc.or_(pc.less(c, lo), pc.greater(c, hi))
+        out = batch.filter(mask)
+        return out.select(keep_cols) if keep_cols else out
+
+    return ds.map_batches(f, batch_format="pyarrow")

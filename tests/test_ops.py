@@ -224,3 +224,35 @@ def test_embedding_near_dups_chunked_exact_and_lsh_recall():
     ap = set(zip(approx.a_id, approx.b_id))
     assert ap <= ep  # verified candidates: no false positives
     assert len(ap) >= 0.7 * len(ep)
+
+
+def test_quantile_summary_bounded_error():
+    """Mergeable quantile summary: rank error of every queried quantile is
+    within ~2/q of exact on skewed data (sketches.quantile_summary)."""
+    from raylink.sketches import quantile_summary, summary_quantile
+
+    rng = np.random.default_rng(11)
+    x = rng.lognormal(3.0, 1.0, size=50_000)
+    ds = ds_of({"x": x}).repartition(16)
+    q = 512
+    vals, w, n = quantile_summary(ds, "x", q=q)
+    assert n == len(x)
+    xs = np.sort(x)
+    for p in (0.01, 0.25, 0.5, 0.75, 0.99):
+        v = summary_quantile(vals, w, p)
+        true_rank = np.searchsorted(xs, v) / n
+        assert abs(true_rank - p) <= 2.0 / q + 1e-9, (p, true_rank)
+
+
+def test_approx_iqr_outliers_close_to_exact():
+    from raylink.ops import iqr_outliers
+    from raylink.sketches import approx_iqr_outliers
+
+    rng = np.random.default_rng(12)
+    df = {"id": np.arange(30_000),
+          "x": rng.lognormal(2.0, 0.8, size=30_000)}
+    ds = ds_of(df).repartition(8)
+    exact = set(iqr_outliers(ds, "x", 1.5, ["id"]).to_pandas()["id"])
+    approx = set(approx_iqr_outliers(ds, "x", 1.5, ["id"]).to_pandas()["id"])
+    sym = len(exact ^ approx)
+    assert sym <= max(10, 0.01 * len(exact))  # boundary rows only
