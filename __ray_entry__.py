@@ -261,6 +261,65 @@ def q_scaled_quantity(sf_dir: str):
     )
 
 
+def q_rolling_value_median(sf_dir: str):
+    """Centered rolling median per ordered key (roll_med analog, §2.3)."""
+    from raylink.ops import rolling_median
+
+    return rolling_median(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        "user_id", ["ts", "event_id"], "value", "roll_med", window=5,
+        keep_cols=["event_id", "user_id"])
+
+
+def q_anomaly_topk(sf_dir: str):
+    """Global top-10 windowed-anomaly rows (matrix-profile discord analog):
+    per-user trailing-window z-distance, then one global sort+limit."""
+    from raylink.ops import window_anomaly_topk
+
+    return window_anomaly_topk(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        "user_id", ["ts", "event_id"], "value", window=20, k=10,
+        keep_cols=["event_id", "user_id", "ts"])
+
+
+def q_impute_discount(sf_dir: str):
+    """Mean imputation (fit = tiny distributed aggregate + broadcast fill,
+    §2.11 DataPrep): zero discounts treated as missing, filled with the
+    non-null mean."""
+    from raylink.ops import impute, scale_columns
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_discount"])
+
+    def nullify(batch: pa.Table) -> pa.Table:
+        d = pc.if_else(pc.equal(batch["l_discount"], 0.0),
+                       pa.scalar(None, pa.float64()),
+                       pc.cast(batch["l_discount"], pa.float64()))
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "l_linenumber": batch["l_linenumber"], "d": d})
+
+    out = impute(li.map_batches(nullify, batch_format="pyarrow"), "d",
+                 strategy="mean", keep_cols=["l_orderkey", "l_linenumber"],
+                 out_col="disc_filled")
+    return scale_columns(out, {"disc_filled": 1e6})
+
+
+def q_quantity_transforms(sf_dir: str):
+    """log / sqrt / Box-Cox(lambda=0.5) feature transforms in one pass
+    (pig_extract transform-family analog, §2.11)."""
+    from raylink.ops import power_transform
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    keep = ["l_orderkey", "l_linenumber", "l_quantity"]
+    ds = power_transform(ds, "l_quantity", method="log", keep_cols=keep,
+                         out_col="q_log")
+    ds = power_transform(ds, "l_quantity", method="sqrt",
+                         keep_cols=keep + ["q_log"], out_col="q_sqrt")
+    ds = power_transform(ds, "l_quantity", method="boxcox", lam=0.5,
+                         keep_cols=["l_orderkey", "l_linenumber", "q_log",
+                                    "q_sqrt"], out_col="q_boxcox")
+    return ds
+
+
 def q_circular_variance(sf_dir: str):
     """Custom mergeable aggregate: circular variance per group (§2.8)."""
     from raylink.ops import circular_variance
@@ -585,6 +644,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_outliers": q_price_outliers,
         "approx_price_outliers": q_approx_price_outliers,
         "scaled_quantity": q_scaled_quantity,
+        "rolling_value_median": q_rolling_value_median,
+        "anomaly_topk": q_anomaly_topk,
+        "impute_discount": q_impute_discount,
+        "quantity_transforms": q_quantity_transforms,
         "circular_variance": q_circular_variance,
         "distinct_users": q_distinct_users,
         "approx_distinct_users": q_approx_distinct_users,
@@ -756,6 +819,38 @@ def oracle_sql() -> dict[str, str]:
         "FROM lineitem) SELECT l.l_orderkey, l.l_linenumber, "
         "CAST(floor((l.l_quantity - s.m)/s.sd*1000000 + 0.5) AS BIGINT) AS q_z "
         "FROM lineitem l CROSS JOIN s"
+    )
+    sql["rolling_value_median"] = (
+        "SELECT event_id, user_id, CAST(floor(median(value) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)*1000000 + 0.5) AS BIGINT) "
+        "AS roll_med FROM events"
+    )
+    sql["anomaly_topk"] = (
+        "WITH s AS (SELECT event_id, user_id, ts, value, "
+        "avg(value) OVER w AS mu, stddev_samp(value) OVER w AS sd, "
+        "count(*) OVER w AS cnt FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) "
+        "SELECT event_id, user_id, ts, "
+        "CAST(floor(abs(value - mu)/sd*10000 + 0.5) AS BIGINT) AS anomaly "
+        "FROM s WHERE cnt = 20 AND sd > 0 "
+        "ORDER BY anomaly DESC, user_id, ts, event_id LIMIT 10"
+    )
+    sql["impute_discount"] = (
+        "WITH x AS (SELECT l_orderkey, l_linenumber, "
+        "NULLIF(l_discount, 0.0) AS d FROM lineitem), "
+        "m AS (SELECT avg(d) AS mu FROM x) "
+        "SELECT l_orderkey, l_linenumber, "
+        "CAST(floor(coalesce(d, m.mu)*1000000 + 0.5) AS BIGINT) "
+        "AS disc_filled FROM x CROSS JOIN m"
+    )
+    sql["quantity_transforms"] = (
+        "SELECT l_orderkey, l_linenumber, "
+        "CAST(floor(ln(1.0 + l_quantity)*10000 + 0.5) AS BIGINT) AS q_log, "
+        "CAST(floor(sqrt(l_quantity)*10000 + 0.5) AS BIGINT) AS q_sqrt, "
+        "CAST(floor((pow(l_quantity, 0.5) - 1.0)/0.5*10000 + 0.5) AS BIGINT) "
+        "AS q_boxcox FROM lineitem"
     )
     sql["circular_variance"] = (
         "SELECT event_type, CAST(floor((1 - sqrt(power(sum(cos(value)),2) "

@@ -256,3 +256,43 @@ def test_approx_iqr_outliers_close_to_exact():
     approx = set(approx_iqr_outliers(ds, "x", 1.5, ["id"]).to_pandas()["id"])
     sym = len(exact ^ approx)
     assert sym <= max(10, 0.01 * len(exact))  # boundary rows only
+
+
+def test_rolling_median_and_anomaly_topk():
+    from raylink.ops import rolling_median, window_anomaly_topk
+
+    n = 60
+    vals = np.sin(np.arange(n) / 3.0)
+    vals[40] = 9.0  # planted discord
+    ds = ds_of({"eid": np.arange(n), "k": np.zeros(n, dtype=np.int64),
+                "v": vals})
+    out = rolling_median(ds, "k", ["eid"], "v", "rm", window=5,
+                         keep_cols=["eid", "k"]).to_pandas().sort_values("eid")
+    truth = pd.Series(vals).rolling(5, center=True, min_periods=1).median()
+    assert np.array_equal(out["rm"].to_numpy(),
+                          np.floor(truth.to_numpy() * 1e6 + 0.5).astype(np.int64))
+    top = window_anomaly_topk(ds, "k", ["eid"], "v", window=20, k=3,
+                              keep_cols=["eid", "k"]).to_pandas()
+    assert int(top.iloc[0]["eid"]) == 40  # the planted spike wins
+
+
+def test_impute_strategies_and_transforms():
+    from raylink.ops import impute, power_transform
+
+    ds = ds_of({"id": [0, 1, 2, 3, 4],
+                "x": pd.array([1.0, None, 3.0, None, 5.0], dtype="float64")})
+    mean = impute(ds, "x", strategy="mean", keep_cols=["id"],
+                  out_col="f").to_pandas().sort_values("id")
+    assert mean["f"].tolist() == [1.0, 3.0, 3.0, 3.0, 5.0]
+    med = impute(ds, "x", strategy="median", keep_cols=["id"],
+                 out_col="f").to_pandas().sort_values("id")
+    assert med["f"].tolist() == [1.0, 3.0, 3.0, 3.0, 5.0]
+    dsm = ds_of({"id": [0, 1, 2, 3], "x": pd.array([7.0, 7.0, 2.0, None],
+                                                   dtype="float64")})
+    mode = impute(dsm, "x", strategy="mode", keep_cols=["id"],
+                  out_col="f").to_pandas().sort_values("id")
+    assert mode["f"].tolist() == [7.0, 7.0, 2.0, 7.0]
+    tr = power_transform(ds_of({"id": [0], "x": [4.0]}), "x", method="boxcox",
+                         lam=0.5, keep_cols=["id"],
+                         out_col="t").to_pandas()
+    assert tr["t"].iloc[0] == int(np.floor((2.0 - 1.0) / 0.5 * 1e4 + 0.5))
