@@ -282,6 +282,17 @@ def q_anomaly_topk(sf_dir: str):
         keep_cols=["event_id", "user_id", "ts"])
 
 
+def q_value_segments(sf_dir: str):
+    """Regime-change segmentation (FLUSS analog): per-user ordered series
+    split where the value jumps by more than 100."""
+    from raylink.ops import change_segments
+
+    return change_segments(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        "user_id", ["ts", "event_id"], "value", threshold=100.0,
+        keep_cols=["event_id", "user_id"])
+
+
 def q_impute_discount(sf_dir: str):
     """Mean imputation (fit = tiny distributed aggregate + broadcast fill,
     §2.11 DataPrep): zero discounts treated as missing, filled with the
@@ -646,6 +657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scaled_quantity": q_scaled_quantity,
         "rolling_value_median": q_rolling_value_median,
         "anomaly_topk": q_anomaly_topk,
+        "value_segments": q_value_segments,
         "impute_discount": q_impute_discount,
         "quantity_transforms": q_quantity_transforms,
         "circular_variance": q_circular_variance,
@@ -836,6 +848,16 @@ def oracle_sql() -> dict[str, str]:
         "CAST(floor(abs(value - mu)/sd*10000 + 0.5) AS BIGINT) AS anomaly "
         "FROM s WHERE cnt = 20 AND sd > 0 "
         "ORDER BY anomaly DESC, user_id, ts, event_id LIMIT 10"
+    )
+    sql["value_segments"] = (
+        "WITH d AS (SELECT event_id, user_id, ts, value, "
+        "lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv "
+        "FROM events), "
+        "x AS (SELECT event_id, user_id, ts, CASE WHEN pv IS NULL "
+        "OR abs(value - pv) <= 100.0 THEN 0 ELSE 1 END AS brk FROM d) "
+        "SELECT event_id, user_id, CAST(sum(brk) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+        "AS segment FROM x"
     )
     sql["impute_discount"] = (
         "WITH x AS (SELECT l_orderkey, l_linenumber, "

@@ -605,3 +605,26 @@ def power_transform(ds: rd.Dataset, col: str, *, method: str = "log",
         return out.append_column(out_col, pa.array(fixed, pa.int64()))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def change_segments(ds: rd.Dataset, part_col: str, order_cols: list[str],
+                    val_col: str, *, threshold: float,
+                    keep_cols: list[str] | None = None,
+                    out_col: str = "segment") -> rd.Dataset:
+    """Score-driven ordered segmentation — the regime-change (FLUSS) analog
+    (porcine/stumpy_fluss_phase_angle.py:574-649): within each ordered
+    series a new segment starts where |x - previous x| exceeds
+    ``threshold``; emits per-row (keys, segment id). Same keyed-group
+    partitioning contract as sessionize; the whole-series change-point
+    scan becomes one vectorized diff + cumsum per key."""
+
+    def f(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(order_cols, kind="mergesort")
+        x = g[val_col].to_numpy().astype(np.float64)
+        jump = np.abs(np.diff(x)) > threshold if len(x) > 1 else np.array([], bool)
+        seg = np.concatenate([[0], np.cumsum(jump)]).astype(np.int64)
+        cols = keep_cols or [c for c in g.columns if c != val_col]
+        tab = pa.Table.from_pandas(g[cols], preserve_index=False)
+        return tab.append_column(out_col, pa.array(seg, pa.int64()))
+
+    return ds.groupby(part_col).map_groups(f, batch_format="pandas")

@@ -240,3 +240,16 @@ def test_partitioned_encode_matches_broadcast():
     rb = pagerank(gb, tol=0.0, max_iter=4).to_pandas().sort_values("vid")
     rp = pagerank(gp, tol=0.0, max_iter=4).to_pandas().sort_values("vid")
     assert np.array_equal(rb["score"].to_numpy(), rp["score"].to_numpy())
+
+
+def test_hash64_pinned_to_polars_version():
+    """The vid scheme, oracle, and int-only dictionary shuffle all assume
+    hash64 is stable across processes AND polars upgrades. Pin observed
+    values (polars 1.42.1) so a silent hash change fails loudly here
+    instead of corrupting vid assignment (ADVICE r1 graph.py:60-67)."""
+    from raylink.graph import hash64
+
+    assert hash64(pa.array(["a", "b", "url/1"], pa.string())).tolist() == [
+        10213843690432156089, 5644426428271487107, 11111062379748774050]
+    assert hash64(pa.array([1, 2, 42], pa.int64())).tolist() == [
+        1097110574390466730, 15137899618136741167, 16002163270487057680]
