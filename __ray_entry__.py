@@ -596,6 +596,15 @@ def q_emb_knn_lsh(sf_dir: str):
     return lsh_topk(emb, _query_vec(sf_dir), 10)
 
 
+def q_emb_knn_ivf(sf_dir: str):
+    """IVF coarse-quantized ANN (bounded-sample k-means train + list-probe
+    scan; recall bounded in tests)."""
+    from raylink.similarity import ivf_topk
+
+    emb = _read(sf_dir, "embeddings")
+    return ivf_topk(emb, _query_vec(sf_dir), 10, n_lists=16, n_probe=6)
+
+
 def q_emb_near_dups(sf_dir: str):
     from raylink.dedup import embedding_near_dups
 
@@ -684,6 +693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "emb_knn": q_emb_knn,
         "emb_knn_lsh": q_emb_knn_lsh,
+        "emb_knn_ivf": q_emb_knn_ivf,
         "emb_near_dups": q_emb_near_dups,
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
     }

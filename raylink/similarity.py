@@ -85,3 +85,80 @@ def lsh_topk(emb: rd.Dataset, query: np.ndarray, k: int = 10, *, n_planes: int =
 
     scored = emb.map_batches(score, batch_format="pyarrow")
     return scored.sort(key=["cos_sim", id_col], descending=[True, False]).limit(k)
+
+
+def _kmeans(sample: np.ndarray, n_lists: int, iters: int = 10,
+            seed: int = 42) -> np.ndarray:
+    """Deterministic Lloyd iterations on a (normalized) training sample —
+    the IVF coarse quantizer. Pure numpy; empty clusters re-seeded from the
+    farthest points."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    cent = sample[rng.choice(n, size=min(n_lists, n), replace=False)].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+            else:
+                cent[c] = sample[d.min(axis=1).argmax()]
+    return cent
+
+
+def ivf_topk(emb: rd.Dataset, query: np.ndarray, k: int = 10, *,
+             n_lists: int = 32, n_probe: int = 4, train_sample: int = 8192,
+             seed: int = 42, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> rd.Dataset:
+    """IVF approximate top-k (ROADMAP 6): a coarse k-means quantizer is
+    trained once on a bounded driver sample of normalized vectors; each
+    batch assigns its vectors to the nearest centroid (one matmul) and
+    scores ONLY vectors whose list is among the query's ``n_probe``
+    nearest lists. Work scales ~ n_probe/n_lists of brute force; recall
+    rises with n_probe (measured in tests against cosine_topk).
+
+    Scale note: training reads ``train_sample`` rows (bounded, not
+    corpus-proportional); centroids (n_lists x dim) broadcast once."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+
+    train = []
+    got = 0
+    for b in emb.select_columns([vec_col]).iter_batches(
+            batch_format="pyarrow", batch_size=4096):
+        v = b[vec_col].combine_chunks()
+        m = v.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        m = m.reshape(b.num_rows, -1)
+        train.append(m)
+        got += len(m)
+        if got >= train_sample:
+            break
+    mat = np.concatenate(train)[:train_sample]
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    cent = _kmeans(mat / norms[:, None], n_lists, seed=seed)
+
+    qd = ((qn[None, :] - cent) ** 2).sum(axis=1)
+    probe = frozenset(np.argsort(qd, kind="stable")[:n_probe].tolist())
+    ref = ray.put((cent, qn, probe))
+
+    def score(batch: pa.Table) -> pa.Table:
+        c, qq, probe_set = ray.get(ref)
+        ids, m = _unwrap(batch, id_col, vec_col)
+        nm = np.linalg.norm(m, axis=1)
+        nm[nm == 0] = 1.0
+        unit = m / nm[:, None]
+        # nearest centroid via the matmul identity argmin||u-c|| = argmax u.c - |c|^2/2
+        scores_c = unit @ c.T - 0.5 * (c * c).sum(axis=1)[None, :]
+        assign = scores_c.argmax(axis=1)
+        keep = np.isin(assign, list(probe_set))
+        sims = unit[keep] @ qq
+        fixed = np.floor(sims * 1_000_000.0 + 0.5).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids[keep], pa.int64()),
+            "cos_sim": pa.array(fixed, pa.int64()),
+        })
+
+    scored = emb.map_batches(score, batch_format="pyarrow")
+    return scored.sort(key=["cos_sim", id_col], descending=[True, False]).limit(k)

@@ -296,3 +296,19 @@ def test_impute_strategies_and_transforms():
                          lam=0.5, keep_cols=["id"],
                          out_col="t").to_pandas()
     assert tr["t"].iloc[0] == int(np.floor((2.0 - 1.0) / 0.5 * 1e4 + 0.5))
+
+
+def test_ivf_topk_recall():
+    """IVF coarse-quantized ANN: high recall vs brute force at
+    n_probe/n_lists fraction of the scan (similarity.ivf_topk)."""
+    from raylink.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(9)
+    mat = rng.standard_normal((2000, 24))
+    q = mat[0] + 0.01 * rng.standard_normal(24)
+    ds = ds_of({"vec_id": list(range(2000)),
+                "embedding": [r.tolist() for r in mat]})
+    exact = cosine_topk(ds, q, 10).to_pandas()
+    approx = ivf_topk(ds, q, 10, n_lists=16, n_probe=6).to_pandas()
+    hits = len(set(exact.vec_id) & set(approx.vec_id))
+    assert hits >= 7  # recall >= 0.7 at 6/16 of the scan
