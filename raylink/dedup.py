@@ -61,18 +61,66 @@ def exact_dedup_groups(docs: rd.Dataset, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1
+_SH_SEED = 17
+_SH_A = np.uint64(0x9E3779B97F4A7C15)  # odd mix constants for k-gram combine
+_SH_A2 = _SH_A * _SH_A
+
+
+def _token_hashes(texts: pa.Array | pa.ChunkedArray):
+    """Bulk token hashing for a batch of texts: one Arrow whitespace split +
+    ONE polars hash over the flattened token array. Returns (hashes, offs)
+    with empty tokens masked out. The per-shingle Python/blake2b loop of
+    round 1 is gone; determinism is pinned to the polars hash like
+    graph.hash64."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.utf8_split_whitespace(pc.coalesce(texts, pa.scalar("")))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(flat) == 0:
+        return np.array([], np.uint64), offs
+    h = pl.from_arrow(flat).hash(seed=_SH_SEED).to_numpy().astype(np.uint64)
+    tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    keep = tok_len > 0
+    if not keep.all():
+        # rebuild offsets over kept tokens (whitespace runs make empties)
+        kept_per_doc = np.add.reduceat(keep.astype(np.int64), offs[:-1]) \
+            if len(offs) > 1 and offs[-1] > 0 else np.zeros(len(offs) - 1, np.int64)
+        kept_per_doc[np.diff(offs) == 0] = 0
+        offs = np.concatenate([[0], np.cumsum(kept_per_doc)])
+        h = h[keep]
+    return h, offs
+
+
+def _shingles_from_tokens(h: np.ndarray, lo: int, hi: int, k: int) -> np.ndarray:
+    """Sorted distinct k-gram shingle hashes of one doc's token-hash slice:
+    a vectorized polynomial combine of k consecutive token hashes (uint64
+    wraparound). Docs shorter than k collapse to one whole-text shingle,
+    matching the round-1 join semantics."""
+    t = h[lo:hi]
+    n = len(t)
+    if n == 0:
+        return np.array([], np.uint64)
+    if n < k:
+        acc = np.uint64(0)
+        for v in t:  # < k elements
+            acc = acc * _SH_A + v
+        return np.array([acc], np.uint64)
+    acc = np.zeros(n - k + 1, np.uint64)
+    for j in range(k):  # k tiny vectorized passes
+        acc = acc * _SH_A + t[j: n - k + 1 + j]
+    return np.unique(acc)
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    toks = text.split()
-    if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i: i + k]) for i in range(len(toks) - k + 1)]
-    out = np.unique(np.array(
-        [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
-         for s in shingles], dtype=np.uint64))
-    return out
+    """Single-doc convenience wrapper (tests)."""
+    h, offs = _token_hashes(pa.array([text or ""], pa.string()))
+    return _shingles_from_tokens(h, 0, len(h), k)
 
 
 def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -84,7 +132,11 @@ def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 
 class MinHasher:
     """Actor-pool stage: doc -> minhash signature (list<int64>).
-    Permutation parameters derived once per worker from the seed."""
+    Permutation parameters derived once per worker from the seed.
+
+    Round 2: fully batch-vectorized — one bulk token hash per batch, one
+    polynomial k-gram combine, then per-permutation segment minima via
+    ``np.minimum.reduceat`` (64 vectorized passes; no per-shingle Python)."""
 
     def __init__(self, k: int = 3, num_perm: int = 64, seed: int = 42) -> None:
         self.k = k
@@ -95,15 +147,27 @@ class MinHasher:
         h = _shingle_hashes(text or "", self.k)
         if len(h) == 0:
             return np.zeros(self.num_perm, dtype=np.int64)
-        # (a*h + b) mod p, min over shingles, vectorized across permutations
         vals = (h[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_MERSENNE)
         return vals.min(axis=1).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.signature(t) for t in batch["text"].to_pylist()]
+        h, offs = _token_hashes(batch["text"])
+        n = batch.num_rows
+        sh_parts = [ _shingles_from_tokens(h, offs[i], offs[i + 1], self.k)
+                     for i in range(n) ]
+        lens = np.array([len(s) for s in sh_parts], np.int64)
+        sigs = np.zeros((n, self.num_perm), np.int64)
+        nonempty = np.flatnonzero(lens > 0)
+        if len(nonempty):
+            SH = np.concatenate(sh_parts)
+            starts = np.concatenate([[0], np.cumsum(lens)])[:-1][nonempty]
+            M = np.uint64(_MERSENNE)
+            for p in range(self.num_perm):  # each pass fully vectorized
+                vals = (SH * self.a[p] + self.b[p]) % M
+                sigs[nonempty, p] = np.minimum.reduceat(vals, starts).astype(np.int64)
         return pa.table({
             "doc_id": batch["doc_id"],
-            "sig": pa.array(sigs, pa.list_(pa.int64())),
+            "sig": pa.array(list(sigs), pa.list_(pa.int64())),
         })
 
 
