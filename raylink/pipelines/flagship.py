@@ -43,27 +43,82 @@ class FlagshipResult:
         return join_keys(self.ranks, self.graph, "score")
 
 
-def join_keys(vertex_table: rd.Dataset, graph: Graph, value_col: str) -> rd.Dataset:
-    """(vid, value) -> (key, value) using the broadcast vertex dictionary
-    (sorted-vid array + vectorized searchsorted probe; vids are unique)."""
+def join_keys(vertex_table: rd.Dataset, graph: Graph, value_col: str, *,
+              broadcast_max_vertices: int = 4_000_000) -> rd.Dataset:
+    """(vid, value) -> (key, value). Below ``broadcast_max_vertices`` the
+    vertex dictionary is broadcast once (sorted-vid array + vectorized
+    searchsorted); above it the join runs CO-PARTITIONED by
+    ``part = vid % P`` (one shuffle, no vertex-proportional broadcast —
+    the same auto-threshold policy as the encode side)."""
     import numpy as np
 
-    vert = pa.concat_tables(
-        list(graph.vertices.iter_batches(batch_format="pyarrow", batch_size=1 << 20))
-    )
-    vids_np = vert["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(vids_np, kind="stable")
-    keys_sorted = vert["key"].combine_chunks().take(pa.array(order))
-    ref = ray.put((vids_np[order], keys_sorted))
+    if graph.n <= broadcast_max_vertices:
+        vert = pa.concat_tables(
+            list(graph.vertices.iter_batches(batch_format="pyarrow",
+                                             batch_size=1 << 20))
+        )
+        vids_np = vert["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(vids_np, kind="stable")
+        keys_sorted = vert["key"].combine_chunks().take(pa.array(order))
+        ref = ray.put((vids_np[order], keys_sorted))
 
-    def lookup(batch: pa.Table) -> pa.Table:
-        vids, keys = ray.get(ref)
-        bv = batch["vid"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(vids, bv)
-        return pa.table({"key": keys.take(pa.array(pos)),
-                         value_col: batch[value_col]})
+        def lookup(batch: pa.Table) -> pa.Table:
+            vids, keys = ray.get(ref)
+            bv = batch["vid"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(vids, bv)
+            return pa.table({"key": keys.take(pa.array(pos)),
+                             value_col: batch[value_col]})
 
-    return vertex_table.map_batches(lookup, batch_format="pyarrow")
+        return vertex_table.map_batches(lookup, batch_format="pyarrow")
+
+    P = graph.P
+    val_type = None
+    for f in vertex_table.schema().base_schema:
+        if f.name == value_col:
+            val_type = f.type
+
+    def dict_rows(batch: pa.Table) -> pa.Table:
+        # (key, vid, part) -> join rows; vids carried, values null
+        return pa.table({
+            "part": batch["part"], "kind": pa.array(
+                np.zeros(batch.num_rows, np.int8), pa.int8()),
+            "vid": batch["vid"], "key": batch["key"],
+            value_col: pa.nulls(batch.num_rows, val_type),
+        })
+
+    def value_rows(batch: pa.Table) -> pa.Table:
+        vids = batch["vid"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array(vids % P, pa.int64()),
+            "kind": pa.array(np.ones(batch.num_rows, np.int8), pa.int8()),
+            "vid": batch["vid"],
+            "key": pa.nulls(batch.num_rows, graph.key_type),
+            value_col: batch[value_col],
+        })
+
+    def join_group(g: pa.Table) -> pa.Table:
+        kinds = g["kind"].to_numpy(zero_copy_only=False)
+        di = np.flatnonzero(kinds == 0)
+        vi = np.flatnonzero(kinds == 1)
+        if len(vi) == 0 or len(di) == 0:
+            return pa.table({"key": pa.array([], graph.key_type),
+                             value_col: pa.array([], val_type)})
+        keys = g["key"].combine_chunks().take(pa.array(di))
+        dvids = g["vid"].to_numpy(zero_copy_only=False)[di]
+        order = np.argsort(dvids, kind="stable")
+        keys = keys.take(pa.array(order))
+        dvids = dvids[order]
+        vvids = g["vid"].to_numpy(zero_copy_only=False)[vi]
+        pos = np.searchsorted(dvids, vvids)
+        return pa.table({
+            "key": keys.take(pa.array(pos)),
+            value_col: g[value_col].combine_chunks().take(pa.array(vi)),
+        })
+
+    d = graph.vertices.map_batches(dict_rows, batch_format="pyarrow")
+    v = vertex_table.map_batches(value_rows, batch_format="pyarrow")
+    return d.union(v).groupby("part").map_groups(join_group,
+                                                batch_format="pyarrow")
 
 
 def flagship(

@@ -253,3 +253,15 @@ def test_hash64_pinned_to_polars_version():
         10213843690432156089, 5644426428271487107, 11111062379748774050]
     assert hash64(pa.array([1, 2, 42], pa.int64())).tolist() == [
         1097110574390466730, 15137899618136741167, 16002163270487057680]
+
+
+def test_join_keys_partitioned_matches_broadcast():
+    """Output joins must be identical via the broadcast dictionary and the
+    co-partitioned path (flagship.join_keys auto-threshold)."""
+    pairs = overlay_pairs()
+    g = G.build_graph(edges_ds(pairs), P=P)
+    ranks = pagerank(g, tol=0.0, max_iter=3)
+    a = join_keys(ranks, g, "score").to_pandas().sort_values("key").reset_index(drop=True)
+    b = join_keys(ranks, g, "score", broadcast_max_vertices=0).to_pandas() \
+        .sort_values("key").reset_index(drop=True)
+    assert a.equals(b)
