@@ -628,6 +628,48 @@ def _query_vec(sf_dir: str) -> np.ndarray:
     return np.asarray(t["embedding"][i].as_py(), dtype=np.float64)
 
 
+N_MEDIA = 96
+FRAME_EVERY_K = 5
+
+
+def q_media_frame_sample(sf_dir: str):
+    """Multimodal frame sampling (video rows -> one row per sampled frame;
+    vectorized flat_map). Input is the deterministic synthetic media table,
+    so the oracle is a VALUES list."""
+    from raylink.multimodal import frame_sample, media_dataset
+
+    return frame_sample(media_dataset(N_MEDIA), every_k=FRAME_EVERY_K)
+
+
+def q_media_features(sf_dir: str):
+    """Decoder actor pool (fake codec: the real decode is the declared
+    stub) -> fixed-dim feature vectors + decode_ok gate column. Projected
+    to deterministic metadata columns for the rows-only check."""
+    from raylink.multimodal import extract_features, media_dataset, resize_media
+
+    media = resize_media(media_dataset(N_MEDIA), target_w=32, target_h=32)
+    feats = extract_features(media, codec="fake", batch_size=32)
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch["media_id"], "kind": batch["kind"],
+            "n_dims": pc.cast(pc.list_value_length(batch["feature"]), pa.int64()),
+            "decode_ok": batch["decode_ok"],
+        })
+
+    return feats.map_batches(proj, batch_format="pyarrow")
+
+
+def _media_frame_values() -> str:
+    rows = []
+    for i in range(N_MEDIA):
+        kind = ("image", "audio", "video")[i % 3]
+        n_frames = 1 + i % 30
+        for f in range(0, max(n_frames, 1), FRAME_EVERY_K):
+            rows.append(f"({i}, '{kind}', {f})")
+    return ", ".join(rows)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -696,6 +738,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivf": q_emb_knn_ivf,
         "emb_near_dups": q_emb_near_dups,
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
+        "media_frame_sample": q_media_frame_sample,
+        "media_features": q_media_features,
     }
 
 
@@ -1029,6 +1073,11 @@ def oracle_sql() -> dict[str, str]:
         "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
         "CAST(b.embedding AS DOUBLE[])) > 0.4"
     )
-    # doc_lang_id, doc_minhash_pairs, doc_simhash, emb_knn_lsh: model/sketch
-    # ops with no faithful ANSI-SQL equivalent -> rows-only checks.
+    sql["media_frame_sample"] = (
+        "SELECT * FROM (VALUES " + _media_frame_values() +
+        ") AS t(media_id, kind, frame_idx)"
+    )
+    # doc_lang_id, doc_minhash_pairs, doc_simhash, emb_knn_lsh, emb_knn_ivf,
+    # emb_near_dups_lsh, media_features, approx_*: model/sketch/stub ops
+    # with no faithful ANSI-SQL equivalent -> rows-only checks.
     return sql

@@ -156,3 +156,49 @@ def frame_sample(media: rd.Dataset, every_k: int = 5) -> rd.Dataset:
         return taken.append_column("frame_idx", pa.array(frame_idx, pa.int64()))
 
     return media.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class ResizePool:
+    """Actor-pool stage: image/video rows -> resized payloads + updated
+    metadata. The pixel resample itself is the stubbed codec step
+    (``codec="real"`` raises, same contract as DecoderPool); ``"fake"``
+    deterministically re-derives a payload of the target byte size so the
+    metadata/dataflow — new width/height columns, payload replacement,
+    small-batch actor pool — is real and tested."""
+
+    def __init__(self, target_w: int = 32, target_h: int = 32,
+                 codec: str = "fake") -> None:
+        self.w, self.h, self.codec = target_w, target_h, codec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.codec == "real":
+            raise NotImplementedError(
+                "real resize requires PIL/ffmpeg; use codec='fake'")
+        out_payload = []
+        for i in range(batch.num_rows):
+            src = batch["payload"][i].as_py()
+            size = max(32, self.w * self.h // 8)
+            h = hashlib.blake2b(src, digest_size=32).digest()
+            out_payload.append((h * (size // 32 + 1))[:size])
+        n = batch.num_rows
+        return pa.table({
+            "media_id": batch["media_id"],
+            "kind": batch["kind"],
+            "payload": pa.array(out_payload, pa.binary()),
+            "width": pa.array(np.full(n, self.w, np.int32), pa.int32()),
+            "height": pa.array(np.full(n, self.h, np.int32), pa.int32()),
+            "sample_rate": batch["sample_rate"],
+            "n_frames": batch["n_frames"],
+        }, schema=MEDIA_SCHEMA)
+
+
+def resize_media(media: rd.Dataset, *, target_w: int = 32, target_h: int = 32,
+                 codec: str = "fake", batch_size: int = 64,
+                 concurrency=(2, 4)) -> rd.Dataset:
+    return media.map_batches(
+        ResizePool, fn_constructor_kwargs={"target_w": target_w,
+                                           "target_h": target_h,
+                                           "codec": codec},
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency,
+    )
