@@ -377,6 +377,16 @@ def q_hourly_rollup(sf_dir: str):
     return scale_columns(out, {"sum_value": 1e4})
 
 
+def q_hopping_rollup(sf_dir: str):
+    """Hopping event-time windows (1h length, 15min hop): each event lands
+    in 4 windows; vectorized expand + partial-combine grouped sum."""
+    from raylink.ops import hopping_rollup
+
+    return hopping_rollup(_read(sf_dir, "events", ["event_type", "ts", "value"]),
+                          "ts", "event_type", "value",
+                          length_us=3_600_000_000, hop_us=900_000_000)
+
+
 # ---------------------------------------------------------------------------
 # graph battery (user-transition graph from the event log)
 # ---------------------------------------------------------------------------
@@ -715,6 +725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": q_distinct_users,
         "approx_distinct_users": q_approx_distinct_users,
         "hourly_rollup": q_hourly_rollup,
+        "hopping_rollup": q_hopping_rollup,
         "graph_degrees": q_graph_degrees,
         "graph_pagerank": q_graph_pagerank,
         "graph_components": q_graph_components,
@@ -941,6 +952,16 @@ def oracle_sql() -> dict[str, str]:
         "SELECT event_type, CAST(epoch_us(date_trunc('hour', ts))//3600000000 "
         "AS BIGINT) AS hour_bucket, CAST(count(*) AS BIGINT) AS n, "
         "CAST(floor(sum(value)*10000 + 0.5) AS BIGINT) AS sum_value FROM events GROUP BY 1, 2"
+    )
+    sql["hopping_rollup"] = (
+        "WITH offs AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(j)), "
+        "x AS (SELECT event_type, "
+        "(epoch_us(ts)//900000000)*900000000 - CAST(j AS BIGINT)*900000000 "
+        "AS w_start, value "
+        "FROM events CROSS JOIN offs) "
+        "SELECT event_type, CAST(w_start AS BIGINT) AS w_start, "
+        "CAST(floor(sum(value)*10000 + 0.5) AS BIGINT) AS sum_value, "
+        "CAST(count(*) AS BIGINT) AS n FROM x GROUP BY 1, 2"
     )
     sql["graph_degrees"] = (
         f"WITH {_E_CTE} "

@@ -185,15 +185,12 @@ def grouped_mode(ds: rd.Dataset, group_col: str, value_col: str,
 
 def iqr_outliers(ds: rd.Dataset, col: str, k: float = 1.5,
                  keep_cols: list[str] | None = None) -> rd.Dataset:
-    """Pass 1: exact global quantiles (gathered column; at scale this becomes
-    a mergeable KLL/TDigest sketch). Pass 2: vectorized filter to rows
-    OUTSIDE [q1 - k*iqr, q3 + k*iqr]."""
-    vals = np.concatenate(
-        [b[col].to_numpy(zero_copy_only=False)
-         for b in ds.select_columns([col]).iter_batches(batch_format="pyarrow",
-                                                        batch_size=1 << 20)]
-    )
-    q1, q3 = np.quantile(vals, [0.25, 0.75])  # linear interp == percentile_cont
+    """Pass 1: EXACT global quantiles via distributed histogram bisection
+    (:func:`exact_quantiles` — O(bins) driver bytes per pass, no column
+    gather; linear interp == percentile_cont). Pass 2: vectorized filter
+    to rows OUTSIDE [q1 - k*iqr, q3 + k*iqr]. Approximate single-pass
+    twin: ``sketches.approx_iqr_outliers``."""
+    q1, q3 = exact_quantiles(ds, col, [0.25, 0.75])
     lo, hi = q1 - k * (q3 - q1), q3 + k * (q3 - q1)
 
     def f(batch: pa.Table) -> pa.Table:
@@ -628,3 +625,152 @@ def change_segments(ds: rd.Dataset, part_col: str, order_cols: list[str],
         return tab.append_column(out_col, pa.array(seg, pa.int64()))
 
     return ds.groupby(part_col).map_groups(f, batch_format="pandas")
+
+
+def hopping_rollup(events: rd.Dataset, ts_col: str, group_col: str,
+                   val_col: str, *, length_us: int, hop_us: int,
+                   scale: float = 1e4) -> rd.Dataset:
+    """Hopping (sliding) event-time windows: length ``length_us``, advancing
+    by ``hop_us`` — each event lands in length/hop windows. Vectorized
+    expand (np.repeat of the batch into its window starts) + the same
+    partial-combine grouped sum as the tumbling rollup; shuffle volume is
+    (length/hop) x the pre-aggregated partials, never raw rows."""
+    k = length_us // hop_us
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        g = batch[group_col].combine_chunks()
+        v = batch[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        base = (ts // hop_us) * hop_us
+        idx = np.repeat(np.arange(len(ts), dtype=np.int64), k)
+        offs = np.tile(np.arange(k, dtype=np.int64) * hop_us, len(ts))
+        wstart = base[idx] - offs
+        keep = ts[idx] < wstart + length_us  # guard first windows of time
+        t = pa.table({
+            group_col: g.take(pa.array(idx[keep])),
+            "w_start": pa.array(wstart[keep], pa.int64()),
+            "v": pa.array(v[idx[keep]], pa.float64()),
+        })
+        # per-batch partial combine before the shuffle
+        pre = t.group_by([group_col, "w_start"]).aggregate(
+            [("v", "sum"), ([], "count_all")])
+        return pre.rename_columns([group_col, "w_start", "pv", "pn"])
+
+    from ray.data.aggregate import Sum
+
+    out = (events.select_columns([ts_col, group_col, val_col])
+           .map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby([group_col, "w_start"])
+           .aggregate(Sum("pv", alias_name="sum_value"),
+                      Sum("pn", alias_name="n")))
+    return scale_columns(out, {"sum_value": scale})
+
+
+def exact_quantiles(ds: rd.Dataset, col: str, ps: list[float], *,
+                    bins: int = 512, gather_limit: int = 1 << 16,
+                    max_passes: int = 6) -> list[float]:
+    """EXACT global quantiles (linear interpolation == percentile_cont)
+    without ever gathering the column: iterative histogram bisection.
+    Each pass is one distributed scan producing a ``bins``-bucket count
+    per open bracket (O(bins) driver bytes); brackets narrow ~bins x per
+    pass until <= ``gather_limit`` values remain, which are fetched and
+    order-selected exactly. 2-3 passes for any realistic column."""
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x[~np.isnan(x)]
+        if len(x) == 0:
+            return pa.table({"pn": pa.array([], pa.int64()),
+                             "plo": pa.array([], pa.float64()),
+                             "phi": pa.array([], pa.float64())})
+        return pa.table({"pn": pa.array([len(x)], pa.int64()),
+                         "plo": pa.array([float(x.min())], pa.float64()),
+                         "phi": pa.array([float(x.max())], pa.float64())})
+
+    proj = ds.select_columns([col]).materialize()
+    rows = pa.concat_tables(list(proj.map_batches(
+        moments, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    n = int(pc.sum(rows["pn"]).as_py() or 0)
+    if n == 0:
+        return [float("nan")] * len(ps)
+    gmin = float(pc.min(rows["plo"]).as_py())
+    gmax = float(pc.max(rows["phi"]).as_py())
+
+    # per-quantile state: (lo, hi, count_below_lo, count_inside, resolved?)
+    states = []
+    for p in ps:
+        r = p * (n - 1)
+        states.append({"r": r, "k0": int(np.floor(r)), "k1": int(np.ceil(r)),
+                       "lo": gmin, "hi": gmax, "below": 0, "inside": n})
+
+    def hist_pass(brackets):
+        edges_list = [np.linspace(lo, hi, bins + 1) for lo, hi in brackets]
+
+        def f(batch: pa.Table) -> pa.Table:
+            x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            x = x[~np.isnan(x)]
+            out_b, out_cnt = [], []
+            for bi, edges in enumerate(edges_list):
+                inb = x[(x >= edges[0]) & (x <= edges[-1])]
+                out_b.append(bi)
+                out_cnt.append(np.histogram(inb, bins=edges)[0].astype(np.int64))
+            return pa.table({"b": pa.array(out_b, pa.int64()),
+                             "cnt": pa.array(out_cnt, pa.list_(pa.int64()))})
+
+        acc = [np.zeros(bins, np.int64) for _ in brackets]
+        for b in proj.map_batches(f, batch_format="pyarrow",
+                                  zero_copy_batch=True).iter_batches(
+                batch_format="pyarrow"):
+            cl = b["cnt"].combine_chunks()
+            flat = cl.flatten().to_numpy(zero_copy_only=False)
+            offs = cl.offsets.to_numpy(zero_copy_only=False)
+            bs = b["b"].to_numpy(zero_copy_only=False)
+            for i in range(b.num_rows):
+                acc[bs[i]] += flat[offs[i]: offs[i + 1]]
+        return acc, edges_list
+
+    for _ in range(max_passes):
+        open_idx = [i for i, s in enumerate(states)
+                    if s["inside"] > gather_limit and s["lo"] < s["hi"]]
+        if not open_idx:
+            break
+        acc, edges_list = hist_pass([(states[i]["lo"], states[i]["hi"])
+                                     for i in open_idx])
+        for j, i in enumerate(open_idx):
+            s = states[i]
+            cum = s["below"] + np.concatenate([[0], np.cumsum(acc[j])])
+            # bins whose cumulative range covers ranks k0..k1
+            b0 = int(np.searchsorted(cum, s["k0"] + 1) - 1)
+            b1 = int(np.searchsorted(cum, s["k1"] + 1) - 1)
+            b0 = min(max(b0, 0), bins - 1)
+            b1 = min(max(b1, b0), bins - 1)
+            new_lo = float(edges_list[j][b0])
+            new_hi = float(edges_list[j][b1 + 1])
+            s["below"] = int(cum[b0])
+            s["inside"] = int(cum[b1 + 1] - cum[b0])
+            if new_lo == s["lo"] and new_hi == s["hi"]:
+                break  # cannot narrow further (degenerate float span)
+            s["lo"], s["hi"] = new_lo, new_hi
+
+    out = []
+    for s in states:
+        lo, hi = s["lo"], s["hi"]
+
+        def g(batch: pa.Table, lo=lo, hi=hi) -> pa.Table:
+            x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            x = x[(x >= lo) & (x <= hi)]
+            return pa.table({"v": pa.array(x, pa.float64())})
+
+        vals = np.sort(np.concatenate(
+            [b["v"].to_numpy(zero_copy_only=False)
+             for b in proj.map_batches(g, batch_format="pyarrow",
+                                       zero_copy_batch=True).iter_batches(
+                 batch_format="pyarrow", batch_size=1 << 20)] or
+            [np.array([], np.float64)]))
+        v0 = vals[s["k0"] - s["below"]]
+        v1 = vals[s["k1"] - s["below"]]
+        r = s["r"]
+        out.append(float(v0 + (r - np.floor(r)) * (v1 - v0)))
+    return out

@@ -312,3 +312,16 @@ def test_ivf_topk_recall():
     approx = ivf_topk(ds, q, 10, n_lists=16, n_probe=6).to_pandas()
     hits = len(set(exact.vec_id) & set(approx.vec_id))
     assert hits >= 7  # recall >= 0.7 at 6/16 of the scan
+
+
+def test_exact_quantiles_bisection_matches_numpy():
+    from raylink.ops import exact_quantiles
+
+    rng = np.random.default_rng(21)
+    x = np.concatenate([rng.lognormal(1.0, 1.5, 40_000),
+                        np.repeat(7.25, 5_000)])  # heavy ties too
+    ds = ds_of({"x": x}).repartition(8)
+    got = exact_quantiles(ds, "x", [0.0, 0.25, 0.5, 0.75, 0.99, 1.0],
+                          gather_limit=2048)
+    want = np.quantile(x, [0.0, 0.25, 0.5, 0.75, 0.99, 1.0])
+    assert np.allclose(got, want, rtol=0, atol=0)  # exact, not approximate
