@@ -271,6 +271,43 @@ def q_rolling_value_median(sf_dir: str):
         keep_cols=["event_id", "user_id"])
 
 
+def q_rolling_value_smooth(sf_dir: str):
+    """Centered rolling-mean smoothing per ordered key (smooth_signal /
+    Savitzky-Golay order-0 analog, §2.3)."""
+    from raylink.ops import rolling_smooth
+
+    return rolling_smooth(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        "user_id", ["ts", "event_id"], "value", "smooth", window=5,
+        stat="mean", keep_cols=["event_id", "user_id"], scale=1e4)
+
+
+def q_emb_group_mean(sf_dir: str):
+    """Element-wise vector mean per group (mean-PSD-across-beats analog,
+    §2.8 vector aggregate), flattened to (g, pos, mean_val) rows."""
+    from raylink.ops import grouped_vector_mean
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def add_g(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"g": pa.array(vid % 5, pa.int64()),
+                         "embedding": batch["embedding"]})
+
+    return grouped_vector_mean(emb.map_batches(add_g, batch_format="pyarrow"),
+                               "g", "embedding")
+
+
+def q_corr_qty_price(sf_dir: str):
+    """Pearson correlation as one mergeable co-moment aggregate
+    (corr_heatmap cell analog, §2.8)."""
+    from raylink.ops import pearson_corr
+
+    return pearson_corr(
+        _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"]),
+        "l_quantity", "l_extendedprice")
+
+
 def q_anomaly_topk(sf_dir: str):
     """Global top-10 windowed-anomaly rows (matrix-profile discord analog):
     per-user trailing-window z-distance, then one global sort+limit."""
@@ -717,6 +754,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_price_outliers": q_approx_price_outliers,
         "scaled_quantity": q_scaled_quantity,
         "rolling_value_median": q_rolling_value_median,
+        "rolling_value_smooth": q_rolling_value_smooth,
+        "emb_group_mean": q_emb_group_mean,
+        "corr_qty_price": q_corr_qty_price,
         "anomaly_topk": q_anomaly_topk,
         "value_segments": q_value_segments,
         "impute_discount": q_impute_discount,
@@ -902,6 +942,21 @@ def oracle_sql() -> dict[str, str]:
         "(PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)*1000000 + 0.5) AS BIGINT) "
         "AS roll_med FROM events"
+    )
+    sql["rolling_value_smooth"] = (
+        "SELECT event_id, user_id, CAST(floor(avg(value) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)*10000 + 0.5) AS BIGINT) "
+        "AS smooth FROM events"
+    )
+    sql["emb_group_mean"] = (
+        "SELECT vec_id % 5 AS g, CAST(t.i AS BIGINT) AS pos, "
+        "CAST(floor(avg(embedding[i])*1000000 + 0.5) AS BIGINT) AS mean_val "
+        "FROM embeddings, range(1, 65) AS t(i) GROUP BY 1, 2"
+    )
+    sql["corr_qty_price"] = (
+        "SELECT CAST(floor(corr(l_quantity, l_extendedprice)*1000000 + 0.5) "
+        "AS BIGINT) AS corr FROM lineitem"
     )
     sql["anomaly_topk"] = (
         "WITH s AS (SELECT event_id, user_id, ts, value, "

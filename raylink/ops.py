@@ -774,3 +774,109 @@ def exact_quantiles(ds: rd.Dataset, col: str, ps: list[float], *,
         r = s["r"]
         out.append(float(v0 + (r - np.floor(r)) * (v1 - v0)))
     return out
+
+
+def rolling_smooth(ds: rd.Dataset, part_col: str, order_cols: list[str],
+                   val_col: str, out_col: str, *, window: int = 5,
+                   stat: str = "mean", keep_cols: list[str] | None = None,
+                   scale: float = 1e6) -> rd.Dataset:
+    """Centered rolling smoothing per ordered key — mean (the
+    Savitzky-Golay/smooth_signal analog at polynomial order 0,
+    utils.py:203-226) or median (roll_med, utils.py:54-76). Edge windows
+    truncate, matching SQL ROWS BETWEEN framing. Fixed-point int64."""
+
+    def f(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(order_cols, kind="mergesort")
+        r = g[val_col].rolling(window, center=True, min_periods=1)
+        sm = r.mean() if stat == "mean" else r.median()
+        fixed = np.floor(sm.to_numpy() * scale + 0.5).astype(np.int64)
+        cols = keep_cols or [c for c in g.columns if c != val_col]
+        tab = pa.Table.from_pandas(g[cols], preserve_index=False)
+        return tab.append_column(out_col, pa.array(fixed, pa.int64()))
+
+    return ds.groupby(part_col).map_groups(f, batch_format="pandas")
+
+
+def grouped_vector_mean(ds: rd.Dataset, group_col: str, vec_col: str, *,
+                        scale: float = 1e6) -> rd.Dataset:
+    """Element-wise mean of a fixed-length vector column per group (the
+    mean-PSD-across-beats analog, pig_extract.py:2203-2207): per-batch
+    partial (group, sum-vector, n) rows, tiny grouped final combine,
+    flattened to (group, pos, mean) rows (hash-friendly output). Shuffle
+    volume: one vector per (group, batch)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        v = batch[vec_col].combine_chunks()
+        mat = v.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = mat.size // max(1, len(g))
+        mat = mat.reshape(len(g), dim)
+        order = np.argsort(g, kind="stable")
+        gs, ms = g[order], mat[order]
+        bounds = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        sums = np.add.reduceat(ms, bounds, axis=0)
+        ns = np.diff(np.r_[bounds, len(gs)])
+        k = len(bounds)
+        offs = pa.array(np.arange(k + 1, dtype=np.int32) * dim, pa.int32())
+        return pa.table({
+            group_col: pa.array(gs[bounds]),
+            "vsum": pa.ListArray.from_arrays(
+                offs, pa.array(sums.ravel(), pa.float64())),
+            "pn": pa.array(ns.astype(np.int64), pa.int64()),
+        })
+
+    def combine(grp: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        n = 0
+        for vs, pn in zip(grp["vsum"], grp["pn"]):
+            arr = np.asarray(vs, dtype=np.float64)
+            acc = arr if acc is None else acc + arr
+            n += int(pn)
+        mean = acc / n
+        fixed = np.floor(mean * scale + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            group_col: grp[group_col].iloc[0],
+            "pos": np.arange(1, len(mean) + 1, dtype=np.int64),
+            "mean_val": fixed,
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(group_col).map_groups(combine, batch_format="pandas"))
+
+
+def pearson_corr(ds: rd.Dataset, x_col: str, y_col: str, *,
+                 scale: float = 1e6) -> rd.Dataset:
+    """Pearson correlation of two columns as ONE mergeable aggregate
+    (n, sx, sy, sxx, syy, sxy partials — the corr_heatmap cell analog,
+    ml_anom.py:183-390). Returns a single fixed-point row."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~(np.isnan(x) | np.isnan(y))
+        x, y = x[ok], y[ok]
+        return pa.table({
+            "pn": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([float(x.sum())], pa.float64()),
+            "sy": pa.array([float(y.sum())], pa.float64()),
+            "sxx": pa.array([float((x * x).sum())], pa.float64()),
+            "syy": pa.array([float((y * y).sum())], pa.float64()),
+            "sxy": pa.array([float((x * y).sum())], pa.float64()),
+        })
+
+    rows = pa.concat_tables(list(
+        ds.select_columns([x_col, y_col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    n = float(pc.sum(rows["pn"]).as_py() or 0)
+    sx = float(pc.sum(rows["sx"]).as_py() or 0.0)
+    sy = float(pc.sum(rows["sy"]).as_py() or 0.0)
+    sxx = float(pc.sum(rows["sxx"]).as_py() or 0.0)
+    syy = float(pc.sum(rows["syy"]).as_py() or 0.0)
+    sxy = float(pc.sum(rows["sxy"]).as_py() or 0.0)
+    num = n * sxy - sx * sy
+    den = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+    r = num / den if den else float("nan")
+    fixed = int(np.floor(r * scale + 0.5))
+    return rd.from_arrow(pa.table({"corr": pa.array([fixed], pa.int64())}))
