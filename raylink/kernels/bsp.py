@@ -57,6 +57,47 @@ def iter_state_rows(batch: pa.Table, col: str = "vec"):
         yield int(parts[i]), flat[offs[i]: offs[i + 1]]
 
 
+def expand_chunks(state: rd.Dataset, graph: Graph, col: str = "vec") -> rd.Dataset:
+    """State rows (part, vec) -> one row per (part, CSR chunk) plus one
+    carrier row (sub = -1) per part. Scatter tasks then process a SINGLE
+    chunk each (batch_size=1), so a hub partition's chunks fan out across
+    workers instead of serializing inside one task — the source-side half
+    of SURVEY §7.5 hub splitting (the dst side is the structural bincount
+    pre-aggregation). The vec is duplicated per chunk row; chunked parts
+    exist only above ``chunk_edges`` edges, where the copy is noise."""
+    refs = graph.blocks
+
+    def f(batch: pa.Table) -> pa.Table:
+        vt = batch.schema.field(col).type
+        parts_out, subs_out, vecs = [], [], []
+        for part, vec in iter_state_rows(batch, col):
+            v = np.asarray(vec)
+            for s in range(-1, len(refs.get(part, []))):
+                parts_out.append(part)
+                subs_out.append(s)
+                vecs.append(v)
+        return pa.table({
+            "part": pa.array(parts_out, pa.int64()),
+            "sub": pa.array(subs_out, pa.int64()),
+            col: pa.array(vecs, vt),
+        })
+
+    return state.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def iter_chunk_rows(batch: pa.Table, col: str = "vec"):
+    """Yield (part, sub, numpy_vector) per expanded chunk row."""
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    offs = arr.offsets.to_numpy(zero_copy_only=False)
+    parts = batch.column("part").to_numpy(zero_copy_only=False)
+    subs = batch.column("sub").to_numpy(zero_copy_only=False)
+    for i in range(len(parts)):
+        yield int(parts[i]), int(subs[i]), flat[offs[i]: offs[i + 1]]
+
+
 def init_state(graph: Graph, values_of_part, col: str = "vec",
                dtype=pa.float64()) -> rd.Dataset:
     """One row per non-empty partition: (part, <col>=values_of_part(p))."""

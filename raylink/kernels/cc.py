@@ -38,25 +38,28 @@ def _make_scatter(graph: Graph):
     def scatter(batch: pa.Table) -> pa.Table:
         import ray as _ray
 
+        from .bsp import iter_chunk_rows
+
         rows = []
-        for part, labels in iter_state_rows(batch, "vec"):
+        for part, sub, labels in iter_chunk_rows(batch, "vec"):
             labels = labels.astype(np.int64, copy=False)
-            for sub, ref in enumerate(refs.get(part, [])):
-                blk = _ray.get(ref)
-                vals = labels[blk.src_local]
-                for q in range(P):
-                    lo, hi = blk.bounds[q], blk.bounds[q + 1]
-                    if hi <= lo:
-                        continue
-                    seg_dst = blk.dst_local[lo:hi]
-                    acc = np.full(int(seg_dst.max()) + 1, _I64MAX, dtype=np.int64)
-                    np.minimum.at(acc, seg_dst, vals[lo:hi])
-                    nz = np.flatnonzero(acc != _I64MAX)
-                    rows.append(
-                        partial_row(q, part, sub, 0,
-                                    idx=nz.astype(np.int32), lab=acc[nz])
-                    )
-            rows.append(partial_row(part, -1, -1, 1, lab=labels))
+            if sub < 0:
+                rows.append(partial_row(part, -1, -1, 1, lab=labels))
+                continue
+            blk = _ray.get(refs[part][sub])
+            vals = labels[blk.src_local]
+            for q in range(P):
+                lo, hi = blk.bounds[q], blk.bounds[q + 1]
+                if hi <= lo:
+                    continue
+                seg_dst = blk.dst_local[lo:hi]
+                acc = np.full(int(seg_dst.max()) + 1, _I64MAX, dtype=np.int64)
+                np.minimum.at(acc, seg_dst, vals[lo:hi])
+                nz = np.flatnonzero(acc != _I64MAX)
+                rows.append(
+                    partial_row(q, part, sub, 0,
+                                idx=nz.astype(np.int32), lab=acc[nz])
+                )
         return partials_table(rows)
 
     return scatter
@@ -240,11 +243,14 @@ def connected_components(
     scatter = _make_scatter(graph)
     combine = _make_combine(graph)
 
+    from .bsp import expand_chunks
+
     for it in range(start_iter + 1, max_iter + 1):
         t0 = time.perf_counter()
         new_state = (
-            state.map_batches(scatter, batch_format="pyarrow", batch_size=1,
-                              zero_copy_batch=True)
+            expand_chunks(state, graph)
+            .map_batches(scatter, batch_format="pyarrow", batch_size=1,
+                         zero_copy_batch=True)
             .groupby("dst_part")
             .map_groups(combine, batch_format="pyarrow")
             .materialize()

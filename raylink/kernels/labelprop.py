@@ -36,26 +36,29 @@ def _make_scatter(graph: Graph):
     def scatter(batch: pa.Table) -> pa.Table:
         import ray as _ray
 
+        from .bsp import iter_chunk_rows
+
         rows = []
-        for part, labels in iter_state_rows(batch, "vec"):
+        for part, sub, labels in iter_chunk_rows(batch, "vec"):
             labels = labels.astype(np.int64, copy=False)
-            for sub, ref in enumerate(refs.get(part, [])):
-                blk = _ray.get(ref)
-                vals = labels[blk.src_local]
-                for q in range(P):
-                    lo, hi = blk.bounds[q], blk.bounds[q + 1]
-                    if hi <= lo:
-                        continue
-                    pairs = np.stack([blk.dst_local[lo:hi].astype(np.int64),
-                                      vals[lo:hi]], axis=1)
-                    uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
-                    rows.append(
-                        partial_row(q, part, sub, 0,
-                                    idx=uniq[:, 0].astype(np.int32),
-                                    lab=uniq[:, 1],
-                                    cnt=cnt.astype(np.int64))
-                    )
-            rows.append(partial_row(part, -1, -1, 1, lab=labels))
+            if sub < 0:
+                rows.append(partial_row(part, -1, -1, 1, lab=labels))
+                continue
+            blk = _ray.get(refs[part][sub])
+            vals = labels[blk.src_local]
+            for q in range(P):
+                lo, hi = blk.bounds[q], blk.bounds[q + 1]
+                if hi <= lo:
+                    continue
+                pairs = np.stack([blk.dst_local[lo:hi].astype(np.int64),
+                                  vals[lo:hi]], axis=1)
+                uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
+                rows.append(
+                    partial_row(q, part, sub, 0,
+                                idx=uniq[:, 0].astype(np.int32),
+                                lab=uniq[:, 1],
+                                cnt=cnt.astype(np.int64))
+                )
         return partials_table(rows)
 
     return scatter
@@ -148,11 +151,14 @@ def label_propagation(
     scatter = _make_scatter(graph)
     combine = _make_combine(graph)
 
+    from .bsp import expand_chunks
+
     for it in range(start_iter + 1, max_iter + 1):
         t0 = time.perf_counter()
         new_state = (
-            state.map_batches(scatter, batch_format="pyarrow", batch_size=1,
-                              zero_copy_batch=True)
+            expand_chunks(state, graph)
+            .map_batches(scatter, batch_format="pyarrow", batch_size=1,
+                         zero_copy_batch=True)
             .groupby("dst_part")
             .map_groups(combine, batch_format="pyarrow")
             .materialize()

@@ -58,28 +58,30 @@ def _make_scatter(graph: Graph):
     def scatter(batch: pa.Table) -> pa.Table:
         import ray as _ray
 
+        from .bsp import iter_chunk_rows
+
         rows = []
-        for part, scores in iter_state_rows(batch):
-            chunks = [_ray.get(r) for r in refs.get(part, [])]
-            if chunks:
-                deg = chunks[0].deg
-                w = np.where(deg > 0, scores / np.maximum(deg, 1), 0.0)
-            for sub, blk in enumerate(chunks):
-                vals = w[blk.src_local]
-                for q in range(P):
-                    lo, hi = blk.bounds[q], blk.bounds[q + 1]
-                    if hi <= lo:
-                        continue
-                    seg_dst = blk.dst_local[lo:hi]
-                    acc = np.bincount(seg_dst, weights=vals[lo:hi])
-                    nz = np.flatnonzero(acc)
-                    rows.append(
-                        partial_row(q, part, sub, 0,
-                                    idx=nz.astype(np.int32), vec=acc[nz])
-                    )
-            # previous-state row (also carries nothing else; dangling handled
-            # by the pre-pass in pagerank())
-            rows.append(partial_row(part, -1, -1, 1, vec=scores))
+        for part, sub, scores in iter_chunk_rows(batch):
+            if sub < 0:
+                # carrier row: previous state (dangling handled by the
+                # pre-pass in pagerank())
+                rows.append(partial_row(part, -1, -1, 1, vec=scores))
+                continue
+            blk = _ray.get(refs[part][sub])
+            deg = blk.deg
+            w = np.where(deg > 0, scores / np.maximum(deg, 1), 0.0)
+            vals = w[blk.src_local]
+            for q in range(P):
+                lo, hi = blk.bounds[q], blk.bounds[q + 1]
+                if hi <= lo:
+                    continue
+                seg_dst = blk.dst_local[lo:hi]
+                acc = np.bincount(seg_dst, weights=vals[lo:hi])
+                nz = np.flatnonzero(acc)
+                rows.append(
+                    partial_row(q, part, sub, 0,
+                                idx=nz.astype(np.int32), vec=acc[nz])
+                )
         return partials_table(rows)
 
     return scatter
@@ -193,9 +195,11 @@ def pagerank(
     # thereafter carried forward by the combine ("dm" column)
     dm = float(state.map_batches(dangling_local, batch_format="pyarrow").sum("dm"))
 
+    from .bsp import expand_chunks
+
     for it in range(start_iter + 1, max_iter + 1):
         t0 = time.perf_counter()
-        partials = state.map_batches(
+        partials = expand_chunks(state, graph).map_batches(
             scatter, batch_format="pyarrow", batch_size=1, zero_copy_batch=True
         )
         combine = _make_combine(graph, damping, dm)

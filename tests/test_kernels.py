@@ -265,3 +265,24 @@ def test_join_keys_partitioned_matches_broadcast():
     b = join_keys(ranks, g, "score", broadcast_max_vertices=0).to_pandas() \
         .sort_values("key").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_chunked_scatter_matches_single_chunk():
+    """Hub-splitting: a build forced into many small CSR chunks (so scatter
+    fans out one task per chunk) must produce bit-identical PageRank and
+    identical CC/LP labels to the single-chunk build."""
+    pairs = overlay_pairs()
+    gd = G.build_graph(edges_ds(pairs), P=P)
+    gc = G.build_graph(edges_ds(pairs), P=P, chunk_edges=8)
+    assert max(len(v) for v in gc.blocks.values()) > 1  # chunks actually split
+    rd_ = pagerank(gd, tol=0.0, max_iter=4).to_pandas().sort_values("vid")
+    rc_ = pagerank(gc, tol=0.0, max_iter=4).to_pandas().sort_values("vid")
+    assert np.array_equal(rd_["score"].to_numpy(), rc_["score"].to_numpy())
+    sd = G.build_graph(edges_ds(pairs), P=P, symmetric=True)
+    sc = G.build_graph(edges_ds(pairs), P=P, symmetric=True, chunk_edges=8)
+    cd = connected_components(sd).to_pandas().sort_values("vid")
+    cc2 = connected_components(sc).to_pandas().sort_values("vid")
+    assert cd["comp"].tolist() == cc2["comp"].tolist()
+    ld = label_propagation(sd, max_iter=2).to_pandas().sort_values("vid")
+    lc = label_propagation(sc, max_iter=2).to_pandas().sort_values("vid")
+    assert ld["label"].tolist() == lc["label"].tolist()
