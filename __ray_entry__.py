@@ -221,6 +221,19 @@ def q_region_revenue(sf_dir: str):
     return out
 
 
+def q_orders_customer_join(sf_dir: str):
+    """General big-big hash equi-join (both sides shuffled into
+    co-partitions; SURVEY §2.7) - vs broadcast_left_join's small-side
+    path."""
+    from raylink.ops import hash_join
+
+    out = hash_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        "o_custkey", right_on="c_custkey", num_partitions=16)
+    return out.select_columns(["o_orderkey", "c_nationkey"])
+
+
 def q_mode_event_type(sf_dir: str):
     """Grouped mode with deterministic tiebreak (§2.8)."""
     from raylink.ops import grouped_mode
@@ -749,6 +762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "orders_window_items": q_orders_window_items,
         "region_revenue": q_region_revenue,
+        "orders_customer_join": q_orders_customer_join,
         "mode_event_type": q_mode_event_type,
         "price_outliers": q_price_outliers,
         "approx_price_outliers": q_approx_price_outliers,
@@ -917,6 +931,10 @@ def oracle_sql() -> dict[str, str]:
         "JOIN customer ON o_custkey = c_custkey "
         "JOIN nation ON c_nationkey = n_nationkey "
         "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+    )
+    sql["orders_customer_join"] = (
+        "SELECT o_orderkey, c_nationkey FROM orders "
+        "JOIN customer ON o_custkey = c_custkey"
     )
     sql["mode_event_type"] = (
         "WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events "

@@ -880,3 +880,17 @@ def pearson_corr(ds: rd.Dataset, x_col: str, y_col: str, *,
     r = num / den if den else float("nan")
     fixed = int(np.floor(r * scale + 0.5))
     return rd.from_arrow(pa.table({"corr": pa.array([fixed], pa.int64())}))
+
+
+def hash_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
+              right_on: str | None = None, how: str = "inner",
+              num_partitions: int = 32) -> rd.Dataset:
+    """General distributed equi-join (SURVEY §2.7, the big-big path):
+    Ray Data's native hash join — both sides hash-partitioned into
+    ``num_partitions`` co-partitions, joined partition-wise. Use
+    :func:`broadcast_left_join` instead when one side is dimension-sized
+    (no shuffle); this one shuffles both sides once."""
+    return left.join(
+        right, join_type=how, num_partitions=num_partitions,
+        on=(on,), right_on=(right_on,) if right_on else None,
+    )
