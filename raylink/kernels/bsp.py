@@ -64,7 +64,12 @@ def expand_chunks(state: rd.Dataset, graph: Graph, col: str = "vec") -> rd.Datas
     workers instead of serializing inside one task — the source-side half
     of SURVEY §7.5 hub splitting (the dst side is the structural bincount
     pre-aggregation). The vec is duplicated per chunk row; chunked parts
-    exist only above ``chunk_edges`` edges, where the copy is noise."""
+    exist only above ``chunk_edges`` edges, where the copy is noise.
+
+    When NO partition has more than one chunk the expansion is the
+    identity plus a superstep-rate map stage, so callers skip it
+    (:func:`maybe_expand_chunks`) and scatters fall back to walking the
+    single chunk in place — zero overhead on unchunked graphs."""
     refs = graph.blocks
 
     def f(batch: pa.Table) -> pa.Table:
@@ -85,17 +90,37 @@ def expand_chunks(state: rd.Dataset, graph: Graph, col: str = "vec") -> rd.Datas
     return state.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def maybe_expand_chunks(state: rd.Dataset, graph: Graph,
+                        col: str = "vec") -> rd.Dataset:
+    """:func:`expand_chunks` only when some partition actually has multiple
+    CSR chunks; otherwise the plain state rows pass through untouched (the
+    scatters accept both row shapes via :func:`iter_chunk_rows`)."""
+    if any(len(v) > 1 for v in graph.blocks.values()):
+        return expand_chunks(state, graph, col)
+    return state
+
+
 def iter_chunk_rows(batch: pa.Table, col: str = "vec"):
-    """Yield (part, sub, numpy_vector) per expanded chunk row."""
+    """Yield (part, sub, numpy_vector) per row. Expanded batches carry an
+    explicit ``sub`` column; plain state batches (one row per part, single
+    chunk) yield sub = -1 (carrier) then sub = 0 for the same vector, so
+    scatters written against this iterator handle both shapes."""
     arr = batch.column(col)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     flat = arr.flatten().to_numpy(zero_copy_only=False)
     offs = arr.offsets.to_numpy(zero_copy_only=False)
     parts = batch.column("part").to_numpy(zero_copy_only=False)
-    subs = batch.column("sub").to_numpy(zero_copy_only=False)
+    expanded = "sub" in batch.column_names
+    subs = (batch.column("sub").to_numpy(zero_copy_only=False)
+            if expanded else None)
     for i in range(len(parts)):
-        yield int(parts[i]), int(subs[i]), flat[offs[i]: offs[i + 1]]
+        vec = flat[offs[i]: offs[i + 1]]
+        if expanded:
+            yield int(parts[i]), int(subs[i]), vec
+        else:
+            yield int(parts[i]), -1, vec
+            yield int(parts[i]), 0, vec
 
 
 def init_state(graph: Graph, values_of_part, col: str = "vec",

@@ -46,7 +46,10 @@ def _make_scatter(graph: Graph):
             if sub < 0:
                 rows.append(partial_row(part, -1, -1, 1, lab=labels))
                 continue
-            blk = _ray.get(refs[part][sub])
+            chunks = refs.get(part, [])
+            if sub >= len(chunks):
+                continue  # plain-row shape on a blockless partition
+            blk = _ray.get(chunks[sub])
             vals = labels[blk.src_local]
             for q in range(P):
                 lo, hi = blk.bounds[q], blk.bounds[q + 1]
@@ -243,12 +246,12 @@ def connected_components(
     scatter = _make_scatter(graph)
     combine = _make_combine(graph)
 
-    from .bsp import expand_chunks
+    from .bsp import maybe_expand_chunks
 
     for it in range(start_iter + 1, max_iter + 1):
         t0 = time.perf_counter()
         new_state = (
-            expand_chunks(state, graph)
+            maybe_expand_chunks(state, graph)
             .map_batches(scatter, batch_format="pyarrow", batch_size=1,
                          zero_copy_batch=True)
             .groupby("dst_part")

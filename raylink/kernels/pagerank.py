@@ -67,7 +67,10 @@ def _make_scatter(graph: Graph):
                 # pre-pass in pagerank())
                 rows.append(partial_row(part, -1, -1, 1, vec=scores))
                 continue
-            blk = _ray.get(refs[part][sub])
+            chunks = refs.get(part, [])
+            if sub >= len(chunks):
+                continue  # plain-row shape on a blockless partition
+            blk = _ray.get(chunks[sub])
             deg = blk.deg
             w = np.where(deg > 0, scores / np.maximum(deg, 1), 0.0)
             vals = w[blk.src_local]
@@ -195,11 +198,11 @@ def pagerank(
     # thereafter carried forward by the combine ("dm" column)
     dm = float(state.map_batches(dangling_local, batch_format="pyarrow").sum("dm"))
 
-    from .bsp import expand_chunks
+    from .bsp import maybe_expand_chunks
 
     for it in range(start_iter + 1, max_iter + 1):
         t0 = time.perf_counter()
-        partials = expand_chunks(state, graph).map_batches(
+        partials = maybe_expand_chunks(state, graph).map_batches(
             scatter, batch_format="pyarrow", batch_size=1, zero_copy_batch=True
         )
         combine = _make_combine(graph, damping, dm)
