@@ -487,6 +487,40 @@ def q_graph_lp1(sf_dir: str):
     return _rename(join_keys(labels, sg, "label"), {"key": "user_id"})
 
 
+def q_graph_bfs(sf_dir: str):
+    """BFS hop distance from the min-key vertex (min-plus BSP kernel);
+    unreachable vertices dropped."""
+    from raylink.graph import build_graph
+    from raylink.kernels import bfs_hops
+    from raylink.pipelines.flagship import join_keys
+
+    sg = build_graph(_user_edges(sf_dir), P=GRAPH_P, symmetric=True,
+                     already_deduped=True)
+    vert = pa.concat_tables(list(
+        sg.vertices.iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    keys = vert["key"].to_numpy(zero_copy_only=False)
+    vids = vert["vid"].to_numpy(zero_copy_only=False)
+    svid = int(vids[int(np.argmin(keys))])
+    hops = bfs_hops(sg, svid)
+    return _rename(join_keys(hops, sg, "hops"), {"key": "user_id"})
+
+
+KCORE_ROUNDS = 8
+
+
+def q_graph_kcore(sf_dir: str):
+    """2-core membership via iterative peeling (fixed unroll depth shared
+    with the SQL oracle; equal even if the fixpoint lands earlier)."""
+    from raylink.graph import build_graph
+    from raylink.kernels import k_core
+    from raylink.pipelines.flagship import join_keys
+
+    sg = build_graph(_user_edges(sf_dir), P=GRAPH_P, symmetric=True,
+                     already_deduped=True)
+    cores = k_core(sg, 2, max_iter=KCORE_ROUNDS)
+    return _rename(join_keys(cores, sg, "in_core"), {"key": "user_id"})
+
+
 def q_graph_triangles(sf_dir: str):
     from raylink.graph import build_graph
     from raylink.kernels import triangle_count
@@ -784,6 +818,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_components": q_graph_components,
         "graph_lp1": q_graph_lp1,
+        "graph_bfs": q_graph_bfs,
+        "graph_kcore": q_graph_kcore,
         "graph_triangles": q_graph_triangles,
         "pages_docs": q_pages_docs,
         "pages_pagerank": q_pages_pagerank,
@@ -1064,6 +1100,12 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY n DESC, lab) AS rn FROM c) "
         "SELECT v AS user_id, CAST(lab AS BIGINT) AS label FROM w WHERE rn = 1"
     )
+    sql["graph_bfs"] = (
+        """WITH RECURSIVE " + _E_CTE + ", und AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e)), v AS (SELECT a AS v FROM und UNION SELECT b FROM und), b(v, d) AS (SELECT (SELECT min(v) FROM v), 0 UNION SELECT u.b, b.d + 1 FROM b JOIN und u ON u.a = b.v WHERE b.d < 200) SELECT v AS user_id, CAST(min(d) AS BIGINT) AS hops FROM b GROUP BY v"""
+    ).replace('" + _E_CTE + "', _E_CTE)
+    sql["graph_kcore"] = (
+        """WITH " + _E_CTE + ", und AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e)), v AS (SELECT a AS v FROM und UNION SELECT b FROM und), a0 AS (SELECT v FROM v), a1 AS (SELECT u.a AS v FROM und u JOIN a0 nb ON nb.v = u.b JOIN a0 me ON me.v = u.a GROUP BY u.a HAVING count(*) >= 2), a2 AS (SELECT u.a AS v FROM und u JOIN a1 nb ON nb.v = u.b JOIN a1 me ON me.v = u.a GROUP BY u.a HAVING count(*) >= 2), a3 AS (SELECT u.a AS v FROM und u JOIN a2 nb ON nb.v = u.b JOIN a2 me ON me.v = u.a GROUP BY u.a HAVING count(*) >= 2), a4 AS (SELECT u.a AS v FROM und u JOIN a3 nb ON nb.v = u.b JOIN a3 me ON me.v = u.a GROUP BY u.a HAVING count(*) >= 2), a5 AS (SELECT u.a AS v FROM und u JOIN a4 nb ON nb.v = u.b JOIN a4 me ON me.v = u.a GROUP BY u.a HAVING count(*) >= 2), a6 AS (SELECT u.a AS v FROM und u JOIN a5 nb ON nb.v = u.b JOIN a5 me ON me.v = u.a GROUP BY u.a HAVING count(*) >= 2), a7 AS (SELECT u.a AS v FROM und u JOIN a6 nb ON nb.v = u.b JOIN a6 me ON me.v = u.a GROUP BY u.a HAVING count(*) >= 2), a8 AS (SELECT u.a AS v FROM und u JOIN a7 nb ON nb.v = u.b JOIN a7 me ON me.v = u.a GROUP BY u.a HAVING count(*) >= 2) SELECT v.v AS user_id, CAST(CASE WHEN v.v IN (SELECT v FROM a8) THEN 1 ELSE 0 END AS BIGINT) AS in_core FROM v"""
+    ).replace('" + _E_CTE + "', _E_CTE)
     sql["graph_triangles"] = (
         f"WITH {_E_CTE}, "
         "u2 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "

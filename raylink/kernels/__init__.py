@@ -20,5 +20,7 @@ from .pagerank import pagerank
 from .cc import connected_components
 from .labelprop import label_propagation
 from .triangles import triangle_count
+from .traversal import bfs_hops, k_core
 
-__all__ = ["pagerank", "connected_components", "label_propagation", "triangle_count"]
+__all__ = ["pagerank", "connected_components", "label_propagation",
+           "triangle_count", "bfs_hops", "k_core"]

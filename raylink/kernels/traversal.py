@@ -1,0 +1,248 @@
+"""BFS hop distance and k-core decomposition as BSP superstep kernels.
+
+Both reuse the CC kernel's physical shape — scatter emits per
+(src_part -> dst_part) pre-aggregated partials (bincount/min, so a hub's
+fan-in is bounded by P rows), ``groupby(dst_part)`` is the superstep's one
+shuffle, combine is an order-free integer reduction — and the chunk-parallel
+expansion (bsp.maybe_expand_chunks) for hub partitions.
+
+- :func:`bfs_hops`: min-plus propagation from one source vertex; exact,
+  converges in diameter rounds; unreachable vertices keep INF and are
+  dropped from the output.
+- :func:`k_core`: iterative peeling — a vertex stays alive while it has
+  >= k alive neighbors; run to fixpoint (exact k-core) or a fixed round
+  count (matches an unrolled SQL oracle).
+
+Reference parity: gated iterative refinement with carried integer state
+(history-fed validity gates, peak_detect_v4.py:987-1167) redesigned
+order-independent per SURVEY §2.10/§7.0.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..graph import Graph
+from .bsp import (
+    init_state,
+    iter_chunk_rows,
+    maybe_expand_chunks,
+    partial_row,
+    partials_table,
+    state_to_vertex_table,
+    sum_columns,
+)
+
+_INF = np.int64(1 << 62)
+
+
+def _min_scatter(graph: Graph, *, plus_one: bool):
+    refs = graph.blocks
+    P = graph.P
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        rows = []
+        for part, sub, vec in iter_chunk_rows(batch, "vec"):
+            vec = vec.astype(np.int64, copy=False)
+            if sub < 0:
+                rows.append(partial_row(part, -1, -1, 1, lab=vec))
+                continue
+            chunks = refs.get(part, [])
+            if sub >= len(chunks):
+                continue
+            blk = _ray.get(chunks[sub])
+            vals = vec[blk.src_local]
+            if plus_one:
+                vals = np.where(vals >= _INF, _INF, vals + 1)
+            for q in range(P):
+                lo, hi = blk.bounds[q], blk.bounds[q + 1]
+                if hi <= lo:
+                    continue
+                seg_dst = blk.dst_local[lo:hi]
+                acc = np.full(int(seg_dst.max()) + 1, _INF, dtype=np.int64)
+                np.minimum.at(acc, seg_dst, vals[lo:hi])
+                nz = np.flatnonzero(acc != _INF)
+                if len(nz):
+                    rows.append(partial_row(q, part, sub, 0,
+                                            idx=nz.astype(np.int32),
+                                            lab=acc[nz]))
+        return partials_table(rows)
+
+    return scatter
+
+
+def _min_combine(graph: Graph):
+    n_per_part = graph.n_per_part
+
+    def combine(group: pa.Table) -> pa.Table:
+        kinds = group["kind"].to_numpy(zero_copy_only=False)
+        prev_i = int(np.flatnonzero(kinds == 1)[0])
+        part = int(group["dst_part"][prev_i].as_py())
+        idx_col = group["idx"].combine_chunks()
+        lab_col = group["lab"].combine_chunks()
+        idx_flat = idx_col.flatten().to_numpy(zero_copy_only=False)
+        idx_offs = idx_col.offsets.to_numpy(zero_copy_only=False)
+        lab_flat = lab_col.flatten().to_numpy(zero_copy_only=False)
+        lab_offs = lab_col.offsets.to_numpy(zero_copy_only=False)
+        prev = lab_flat[lab_offs[prev_i]: lab_offs[prev_i + 1]].astype(np.int64)
+        new = prev.copy()
+        for i in range(group.num_rows):
+            if kinds[i] != 0:
+                continue
+            idx = idx_flat[idx_offs[i]: idx_offs[i + 1]].astype(np.int64)
+            lab = lab_flat[lab_offs[i]: lab_offs[i + 1]]
+            np.minimum.at(new, idx, lab)
+        changed = int((new != prev).sum())
+        assert len(prev) == int(n_per_part[part])
+        return pa.table({
+            "part": pa.array([part], pa.int64()),
+            "vec": pa.array([new], pa.list_(pa.int64())),
+            "changed": pa.array([changed], pa.int64()),
+        })
+
+    return combine
+
+
+def bfs_hops(graph: Graph, source_vid: int, *, max_iter: int = 10_000,
+             metrics_out: list | None = None) -> rd.Dataset:
+    """(vid, hops) for vertices reachable from ``source_vid``. Run on a
+    symmetric build for undirected hop distance, directed for reachability
+    distance."""
+    P = graph.P
+    s_part, s_local = int(source_vid) % P, int(source_vid) // P
+
+    def init_of(p: int) -> np.ndarray:
+        v = np.full(int(graph.n_per_part[p]), _INF, dtype=np.int64)
+        if p == s_part:
+            v[s_local] = 0
+        return v
+
+    state = init_state(graph, init_of, dtype=pa.int64())
+    scatter = _min_scatter(graph, plus_one=True)
+    combine = _min_combine(graph)
+
+    for it in range(1, max_iter + 1):
+        t0 = time.perf_counter()
+        state = (
+            maybe_expand_chunks(state, graph)
+            .map_batches(scatter, batch_format="pyarrow", batch_size=1,
+                         zero_copy_batch=True)
+            .groupby("dst_part")
+            .map_groups(combine, batch_format="pyarrow")
+            .materialize()
+        )
+        changed = int(sum_columns(state, ["changed"])["changed"])
+        if metrics_out is not None:
+            metrics_out.append({"iter": it, "changed": changed,
+                                "sec": time.perf_counter() - t0})
+        if changed == 0:
+            break
+
+    out = state_to_vertex_table(state, graph, "vec", "hops")
+
+    def finite(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.less(batch["hops"], int(_INF)))
+
+    return out.map_batches(finite, batch_format="pyarrow")
+
+
+def k_core(graph: Graph, k: int, *, max_iter: int = 10_000,
+           metrics_out: list | None = None) -> rd.Dataset:
+    """(vid, in_core) 0/1 membership of the k-core (run on a symmetric
+    build). Iterative peeling: each round counts ALIVE neighbors (alive
+    indicator scattered through the same bincount partials as PageRank
+    contributions) and kills vertices below ``k``; fixpoint = exact
+    k-core. ``max_iter`` caps rounds for fixed-round oracle parity."""
+    refs = graph.blocks
+    P = graph.P
+
+    state = init_state(graph,
+                       lambda p: np.ones(int(graph.n_per_part[p]), np.int64),
+                       dtype=pa.int64())
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        rows = []
+        for part, sub, alive in iter_chunk_rows(batch, "vec"):
+            alive = alive.astype(np.int64, copy=False)
+            if sub < 0:
+                rows.append(partial_row(part, -1, -1, 1, lab=alive))
+                continue
+            chunks = refs.get(part, [])
+            if sub >= len(chunks):
+                continue
+            blk = _ray.get(chunks[sub])
+            vals = alive[blk.src_local]
+            for q in range(P):
+                lo, hi = blk.bounds[q], blk.bounds[q + 1]
+                if hi <= lo:
+                    continue
+                seg_dst = blk.dst_local[lo:hi]
+                acc = np.bincount(seg_dst, weights=vals[lo:hi])
+                nz = np.flatnonzero(acc)
+                if len(nz):
+                    rows.append(partial_row(q, part, sub, 0,
+                                            idx=nz.astype(np.int32),
+                                            cnt=acc[nz].astype(np.int64)))
+        return partials_table(rows)
+
+    n_per_part = graph.n_per_part
+
+    def combine(group: pa.Table) -> pa.Table:
+        kinds = group["kind"].to_numpy(zero_copy_only=False)
+        prev_i = int(np.flatnonzero(kinds == 1)[0])
+        part = int(group["dst_part"][prev_i].as_py())
+        idx_col = group["idx"].combine_chunks()
+        cnt_col = group["cnt"].combine_chunks()
+        lab_col = group["lab"].combine_chunks()
+        idx_flat = idx_col.flatten().to_numpy(zero_copy_only=False)
+        idx_offs = idx_col.offsets.to_numpy(zero_copy_only=False)
+        cnt_flat = cnt_col.flatten().to_numpy(zero_copy_only=False)
+        cnt_offs = cnt_col.offsets.to_numpy(zero_copy_only=False)
+        lab_flat = lab_col.flatten().to_numpy(zero_copy_only=False)
+        lab_offs = lab_col.offsets.to_numpy(zero_copy_only=False)
+        prev = lab_flat[lab_offs[prev_i]: lab_offs[prev_i + 1]].astype(np.int64)
+        deg_alive = np.zeros(int(n_per_part[part]), dtype=np.int64)
+        for i in range(group.num_rows):
+            if kinds[i] != 0:
+                continue
+            idx = idx_flat[idx_offs[i]: idx_offs[i + 1]].astype(np.int64)
+            cnt = cnt_flat[cnt_offs[i]: cnt_offs[i + 1]]
+            np.add.at(deg_alive, idx, cnt)
+        new = (prev > 0) & (deg_alive >= k)
+        new = new.astype(np.int64)
+        changed = int((new != prev).sum())
+        return pa.table({
+            "part": pa.array([part], pa.int64()),
+            "vec": pa.array([new], pa.list_(pa.int64())),
+            "changed": pa.array([changed], pa.int64()),
+        })
+
+    for it in range(1, max_iter + 1):
+        t0 = time.perf_counter()
+        state = (
+            maybe_expand_chunks(state, graph)
+            .map_batches(scatter, batch_format="pyarrow", batch_size=1,
+                         zero_copy_batch=True)
+            .groupby("dst_part")
+            .map_groups(combine, batch_format="pyarrow")
+            .materialize()
+        )
+        changed = int(sum_columns(state, ["changed"])["changed"])
+        if metrics_out is not None:
+            metrics_out.append({"iter": it, "changed": changed,
+                                "sec": time.perf_counter() - t0})
+        if changed == 0:
+            break
+
+    return state_to_vertex_table(state, graph, "vec", "in_core")

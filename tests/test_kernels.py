@@ -286,3 +286,23 @@ def test_chunked_scatter_matches_single_chunk():
     ld = label_propagation(sd, max_iter=2).to_pandas().sort_values("vid")
     lc = label_propagation(sc, max_iter=2).to_pandas().sort_values("vid")
     assert ld["label"].tolist() == lc["label"].tolist()
+
+
+def test_bfs_ring_and_kcore_fixtures():
+    from raylink.kernels import bfs_hops, k_core
+
+    n = 16
+    sg = G.build_graph(edges_ds(ring_pairs(n)), P=P, symmetric=True)
+    # source = vid of key "v0"
+    vert = {r["key"]: r["vid"] for b in sg.vertices.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()}
+    hops = values_by_key(bfs_hops(sg, vert["v0"]), sg, "hops")
+    for i in range(n):
+        assert hops[f"v{i}"] == min(i, n - i)  # ring distance both ways
+    core = values_by_key(k_core(sg, 2), sg, "in_core")
+    assert all(v == 1 for v in core.values())  # a ring IS its own 2-core
+    # star: hub + leaves, no 2-core at all
+    star = [("hub", f"l{i}") for i in range(6)]
+    ss = G.build_graph(edges_ds(star), P=P, symmetric=True)
+    core2 = values_by_key(k_core(ss, 2), ss, "in_core")
+    assert all(v == 0 for v in core2.values())
