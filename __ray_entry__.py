@@ -487,6 +487,29 @@ def q_graph_lp1(sf_dir: str):
     return _rename(join_keys(labels, sg, "label"), {"key": "user_id"})
 
 
+def _min_key_vid(sg):
+    vert = pa.concat_tables(list(
+        sg.vertices.iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    keys = vert["key"].to_numpy(zero_copy_only=False)
+    vids = vert["vid"].to_numpy(zero_copy_only=False)
+    return int(vids[int(np.argmin(keys))])
+
+
+def q_graph_ppr(sf_dir: str):
+    """Personalized PageRank: teleport + dangling mass restart at the
+    min-key seed vertex (fixed supersteps, unrolled-CTE oracle)."""
+    from raylink.graph import build_graph
+    from raylink.kernels import pagerank
+    from raylink.pipelines.flagship import join_keys
+    from raylink.ops import scale_columns
+
+    g = build_graph(_user_edges(sf_dir), P=GRAPH_P, already_deduped=True)
+    ranks = pagerank(g, damping=DAMPING, tol=0.0, max_iter=PR_ITERS,
+                     personalize_vid=_min_key_vid(g))
+    out = _rename(join_keys(ranks, g, "score"), {"key": "user_id"})
+    return scale_columns(out, {"score": 1e9})
+
+
 def q_graph_bfs(sf_dir: str):
     """BFS hop distance from the min-key vertex (min-plus BSP kernel);
     unreachable vertices dropped."""
@@ -496,12 +519,7 @@ def q_graph_bfs(sf_dir: str):
 
     sg = build_graph(_user_edges(sf_dir), P=GRAPH_P, symmetric=True,
                      already_deduped=True)
-    vert = pa.concat_tables(list(
-        sg.vertices.iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
-    keys = vert["key"].to_numpy(zero_copy_only=False)
-    vids = vert["vid"].to_numpy(zero_copy_only=False)
-    svid = int(vids[int(np.argmin(keys))])
-    hops = bfs_hops(sg, svid)
+    hops = bfs_hops(sg, _min_key_vid(sg))
     return _rename(join_keys(hops, sg, "hops"), {"key": "user_id"})
 
 
@@ -818,6 +836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_components": q_graph_components,
         "graph_lp1": q_graph_lp1,
+        "graph_ppr": q_graph_ppr,
         "graph_bfs": q_graph_bfs,
         "graph_kcore": q_graph_kcore,
         "graph_triangles": q_graph_triangles,
@@ -877,6 +896,40 @@ def _pr_sql_body(edge_cte: str, iters: int, out_key: str) -> str:
         parts.append(
             f"s{k} AS (SELECT v.v, (1.0-{d})/nn.n + {d}*(coalesce(c{k}.contrib,0) "
             f"+ dm{k}.dm/nn.n) AS s FROM v CROSS JOIN nn CROSS JOIN dm{k} "
+            f"LEFT JOIN c{k} ON c{k}.v = v.v)"
+        )
+    return ("WITH " + ",\n".join(parts) +
+            f"\nSELECT v AS {out_key}, CAST(floor(s*1000000000 + 0.5) AS BIGINT) "
+            f"AS score FROM s{iters}")
+
+
+
+
+def _ppr_sql_body(edge_cte: str, iters: int, out_key: str) -> str:
+    d = DAMPING
+    parts = [
+        edge_cte,
+        "v AS (SELECT src AS v FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src)",
+        "sd AS (SELECT min(v) AS s FROM v)",
+        "s0 AS (SELECT v.v, CASE WHEN v.v = sd.s THEN 1.0 ELSE 0.0 END AS s "
+        "FROM v CROSS JOIN sd)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"dm{k} AS (SELECT coalesce(sum(p.s), 0) AS dm FROM s{k-1} p "
+            f"LEFT JOIN deg ON p.v = deg.src WHERE deg.src IS NULL)"
+        )
+        parts.append(
+            f"c{k} AS (SELECT e.dst AS v, sum(p.s/deg.d) AS contrib "
+            f"FROM s{k-1} p JOIN e ON p.v = e.src JOIN deg ON deg.src = e.src "
+            f"GROUP BY e.dst)"
+        )
+        parts.append(
+            f"s{k} AS (SELECT v.v, CASE WHEN v.v = sd.s THEN "
+            f"(1.0-{d}) + {d}*(coalesce(c{k}.contrib,0) + dm{k}.dm) "
+            f"ELSE {d}*coalesce(c{k}.contrib,0) END AS s "
+            f"FROM v CROSS JOIN sd CROSS JOIN dm{k} "
             f"LEFT JOIN c{k} ON c{k}.v = v.v)"
         )
     return ("WITH " + ",\n".join(parts) +
@@ -1080,6 +1133,7 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT dst, 0, 1 FROM e) GROUP BY v"
     )
     sql["graph_pagerank"] = _pr_sql_body(_E_CTE, PR_ITERS, "user_id")
+    sql["graph_ppr"] = _ppr_sql_body(_E_CTE, PR_ITERS, "user_id")
     sql["graph_components"] = (
         f"WITH RECURSIVE {_E_CTE}, "
         "und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e), "

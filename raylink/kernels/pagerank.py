@@ -90,7 +90,13 @@ def _make_scatter(graph: Graph):
     return scatter
 
 
-def _make_combine(graph: Graph, damping: float, dangling_mass: float):
+def _make_combine(graph: Graph, damping: float, dangling_mass: float,
+                  seed: tuple[int, int] | None = None):
+    """``seed=None``: uniform teleport (classic PageRank; formula kept
+    byte-stable with round 1). ``seed=(part, local)``: personalized
+    PageRank — all teleport and dangling mass flows to the seed vertex:
+    new_seed = (1-d) + d*(acc_seed + dm), new_other = d*acc_other
+    (the exact float sequence the SQL twin mirrors)."""
     n = graph.n
     P = graph.P
     n_per_part = graph.n_per_part
@@ -123,7 +129,13 @@ def _make_combine(graph: Graph, damping: float, dangling_mass: float):
             idx = idx_flat[idx_offs[i]: idx_offs[i + 1]].astype(np.int64)
             val = vec_flat[vec_offs[i]: vec_offs[i + 1]]
             np.add.at(acc, idx, val)
-        new = (1.0 - damping) / n + damping * (acc + dangling_mass / n)
+        if seed is None:
+            new = (1.0 - damping) / n + damping * (acc + dangling_mass / n)
+        else:
+            new = damping * acc
+            if part == seed[0]:
+                new[seed[1]] = (1.0 - damping) + damping * (
+                    acc[seed[1]] + dangling_mass)
         delta = float(np.abs(new - prev).sum())
         # next superstep's dangling contribution of this partition, computed
         # here so the iteration needs no extra dangling pass (one Dataset
@@ -171,21 +183,39 @@ def pagerank(
     damping: float = 0.85,
     tol: float = 1e-6,
     max_iter: int = 200,
+    personalize_vid: int | None = None,
     checkpoint_dir: str | None = None,
     metrics_out: list | None = None,
 ) -> rd.Dataset:
     """Run to convergence; returns per-vertex Dataset (vid, score).
+
+    ``personalize_vid``: personalized PageRank — teleport and dangling
+    mass flow to that single vertex (scores = stationary distribution of
+    the random walk with restarts at the seed).
 
     With ``checkpoint_dir``, every superstep writes per-partition state +
     manifest; a rerun resumes from the newest complete iteration.
     """
     store = None
     start_iter = 0
-    state = init_state(graph, lambda p: np.full(int(graph.n_per_part[p]), 1.0 / graph.n))
+    seed = None
+    if personalize_vid is not None:
+        seed = (int(personalize_vid) % graph.P, int(personalize_vid) // graph.P)
+
+        def init_of(p: int) -> np.ndarray:
+            v = np.zeros(int(graph.n_per_part[p]))
+            if p == seed[0]:
+                v[seed[1]] = 1.0
+            return v
+
+        state = init_state(graph, init_of)
+    else:
+        state = init_state(graph, lambda p: np.full(int(graph.n_per_part[p]), 1.0 / graph.n))
     if checkpoint_dir:
         store = CheckpointStore(
             checkpoint_dir, "pagerank", graph_fingerprint(graph),
-            {"damping": damping, "tol": tol},
+            {"damping": damping, "tol": tol,
+             "personalize_vid": personalize_vid},
         )
         resumed = store.latest()
         if resumed is not None:
@@ -205,7 +235,7 @@ def pagerank(
         partials = maybe_expand_chunks(state, graph).map_batches(
             scatter, batch_format="pyarrow", batch_size=1, zero_copy_batch=True
         )
-        combine = _make_combine(graph, damping, dm)
+        combine = _make_combine(graph, damping, dm, seed=seed)
         new_state = (
             partials.groupby("dst_part")
             .map_groups(combine, batch_format="pyarrow")
