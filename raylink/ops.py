@@ -351,10 +351,13 @@ def column_moments(ds: rd.Dataset, col: str) -> tuple[int, float, float]:
                          "ps": pa.array([float(x.sum())], pa.float64()),
                          "pss": pa.array([float((x * x).sum())], pa.float64())})
 
-    rows = pa.concat_tables(list(
+    tabs = list(
         ds.select_columns([col]).map_batches(
             partial, batch_format="pyarrow", zero_copy_batch=True
-        ).iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+        ).iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+    if not tabs:
+        return 0, float("nan"), float("nan")
+    rows = pa.concat_tables(tabs)
     n = int(pc.sum(rows["pn"]).as_py() or 0)
     if n == 0:
         return 0, float("nan"), float("nan")
@@ -689,9 +692,12 @@ def exact_quantiles(ds: rd.Dataset, col: str, ps: list[float], *,
                          "phi": pa.array([float(x.max())], pa.float64())})
 
     proj = ds.select_columns([col]).materialize()
-    rows = pa.concat_tables(list(proj.map_batches(
+    mtabs = list(proj.map_batches(
         moments, batch_format="pyarrow", zero_copy_batch=True
-    ).iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    ).iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+    if not mtabs:
+        return [float("nan")] * len(ps)
+    rows = pa.concat_tables(mtabs)
     n = int(pc.sum(rows["pn"]).as_py() or 0)
     if n == 0:
         return [float("nan")] * len(ps)
@@ -865,11 +871,15 @@ def pearson_corr(ds: rd.Dataset, x_col: str, y_col: str, *,
             "sxy": pa.array([float((x * y).sum())], pa.float64()),
         })
 
-    rows = pa.concat_tables(list(
-        ds.select_columns([x_col, y_col]).map_batches(
+    cols = [x_col] if x_col == y_col else [x_col, y_col]
+    tabs = list(
+        ds.select_columns(cols).map_batches(
             partial, batch_format="pyarrow", zero_copy_batch=True
-        ).iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
-    n = float(pc.sum(rows["pn"]).as_py() or 0)
+        ).iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+    rows = pa.concat_tables(tabs) if tabs else None
+    n = float(pc.sum(rows["pn"]).as_py() or 0) if rows is not None else 0.0
+    if n == 0:
+        return rd.from_arrow(pa.table({"corr": pa.array([0], pa.int64())}))
     sx = float(pc.sum(rows["sx"]).as_py() or 0.0)
     sy = float(pc.sum(rows["sy"]).as_py() or 0.0)
     sxx = float(pc.sum(rows["sxx"]).as_py() or 0.0)

@@ -325,3 +325,21 @@ def test_exact_quantiles_bisection_matches_numpy():
                           gather_limit=2048)
     want = np.quantile(x, [0.0, 0.25, 0.5, 0.75, 0.99, 1.0])
     assert np.allclose(got, want, rtol=0, atol=0)  # exact, not approximate
+
+
+def test_empty_inputs_do_not_crash():
+    """Every fit/aggregate op must yield an empty (or defined-degenerate)
+    result on an empty table, not raise (annotate-don't-crash, SURVEY §2.4)."""
+    import raylink.ops as O
+
+    ev_schema = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                           ("ts", pa.timestamp("us")), ("value", pa.float64()),
+                           ("event_type", pa.string())])
+    e = rd.from_arrow(ev_schema.empty_table())
+    assert O.transition_edges(e).count() == 0
+    assert O.iqr_outliers(e, "value", 1.5).count() == 0
+    assert O.standard_scale(e, "value", "z", ["event_id"]).count() == 0
+    assert O.impute(e, "value", strategy="mean").count() == 0
+    assert O.pearson_corr(e, "value", "value").count() == 1  # degenerate 0
+    n, m, s = O.column_moments(e, "value")
+    assert n == 0 and np.isnan(m)
