@@ -11,17 +11,26 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from .kernels import connected_components, label_propagation, pagerank, triangle_count
+from .kernels import (
+    bfs_hops,
+    connected_components,
+    k_core,
+    label_propagation,
+    pagerank,
+    triangle_count,
+)
 
 KERNELS: dict[str, Callable] = {
     "pagerank": pagerank,
     "cc": connected_components,
     "labelprop": label_propagation,
     "triangles": triangle_count,
+    "bfs": bfs_hops,
+    "kcore": k_core,
 }
 
 # kernels that require a symmetric (undirected) graph build
-SYMMETRIC_KERNELS = frozenset({"cc", "labelprop", "triangles"})
+SYMMETRIC_KERNELS = frozenset({"cc", "labelprop", "triangles", "bfs", "kcore"})
 
 
 def register_kernel(name: str, fn: Callable, *, symmetric: bool = False) -> None:
