@@ -212,10 +212,12 @@ def pagerank(
     else:
         state = init_state(graph, lambda p: np.full(int(graph.n_per_part[p]), 1.0 / graph.n))
     if checkpoint_dir:
+        params = {"damping": damping, "tol": tol}
+        if personalize_vid is not None:
+            # only stamped when set: classic-PR manifests stay resumable
+            params["personalize_vid"] = int(personalize_vid)
         store = CheckpointStore(
-            checkpoint_dir, "pagerank", graph_fingerprint(graph),
-            {"damping": damping, "tol": tol,
-             "personalize_vid": personalize_vid},
+            checkpoint_dir, "pagerank", graph_fingerprint(graph), params,
         )
         resumed = store.latest()
         if resumed is not None:
