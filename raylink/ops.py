@@ -763,6 +763,9 @@ def exact_quantiles(ds: rd.Dataset, col: str, ps: list[float], *,
     out = []
     for s in states:
         lo, hi = s["lo"], s["hi"]
+        if lo == hi:
+            out.append(float(lo))  # bracket collapsed to one value
+            continue
 
         def g(batch: pa.Table, lo=lo, hi=hi) -> pa.Table:
             x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
