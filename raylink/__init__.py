@@ -10,14 +10,18 @@ Layout:
     tables.py      Arrow schemas + deterministic synthetic page generator
     extract.py     HTML -> text/links extraction (actor-pool map_batches stage)
     graph.py       edge dedup, vertex dictionary, partitioned CSR block build
-    kernels/       pagerank, connected components, label propagation, triangles
+    kernels/       pagerank (+personalized), CC, label propagation,
+                   triangles (partitioned wedge join), BFS, k-core
     checkpoint.py  per-superstep per-partition parquet state + manifest lineage
-    ops.py         generic relational ops (filter/agg/topk/dedup/window/joins)
+    ops.py         generic relational ops: filter/agg/topk/dedup, rolling
+                   and hopping windows, anomaly top-k, segmentation,
+                   impute/transforms, exact distributed quantiles, joins
     dedup.py       exact / minhash-LSH / simhash / ngram-jaccard / embedding dedup
     textops.py     lang-id, quality score, token count, fingerprints
-    similarity.py  cosine top-k ANN (brute force + LSH-bucketed)
+    similarity.py  cosine top-k ANN (brute force + LSH + IVF)
+    sketches.py    mergeable HLL distinct count + quantile summary
     multimodal.py  binary-column decode plumbing (decode kernels stubbed)
     oracle.py      sequential NumPy/Python oracles for every kernel
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
