@@ -12,7 +12,9 @@ build -> PageRank supersteps -> CC -> triangles) and prints ONE JSON line::
 and reports both throughputs plus ``efficiency = (t_lo/t_hi)/(hi/lo)``.
 
 Env: RAY_GRAFT_CPUS (default 32), GRAFT_SF_DIR, GRAFT_BENCH_PAGES (corpus
-size knob), GRAFT_BENCH_OVERLAY (extra links/page).
+size knob), GRAFT_BENCH_OVERLAY (extra links/page), GRAFT_SCALE_LO (N of
+the N-vs-4N pair), GRAFT_SCALE_REPEATS (interleaved lo/hi repeats for the
+scaling run; best run per level is reported, all raw walls included).
 """
 
 from __future__ import annotations
