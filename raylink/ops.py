@@ -263,29 +263,18 @@ def count_in_window_join(
     from ray.data.aggregate import Sum
 
     summed = partials.groupby(fact_key).aggregate(Sum("partial_n", alias_name=out_col))
-    # dim-sized second broadcast (sorted arrays, no Python dict); the
-    # attach below is one vectorized searchsorted per batch
-    stab = pa.concat_tables(list(summed.iter_batches(batch_format="pyarrow",
-                                                     batch_size=1 << 20)))
-    sk = stab[fact_key].to_numpy(zero_copy_only=False)
-    sc = stab[out_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    s_order = np.argsort(sk, kind="stable")
-    cref = ray.put((sk[s_order], sc[s_order]))
+    # attach counts back to ALL dim keys (zero counts kept) with a
+    # co-partitioned left join — nothing dim-sized touches the driver
+    joined = dim.select_columns([dim_key]).join(
+        summed, join_type="left_outer", num_partitions=16,
+        on=(dim_key,), right_on=(fact_key,))
 
-    def attach(batch: pa.Table) -> pa.Table:
-        keys_s, cnts_s = ray.get(cref)
-        dk = batch[dim_key].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(keys_s, dk)
-        safe = np.minimum(pos, max(len(keys_s) - 1, 0))
-        hit = (pos < len(keys_s)) & (keys_s[safe] == dk) if len(keys_s) else \
-            np.zeros(len(dk), dtype=bool)
-        out = np.where(hit, cnts_s[safe] if len(keys_s) else 0, 0)
-        return pa.table({
-            dim_key: batch[dim_key],
-            out_col: pa.array(out.astype(np.int64), pa.int64()),
-        })
+    def fill(batch: pa.Table) -> pa.Table:
+        n = pc.coalesce(batch[out_col], pa.scalar(0, pa.int64()))
+        return pa.table({dim_key: batch[dim_key],
+                         out_col: pc.cast(n, pa.int64())})
 
-    return dim.select_columns([dim_key]).map_batches(attach, batch_format="pyarrow")
+    return joined.map_batches(fill, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
