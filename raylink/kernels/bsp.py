@@ -2,6 +2,10 @@
 
 from __future__ import annotations
 
+import os
+from dataclasses import dataclass
+from typing import Any
+
 import numpy as np
 import pyarrow as pa
 
@@ -206,3 +210,88 @@ def key_init_state(graph: Graph) -> rd.Dataset:
     return graph.vertices.groupby("part").map_groups(
         to_state, batch_format="pyarrow"
     ).materialize()
+
+
+# ---------------------------------------------------------------------------
+# Fused small-graph execution (ROADMAP "superstep launch overhead")
+#
+# Every Dataset execution carries a fixed ~0.3-0.5 s scheduling cost; an
+# iterative kernel pays it per superstep, so on a graph whose state fits in
+# one task that launch overhead dominates wall time (a 500-vertex CC at P=16
+# spends >90 % of its time scheduling). When the whole graph is small enough,
+# the kernels run ALL supersteps inside ONE Ray task, re-using the *same*
+# scatter/combine closures the distributed path maps over Datasets — identical
+# arithmetic by construction (integer kernels bit-equal; PageRank differs only
+# in the float summation order of the P-element delta/dangling reductions,
+# bounded by test_fused_matches_distributed at rtol 1e-12). The distributed
+# path stays the default above ``FUSED_MAX_CELLS`` (n + m), and whenever a
+# checkpoint store is attached (per-iteration durability implies a job big
+# enough to want the distributed path anyway).
+
+FUSED_MAX_CELLS = int(os.environ.get("RAYLINK_FUSED_MAX_CELLS", 200_000))
+
+
+@dataclass
+class GraphView:
+    """Dataset-free, picklable slice of :class:`Graph` — exactly the fields
+    the scatter/combine factories touch, so the fused task never serializes
+    the prep's Dataset handles."""
+
+    P: int
+    n: int
+    m: int
+    n_per_part: np.ndarray
+    blocks: dict[int, list[Any]]
+
+
+def graph_view(graph) -> GraphView:
+    return GraphView(graph.P, graph.n, graph.m,
+                     np.asarray(graph.n_per_part), dict(graph.blocks))
+
+
+def fused_eligible(graph, override: bool | None = None) -> bool:
+    """True when the whole iteration should run as one fused task.
+
+    ``override`` forces the choice (tests exercise both paths on the same
+    graph). Auto rule: graph cells (n + m) under ``FUSED_MAX_CELLS`` and no
+    multi-chunk partitions (chunking only appears far above the threshold)."""
+    if override is not None:
+        return bool(override)
+    if any(len(c) > 1 for c in graph.blocks.values()):
+        return False
+    return (graph.n + graph.m) <= FUSED_MAX_CELLS
+
+
+def state_table(state: rd.Dataset) -> pa.Table:
+    """Materialize a P-row state Dataset as one in-memory table (fused path
+    entry; bounded by eligibility, never corpus-sized)."""
+    tabs = list(state.iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+    return pa.concat_tables(tabs) if tabs else pa.table({})
+
+
+def split_by_dst_part(partials: pa.Table) -> list[pa.Table]:
+    """In-memory equivalent of ``groupby("dst_part")``: stable-sorted group
+    slices in ascending dst_part order (the same order the sort-based
+    shuffle feeds groups to map_groups, keeping reductions deterministic)."""
+    dst = partials["dst_part"].to_numpy(zero_copy_only=False)
+    order = np.argsort(dst, kind="stable")
+    t = partials.take(pa.array(order, pa.int64()))
+    d = dst[order]
+    starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+    ends = np.r_[starts[1:], len(d)]
+    return [t.slice(int(lo), int(hi - lo)) for lo, hi in zip(starts, ends)]
+
+
+def fused_superstep(state_tab: pa.Table, scatter, combine) -> pa.Table:
+    """One superstep on in-memory tables: scatter -> group by dst_part ->
+    combine per group -> concat (part-ascending). Same closures, same
+    per-group arithmetic as the Dataset pipeline."""
+    partials = scatter(state_tab)
+    outs = [combine(g) for g in split_by_dst_part(partials)]
+    return pa.concat_tables(outs)
+
+
+def table_scalar_sums(tab: pa.Table, cols: list[str]) -> dict[str, float]:
+    import pyarrow.compute as pc
+
+    return {c: (pc.sum(tab[c]).as_py() or 0) for c in cols}

@@ -22,6 +22,7 @@ import time
 import numpy as np
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 
 from ..checkpoint import CheckpointStore, graph_fingerprint
@@ -103,20 +104,9 @@ def _make_combine(graph: Graph):
     return combine
 
 
-def _jump_round(state: rd.Dataset, graph: Graph) -> tuple[rd.Dataset, int]:
-    """One pointer-jumping round: labels[v] <- min(labels[v],
-    labels[labels[v]]). Labels are vids, so the owner partition of a label
-    is ``label % P`` — the round is two partition-keyed exchanges:
-
-      1. each partition requests the label-of-label for its *distinct*
-         labels from the owner partitions (dedup bounds traffic);
-      2. owners answer from their own state; answers are routed back and
-         applied with a vectorized sorted lookup.
-
-    Combined with the neighbor-min superstep this compresses label chains
-    and converges in strictly fewer rounds than pure neighbor-min on
-    long-diameter graphs (SURVEY §7.2 step 6 "pointer-jumping"); the full
-    O(log n) Shiloach-Vishkin hook-and-compress variant is ROADMAP work."""
+def _make_jump_fns(graph):
+    """The three exchange closures of one pointer-jumping round (shared by
+    the Dataset pipeline and the fused in-task executor)."""
     P = graph.P
 
     def request(batch: pa.Table) -> pa.Table:
@@ -183,6 +173,25 @@ def _jump_round(state: rd.Dataset, graph: Graph) -> tuple[rd.Dataset, int]:
             "changed": pa.array([changed], pa.int64()),
         })
 
+    return request, respond, apply
+
+
+def _jump_round(state: rd.Dataset, graph: Graph) -> tuple[rd.Dataset, int]:
+    """One pointer-jumping round: labels[v] <- min(labels[v],
+    labels[labels[v]]). Labels are vids, so the owner partition of a label
+    is ``label % P`` — the round is two partition-keyed exchanges:
+
+      1. each partition requests the label-of-label for its *distinct*
+         labels from the owner partitions (dedup bounds traffic);
+      2. owners answer from their own state; answers are routed back and
+         applied with a vectorized sorted lookup.
+
+    Combined with the neighbor-min superstep this compresses label chains
+    and converges in strictly fewer rounds than pure neighbor-min on
+    long-diameter graphs (SURVEY §7.2 step 6 "pointer-jumping"); the full
+    O(log n) Shiloach-Vishkin hook-and-compress variant is ROADMAP work."""
+    request, respond, apply = _make_jump_fns(graph)
+
     responses = (
         state.map_batches(request, batch_format="pyarrow", batch_size=1,
                           zero_copy_batch=True)
@@ -199,6 +208,38 @@ def _jump_round(state: rd.Dataset, graph: Graph) -> tuple[rd.Dataset, int]:
     return new_state, int(sum_columns(new_state, ["changed"])["changed"])
 
 
+@ray.remote
+def _fused_cc(view, state_tab: pa.Table, method: str, max_iter: int,
+              start_iter: int):
+    """All CC supersteps (and jump exchanges) in ONE task — same closures
+    as the Dataset path; integer min reductions, so bit-equal output."""
+    from .bsp import fused_superstep, split_by_dst_part, table_scalar_sums
+
+    scatter = _make_scatter(view)
+    combine = _make_combine(view)
+    request, respond, apply = (_make_jump_fns(view) if method == "jump"
+                               else (None, None, None))
+    metrics = []
+    for it in range(start_iter + 1, max_iter + 1):
+        t0 = time.perf_counter()
+        state_tab = fused_superstep(state_tab, scatter, combine)
+        changed = int(table_scalar_sums(state_tab, ["changed"])["changed"])
+        jump_changed = 0
+        if method == "jump":
+            responses = pa.concat_tables(
+                [respond(g) for g in split_by_dst_part(request(state_tab))])
+            state_tab = pa.concat_tables(
+                [apply(g) for g in split_by_dst_part(responses)])
+            jump_changed = int(
+                table_scalar_sums(state_tab, ["changed"])["changed"])
+        metrics.append({"iter": it, "changed": changed,
+                        "jump_changed": jump_changed, "fused": True,
+                        "sec": time.perf_counter() - t0})
+        if changed == 0 and jump_changed == 0:
+            break
+    return state_tab.select(["part", "vec"]), metrics
+
+
 def connected_components(
     graph: Graph,
     *,
@@ -207,6 +248,7 @@ def connected_components(
     method: str = "minlabel",
     checkpoint_dir: str | None = None,
     metrics_out: list | None = None,
+    fused: bool | None = None,
 ) -> rd.Dataset:
     """Per-vertex Dataset (vid, comp). ``graph`` must be a symmetric build.
 
@@ -242,6 +284,17 @@ def connected_components(
         resumed = store.latest()
         if resumed is not None:
             start_iter, state = resumed
+
+    from .bsp import fused_eligible, graph_view, state_table
+
+    if store is None and fused_eligible(graph, fused):
+        final_tab, metrics = ray.get(_fused_cc.remote(
+            graph_view(graph), state_table(state), method, max_iter,
+            start_iter))
+        if metrics_out is not None:
+            metrics_out.extend(metrics)
+        return state_to_vertex_table(rd.from_arrow(final_tab), graph,
+                                     "vec", "comp")
 
     scatter = _make_scatter(graph)
     combine = _make_combine(graph)

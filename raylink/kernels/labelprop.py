@@ -22,6 +22,7 @@ import time
 import numpy as np
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 
 from ..checkpoint import CheckpointStore, graph_fingerprint
@@ -120,6 +121,25 @@ def _make_combine(graph: Graph):
     return combine
 
 
+@ray.remote
+def _fused_lp(view, state_tab: pa.Table, max_iter: int, start_iter: int):
+    """All LP supersteps in ONE task — same closures, bit-equal output."""
+    from .bsp import fused_superstep, table_scalar_sums
+
+    scatter = _make_scatter(view)
+    combine = _make_combine(view)
+    metrics = []
+    for it in range(start_iter + 1, max_iter + 1):
+        t0 = time.perf_counter()
+        state_tab = fused_superstep(state_tab, scatter, combine)
+        changed = int(table_scalar_sums(state_tab, ["changed"])["changed"])
+        metrics.append({"iter": it, "changed": changed, "fused": True,
+                        "sec": time.perf_counter() - t0})
+        if changed == 0:
+            break
+    return state_tab.select(["part", "vec"]), metrics
+
+
 def label_propagation(
     graph: Graph,
     *,
@@ -127,6 +147,7 @@ def label_propagation(
     init: str = "vid",
     checkpoint_dir: str | None = None,
     metrics_out: list | None = None,
+    fused: bool | None = None,
 ) -> rd.Dataset:
     """Per-vertex Dataset (vid, label). ``graph`` must be a symmetric build.
     ``init="key"`` starts labels from int64 vertex keys (tiebreak then runs
@@ -150,6 +171,16 @@ def label_propagation(
         resumed = store.latest()
         if resumed is not None:
             start_iter, state = resumed
+
+    from .bsp import fused_eligible, graph_view, state_table
+
+    if store is None and fused_eligible(graph, fused):
+        final_tab, metrics = ray.get(_fused_lp.remote(
+            graph_view(graph), state_table(state), max_iter, start_iter))
+        if metrics_out is not None:
+            metrics_out.extend(metrics)
+        return state_to_vertex_table(rd.from_arrow(final_tab), graph,
+                                     "vec", "label")
 
     scatter = _make_scatter(graph)
     combine = _make_combine(graph)

@@ -37,6 +37,7 @@ import time
 import numpy as np
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 
 from ..checkpoint import CheckpointStore, graph_fingerprint
@@ -177,6 +178,33 @@ def _dangling_pass(graph: Graph) -> "callable":
     return dangling_local
 
 
+@ray.remote
+def _fused_pagerank(view, state_tab: pa.Table, damping: float, tol: float,
+                    max_iter: int, seed, start_iter: int):
+    """All supersteps in ONE task (bsp.fused_eligible graphs): same
+    scatter/combine closures as the Dataset path, grouped in-memory."""
+    from .bsp import fused_superstep, table_scalar_sums
+
+    scatter = _make_scatter(view)
+    dangling_local = _dangling_pass(view)
+    dm = float(table_scalar_sums(dangling_local(state_tab), ["dm"])["dm"])
+    metrics = []
+    for it in range(start_iter + 1, max_iter + 1):
+        t0 = time.perf_counter()
+        combine = _make_combine(view, damping, dm, seed=seed)
+        new_state = fused_superstep(state_tab, scatter, combine)
+        s = table_scalar_sums(new_state, ["delta", "dm"])
+        delta, dm = float(s["delta"]), float(s["dm"])
+        state_tab = new_state
+        dt = time.perf_counter() - t0
+        metrics.append({"iter": it, "l1_delta": delta, "dangling_mass": dm,
+                        "sec": dt, "fused": True,
+                        "edges_per_sec": view.m / dt if dt > 0 else None})
+        if delta < tol:
+            break
+    return state_tab.select(["part", "vec"]), metrics
+
+
 def pagerank(
     graph: Graph,
     *,
@@ -186,6 +214,7 @@ def pagerank(
     personalize_vid: int | None = None,
     checkpoint_dir: str | None = None,
     metrics_out: list | None = None,
+    fused: bool | None = None,
 ) -> rd.Dataset:
     """Run to convergence; returns per-vertex Dataset (vid, score).
 
@@ -222,6 +251,17 @@ def pagerank(
         resumed = store.latest()
         if resumed is not None:
             start_iter, state = resumed
+
+    from .bsp import fused_eligible, graph_view, state_table
+
+    if store is None and fused_eligible(graph, fused):
+        final_tab, metrics = ray.get(_fused_pagerank.remote(
+            graph_view(graph), state_table(state), damping, tol, max_iter,
+            seed, start_iter))
+        if metrics_out is not None:
+            metrics_out.extend(metrics)
+        return state_to_vertex_table(rd.from_arrow(final_tab), graph,
+                                     "vec", "score")
 
     scatter = _make_scatter(graph)
     dangling_local = _dangling_pass(graph)

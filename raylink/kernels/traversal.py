@@ -25,6 +25,7 @@ import time
 import numpy as np
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 
 from ..graph import Graph
@@ -110,8 +111,28 @@ def _min_combine(graph: Graph):
     return combine
 
 
+@ray.remote
+def _fused_min_loop(view, state_tab: pa.Table, max_iter: int):
+    """Fused min-plus propagation (BFS) — one task, bit-equal output."""
+    from .bsp import fused_superstep, table_scalar_sums
+
+    scatter = _min_scatter(view, plus_one=True)
+    combine = _min_combine(view)
+    metrics = []
+    for it in range(1, max_iter + 1):
+        t0 = time.perf_counter()
+        state_tab = fused_superstep(state_tab, scatter, combine)
+        changed = int(table_scalar_sums(state_tab, ["changed"])["changed"])
+        metrics.append({"iter": it, "changed": changed, "fused": True,
+                        "sec": time.perf_counter() - t0})
+        if changed == 0:
+            break
+    return state_tab.select(["part", "vec"]), metrics
+
+
 def bfs_hops(graph: Graph, source_vid: int, *, max_iter: int = 10_000,
-             metrics_out: list | None = None) -> rd.Dataset:
+             metrics_out: list | None = None,
+             fused: bool | None = None) -> rd.Dataset:
     """(vid, hops) for vertices reachable from ``source_vid``. Run on a
     symmetric build for undirected hop distance, directed for reachability
     distance."""
@@ -125,6 +146,24 @@ def bfs_hops(graph: Graph, source_vid: int, *, max_iter: int = 10_000,
         return v
 
     state = init_state(graph, init_of, dtype=pa.int64())
+
+    from .bsp import fused_eligible, graph_view, state_table
+
+    if fused_eligible(graph, fused):
+        final_tab, metrics = ray.get(_fused_min_loop.remote(
+            graph_view(graph), state_table(state), max_iter))
+        if metrics_out is not None:
+            metrics_out.extend(metrics)
+        state = rd.from_arrow(final_tab)
+        out = state_to_vertex_table(state, graph, "vec", "hops")
+
+        def finite_f(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.less(batch["hops"], int(_INF)))
+
+        return out.map_batches(finite_f, batch_format="pyarrow")
+
     scatter = _min_scatter(graph, plus_one=True)
     combine = _min_combine(graph)
 
@@ -155,19 +194,9 @@ def bfs_hops(graph: Graph, source_vid: int, *, max_iter: int = 10_000,
     return out.map_batches(finite, batch_format="pyarrow")
 
 
-def k_core(graph: Graph, k: int, *, max_iter: int = 10_000,
-           metrics_out: list | None = None) -> rd.Dataset:
-    """(vid, in_core) 0/1 membership of the k-core (run on a symmetric
-    build). Iterative peeling: each round counts ALIVE neighbors (alive
-    indicator scattered through the same bincount partials as PageRank
-    contributions) and kills vertices below ``k``; fixpoint = exact
-    k-core. ``max_iter`` caps rounds for fixed-round oracle parity."""
+def _make_alive_scatter(graph):
     refs = graph.blocks
     P = graph.P
-
-    state = init_state(graph,
-                       lambda p: np.ones(int(graph.n_per_part[p]), np.int64),
-                       dtype=pa.int64())
 
     def scatter(batch: pa.Table) -> pa.Table:
         import ray as _ray
@@ -196,6 +225,10 @@ def k_core(graph: Graph, k: int, *, max_iter: int = 10_000,
                                             cnt=acc[nz].astype(np.int64)))
         return partials_table(rows)
 
+    return scatter
+
+
+def _make_kcore_combine(graph, k: int):
     n_per_part = graph.n_per_part
 
     def combine(group: pa.Table) -> pa.Table:
@@ -227,6 +260,53 @@ def k_core(graph: Graph, k: int, *, max_iter: int = 10_000,
             "vec": pa.array([new], pa.list_(pa.int64())),
             "changed": pa.array([changed], pa.int64()),
         })
+
+    return combine
+
+
+@ray.remote
+def _fused_kcore(view, state_tab: pa.Table, k: int, max_iter: int):
+    """Fused k-core peeling — one task, bit-equal output."""
+    from .bsp import fused_superstep, table_scalar_sums
+
+    scatter = _make_alive_scatter(view)
+    combine = _make_kcore_combine(view, k)
+    metrics = []
+    for it in range(1, max_iter + 1):
+        t0 = time.perf_counter()
+        state_tab = fused_superstep(state_tab, scatter, combine)
+        changed = int(table_scalar_sums(state_tab, ["changed"])["changed"])
+        metrics.append({"iter": it, "changed": changed, "fused": True,
+                        "sec": time.perf_counter() - t0})
+        if changed == 0:
+            break
+    return state_tab.select(["part", "vec"]), metrics
+
+
+def k_core(graph: Graph, k: int, *, max_iter: int = 10_000,
+           metrics_out: list | None = None,
+           fused: bool | None = None) -> rd.Dataset:
+    """(vid, in_core) 0/1 membership of the k-core (run on a symmetric
+    build). Iterative peeling: each round counts ALIVE neighbors (alive
+    indicator scattered through the same bincount partials as PageRank
+    contributions) and kills vertices below ``k``; fixpoint = exact
+    k-core. ``max_iter`` caps rounds for fixed-round oracle parity."""
+    state = init_state(graph,
+                       lambda p: np.ones(int(graph.n_per_part[p]), np.int64),
+                       dtype=pa.int64())
+
+    from .bsp import fused_eligible, graph_view, state_table
+
+    if fused_eligible(graph, fused):
+        final_tab, metrics = ray.get(_fused_kcore.remote(
+            graph_view(graph), state_table(state), k, max_iter))
+        if metrics_out is not None:
+            metrics_out.extend(metrics)
+        return state_to_vertex_table(rd.from_arrow(final_tab), graph,
+                                     "vec", "in_core")
+
+    scatter = _make_alive_scatter(graph)
+    combine = _make_kcore_combine(graph, k)
 
     for it in range(1, max_iter + 1):
         t0 = time.perf_counter()

@@ -306,3 +306,38 @@ def test_bfs_ring_and_kcore_fixtures():
     ss = G.build_graph(edges_ds(star), P=P, symmetric=True)
     core2 = values_by_key(k_core(ss, 2), ss, "in_core")
     assert all(v == 0 for v in core2.values())
+
+
+def test_fused_matches_distributed_all_kernels():
+    """The fused single-task executor (bsp.fused_eligible small graphs) must
+    produce output equal to the distributed superstep pipeline — exact for
+    the integer kernels AND for PageRank (same closures, same per-group
+    reduction order; only the P-element delta/dm sums could differ, and the
+    groupby feeds groups part-ascending in both paths)."""
+    from raylink.kernels import bfs_hops, k_core
+    from raylink.kernels.bsp import fused_eligible
+
+    pairs = overlay_pairs()
+    g = G.build_graph(edges_ds(pairs), P=P)
+    sg = G.build_graph(edges_ds(pairs), P=P, symmetric=True)
+    assert fused_eligible(g) and fused_eligible(sg)  # auto rule picks fused
+
+    def cols(ds, col):
+        df = ds.to_pandas().sort_values("vid")
+        return df["vid"].to_numpy(), df[col].to_numpy()
+
+    runs = [
+        (lambda f: pagerank(g, tol=0.0, max_iter=6, fused=f), "score"),
+        (lambda f: pagerank(g, tol=0.0, max_iter=6, fused=f,
+                            personalize_vid=0), "score"),
+        (lambda f: connected_components(sg, fused=f), "comp"),
+        (lambda f: connected_components(sg, method="jump", fused=f), "comp"),
+        (lambda f: label_propagation(sg, max_iter=3, fused=f), "label"),
+        (lambda f: bfs_hops(sg, 0, fused=f), "hops"),
+        (lambda f: k_core(sg, 3, fused=f), "in_core"),
+    ]
+    for fn, col in runs:
+        vf, xf = cols(fn(True), col)
+        vd, xd = cols(fn(False), col)
+        assert np.array_equal(vf, vd)
+        assert np.array_equal(xf, xd), col
