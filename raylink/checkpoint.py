@@ -48,7 +48,20 @@ def graph_fingerprint(graph) -> str:
 
 
 class CheckpointStore:
-    def __init__(self, root: str, kernel: str, fingerprint: str, params: dict):
+    def __init__(self, root: str, kernel: str, fingerprint: str, params: dict,
+                 retain: int | None = None):
+        """``retain``: keep only the newest N complete iterations' state
+        files on disk (older ones are deleted after each commit and flagged
+        ``pruned`` in the manifest — their metrics/lineage rows stay).
+        None (default, or env RAYLINK_CHECKPOINT_RETAIN) keeps everything.
+        Retention is operational, not semantic, so it is NOT part of the
+        lineage params — a resumed run may use a different retain."""
+        if retain is None:
+            env = os.environ.get("RAYLINK_CHECKPOINT_RETAIN")
+            retain = int(env) if env else None
+        if retain is not None and retain < 1:
+            raise ValueError("retain must be >= 1 (the resume point)")
+        self.retain = retain
         self.dir = os.path.join(root, kernel)
         os.makedirs(self.dir, exist_ok=True)
         self.manifest_path = os.path.join(self.dir, "manifest.json")
@@ -116,6 +129,17 @@ class CheckpointStore:
             "complete": True,
             "metrics": metrics,
         }
+        if self.retain is not None:
+            import shutil
+
+            live = sorted(
+                int(k) for k, v in self.manifest["iterations"].items()
+                if v.get("complete") and not v.get("pruned")
+            )
+            for old in live[: -self.retain]:
+                shutil.rmtree(os.path.join(self.dir, f"iter={old}"),
+                              ignore_errors=True)
+                self.manifest["iterations"][str(old)]["pruned"] = True
         self._commit_manifest()
 
     # -- read -------------------------------------------------------------
@@ -124,7 +148,8 @@ class CheckpointStore:
         Incomplete trailing iterations are left in place; their finished
         partition files are reused by the skip-existing write."""
         iters = sorted(
-            int(k) for k, v in self.manifest["iterations"].items() if v.get("complete")
+            int(k) for k, v in self.manifest["iterations"].items()
+            if v.get("complete") and not v.get("pruned")
         )
         if not iters:
             return None

@@ -87,3 +87,31 @@ def test_manifest_records_metrics_and_lineage(tmp_path):
     with pytest.raises(ValueError):
         CheckpointStore(ckpt, "pagerank", graph_fingerprint(g),
                         {"damping": 0.5, "tol": 1e-9})
+
+
+def test_retention_prunes_old_iterations(tmp_path):
+    """retain=2: only the newest two complete iterations keep state files;
+    pruned iterations keep their metrics/lineage rows in the manifest, and
+    resume starts from the newest retained iteration."""
+    g = G.build_graph(edges_ds(chain_pairs(40)), P=4)
+    ckpt = str(tmp_path / "ck")
+    store = CheckpointStore(ckpt, "pagerank", graph_fingerprint(g),
+                            {"damping": 0.85, "tol": 0.0}, retain=2)
+    from raylink.kernels.bsp import init_state
+    for it in range(1, 6):
+        state = init_state(
+            g, lambda p: np.full(int(g.n_per_part[p]), float(it)))
+        store.save(it, state, {"iter": it})
+    kept = sorted(d for d in os.listdir(os.path.join(ckpt, "pagerank"))
+                  if d.startswith("iter="))
+    assert kept == ["iter=4", "iter=5"]
+    assert sorted(store.metrics_history()) == [1, 2, 3, 4, 5]  # lineage intact
+    it, state = store.latest()
+    assert it == 5
+    vals = [v for b in state.iter_batches(batch_format="pyarrow")
+            for v in b["vec"].to_pylist()]
+    assert all(x == 5.0 for row in vals for x in row)
+    # a fresh store (different retain) over the same lineage still resumes
+    store2 = CheckpointStore(ckpt, "pagerank", graph_fingerprint(g),
+                             {"damping": 0.85, "tol": 0.0})
+    assert store2.latest()[0] == 5
