@@ -14,10 +14,12 @@ the round-1 driver gather):
     partition) read that partition's CSR chunks zero-copy, fetch only the
     per-partition degree arrays they reference (shipped once as
     driver-owned refs, O(n/P) each), orient, and emit
-      * oriented EDGES  (u,v)  bucketed by hash(u), and
+      * oriented EDGES  (u,v), and
       * WEDGES (v,w), v<w in (deg,vid) order, from each sorted N+(u),
-        bucketed by hash(v)
-    as packed per-bucket pair-code list rows;
+    both bucketed by a hash of the FULL pair code (wedge (v,w) matches
+    edge (v,w), so pair-code bucketing preserves the join) as packed
+    per-bucket pair-code list rows — bucket sizes are ~#wedges/B however
+    skewed the wedge centers are, so hot hubs cannot overload a bucket;
   - one ``groupby("bucket")`` co-locates each wedge with the only edge that
     can close it; the group op is a vectorized sorted-array membership
     probe; the count is a tiny per-group partial summed by ``ds.sum``.
@@ -133,9 +135,14 @@ def triangle_count(graph: Graph, *, buckets: int | None = None,
             cv = odv * C + ov  # (deg, vid) code of the target
             order = np.lexsort((cv, ou))
             ou, ov, cv = ou[order], ov[order], cv[order]
-            # oriented edges, pair code (vid_u, vid_v), bucketed by vid_u
+            # oriented edges, pair code (vid_u, vid_v). Bucket by the hash
+            # of the FULL pair code (not the first endpoint): a wedge (v,w)
+            # closes iff the oriented edge (v,w) exists, so pair-code
+            # bucketing preserves the join while spreading a hot wedge
+            # center v uniformly over all buckets — no per-bucket cap
+            # needed, bucket sizes are ~#wedges/B regardless of skew.
             ecodes = ou * C + ov
-            tabs.append(_pack_rows(_bucket_of(ou, B), ecodes, 0))
+            tabs.append(_pack_rows(_bucket_of(ecodes, B), ecodes, 0))
             # wedges from each N+(u): all ordered pairs of targets; sliced
             seg = np.flatnonzero(np.r_[True, ou[1:] != ou[:-1], True])
             starts, ends = seg[:-1], seg[1:]
@@ -164,7 +171,7 @@ def triangle_count(graph: Graph, *, buckets: int | None = None,
                 wv = ov[rep_first]
                 ww = ov[second]
                 wcodes = wv * C + ww
-                tabs.append(_pack_rows(_bucket_of(wv, B), wcodes, 1))
+                tabs.append(_pack_rows(_bucket_of(wcodes, B), wcodes, 1))
         return pa.concat_tables(tabs)
 
     parts_ds = rd.from_arrow(

@@ -341,3 +341,19 @@ def test_fused_matches_distributed_all_kernels():
         vd, xd = cols(fn(False), col)
         assert np.array_equal(vf, vd)
         assert np.array_equal(xf, xd), col
+
+
+def test_triangles_skewed_hub_exact():
+    """A hub inside many triangles (worst case for wedge-center bucketing):
+    hub h connected to all spokes, spokes chained pairwise -> n_spokes-1
+    triangles, plus an attached clique. Pair-code bucketing must stay exact
+    with more buckets than vertices (forced spreading)."""
+    n_sp = 40
+    pairs = [("h", f"s{i}") for i in range(n_sp)]
+    pairs += [(f"s{i}", f"s{i+1}") for i in range(n_sp - 1)]
+    pairs += clique_pairs(1, 6)
+    pairs += [("h", "c0_0")]
+    sg = G.build_graph(edges_ds(pairs), P=P, symmetric=True)
+    expected = (n_sp - 1) + math.comb(6, 3)
+    assert triangle_count(sg, buckets=97) == expected
+    assert triangle_count(sg, buckets=4) == expected
