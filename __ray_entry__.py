@@ -539,6 +539,21 @@ def q_graph_kcore(sf_dir: str):
     return _rename(join_keys(cores, sg, "in_core"), {"key": "user_id"})
 
 
+def q_graph_hits(sf_dir: str):
+    """HITS hubs & authorities (L1-normalized alternating power iteration,
+    fixed PR_ITERS rounds shared with the SQL oracle)."""
+    from raylink.graph import build_graph_fwd_rev, prepare_edges
+    from raylink.kernels import hits
+    from raylink.pipelines.flagship import join_keys
+    from raylink.ops import scale_columns
+
+    prep = prepare_edges(_user_edges(sf_dir), P=GRAPH_P, already_deduped=True)
+    gf, gr = build_graph_fwd_rev(prep)
+    scores = hits(gf, gr, max_iter=PR_ITERS)
+    out = _rename(join_keys(scores, gf, ["hub", "auth"]), {"key": "user_id"})
+    return scale_columns(out, {"hub": 1e9, "auth": 1e9})
+
+
 def q_graph_triangles(sf_dir: str):
     from raylink.graph import build_graph
     from raylink.kernels import triangle_count
@@ -839,6 +854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_ppr": q_graph_ppr,
         "graph_bfs": q_graph_bfs,
         "graph_kcore": q_graph_kcore,
+        "graph_hits": q_graph_hits,
         "graph_triangles": q_graph_triangles,
         "pages_docs": q_pages_docs,
         "pages_pagerank": q_pages_pagerank,
@@ -903,6 +919,43 @@ def _pr_sql_body(edge_cte: str, iters: int, out_key: str) -> str:
             f"AS score FROM s{iters}")
 
 
+
+
+def _hits_sql_body(edge_cte: str, iters: int, out_key: str) -> str:
+    """L1-normalized HITS, mirrored float-for-float with the kernel: each
+    normalized score is raw * (1.0/total) (single division then per-row
+    multiply, matching the engine's scale-folded scatter)."""
+    # MATERIALIZED: DuckDB inlines plain CTEs per reference, so a chained
+    # iteration would expand the scan tree exponentially (and exhaust file
+    # handles); materialization evaluates each level once.
+    parts = [
+        edge_cte.replace(" AS (", " AS MATERIALIZED (", 1),
+        "v AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v)",
+        "h0 AS MATERIALIZED (SELECT v.v, 1.0/nn.n AS s "
+        "FROM v CROSS JOIN nn)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"ar{k} AS MATERIALIZED (SELECT e.dst AS v, sum(h.s) AS s "
+            f"FROM h{k-1} h JOIN e ON h.v = e.src GROUP BY e.dst)")
+        parts.append(f"ai{k} AS (SELECT 1.0/sum(s) AS isc FROM ar{k})")
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT v.v, coalesce(ar.s, 0)*ai{k}.isc "
+            f"AS s FROM v CROSS JOIN ai{k} LEFT JOIN ar{k} ar ON ar.v = v.v)")
+        parts.append(
+            f"hr{k} AS MATERIALIZED (SELECT e.src AS v, sum(a.s) AS s "
+            f"FROM a{k} a JOIN e ON a.v = e.dst GROUP BY e.src)")
+        parts.append(f"hi{k} AS (SELECT 1.0/sum(s) AS isc FROM hr{k})")
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT v.v, coalesce(hr.s, 0)*hi{k}.isc "
+            f"AS s FROM v CROSS JOIN hi{k} LEFT JOIN hr{k} hr ON hr.v = v.v)")
+    return ("WITH " + ",\n".join(parts) +
+            f"\nSELECT v.v AS {out_key}, "
+            f"CAST(floor(h.s*1000000000 + 0.5) AS BIGINT) AS hub, "
+            f"CAST(floor(a.s*1000000000 + 0.5) AS BIGINT) AS auth "
+            f"FROM v JOIN h{iters} h ON h.v = v.v "
+            f"JOIN a{iters} a ON a.v = v.v")
 
 
 def _ppr_sql_body(edge_cte: str, iters: int, out_key: str) -> str:
@@ -1134,6 +1187,7 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["graph_pagerank"] = _pr_sql_body(_E_CTE, PR_ITERS, "user_id")
     sql["graph_ppr"] = _ppr_sql_body(_E_CTE, PR_ITERS, "user_id")
+    sql["graph_hits"] = _hits_sql_body(_E_CTE, PR_ITERS, "user_id")
     sql["graph_components"] = (
         f"WITH RECURSIVE {_E_CTE}, "
         "und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e), "

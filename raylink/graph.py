@@ -600,21 +600,26 @@ def prepare_edges(edges: rd.Dataset, *, P: int = DEFAULT_P,
                          edges=edges, encode_mode=mode)
 
 
-def _pack_fn(P: int, directions: tuple[bool, ...]):
+def _pack_fn(P: int, directions: tuple[int, ...]):
     """Pack encoded edges per (direction, source partition): one
     (dir, src_part, srcs list, dsts list) row per partition per batch, so
     the block shuffle moves ~blocks*P packed rows instead of per-edge rows.
-    ``directions``: False = directed edge set, True = symmetrized — both can
-    ride the same shuffle (grouped by (dir, src_part))."""
+    ``directions`` codes (bools coerce for back-compat): 0/False = directed
+    edge set, 1/True = symmetrized, 2 = transpose (reversed edges — in-edge
+    CSR for gather-along-in-links kernels like HITS). Any combination rides
+    ONE shuffle (grouped by (dir, src_part))."""
 
     def pack(batch: pa.Table) -> pa.Table:
         sv0 = batch["src_vid"].to_numpy(zero_copy_only=False)
         dv0 = batch["dst_vid"].to_numpy(zero_copy_only=False)
         tabs = []
-        for symmetric in directions:
-            if symmetric:
+        for direction in directions:
+            symmetric = int(direction)
+            if symmetric == 1:
                 sv = np.concatenate([sv0, dv0])
                 dv = np.concatenate([dv0, sv0])
+            elif symmetric == 2:
+                sv, dv = dv0, sv0
             else:
                 sv, dv = sv0, dv0
             part = sv % P
@@ -718,6 +723,16 @@ def build_graph_pair(prep: PreparedEdges,
     blocks, m = _build_blocks(prep, (False, True), chunk_edges)
     return (_graph_of(prep, blocks.get(0, {}), m.get(0, 0)),
             _graph_of(prep, blocks.get(1, {}), m.get(1, 0)))
+
+
+def build_graph_fwd_rev(prep: PreparedEdges,
+                        chunk_edges: int = CHUNK_EDGES) -> tuple[Graph, Graph]:
+    """Directed graph AND its transpose (in-edge CSR) from ONE pack pass +
+    ONE shuffle — the fwd/rev pair kernels like HITS alternate over. Both
+    share the vertex dictionary, so vids agree across the pair."""
+    blocks, m = _build_blocks(prep, (0, 2), chunk_edges)
+    return (_graph_of(prep, blocks.get(0, {}), m.get(0, 0)),
+            _graph_of(prep, blocks.get(2, {}), m.get(2, 0)))
 
 
 def build_graph(

@@ -21,6 +21,7 @@ from .cc import connected_components
 from .labelprop import label_propagation
 from .triangles import triangle_count
 from .traversal import bfs_hops, k_core
+from .hits import hits
 
 __all__ = ["pagerank", "connected_components", "label_propagation",
-           "triangle_count", "bfs_hops", "k_core"]
+           "triangle_count", "bfs_hops", "k_core", "hits"]

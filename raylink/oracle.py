@@ -124,6 +124,23 @@ def pagerank(g: OracleGraph, *, damping: float = 0.85, tol: float = 1e-6,
     return s, it
 
 
+def hits(g: OracleGraph, *, max_iter: int = 20) -> tuple[np.ndarray, np.ndarray]:
+    """Alternating L1-normalized HITS power iterations (the kernel's exact
+    formula). Returns (hub, auth) per dense position, each summing to 1."""
+    n = g.n
+    e = _pos_edges(g)
+    hub = np.full(n, 1.0 / n)
+    auth = np.zeros(n)
+    for _ in range(max_iter):
+        acc = np.zeros(n)
+        np.add.at(acc, e[:, 1], hub[e[:, 0]])
+        auth = acc / (acc.sum() or 1.0)
+        acc = np.zeros(n)
+        np.add.at(acc, e[:, 0], auth[e[:, 1]])
+        hub = acc / (acc.sum() or 1.0)
+    return hub, auth
+
+
 def connected_components(g: OracleGraph, *, max_iter: int = 10_000) -> np.ndarray:
     """Min-label propagation over the undirected graph; exact fixpoint.
     Returns comp (min vid of component) per dense position."""

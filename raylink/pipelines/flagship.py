@@ -43,14 +43,17 @@ class FlagshipResult:
         return join_keys(self.ranks, self.graph, "score")
 
 
-def join_keys(vertex_table: rd.Dataset, graph: Graph, value_col: str, *,
+def join_keys(vertex_table: rd.Dataset, graph: Graph, value_col, *,
               broadcast_max_vertices: int = 4_000_000) -> rd.Dataset:
-    """(vid, value) -> (key, value). Below ``broadcast_max_vertices`` the
-    vertex dictionary is broadcast once (sorted-vid array + vectorized
+    """(vid, value...) -> (key, value...). ``value_col``: one column name or
+    a list of them (e.g. HITS' hub+auth). Below ``broadcast_max_vertices``
+    the vertex dictionary is broadcast once (sorted-vid array + vectorized
     searchsorted); above it the join runs CO-PARTITIONED by
     ``part = vid % P`` (one shuffle, no vertex-proportional broadcast —
     the same auto-threshold policy as the encode side)."""
     import numpy as np
+
+    cols = [value_col] if isinstance(value_col, str) else list(value_col)
 
     if graph.n <= broadcast_max_vertices:
         vert = pa.concat_tables(
@@ -66,43 +69,47 @@ def join_keys(vertex_table: rd.Dataset, graph: Graph, value_col: str, *,
             vids, keys = ray.get(ref)
             bv = batch["vid"].to_numpy(zero_copy_only=False)
             pos = np.searchsorted(vids, bv)
-            return pa.table({"key": keys.take(pa.array(pos)),
-                             value_col: batch[value_col]})
+            out = {"key": keys.take(pa.array(pos))}
+            out.update({c: batch[c] for c in cols})
+            return pa.table(out)
 
         return vertex_table.map_batches(lookup, batch_format="pyarrow")
 
     P = graph.P
-    val_type = None
+    val_type = {}
     for f in vertex_table.schema().base_schema:
-        if f.name == value_col:
-            val_type = f.type
+        if f.name in cols:
+            val_type[f.name] = f.type
 
     def dict_rows(batch: pa.Table) -> pa.Table:
         # (key, vid, part) -> join rows; vids carried, values null
-        return pa.table({
+        out = {
             "part": batch["part"], "kind": pa.array(
                 np.zeros(batch.num_rows, np.int8), pa.int8()),
             "vid": batch["vid"], "key": batch["key"],
-            value_col: pa.nulls(batch.num_rows, val_type),
-        })
+        }
+        out.update({c: pa.nulls(batch.num_rows, val_type[c]) for c in cols})
+        return pa.table(out)
 
     def value_rows(batch: pa.Table) -> pa.Table:
         vids = batch["vid"].to_numpy(zero_copy_only=False)
-        return pa.table({
+        out = {
             "part": pa.array(vids % P, pa.int64()),
             "kind": pa.array(np.ones(batch.num_rows, np.int8), pa.int8()),
             "vid": batch["vid"],
             "key": pa.nulls(batch.num_rows, graph.key_type),
-            value_col: batch[value_col],
-        })
+        }
+        out.update({c: batch[c] for c in cols})
+        return pa.table(out)
 
     def join_group(g: pa.Table) -> pa.Table:
         kinds = g["kind"].to_numpy(zero_copy_only=False)
         di = np.flatnonzero(kinds == 0)
         vi = np.flatnonzero(kinds == 1)
         if len(vi) == 0 or len(di) == 0:
-            return pa.table({"key": pa.array([], graph.key_type),
-                             value_col: pa.array([], val_type)})
+            out = {"key": pa.array([], graph.key_type)}
+            out.update({c: pa.array([], val_type[c]) for c in cols})
+            return pa.table(out)
         keys = g["key"].combine_chunks().take(pa.array(di))
         dvids = g["vid"].to_numpy(zero_copy_only=False)[di]
         order = np.argsort(dvids, kind="stable")
@@ -110,10 +117,9 @@ def join_keys(vertex_table: rd.Dataset, graph: Graph, value_col: str, *,
         dvids = dvids[order]
         vvids = g["vid"].to_numpy(zero_copy_only=False)[vi]
         pos = np.searchsorted(dvids, vvids)
-        return pa.table({
-            "key": keys.take(pa.array(pos)),
-            value_col: g[value_col].combine_chunks().take(pa.array(vi)),
-        })
+        out = {"key": keys.take(pa.array(pos))}
+        out.update({c: g[c].combine_chunks().take(pa.array(vi)) for c in cols})
+        return pa.table(out)
 
     d = graph.vertices.map_batches(dict_rows, batch_format="pyarrow")
     v = vertex_table.map_batches(value_rows, batch_format="pyarrow")

@@ -14,6 +14,7 @@ from collections.abc import Callable
 from .kernels import (
     bfs_hops,
     connected_components,
+    hits,
     k_core,
     label_propagation,
     pagerank,
@@ -27,6 +28,7 @@ KERNELS: dict[str, Callable] = {
     "triangles": triangle_count,
     "bfs": bfs_hops,
     "kcore": k_core,
+    "hits": hits,  # takes (graph_fwd, graph_rev) from build_graph_fwd_rev
 }
 
 # kernels that require a symmetric (undirected) graph build

@@ -70,6 +70,14 @@ def oracle_by_key(og, arr):
     return {og.keys[i]: arr[i] for i in range(og.n)}
 
 
+def values_by_key_multi(ds, g, cols):
+    out = {}
+    for b in join_keys(ds, g, cols).iter_batches(batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            out[b["key"][i].as_py()] = {c: b[c][i].as_py() for c in cols}
+    return out
+
+
 def test_vid_scheme_matches_oracle():
     pairs = overlay_pairs()
     g = G.build_graph(edges_ds(pairs), P=P)
@@ -357,3 +365,35 @@ def test_triangles_skewed_hub_exact():
     expected = (n_sp - 1) + math.comb(6, 3)
     assert triangle_count(sg, buckets=97) == expected
     assert triangle_count(sg, buckets=4) == expected
+
+
+def test_hits_star_and_overlay_vs_oracle():
+    """HITS on a star (all edges into the center: center gets all authority,
+    spokes share hub mass) and a random overlay vs the sequential oracle;
+    fused and distributed paths must agree exactly."""
+    from raylink.graph import build_graph_fwd_rev, prepare_edges
+    from raylink.kernels import hits
+
+    star = [(f"s{i}", "center") for i in range(8)]
+    prep = prepare_edges(edges_ds(star), P=P)
+    gf, gr = build_graph_fwd_rev(prep)
+    res = values_by_key_multi(hits(gf, gr, max_iter=8), gf, ["hub", "auth"])
+    assert res["center"]["auth"] == pytest.approx(1.0)
+    assert res["center"]["hub"] == pytest.approx(0.0)
+    for i in range(8):
+        assert res[f"s{i}"]["hub"] == pytest.approx(1.0 / 8)
+
+    pairs = overlay_pairs()
+    prep = prepare_edges(edges_ds(pairs), P=P)
+    gf, gr = build_graph_fwd_rev(prep)
+    og = O.build_oracle_graph(pairs, P=P)
+    hub_o, auth_o = O.hits(og, max_iter=10)
+    got = values_by_key_multi(hits(gf, gr, max_iter=10), gf, ["hub", "auth"])
+    for k, vals in got.items():
+        i = og.pos_of[og.vid_of[k]]
+        assert vals["hub"] == pytest.approx(hub_o[i], abs=1e-12)
+        assert vals["auth"] == pytest.approx(auth_o[i], abs=1e-12)
+    df_f = hits(gf, gr, max_iter=10, fused=True).to_pandas().sort_values("vid")
+    df_d = hits(gf, gr, max_iter=10, fused=False).to_pandas().sort_values("vid")
+    assert np.array_equal(df_f["hub"].to_numpy(), df_d["hub"].to_numpy())
+    assert np.array_equal(df_f["auth"].to_numpy(), df_d["auth"].to_numpy())
