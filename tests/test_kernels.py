@@ -397,3 +397,32 @@ def test_hits_star_and_overlay_vs_oracle():
     df_d = hits(gf, gr, max_iter=10, fused=False).to_pandas().sort_values("vid")
     assert np.array_equal(df_f["hub"].to_numpy(), df_d["hub"].to_numpy())
     assert np.array_equal(df_f["auth"].to_numpy(), df_d["auth"].to_numpy())
+
+
+def test_fused_partitioned_build_matches_broadcast():
+    """'partitioned-fused' (encode fused into the CSR build, 2 shuffles,
+    no materialized edge table) must produce graphs identical to the
+    broadcast build: bit-equal PageRank, exact CC labels and triangle
+    count, for directed + symmetric + transpose directions."""
+    from raylink.kernels import hits
+
+    pairs = overlay_pairs()
+    pb = G.prepare_edges(edges_ds(pairs), P=P, encode="broadcast")
+    pf = G.prepare_edges(edges_ds(pairs), P=P, encode="partitioned-fused")
+    assert pf.encode_mode == "partitioned-fused" and pf.enc_edges is None
+    gb, sgb = G.build_graph_pair(pb)
+    gf, sgf = G.build_graph_pair(pf)
+    assert (gb.n, gb.m, sgb.m) == (gf.n, gf.m, sgf.m)
+    rb = pagerank(gb, tol=0.0, max_iter=4).to_pandas().sort_values("vid")
+    rf = pagerank(gf, tol=0.0, max_iter=4).to_pandas().sort_values("vid")
+    assert np.array_equal(rb["score"].to_numpy(), rf["score"].to_numpy())
+    cb = connected_components(sgb).to_pandas().sort_values("vid")
+    cf = connected_components(sgf).to_pandas().sort_values("vid")
+    assert cb["comp"].tolist() == cf["comp"].tolist()
+    assert triangle_count(sgb) == triangle_count(sgf)
+    fb, rvb = G.build_graph_fwd_rev(pb)
+    ff, rvf = G.build_graph_fwd_rev(pf)
+    hb = hits(fb, rvb, max_iter=4).to_pandas().sort_values("vid")
+    hf = hits(ff, rvf, max_iter=4).to_pandas().sort_values("vid")
+    assert np.array_equal(hb["hub"].to_numpy(), hf["hub"].to_numpy())
+    assert np.array_equal(hb["auth"].to_numpy(), hf["auth"].to_numpy())
