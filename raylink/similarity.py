@@ -14,6 +14,8 @@ Reference parity: cosine-similarity feature comparison
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 import pyarrow as pa
 
@@ -87,42 +89,76 @@ def lsh_topk(emb: rd.Dataset, query: np.ndarray, k: int = 10, *, n_planes: int =
     return scored.sort(key=["cos_sim", id_col], descending=[True, False]).limit(k)
 
 
+def _kmeanspp_init(sample: np.ndarray, n_lists: int, rng) -> np.ndarray:
+    """Seeded k-means++ seeding (D^2 sampling): spreads initial centroids
+    proportionally to squared distance from the chosen set — much better
+    list balance than uniform seeding on clustered corpora, deterministic
+    under the fixed rng."""
+    n = len(sample)
+    L = min(n_lists, n)
+    cent = np.empty((L, sample.shape[1]), dtype=np.float64)
+    cent[0] = sample[int(rng.integers(n))]
+    d2 = ((sample - cent[0]) ** 2).sum(axis=1)
+    for i in range(1, L):
+        tot = d2.sum()
+        if tot <= 0:
+            cent[i:] = sample[rng.choice(n, size=L - i)]
+            break
+        cent[i] = sample[int(rng.choice(n, p=d2 / tot))]
+        d2 = np.minimum(d2, ((sample - cent[i]) ** 2).sum(axis=1))
+    return cent
+
+
+def _nearest_centroid(unit: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    # argmin ||u - c||^2 == argmax u.c - |c|^2/2 — one matmul, no pairwise
+    # difference tensor
+    return (unit @ cent.T - 0.5 * (cent * cent).sum(axis=1)[None, :]).argmax(axis=1)
+
+
 def _kmeans(sample: np.ndarray, n_lists: int, iters: int = 10,
             seed: int = 42) -> np.ndarray:
     """Deterministic Lloyd iterations on a (normalized) training sample —
-    the IVF coarse quantizer. Pure numpy; empty clusters re-seeded from the
-    farthest points."""
+    the IVF coarse quantizer. k-means++ init; matmul assignment; empty
+    clusters re-seeded from the farthest points."""
     rng = np.random.default_rng(seed)
-    n = len(sample)
-    cent = sample[rng.choice(n, size=min(n_lists, n), replace=False)].copy()
+    cent = _kmeanspp_init(sample, n_lists, rng)
     for _ in range(iters):
-        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        assign = _nearest_centroid(sample, cent)
+        far = None
         for c in range(len(cent)):
             members = sample[assign == c]
             if len(members):
                 cent[c] = members.mean(axis=0)
             else:
-                cent[c] = sample[d.min(axis=1).argmax()]
+                if far is None:
+                    best = (sample @ cent.T
+                            - 0.5 * (cent * cent).sum(axis=1)[None, :]).max(axis=1)
+                    far = best.argmin()
+                cent[c] = sample[far]
     return cent
 
 
-def ivf_topk(emb: rd.Dataset, query: np.ndarray, k: int = 10, *,
-             n_lists: int = 32, n_probe: int = 4, train_sample: int = 8192,
-             seed: int = 42, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> rd.Dataset:
-    """IVF approximate top-k (ROADMAP 6): a coarse k-means quantizer is
-    trained once on a bounded driver sample of normalized vectors; each
-    batch assigns its vectors to the nearest centroid (one matmul) and
-    scores ONLY vectors whose list is among the query's ``n_probe``
-    nearest lists. Work scales ~ n_probe/n_lists of brute force; recall
-    rises with n_probe (measured in tests against cosine_topk).
+@dataclass
+class IvfIndex:
+    """Persisted IVF state (ROADMAP 6 "assign once, reuse across queries"):
+    centroids live on the driver (n_lists x dim, tiny) and the corpus
+    carries a materialized ``ivf_list`` int32 column — per query only a
+    cheap ``is_in`` filter runs before scoring, no re-assignment matmul.
+    ``assigned`` can be written to parquet and re-read: the column is
+    ordinary data."""
 
-    Scale note: training reads ``train_sample`` rows (bounded, not
-    corpus-proportional); centroids (n_lists x dim) broadcast once."""
-    q = np.asarray(query, dtype=np.float64)
-    qn = q / (np.linalg.norm(q) or 1.0)
+    centroids: np.ndarray
+    assigned: rd.Dataset
+    id_col: str
+    vec_col: str
 
+
+def ivf_build(emb: rd.Dataset, *, n_lists: int = 32, train_sample: int = 8192,
+              seed: int = 42, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> IvfIndex:
+    """Train the coarse quantizer on a bounded driver sample (k-means++ +
+    Lloyd, never corpus-proportional) and persist each vector's list id as
+    an ``ivf_list`` column (one matmul pass, centroids broadcast once)."""
     train = []
     got = 0
     for b in emb.select_columns([vec_col]).iter_batches(
@@ -138,27 +174,66 @@ def ivf_topk(emb: rd.Dataset, query: np.ndarray, k: int = 10, *,
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
     cent = _kmeans(mat / norms[:, None], n_lists, seed=seed)
+    cent_ref = ray.put(cent)
 
-    qd = ((qn[None, :] - cent) ** 2).sum(axis=1)
-    probe = frozenset(np.argsort(qd, kind="stable")[:n_probe].tolist())
-    ref = ray.put((cent, qn, probe))
-
-    def score(batch: pa.Table) -> pa.Table:
-        c, qq, probe_set = ray.get(ref)
-        ids, m = _unwrap(batch, id_col, vec_col)
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        _, m = _unwrap(batch, id_col, vec_col)
         nm = np.linalg.norm(m, axis=1)
         nm[nm == 0] = 1.0
-        unit = m / nm[:, None]
-        # nearest centroid via the matmul identity argmin||u-c|| = argmax u.c - |c|^2/2
-        scores_c = unit @ c.T - 0.5 * (c * c).sum(axis=1)[None, :]
-        assign = scores_c.argmax(axis=1)
-        keep = np.isin(assign, list(probe_set))
-        sims = unit[keep] @ qq
+        lists = _nearest_centroid(m / nm[:, None], c)
+        return batch.append_column(
+            "ivf_list", pa.array(lists.astype(np.int32), pa.int32()))
+
+    assigned = emb.map_batches(assign, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+    return IvfIndex(centroids=cent, assigned=assigned, id_col=id_col,
+                    vec_col=vec_col)
+
+
+def ivf_query(index: IvfIndex, query: np.ndarray, k: int = 10, *,
+              n_probe: int = 4) -> rd.Dataset:
+    """Top-k over the ``n_probe`` nearest lists of a built index. Work is
+    ~ n_probe/n_lists of brute force; recall rises with n_probe (measured
+    in the recall harness, tests/test_ops.py)."""
+    import pyarrow.compute as pc
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    qd = ((qn[None, :] - index.centroids) ** 2).sum(axis=1)
+    probe = np.sort(np.argsort(qd, kind="stable")[:n_probe]).astype(np.int32)
+    id_col, vec_col = index.id_col, index.vec_col
+    ref = ray.put((qn, probe))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qq, probe_ids = ray.get(ref)
+        sub = batch.filter(pc.is_in(batch["ivf_list"],
+                                    value_set=pa.array(probe_ids, pa.int32())))
+        ids, m = _unwrap(sub, id_col, vec_col)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.int64())})
+        nm = np.linalg.norm(m, axis=1)
+        nm[nm == 0] = 1.0
+        sims = (m / nm[:, None]) @ qq
         fixed = np.floor(sims * 1_000_000.0 + 0.5).astype(np.int64)
         return pa.table({
-            id_col: pa.array(ids[keep], pa.int64()),
+            id_col: pa.array(ids, pa.int64()),
             "cos_sim": pa.array(fixed, pa.int64()),
         })
 
-    scored = emb.map_batches(score, batch_format="pyarrow")
+    scored = index.assigned.map_batches(score, batch_format="pyarrow",
+                                        zero_copy_batch=True)
     return scored.sort(key=["cos_sim", id_col], descending=[True, False]).limit(k)
+
+
+def ivf_topk(emb: rd.Dataset, query: np.ndarray, k: int = 10, *,
+             n_lists: int = 32, n_probe: int = 4, train_sample: int = 8192,
+             seed: int = 42, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> rd.Dataset:
+    """One-shot IVF approximate top-k: :func:`ivf_build` then
+    :func:`ivf_query` (build the index once with ``ivf_build`` when
+    serving several queries)."""
+    index = ivf_build(emb, n_lists=n_lists, train_sample=train_sample,
+                      seed=seed, id_col=id_col, vec_col=vec_col)
+    return ivf_query(index, query, k, n_probe=n_probe)

@@ -343,3 +343,32 @@ def test_empty_inputs_do_not_crash():
     assert O.pearson_corr(e, "value", "value").count() == 1  # degenerate 0
     n, m, s = O.column_moments(e, "value")
     assert n == 0 and np.isnan(m)
+
+
+def test_ivf_persisted_index_recall_rises_with_probes():
+    """Recall harness (ROADMAP 6): a built IvfIndex serves several queries
+    without re-assignment; recall@10 vs brute force is monotone-ish in
+    n_probe and reaches 1.0 when probing every list."""
+    from raylink.similarity import cosine_topk, ivf_build, ivf_query
+
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((8, 16)) * 3
+    mat = np.concatenate(
+        [c + 0.3 * rng.standard_normal((250, 16)) for c in centers])
+    ds = ds_of({"vec_id": list(range(len(mat))),
+                "embedding": [r.tolist() for r in mat]})
+    index = ivf_build(ds, n_lists=16, seed=5)
+    assert "ivf_list" in [f.name for f in index.assigned.schema().base_schema]
+    recalls = []
+    for q_i in (3, 700, 1500):
+        q = mat[q_i] + 0.05 * rng.standard_normal(16)
+        exact = set(cosine_topk(ds, q, 10).to_pandas().vec_id)
+        r = {}
+        for n_probe in (1, 4, 16):
+            got = set(ivf_query(index, q, 10, n_probe=n_probe)
+                      .to_pandas().vec_id)
+            r[n_probe] = len(exact & got) / 10
+        assert r[16] == 1.0           # probing all lists == brute force
+        assert r[4] >= r[1] - 0.2     # more probes, no big recall loss
+        recalls.append(r[4])
+    assert np.mean(recalls) >= 0.8   # clustered corpus: 4/16 lists suffice
