@@ -732,6 +732,22 @@ def q_emb_knn_ivf(sf_dir: str):
     return ivf_topk(emb, _query_vec(sf_dir), 10, n_lists=16, n_probe=6)
 
 
+def q_emb_knn_multi(sf_dir: str):
+    """Batched multi-query ANN: 4 query vectors, one scan, one matmul per
+    batch (similarity.cosine_topk_multi)."""
+    import pyarrow.parquet as pq
+
+    from raylink.similarity import cosine_topk_multi
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    vids = t["vec_id"].to_pylist()
+    qmat = np.stack([np.asarray(t["embedding"][vids.index(i)].as_py(),
+                                dtype=np.float64) for i in range(4)])
+    emb = _read(sf_dir, "embeddings")
+    return cosine_topk_multi(emb, qmat, 10, query_ids=[0, 1, 2, 3])
+
+
 def q_emb_near_dups(sf_dir: str):
     from raylink.dedup import embedding_near_dups
 
@@ -872,6 +888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn": q_emb_knn,
         "emb_knn_lsh": q_emb_knn_lsh,
         "emb_knn_ivf": q_emb_knn_ivf,
+        "emb_knn_multi": q_emb_knn_multi,
         "emb_near_dups": q_emb_near_dups,
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
         "media_frame_sample": q_media_frame_sample,
@@ -1308,6 +1325,17 @@ def oracle_sql() -> dict[str, str]:
         "+ 0.5) AS BIGINT) AS cos_sim "
         "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0 "
         "ORDER BY cos_sim DESC, e.vec_id LIMIT 10"
+    )
+    sql["emb_knn_multi"] = (
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+        "FROM embeddings WHERE vec_id < 4), "
+        "s AS (SELECT q.query_id, e.vec_id, "
+        "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+        "CAST(q.qe AS DOUBLE[]))*1000000 + 0.5) AS BIGINT) AS cos_sim "
+        "FROM embeddings e CROSS JOIN q), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos_sim DESC, vec_id) AS rn FROM s) "
+        "SELECT query_id, vec_id, cos_sim FROM r WHERE rn <= 10"
     )
     sql["emb_near_dups"] = (
         "SELECT a.vec_id AS a_id, b.vec_id AS b_id, "

@@ -237,3 +237,63 @@ def ivf_topk(emb: rd.Dataset, query: np.ndarray, k: int = 10, *,
     index = ivf_build(emb, n_lists=n_lists, train_sample=train_sample,
                       seed=seed, id_col=id_col, vec_col=vec_col)
     return ivf_query(index, query, k, n_probe=n_probe)
+
+
+def cosine_topk_multi(emb: rd.Dataset, queries: np.ndarray, k: int = 10, *,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      query_ids=None) -> rd.Dataset:
+    """Batched multi-query top-k: ONE matmul per batch scores every query
+    against every row ((n x d) @ (d x Q)), the batch pre-selects its local
+    top-k per query (ties on the rounded score kept, so the global cut is
+    exact), and one ``groupby(query_id)`` finalizes. Per-batch emission is
+    bounded by ~Q*k rows; total shuffle ~ Q*k*blocks — never corpus-sized.
+    The batch-inference shape for ANN: serving Q queries costs one scan,
+    not Q scans (SURVEY §2.11 batched model scoring)."""
+    Q = np.asarray(queries, dtype=np.float64)
+    if Q.ndim == 1:
+        Q = Q[None, :]
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    Qu = Q / qn[:, None]
+    qids = (np.arange(len(Q), dtype=np.int64) if query_ids is None
+            else np.asarray(query_ids, dtype=np.int64))
+    ref = ray.put((Qu, qids))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qu, qi = ray.get(ref)
+        ids, m = _unwrap(batch, id_col, vec_col)
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.int64())})
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m @ qu.T) / norms[:, None]          # (n, Q) — one matmul
+        fixed = np.floor(sims * 1_000_000.0 + 0.5).astype(np.int64)
+        qs, vs, ss = [], [], []
+        for j in range(fixed.shape[1]):
+            col = fixed[:, j]
+            if len(col) > k:
+                kth = np.partition(col, -k)[-k]
+                sel = np.flatnonzero(col >= kth)    # keep rounded-score ties
+            else:
+                sel = np.arange(len(col))
+            qs.append(np.full(len(sel), qi[j], np.int64))
+            vs.append(ids[sel])
+            ss.append(col[sel])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(qs), pa.int64()),
+            id_col: pa.array(np.concatenate(vs), pa.int64()),
+            "cos_sim": pa.array(np.concatenate(ss), pa.int64()),
+        })
+
+    cands = emb.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def head(group: pa.Table) -> pa.Table:
+        s = group["cos_sim"].to_numpy(zero_copy_only=False)
+        v = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -s))[:k]
+        return group.take(pa.array(order, pa.int64()))
+
+    return cands.groupby("query_id").map_groups(head, batch_format="pyarrow")

@@ -372,3 +372,22 @@ def test_ivf_persisted_index_recall_rises_with_probes():
         assert r[4] >= r[1] - 0.2     # more probes, no big recall loss
         recalls.append(r[4])
     assert np.mean(recalls) >= 0.8   # clustered corpus: 4/16 lists suffice
+
+
+def test_cosine_topk_multi_matches_per_query():
+    """Batched multi-query ANN == per-query brute force, including the
+    (rounded score desc, id asc) tie rule at the cut."""
+    from raylink.similarity import cosine_topk, cosine_topk_multi
+
+    rng = np.random.default_rng(23)
+    mat = rng.standard_normal((600, 12))
+    ds = ds_of({"vec_id": list(range(600)),
+                "embedding": [r.tolist() for r in mat]}).repartition(6)
+    qmat = mat[[5, 99, 300]] + 0.02 * rng.standard_normal((3, 12))
+    multi = cosine_topk_multi(ds, qmat, 10, query_ids=[5, 99, 300]).to_pandas()
+    assert len(multi) == 30
+    for qi, q in zip([5, 99, 300], qmat):
+        single = cosine_topk(ds, q, 10).to_pandas()
+        part = multi[multi.query_id == qi]
+        assert part.vec_id.tolist() == single.vec_id.tolist()
+        assert part.cos_sim.tolist() == single.cos_sim.tolist()
