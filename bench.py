@@ -221,7 +221,10 @@ def scaling(lo: int | None = None, hi: int | None = None) -> None:
     hi = hi or 4 * lo
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # single-shot per subprocess: the scaling protocol does its own
+        # interleaved repeats with best-per-level selection
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_REPEATS="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
