@@ -11,14 +11,16 @@ Layout:
     extract.py     HTML -> text/links extraction (actor-pool map_batches stage)
     graph.py       edge dedup, vertex dictionary, partitioned CSR block build
     kernels/       pagerank (+personalized), CC, label propagation,
-                   triangles (partitioned wedge join), BFS, k-core
+                   triangles (partitioned wedge join), BFS, k-core, HITS;
+                   fused single-task execution for small graphs (bsp.py)
     checkpoint.py  per-superstep per-partition parquet state + manifest lineage
     ops.py         generic relational ops: filter/agg/topk/dedup, rolling
                    and hopping windows, anomaly top-k, segmentation,
                    impute/transforms, exact distributed quantiles, joins
     dedup.py       exact / minhash-LSH / simhash / ngram-jaccard / embedding dedup
     textops.py     lang-id, quality score, token count, fingerprints
-    similarity.py  cosine top-k ANN (brute force + LSH + IVF)
+    similarity.py  cosine top-k ANN (brute force, multi-query,
+                   LSH, persisted-index IVF)
     sketches.py    mergeable HLL distinct count + quantile summary
     multimodal.py  binary-column decode plumbing (decode kernels stubbed)
     oracle.py      sequential NumPy/Python oracles for every kernel

@@ -295,3 +295,11 @@ def table_scalar_sums(tab: pa.Table, cols: list[str]) -> dict[str, float]:
     import pyarrow.compute as pc
 
     return {c: (pc.sum(tab[c]).as_py() or 0) for c in cols}
+
+
+def empty_vertex_result(cols: dict) -> rd.Dataset:
+    """Typed empty (vid, ...) result for zero-vertex graphs — every kernel
+    early-returns this instead of running supersteps over no state."""
+    out = {"vid": pa.array([], pa.int64())}
+    out.update({c: pa.array([], t) for c, t in cols.items()})
+    return rd.from_arrow(pa.table(out))

@@ -264,6 +264,10 @@ def connected_components(
     """
     if method == "jump" and init != "vid":
         raise ValueError("pointer jumping requires vid-labels (init='vid')")
+    if graph.n == 0:
+        from .bsp import empty_vertex_result
+
+        return empty_vertex_result({"comp": pa.int64()})
     from .bsp import key_init_state
 
     store = None

@@ -202,6 +202,11 @@ def hits(graph_fwd: Graph, graph_rev: Graph, *, max_iter: int = 20,
         raise ValueError("fwd/rev graphs must share the vertex dictionary")
     if max_iter < 1:
         raise ValueError("max_iter must be >= 1")
+    if graph_fwd.n == 0:
+        from .bsp import empty_vertex_result
+
+        return empty_vertex_result({"hub": pa.float64(),
+                                    "auth": pa.float64()})
     g = graph_fwd
     hub = init_state(g, lambda p: np.full(int(g.n_per_part[p]), 1.0 / g.n))
 

@@ -154,6 +154,10 @@ def label_propagation(
     over user-facing ids, matching the SQL formulation)."""
     from .bsp import key_init_state
 
+    if graph.n == 0:
+        from .bsp import empty_vertex_result
+
+        return empty_vertex_result({"label": pa.int64()})
     store = None
     start_iter = 0
     if init == "key":

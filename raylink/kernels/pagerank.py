@@ -225,6 +225,10 @@ def pagerank(
     With ``checkpoint_dir``, every superstep writes per-partition state +
     manifest; a rerun resumes from the newest complete iteration.
     """
+    if graph.n == 0:
+        from .bsp import empty_vertex_result
+
+        return empty_vertex_result({"score": pa.float64()})
     store = None
     start_iter = 0
     seed = None

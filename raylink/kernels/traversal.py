@@ -136,6 +136,10 @@ def bfs_hops(graph: Graph, source_vid: int, *, max_iter: int = 10_000,
     """(vid, hops) for vertices reachable from ``source_vid``. Run on a
     symmetric build for undirected hop distance, directed for reachability
     distance."""
+    if graph.n == 0:
+        from .bsp import empty_vertex_result
+
+        return empty_vertex_result({"hops": pa.int64()})
     P = graph.P
     s_part, s_local = int(source_vid) % P, int(source_vid) // P
 
@@ -291,6 +295,10 @@ def k_core(graph: Graph, k: int, *, max_iter: int = 10_000,
     indicator scattered through the same bincount partials as PageRank
     contributions) and kills vertices below ``k``; fixpoint = exact
     k-core. ``max_iter`` caps rounds for fixed-round oracle parity."""
+    if graph.n == 0:
+        from .bsp import empty_vertex_result
+
+        return empty_vertex_result({"in_core": pa.int64()})
     state = init_state(graph,
                        lambda p: np.ones(int(graph.n_per_part[p]), np.int64),
                        dtype=pa.int64())

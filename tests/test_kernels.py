@@ -426,3 +426,23 @@ def test_fused_partitioned_build_matches_broadcast():
     hf = hits(ff, rvf, max_iter=4).to_pandas().sort_values("vid")
     assert np.array_equal(hb["hub"].to_numpy(), hf["hub"].to_numpy())
     assert np.array_equal(hb["auth"].to_numpy(), hf["auth"].to_numpy())
+
+
+def test_empty_graph_kernels_return_typed_empty():
+    from raylink.kernels import bfs_hops, hits, k_core
+
+    g = G.build_graph(edges_ds([]), P=P)
+    sg = G.build_graph(edges_ds([]), P=P, symmetric=True)
+    assert g.n == 0 and g.m == 0
+    for ds, col in [
+        (pagerank(g, max_iter=3), "score"),
+        (connected_components(sg), "comp"),
+        (label_propagation(sg, max_iter=2), "label"),
+        (bfs_hops(sg, 0), "hops"),
+        (k_core(sg, 2), "in_core"),
+        (hits(g, g, max_iter=2), "hub"),
+    ]:
+        assert ds.count() == 0
+        names = [f.name for f in ds.schema().base_schema]
+        assert col in names
+    assert triangle_count(sg) == 0
