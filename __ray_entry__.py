@@ -740,9 +740,10 @@ def q_emb_knn_multi(sf_dir: str):
     from raylink.similarity import cosine_topk_multi
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    vids = t["vec_id"].to_pylist()
-    qmat = np.stack([np.asarray(t["embedding"][vids.index(i)].as_py(),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", 4)])
+    order = {int(v): i for i, v in enumerate(t["vec_id"].to_pylist())}
+    qmat = np.stack([np.asarray(t["embedding"][order[i]].as_py(),
                                 dtype=np.float64) for i in range(4)])
     emb = _read(sf_dir, "embeddings")
     return cosine_topk_multi(emb, qmat, 10, query_ids=[0, 1, 2, 3])

@@ -129,6 +129,10 @@ class CheckpointStore:
             "complete": True,
             "metrics": metrics,
         }
+        # commit the NEW iteration first — the manifest is the commit
+        # point; pruning before this commit could crash with the on-disk
+        # manifest still pointing at an already-deleted iteration
+        self._commit_manifest()
         if self.retain is not None:
             import shutil
 
@@ -137,10 +141,11 @@ class CheckpointStore:
                 if v.get("complete") and not v.get("pruned")
             )
             for old in live[: -self.retain]:
+                self.manifest["iterations"][str(old)]["pruned"] = True
+            self._commit_manifest()
+            for old in live[: -self.retain]:
                 shutil.rmtree(os.path.join(self.dir, f"iter={old}"),
                               ignore_errors=True)
-                self.manifest["iterations"][str(old)]["pruned"] = True
-        self._commit_manifest()
 
     # -- read -------------------------------------------------------------
     def latest(self) -> tuple[int, rd.Dataset] | None:

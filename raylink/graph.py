@@ -916,9 +916,14 @@ def _graph_of(prep: PreparedEdges, blocks: dict[int, list[Any]], m: int) -> Grap
 
 
 def build_graph_from_prepared(prep: PreparedEdges, *, symmetric: bool = False,
+                              transpose: bool = False,
                               chunk_edges: int = CHUNK_EDGES) -> Graph:
-    blocks, m = _build_blocks(prep, (symmetric,), chunk_edges)
-    d = int(symmetric)
+    """One-direction build from shared prep. ``transpose=True`` builds the
+    in-edge CSR (direction code 2; mutually exclusive with symmetric)."""
+    if symmetric and transpose:
+        raise ValueError("symmetric and transpose are mutually exclusive")
+    d = 2 if transpose else int(symmetric)
+    blocks, m = _build_blocks(prep, (d,), chunk_edges)
     return _graph_of(prep, blocks.get(d, {}), m.get(d, 0))
 
 

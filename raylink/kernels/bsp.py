@@ -255,9 +255,16 @@ def fused_eligible(graph, override: bool | None = None) -> bool:
     ``override`` forces the choice (tests exercise both paths on the same
     graph). Auto rule: graph cells (n + m) under ``FUSED_MAX_CELLS`` and no
     multi-chunk partitions (chunking only appears far above the threshold)."""
+    chunked = any(len(c) > 1 for c in graph.blocks.values())
     if override is not None:
+        if override and chunked:
+            # the fused scatter walks one chunk per partition; silently
+            # dropping chunks[1:] would be a wrong answer, not a slowdown
+            raise ValueError(
+                "fused=True on a multi-chunk graph (some partition has "
+                ">1 CSR chunk); use the distributed path")
         return bool(override)
-    if any(len(c) > 1 for c in graph.blocks.values()):
+    if chunked:
         return False
     return (graph.n + graph.m) <= FUSED_MAX_CELLS
 

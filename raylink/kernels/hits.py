@@ -212,7 +212,8 @@ def hits(graph_fwd: Graph, graph_rev: Graph, *, max_iter: int = 20,
 
     from .bsp import fused_eligible, graph_view, state_table
 
-    if fused_eligible(g, fused):
+    if fused_eligible(graph_fwd, fused) and fused_eligible(graph_rev,
+                                                           fused):
         hub_tab, hub_norm, auth_tab, auth_norm, metrics = ray.get(
             _fused_hits.remote(graph_view(graph_fwd), graph_view(graph_rev),
                                state_table(hub), max_iter))

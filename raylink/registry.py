@@ -21,6 +21,17 @@ from .kernels import (
     triangle_count,
 )
 
+def _hits_single_graph(graph, **kwargs):
+    """Registry adapter keeping the uniform run_kernel(name, graph)
+    contract: derive the transpose build from the graph's shared prep
+    (one extra build shuffle; call kernels.hits with a
+    build_graph_fwd_rev pair directly to share the pack pass)."""
+    from .graph import build_graph_from_prepared
+
+    return hits(graph, build_graph_from_prepared(graph.prep, transpose=True),
+                **kwargs)
+
+
 KERNELS: dict[str, Callable] = {
     "pagerank": pagerank,
     "cc": connected_components,
@@ -28,7 +39,7 @@ KERNELS: dict[str, Callable] = {
     "triangles": triangle_count,
     "bfs": bfs_hops,
     "kcore": k_core,
-    "hits": hits,  # takes (graph_fwd, graph_rev) from build_graph_fwd_rev
+    "hits": _hits_single_graph,
 }
 
 # kernels that require a symmetric (undirected) graph build

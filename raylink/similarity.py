@@ -25,6 +25,9 @@ import ray.data as rd
 
 def _unwrap(batch: pa.Table, id_col: str, vec_col: str):
     ids = batch[id_col].to_numpy(zero_copy_only=False)
+    if len(ids) == 0:
+        # reshape(0, -1) raises; callers must check len(ids) before matmul
+        return ids, np.zeros((0, 0), dtype=np.float64)
     v = batch[vec_col].combine_chunks()
     mat = v.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     return ids, mat.reshape(len(ids), -1)
@@ -43,6 +46,9 @@ def cosine_topk(emb: rd.Dataset, query: np.ndarray, k: int = 10, *,
     def score(batch: pa.Table) -> pa.Table:
         qq = ray.get(qref)
         ids, mat = _unwrap(batch, id_col, vec_col)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.int64())})
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         sims = (mat @ qq) / norms
@@ -73,6 +79,9 @@ def lsh_topk(emb: rd.Dataset, query: np.ndarray, k: int = 10, *, n_planes: int =
     def score(batch: pa.Table) -> pa.Table:
         pl, qq, probe_set = ray.get(pref)
         ids, mat = _unwrap(batch, id_col, vec_col)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.int64())})
         sigs = ((mat @ pl.T) > 0) @ (1 << np.arange(pl.shape[0]))
         keep = np.array([int(s) in probe_set for s in sigs], dtype=bool)
         ids, mat = ids[keep], mat[keep]
@@ -178,6 +187,8 @@ def ivf_build(emb: rd.Dataset, *, n_lists: int = 32, train_sample: int = 8192,
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
+        if batch.num_rows == 0:
+            return batch.append_column("ivf_list", pa.array([], pa.int32()))
         _, m = _unwrap(batch, id_col, vec_col)
         nm = np.linalg.norm(m, axis=1)
         nm[nm == 0] = 1.0
@@ -210,7 +221,7 @@ def ivf_query(index: IvfIndex, query: np.ndarray, k: int = 10, *,
         sub = batch.filter(pc.is_in(batch["ivf_list"],
                                     value_set=pa.array(probe_ids, pa.int32())))
         ids, m = _unwrap(sub, id_col, vec_col)
-        if len(ids) == 0:
+        if len(ids) == 0:  # guard BEFORE any matmul: m is (0, 0) here
             return pa.table({id_col: pa.array([], pa.int64()),
                              "cos_sim": pa.array([], pa.int64())})
         nm = np.linalg.norm(m, axis=1)
@@ -262,7 +273,7 @@ def cosine_topk_multi(emb: rd.Dataset, queries: np.ndarray, k: int = 10, *,
     def score(batch: pa.Table) -> pa.Table:
         qu, qi = ray.get(ref)
         ids, m = _unwrap(batch, id_col, vec_col)
-        if len(ids) == 0:
+        if len(ids) == 0:  # guard BEFORE any matmul: m is (0, 0) here
             return pa.table({"query_id": pa.array([], pa.int64()),
                              id_col: pa.array([], pa.int64()),
                              "cos_sim": pa.array([], pa.int64())})

@@ -446,3 +446,37 @@ def test_empty_graph_kernels_return_typed_empty():
         names = [f.name for f in ds.schema().base_schema]
         assert col in names
     assert triangle_count(sg) == 0
+
+
+def test_fused_true_on_chunked_graph_raises():
+    """fused=True must refuse a multi-chunk graph (the fused scatter walks
+    one chunk per partition; silently dropping chunks would be a wrong
+    answer), and the hits gate checks BOTH directions."""
+    pairs = overlay_pairs()
+    gc_ = G.build_graph(edges_ds(pairs), P=P, chunk_edges=8)
+    assert max(len(v) for v in gc_.blocks.values()) > 1
+    with pytest.raises(ValueError, match="multi-chunk"):
+        pagerank(gc_, max_iter=2, fused=True)
+    # auto mode on the same graph silently takes the distributed path
+    r_auto = pagerank(gc_, tol=0.0, max_iter=3).to_pandas().sort_values("vid")
+    gd = G.build_graph(edges_ds(pairs), P=P)
+    r_ref = pagerank(gd, tol=0.0, max_iter=3).to_pandas().sort_values("vid")
+    assert np.array_equal(r_auto["score"].to_numpy(), r_ref["score"].to_numpy())
+
+
+def test_registry_hits_single_graph_contract():
+    """run_kernel('hits', graph) works with ONE graph argument (the
+    transpose build is derived from the shared prep) and matches the
+    explicit fwd/rev pair call."""
+    from raylink.kernels import hits
+    from raylink.registry import run_kernel
+
+    pairs = overlay_pairs()
+    prep = G.prepare_edges(edges_ds(pairs), P=P)
+    gf, gr = G.build_graph_fwd_rev(prep)
+    via_pair = hits(gf, gr, max_iter=4).to_pandas().sort_values("vid")
+    g = G.build_graph_from_prepared(prep)
+    via_reg = run_kernel("hits", g, max_iter=4).to_pandas().sort_values("vid")
+    assert np.array_equal(via_pair["hub"].to_numpy(), via_reg["hub"].to_numpy())
+    assert np.array_equal(via_pair["auth"].to_numpy(),
+                          via_reg["auth"].to_numpy())

@@ -391,3 +391,21 @@ def test_cosine_topk_multi_matches_per_query():
         part = multi[multi.query_id == qi]
         assert part.vec_id.tolist() == single.vec_id.tolist()
         assert part.cos_sim.tolist() == single.cos_sim.tolist()
+
+
+def test_ann_ops_tolerate_empty_blocks():
+    """Datasets with empty blocks (more partitions than rows) must not
+    crash any ANN scorer (empty-batch guards before the matmuls)."""
+    from raylink.similarity import (cosine_topk, cosine_topk_multi,
+                                    ivf_build, ivf_query, lsh_topk)
+
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((12, 8))
+    ds = ds_of({"vec_id": list(range(12)),
+                "embedding": [r.tolist() for r in mat]}).repartition(30)
+    q = mat[0]
+    assert len(cosine_topk(ds, q, 5).to_pandas()) == 5
+    assert len(lsh_topk(ds, q, 5).to_pandas()) <= 5
+    idx = ivf_build(ds, n_lists=4)
+    assert len(ivf_query(idx, q, 5, n_probe=1).to_pandas()) <= 5
+    assert len(cosine_topk_multi(ds, mat[:2], 5).to_pandas()) == 10
