@@ -17,25 +17,38 @@ Reference analog: output-exists resume (``peak_detect_v4.py:1850-1853``) and
 cached-feature resume (``porcine/pig_extract.py:1090-1096``), upgraded from
 file-granular to (iteration, partition)-granular with explicit lineage.
 
-Filesystem requirement: part files are written by worker processes and read
-back by the driver through the SAME ``root`` path, so ``root`` must be a
-shared filesystem (NFS / FUSE-mounted object storage) on a multi-node
-cluster — a node-local path is only correct single-node. At cluster scale
-point ``root`` at a storage URI via a pyarrow/fsspec filesystem; the write
-protocol (tmp + atomic rename, skip-existing, manifest commit) carries over
-unchanged on any store with atomic rename.
+Filesystem: ``root`` may be a plain path OR a storage URI (``file://``,
+``s3://``, ``gs://`` — anything ``pyarrow.fs.FileSystem.from_uri``
+resolves). Workers reconstruct the filesystem from the root string, so on
+a multi-node cluster point ``root`` at shared/object storage. Atomicity:
+local filesystems use tmp + rename; object stores rely on single-PUT
+atomicity (no rename needed) — the manifest write remains the commit
+point either way. A node-local plain path is only correct single-node.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import posixpath
 from typing import Any
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 import ray.data as rd
+
+
+def _fs_of(root: str):
+    """(filesystem, path, is_uri) for a plain path or a storage URI
+    (file://, s3://, gs://, ... — anything pyarrow.fs resolves). Plain
+    paths use LocalFileSystem so one code path serves both."""
+    from pyarrow import fs as pafs
+
+    if "://" in root:
+        f, path = pafs.FileSystem.from_uri(root)
+        return f, path, True
+    return pafs.LocalFileSystem(), os.path.abspath(root), False
 
 
 def graph_fingerprint(graph) -> str:
@@ -62,9 +75,16 @@ class CheckpointStore:
         if retain is not None and retain < 1:
             raise ValueError("retain must be >= 1 (the resume point)")
         self.retain = retain
-        self.dir = os.path.join(root, kernel)
-        os.makedirs(self.dir, exist_ok=True)
-        self.manifest_path = os.path.join(self.dir, "manifest.json")
+        self.root = root
+        fs, base, self.is_uri = _fs_of(root)
+        self.fs = fs
+        self.dir = posixpath.join(base, kernel)
+        # kernel-dir path as the SAME uri/path flavor as root (workers and
+        # rd.read_parquet both resolve it)
+        self.dir_as_given = (root.rstrip("/") + "/" + kernel
+                             if self.is_uri else self.dir)
+        fs.create_dir(self.dir, recursive=True)
+        self.manifest_path = posixpath.join(self.dir, "manifest.json")
         self.fingerprint = fingerprint
         self.params = params
         self.manifest = self._load_manifest()
@@ -87,33 +107,58 @@ class CheckpointStore:
             )
 
     def _load_manifest(self):
-        if not os.path.exists(self.manifest_path):
+        from pyarrow import fs as pafs
+
+        info = self.fs.get_file_info(self.manifest_path)
+        if info.type == pafs.FileType.NotFound:
             return None
-        with open(self.manifest_path) as f:
-            return json.load(f)
+        with self.fs.open_input_stream(self.manifest_path) as f:
+            return json.loads(f.read().decode())
 
     def _commit_manifest(self) -> None:
-        tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self.manifest, f, indent=1, sort_keys=True)
-        os.replace(tmp, self.manifest_path)
+        payload = json.dumps(self.manifest, indent=1, sort_keys=True).encode()
+        from pyarrow import fs as pafs
+
+        if isinstance(self.fs, pafs.LocalFileSystem):
+            # POSIX rename is the atomic commit
+            tmp = self.manifest_path + ".tmp"
+            with self.fs.open_output_stream(tmp) as f:
+                f.write(payload)
+            self.fs.move(tmp, self.manifest_path)
+        else:
+            # object stores: a single PUT is atomic; there is no rename
+            with self.fs.open_output_stream(self.manifest_path) as f:
+                f.write(payload)
 
     # -- write ------------------------------------------------------------
     def save(self, it: int, state: rd.Dataset, metrics: dict[str, Any]) -> None:
         """Write per-partition files (distributed, atomic, skip-existing),
         then commit the iteration to the manifest."""
-        out_dir = os.path.join(self.dir, f"iter={it}")
-        os.makedirs(out_dir, exist_ok=True)
+        out_dir = posixpath.join(self.dir, f"iter={it}")
+        self.fs.create_dir(out_dir, recursive=True)
+        root = self.root
+        kernel = posixpath.basename(self.dir)
 
         def write_parts(batch: pa.Table) -> pa.Table:
+            # workers reconstruct the filesystem from the root string (the
+            # fs handle itself need not survive serialization)
+            from pyarrow import fs as pafs
+
+            wfs, base, _ = _fs_of(root)
+            odir = posixpath.join(base, kernel, f"iter={it}")
             written = []
             for i in range(batch.num_rows):
                 p = int(batch["part"][i].as_py())
-                path = os.path.join(out_dir, f"part={p}.parquet")
-                if not os.path.exists(path):
-                    tmp = path + ".tmp"
-                    pq.write_table(batch.slice(i, 1), tmp)
-                    os.replace(tmp, path)
+                path = posixpath.join(odir, f"part={p}.parquet")
+                if wfs.get_file_info(path).type == pafs.FileType.NotFound:
+                    if isinstance(wfs, pafs.LocalFileSystem):
+                        # tmp + atomic rename on POSIX
+                        tmp = path + ".tmp"
+                        pq.write_table(batch.slice(i, 1), tmp, filesystem=wfs)
+                        wfs.move(tmp, path)
+                    else:
+                        # object stores: single PUT is atomic, no rename
+                        pq.write_table(batch.slice(i, 1), path, filesystem=wfs)
                 written.append(p)
             return pa.table({"part": pa.array(written, pa.int64())})
 
@@ -134,8 +179,6 @@ class CheckpointStore:
         # manifest still pointing at an already-deleted iteration
         self._commit_manifest()
         if self.retain is not None:
-            import shutil
-
             live = sorted(
                 int(k) for k, v in self.manifest["iterations"].items()
                 if v.get("complete") and not v.get("pruned")
@@ -144,8 +187,10 @@ class CheckpointStore:
                 self.manifest["iterations"][str(old)]["pruned"] = True
             self._commit_manifest()
             for old in live[: -self.retain]:
-                shutil.rmtree(os.path.join(self.dir, f"iter={old}"),
-                              ignore_errors=True)
+                try:
+                    self.fs.delete_dir(posixpath.join(self.dir, f"iter={old}"))
+                except FileNotFoundError:
+                    pass
 
     # -- read -------------------------------------------------------------
     def latest(self) -> tuple[int, rd.Dataset] | None:
@@ -159,7 +204,8 @@ class CheckpointStore:
         if not iters:
             return None
         it = iters[-1]
-        state = rd.read_parquet(os.path.join(self.dir, f"iter={it}"))
+        state = rd.read_parquet(posixpath.join(self.dir, f"iter={it}"),
+                                filesystem=self.fs)
         return it, state.materialize()
 
     def metrics_history(self) -> dict[int, dict]:

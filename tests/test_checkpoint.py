@@ -115,3 +115,27 @@ def test_retention_prunes_old_iterations(tmp_path):
     store2 = CheckpointStore(ckpt, "pagerank", graph_fingerprint(g),
                              {"damping": 0.85, "tol": 0.0})
     assert store2.latest()[0] == 5
+
+
+def test_uri_root_checkpoint_and_resume(tmp_path):
+    """root as a storage URI (file://) — workers reconstruct the
+    filesystem from the string; resume reads through it; results match a
+    plain-path run to 1e-12."""
+    g = G.build_graph(edges_ds(chain_pairs(40)), P=4)
+    from raylink.pipelines.flagship import join_keys
+
+    def scores(ckpt):
+        pagerank(g, tol=1e-9, max_iter=3, checkpoint_dir=ckpt)
+        out = {}
+        for b in join_keys(pagerank(g, tol=1e-9, checkpoint_dir=ckpt),
+                           g, "score").iter_batches(batch_format="pyarrow"):
+            for i in range(b.num_rows):
+                out[b["key"][i].as_py()] = b["score"][i].as_py()
+        return out
+
+    via_uri = scores("file://" + str(tmp_path / "uri_ck"))
+    via_path = scores(str(tmp_path / "plain_ck"))
+    assert set(via_uri) == set(via_path)
+    for k in via_uri:
+        assert abs(via_uri[k] - via_path[k]) < 1e-12
+    assert (tmp_path / "uri_ck" / "pagerank" / "manifest.json").exists()
