@@ -539,6 +539,17 @@ def q_graph_kcore(sf_dir: str):
     return _rename(join_keys(cores, sg, "in_core"), {"key": "user_id"})
 
 
+def q_graph_summary(sf_dir: str):
+    """One-row whole-graph summary (counts, degree stats, triangles,
+    global clustering) over the undirected user graph."""
+    from raylink.graph import build_graph
+    from raylink.kernels import graph_summary
+
+    sg = build_graph(_user_edges(sf_dir), P=GRAPH_P, symmetric=True,
+                     already_deduped=True)
+    return graph_summary(sg)
+
+
 def q_graph_hits(sf_dir: str):
     """HITS hubs & authorities (L1-normalized alternating power iteration,
     fixed PR_ITERS rounds shared with the SQL oracle)."""
@@ -872,6 +883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_bfs": q_graph_bfs,
         "graph_kcore": q_graph_kcore,
         "graph_hits": q_graph_hits,
+        "graph_summary": q_graph_summary,
         "graph_triangles": q_graph_triangles,
         "pages_docs": q_pages_docs,
         "pages_pagerank": q_pages_pagerank,
@@ -1206,6 +1218,26 @@ def oracle_sql() -> dict[str, str]:
     sql["graph_pagerank"] = _pr_sql_body(_E_CTE, PR_ITERS, "user_id")
     sql["graph_ppr"] = _ppr_sql_body(_E_CTE, PR_ITERS, "user_id")
     sql["graph_hits"] = _hits_sql_body(_E_CTE, PR_ITERS, "user_id")
+    sql["graph_summary"] = (
+        f"WITH {_E_CTE}, "
+        "und AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM e "
+        "UNION ALL SELECT dst, src FROM e)), "
+        "deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d "
+        "FROM und GROUP BY a), "
+        "u2 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM e), "
+        "tri AS (SELECT count(*) AS c FROM u2 e1 "
+        "JOIN u2 e2 ON e2.a = e1.b JOIN u2 e3 ON e3.a = e1.a AND e3.b = e2.b) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_vertices, "
+        "CAST((SELECT count(*) FROM u2) AS BIGINT) AS n_edges, "
+        "CAST(max(d) AS BIGINT) AS max_degree, "
+        "CAST(floor(CAST(sum(d) AS DOUBLE)/count(*)*1000000 + 0.5) AS BIGINT) "
+        "AS avg_degree_fp, "
+        "CAST((SELECT c FROM tri) AS BIGINT) AS n_triangles, "
+        "CAST(floor(3.0*(SELECT c FROM tri)/sum(d*(d-1)//2)*1000000000 + 0.5) "
+        "AS BIGINT) AS clustering_fp "
+        "FROM deg"
+    )
     sql["graph_components"] = (
         f"WITH RECURSIVE {_E_CTE}, "
         "und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e), "

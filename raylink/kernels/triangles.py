@@ -203,3 +203,37 @@ def triangle_count(graph: Graph, *, buckets: int | None = None,
         .map_groups(probe, batch_format="pyarrow")
     )
     return int(out.sum("tri") or 0)
+
+
+@ray.remote
+def _deg_stats(blk) -> tuple:
+    deg = blk.deg.astype(np.int64)
+    return (int(deg.sum()), int((deg * (deg - 1) // 2).sum()),
+            int(deg.max()) if len(deg) else 0)
+
+
+def graph_summary(graph: Graph) -> "pa.Table":
+    """One-row whole-graph summary over a SYMMETRIC build: vertex/edge
+    counts, degree stats, exact triangles and the global clustering
+    coefficient (3*triangles/wedges). Degree moments reduce per-partition
+    on workers (one scalar triple per partition to the driver — never a
+    vertex-proportional gather); triangles reuse the partitioned wedge
+    join. Ratios are emitted fixed-point so the SQL oracle matches
+    bit-for-bit."""
+    parts = graph.parts_with_edges()
+    stats = ray.get([_deg_stats.remote(graph.blocks[p][0]) for p in parts])
+    total_deg = sum(s[0] for s in stats)
+    wedges = sum(s[1] for s in stats)
+    max_deg = max((s[2] for s in stats), default=0)
+    tri = triangle_count(graph)
+    n = graph.n
+    avg_fp = int(np.floor(total_deg / n * 1e6 + 0.5)) if n else 0
+    clus_fp = int(np.floor(3.0 * tri / wedges * 1e9 + 0.5)) if wedges else 0
+    return pa.table({
+        "n_vertices": pa.array([n], pa.int64()),
+        "n_edges": pa.array([graph.m // 2], pa.int64()),
+        "max_degree": pa.array([max_deg], pa.int64()),
+        "avg_degree_fp": pa.array([avg_fp], pa.int64()),
+        "n_triangles": pa.array([tri], pa.int64()),
+        "clustering_fp": pa.array([clus_fp], pa.int64()),
+    })

@@ -480,3 +480,15 @@ def test_registry_hits_single_graph_contract():
     assert np.array_equal(via_pair["hub"].to_numpy(), via_reg["hub"].to_numpy())
     assert np.array_equal(via_pair["auth"].to_numpy(),
                           via_reg["auth"].to_numpy())
+
+
+def test_graph_summary_known_fixture():
+    from raylink.kernels import graph_summary
+
+    # one 5-clique: n=5, und edges=10, every deg=4, triangles=C(5,3)=10,
+    # clustering = 3*10 / (5*C(4,2)=30) = 1.0
+    sg = G.build_graph(edges_ds(clique_pairs(1, 5)), P=P, symmetric=True)
+    row = graph_summary(sg).to_pylist()[0]
+    assert row == {"n_vertices": 5, "n_edges": 10, "max_degree": 4,
+                   "avg_degree_fp": 4_000_000, "n_triangles": 10,
+                   "clustering_fp": 1_000_000_000}
