@@ -79,10 +79,6 @@ class CheckpointStore:
         fs, base, self.is_uri = _fs_of(root)
         self.fs = fs
         self.dir = posixpath.join(base, kernel)
-        # kernel-dir path as the SAME uri/path flavor as root (workers and
-        # rd.read_parquet both resolve it)
-        self.dir_as_given = (root.rstrip("/") + "/" + kernel
-                             if self.is_uri else self.dir)
         fs.create_dir(self.dir, recursive=True)
         self.manifest_path = posixpath.join(self.dir, "manifest.json")
         self.fingerprint = fingerprint
