@@ -550,6 +550,16 @@ def q_graph_summary(sf_dir: str):
     return graph_summary(sg)
 
 
+def q_graph_triangles_approx(sf_dir: str):
+    """DOULION approximate triangles (seeded edge sampling, 1/p^3 scale;
+    exact twin = graph_triangles). Accuracy bounded in pytest; no SQL
+    oracle (the seeded hash sampling is not SQL-expressible)."""
+    from raylink.kernels import approx_triangle_count
+
+    n = approx_triangle_count(_user_edges(sf_dir), p=0.5, seed=7, P=GRAPH_P)
+    return pa.table({"n_triangles_est": pa.array([n], pa.int64())})
+
+
 def q_graph_hits(sf_dir: str):
     """HITS hubs & authorities (L1-normalized alternating power iteration,
     fixed PR_ITERS rounds shared with the SQL oracle)."""
@@ -884,6 +894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_kcore": q_graph_kcore,
         "graph_hits": q_graph_hits,
         "graph_summary": q_graph_summary,
+        "graph_triangles_approx": q_graph_triangles_approx,
         "graph_triangles": q_graph_triangles,
         "pages_docs": q_pages_docs,
         "pages_pagerank": q_pages_pagerank,

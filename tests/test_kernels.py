@@ -492,3 +492,21 @@ def test_graph_summary_known_fixture():
     assert row == {"n_vertices": 5, "n_edges": 10, "max_degree": 4,
                    "avg_degree_fp": 4_000_000, "n_triangles": 10,
                    "clustering_fp": 1_000_000_000}
+
+
+def test_approx_triangles_doulion():
+    """DOULION sampling: p=1 exact; p<1 deterministic under a fixed seed
+    and within sampling error of the exact count on a triangle-dense
+    fixture. Guards the nonlinear-ticket requirement (a linear symmetric
+    pair hash makes triangle tickets xor-dependent and inflates by 1/p)."""
+    from raylink.kernels import approx_triangle_count
+
+    pairs = overlay_pairs(seed=2, n=40, m=360) + clique_pairs(2, 7)
+    sg = G.build_graph(edges_ds(pairs), P=P, symmetric=True)
+    exact = triangle_count(sg)
+    assert exact > 100
+    assert approx_triangle_count(edges_ds(pairs), p=1.0, P=P) == exact
+    est1 = approx_triangle_count(edges_ds(pairs), p=0.5, seed=7, P=P)
+    est2 = approx_triangle_count(edges_ds(pairs), p=0.5, seed=7, P=P)
+    assert est1 == est2  # deterministic
+    assert abs(est1 - exact) / exact < 0.45  # sampling error, not bias
