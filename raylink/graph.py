@@ -48,6 +48,13 @@ import ray.data as rd
 DEFAULT_P = 32
 # target max edges per CSR chunk; oversized partitions split into sub-chunks
 CHUNK_EDGES = 4_000_000
+# below this edge count (encode="auto") the whole dictionary+encode+build
+# runs locally in one pass: 4-5 Dataset-execution launches (~0.3-0.5 s each)
+# dwarf the actual work on tiny graphs, same disease the fused kernels cure
+import os as _os
+
+SMALL_BUILD_MAX_EDGES = int(_os.environ.get(
+    "RAYLINK_SMALL_BUILD_MAX_EDGES", "200000"))
 
 
 # ---------------------------------------------------------------------------
@@ -332,9 +339,9 @@ def _build_block_rows(group: pa.Table, P: int, n_per_part: np.ndarray,
                                chunk_edges)
 
 
-def _csr_rows_from_vids(part: int, direction: int, src: np.ndarray,
-                        dst: np.ndarray, P: int, n_per_part: np.ndarray,
-                        chunk_edges: int) -> pa.Table:
+def _csr_blocks_from_vids(part: int, src: np.ndarray, dst: np.ndarray,
+                          P: int, n_per_part: np.ndarray,
+                          chunk_edges: int) -> list[CSRBlock]:
     # global exact dedup happens HERE, for free: any given (src,dst) pair
     # always lands in this partition, so a local unique is a global one.
     # (Self-loops were dropped before the vertex build.)
@@ -351,28 +358,34 @@ def _csr_rows_from_vids(part: int, direction: int, src: np.ndarray,
     deg = np.bincount(src_local, minlength=n_local).astype(np.int64)
     m = len(src_local)
     n_chunks = max(1, -(-m // chunk_edges))
-    rows = []
+    blocks = []
     for c in range(n_chunks):
         lo, hi = c * chunk_edges, min((c + 1) * chunk_edges, m)
         # per-chunk bounds, clipped into [lo, hi) and rebased to 0
         cb = np.clip(bounds, lo, hi) - lo
-        blk = CSRBlock(
+        blocks.append(CSRBlock(
             part=part,
             src_local=src_local[lo:hi],
             dst_local=dst_local[lo:hi],
             bounds=cb,
             deg=deg,
             n_local=n_local,
-        )
-        rows.append({"part": part, "chunk": c, "m": hi - lo,
-                     "payload": pickle.dumps(blk, protocol=5)})
+        ))
+    return blocks
+
+
+def _csr_rows_from_vids(part: int, direction: int, src: np.ndarray,
+                        dst: np.ndarray, P: int, n_per_part: np.ndarray,
+                        chunk_edges: int) -> pa.Table:
+    blocks = _csr_blocks_from_vids(part, src, dst, P, n_per_part, chunk_edges)
     return pa.table(
         {
-            "dir": pa.array([direction] * len(rows), pa.int64()),
-            "part": pa.array([r["part"] for r in rows], pa.int64()),
-            "chunk": pa.array([r["chunk"] for r in rows], pa.int64()),
-            "m": pa.array([r["m"] for r in rows], pa.int64()),
-            "payload": pa.array([r["payload"] for r in rows], pa.binary()),
+            "dir": pa.array([direction] * len(blocks), pa.int64()),
+            "part": pa.array([b.part for b in blocks], pa.int64()),
+            "chunk": pa.array(list(range(len(blocks))), pa.int64()),
+            "m": pa.array([b.m for b in blocks], pa.int64()),
+            "payload": pa.array([pickle.dumps(b, protocol=5) for b in blocks],
+                                pa.binary()),
         }
     )
 
@@ -557,6 +570,11 @@ def prepare_edges(edges: rd.Dataset, *, P: int = DEFAULT_P,
                                   zero_copy_batch=True)
     edges = edges.materialize()
 
+    if encode == "auto" and edges.count() <= SMALL_BUILD_MAX_EDGES:
+        prep = _prepare_small(edges, P, key_type)
+        if prep is not None:  # None on a (2^-128-rare) hash collision
+            return prep
+
     rank_rows, n_per_part, n, n_collisions = build_vertex_ranks(edges, P)
     if n_collisions > 0:
         # 64-bit hash collision in the key set: fall back to the string
@@ -617,6 +635,90 @@ def prepare_edges(edges: rd.Dataset, *, P: int = DEFAULT_P,
     return PreparedEdges(enc_edges=enc, dict_ref=dict_ref, n=n,
                          n_per_part=n_per_part, P=P, key_type=key_type,
                          edges=edges, encode_mode=mode, rank_rows=rank_rows)
+
+
+def _prepare_small(edges: rd.Dataset, P: int, key_type) -> "PreparedEdges | None":
+    """Local single-pass prepare for small edge tables (bounded driver
+    gather, <= SMALL_BUILD_MAX_EDGES rows): the exact same canonical rank
+    order and encode as the distributed broadcast path — per-part asc-sorted
+    unique hashes, vid = rank*P + part, searchsorted probe — so vids are
+    identical. Returns None on a detected 64-bit hash collision (the
+    distributed path's string-fallback handles it)."""
+    batches = list(edges.iter_batches(batch_format="pyarrow",
+                                      batch_size=1 << 20))
+    tab = (pa.concat_tables(batches) if batches
+           else pa.table({"src": pa.array([], key_type),
+                          "dst": pa.array([], key_type)}))
+    h_src = hash64(tab["src"])
+    h_dst = hash64(tab["dst"])
+    h1 = np.concatenate([h_src, h_dst])
+    h2 = np.concatenate([hash64(tab["src"], seed=_HASH_SEED2),
+                         hash64(tab["dst"], seed=_HASH_SEED2)])
+    if len(h1):
+        order = np.lexsort((h2, h1))
+        h1, h2 = h1[order], h2[order]
+        keep = np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])]
+        h1 = h1[keep]
+        if np.any(h1[1:] == h1[:-1]):
+            return None  # 64-bit collision: distributed string-fallback
+    else:
+        h1 = h1.astype(np.uint64)
+    # h1 is globally ascending; per-part rank = position among that part's
+    # hashes in asc order (identical to build_vertex_ranks + _ranks_arrays)
+    part = (h1 % np.uint64(P)).astype(np.int64)
+    n_per_part = np.bincount(part, minlength=P).astype(np.int64)
+    rank_in_part = np.zeros(len(h1), dtype=np.int64)
+    for p in range(P):
+        sel = part == p
+        rank_in_part[sel] = np.arange(int(sel.sum()))
+    vids = rank_in_part * P + part
+    dict_ref = ray.put((h1, vids))
+    sv = vids[np.searchsorted(h1, h_src)]
+    dv = vids[np.searchsorted(h1, h_dst)]
+    enc_tab = pa.table({"src_vid": pa.array(sv, pa.int64()),
+                        "dst_vid": pa.array(dv, pa.int64())})
+    return PreparedEdges(
+        enc_edges=rd.from_arrow(enc_tab).materialize(), dict_ref=dict_ref,
+        n=len(h1), n_per_part=n_per_part, P=P, key_type=key_type,
+        edges=edges, encode_mode="broadcast-small")
+
+
+def _build_blocks_small(prep: PreparedEdges, directions: tuple[int, ...],
+                        chunk_edges: int):
+    """Local block build for the small path: one bounded gather of the
+    already-encoded vid pairs, numpy pack per (direction, part), blocks
+    ray.put from the driver (bounded by SMALL_BUILD_MAX_EDGES)."""
+    P, n_per_part = prep.P, prep.n_per_part
+    batches = list(prep.enc_edges.iter_batches(batch_format="pyarrow",
+                                               batch_size=1 << 20))
+    if batches:
+        tab = pa.concat_tables(batches)
+        sv0 = tab["src_vid"].to_numpy(zero_copy_only=False)
+        dv0 = tab["dst_vid"].to_numpy(zero_copy_only=False)
+    else:
+        sv0 = dv0 = np.array([], np.int64)
+    blocks: dict[int, dict[int, list[Any]]] = {}
+    m_total: dict[int, int] = {}
+    for d in (int(x) for x in directions):
+        if d == 1:
+            sv = np.concatenate([sv0, dv0])
+            dv = np.concatenate([dv0, sv0])
+        elif d == 2:
+            sv, dv = dv0, sv0
+        else:
+            sv, dv = sv0, dv0
+        per: dict[int, list[Any]] = {}
+        m_d = 0
+        parts = (sv % P).astype(np.int64)
+        for p in np.unique(parts):
+            sel = parts == p
+            blks = _csr_blocks_from_vids(int(p), sv[sel], dv[sel], P,
+                                         n_per_part, chunk_edges)
+            per[int(p)] = [ray.put(b) for b in blks]
+            m_d += sum(b.m for b in blks)
+        blocks[d] = per
+        m_total[d] = m_d
+    return blocks, m_total
 
 
 _FUSED_A = pa.schema([
@@ -887,6 +989,9 @@ def _build_blocks(prep: PreparedEdges, directions: tuple[bool, ...],
         # "partitioned-fused": encode + block build share their shuffles
         return _build_blocks_fused(prep.edges, prep.rank_rows, P, n_per_part,
                                    tuple(int(d) for d in directions),
+                                   chunk_edges)
+    if prep.encode_mode == "broadcast-small":
+        return _build_blocks_small(prep, tuple(int(d) for d in directions),
                                    chunk_edges)
     # coalesce the encoded edges into ~8 blocks per partition before packing:
     # the pack stage emits one row per (dir, part) per input block, so block

@@ -510,3 +510,24 @@ def test_approx_triangles_doulion():
     est2 = approx_triangle_count(edges_ds(pairs), p=0.5, seed=7, P=P)
     assert est1 == est2  # deterministic
     assert abs(est1 - exact) / exact < 0.45  # sampling error, not bias
+
+
+def test_small_build_matches_distributed_broadcast():
+    """encode='auto' below SMALL_BUILD_MAX_EDGES takes the local one-pass
+    build (bounded gather, zero extra Dataset executions); vids, blocks and
+    every kernel output must be identical to the distributed broadcast
+    build (encode='broadcast' forces the distributed path)."""
+    pairs = overlay_pairs()
+    ps = G.prepare_edges(edges_ds(pairs), P=P)
+    pb = G.prepare_edges(edges_ds(pairs), P=P, encode="broadcast")
+    assert ps.encode_mode == "broadcast-small"
+    gs_, sgs = G.build_graph_pair(ps)
+    gb_, sgb = G.build_graph_pair(pb)
+    assert (gs_.n, gs_.m, sgs.m) == (gb_.n, gb_.m, sgb.m)
+    rs = pagerank(gs_, tol=0.0, max_iter=4).to_pandas().sort_values("vid")
+    rb = pagerank(gb_, tol=0.0, max_iter=4).to_pandas().sort_values("vid")
+    assert np.array_equal(rs["score"].to_numpy(), rb["score"].to_numpy())
+    cs = connected_components(sgs).to_pandas().sort_values("vid")
+    cb = connected_components(sgb).to_pandas().sort_values("vid")
+    assert cs["comp"].tolist() == cb["comp"].tolist()
+    assert triangle_count(sgs) == triangle_count(sgb)
