@@ -74,7 +74,10 @@ def _list_np(col: pa.ChunkedArray):
             arr.offsets.to_numpy(zero_copy_only=False))
 
 
-def _make_combine(graph: Graph):
+def _make_combine(graph: Graph, active_parity: int | None = None):
+    """``active_parity``: only partitions with part % 2 == parity update
+    this half-step (red/black Gauss-Seidel sweep); inactive partitions
+    carry their labels through unchanged (changed = 0). None = all."""
     n_per_part = graph.n_per_part
 
     def combine(group: pa.Table) -> pa.Table:
@@ -86,6 +89,12 @@ def _make_combine(graph: Graph):
         lab_flat, lab_offs = _list_np(group["lab"])
         cnt_flat, cnt_offs = _list_np(group["cnt"])
         prev = lab_flat[lab_offs[prev_i]: lab_offs[prev_i + 1]].astype(np.int64)
+        if active_parity is not None and part % 2 != active_parity:
+            return pa.table({
+                "part": pa.array([part], pa.int64()),
+                "vec": pa.array([prev], pa.list_(pa.int64())),
+                "changed": pa.array([0], pa.int64()),
+            })
         Is, Ls, Cs = [np.arange(n_q, dtype=np.int64)], [prev], [np.ones(n_q, np.int64)]
         for i in range(group.num_rows):
             if kinds[i] != 0:
@@ -122,17 +131,24 @@ def _make_combine(graph: Graph):
 
 
 @ray.remote
-def _fused_lp(view, state_tab: pa.Table, max_iter: int, start_iter: int):
+def _fused_lp(view, state_tab: pa.Table, max_iter: int, start_iter: int,
+              method: str):
     """All LP supersteps in ONE task — same closures, bit-equal output."""
     from .bsp import fused_superstep, table_scalar_sums
 
     scatter = _make_scatter(view)
-    combine = _make_combine(view)
+    if method == "redblack":
+        combines = [_make_combine(view, 0), _make_combine(view, 1)]
+    else:
+        combines = [_make_combine(view)]
     metrics = []
     for it in range(start_iter + 1, max_iter + 1):
         t0 = time.perf_counter()
-        state_tab = fused_superstep(state_tab, scatter, combine)
-        changed = int(table_scalar_sums(state_tab, ["changed"])["changed"])
+        changed = 0
+        for combine in combines:
+            state_tab = fused_superstep(state_tab, scatter, combine)
+            changed += int(
+                table_scalar_sums(state_tab, ["changed"])["changed"])
         metrics.append({"iter": it, "changed": changed, "fused": True,
                         "sec": time.perf_counter() - t0})
         if changed == 0:
@@ -145,13 +161,24 @@ def label_propagation(
     *,
     max_iter: int = 20,
     init: str = "vid",
+    method: str = "sync",
     checkpoint_dir: str | None = None,
     metrics_out: list | None = None,
     fused: bool | None = None,
 ) -> rd.Dataset:
     """Per-vertex Dataset (vid, label). ``graph`` must be a symmetric build.
     ``init="key"`` starts labels from int64 vertex keys (tiebreak then runs
-    over user-facing ids, matching the SQL formulation)."""
+    over user-facing ids, matching the SQL formulation).
+
+    ``method="sync"``: Jacobi — every vertex votes on the previous round's
+    labels (can oscillate on bipartite structures; capped by max_iter).
+    ``method="redblack"``: Gauss-Seidel sweep by partition parity — even
+    partitions update first, odd partitions see the fresh even labels
+    (2 half-steps per round, each half fully parallel across its color;
+    breaks 2-cycles, deterministic via the fixed color order). Matches
+    oracle.label_propagation_redblack exactly."""
+    if method not in ("sync", "redblack"):
+        raise ValueError(f"unknown LP method {method!r}")
     from .bsp import key_init_state
 
     if graph.n == 0:
@@ -171,7 +198,8 @@ def label_propagation(
     if checkpoint_dir:
         store = CheckpointStore(checkpoint_dir, "labelprop",
                                 graph_fingerprint(graph),
-                                {"max_iter": max_iter, "init": init})
+                                {"max_iter": max_iter, "init": init,
+                                 "method": method})
         resumed = store.latest()
         if resumed is not None:
             start_iter, state = resumed
@@ -180,31 +208,36 @@ def label_propagation(
 
     if store is None and fused_eligible(graph, fused):
         final_tab, metrics = ray.get(_fused_lp.remote(
-            graph_view(graph), state_table(state), max_iter, start_iter))
+            graph_view(graph), state_table(state), max_iter, start_iter,
+            method))
         if metrics_out is not None:
             metrics_out.extend(metrics)
         return state_to_vertex_table(rd.from_arrow(final_tab), graph,
                                      "vec", "label")
 
     scatter = _make_scatter(graph)
-    combine = _make_combine(graph)
+    if method == "redblack":
+        combines = [_make_combine(graph, 0), _make_combine(graph, 1)]
+    else:
+        combines = [_make_combine(graph)]
 
     from .bsp import maybe_expand_chunks
 
     for it in range(start_iter + 1, max_iter + 1):
         t0 = time.perf_counter()
-        new_state = (
-            maybe_expand_chunks(state, graph)
-            .map_batches(scatter, batch_format="pyarrow", batch_size=1,
-                         zero_copy_batch=True)
-            .groupby("dst_part")
-            .map_groups(combine, batch_format="pyarrow")
-            .materialize()
-        )
-        from .bsp import sum_columns
+        changed = 0
+        for combine in combines:
+            state = (
+                maybe_expand_chunks(state, graph)
+                .map_batches(scatter, batch_format="pyarrow", batch_size=1,
+                             zero_copy_batch=True)
+                .groupby("dst_part")
+                .map_groups(combine, batch_format="pyarrow")
+                .materialize()
+            )
+            from .bsp import sum_columns
 
-        changed = int(sum_columns(new_state, ["changed"])["changed"])
-        state = new_state
+            changed += int(sum_columns(state, ["changed"])["changed"])
         dt = time.perf_counter() - t0
         metrics = {"iter": it, "changed": changed, "sec": dt,
                    "edges_per_sec": graph.m / dt if dt > 0 else None}

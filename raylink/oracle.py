@@ -185,6 +185,40 @@ def label_propagation(g: OracleGraph, *, max_iter: int = 20) -> np.ndarray:
     return lab
 
 
+def label_propagation_redblack(g: OracleGraph, *,
+                               max_iter: int = 20) -> np.ndarray:
+    """Red/black Gauss-Seidel LP (the kernel's method="redblack" twin):
+    per round, even partitions (part = vid % P, parity 0) update from the
+    current labels, then odd partitions update SEEING the fresh even
+    labels. Same vote rule/tiebreak as sync."""
+    e = _pos_edges(g)
+    und = np.unique(np.concatenate([e, e[:, ::-1]], axis=0), axis=0)
+    vids = np.array(sorted(g.pos_of), dtype=np.int64)
+    lab = vids.copy()
+    parity = (vids % g.P) % 2
+    adj: list[list[int]] = [[] for _ in range(g.n)]
+    for u, v in und:
+        adj[v].append(u)
+    for _ in range(max_iter):
+        round_start = lab.copy()
+        for phase in (0, 1):
+            prev = lab.copy()
+            new = lab.copy()
+            for v in range(g.n):
+                if parity[v] != phase:
+                    continue
+                votes: dict[int, int] = {int(prev[v]): 1}
+                for u in adj[v]:
+                    l = int(prev[u])
+                    votes[l] = votes.get(l, 0) + 1
+                best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[v] = best[0]
+            lab = new
+        if np.array_equal(lab, round_start):
+            break
+    return lab
+
+
 def triangle_count(g: OracleGraph) -> int:
     """Exact global triangle count over the undirected simple graph."""
     e = _pos_edges(g)

@@ -531,3 +531,29 @@ def test_small_build_matches_distributed_broadcast():
     cb = connected_components(sgb).to_pandas().sort_values("vid")
     assert cs["comp"].tolist() == cb["comp"].tolist()
     assert triangle_count(sgs) == triangle_count(sgb)
+
+
+def test_lp_redblack_vs_oracle_and_paths():
+    """Red/black Gauss-Seidel LP matches its sequential oracle exactly;
+    fused == distributed; and on a 2-path (bipartite oscillator for sync
+    LP) it reaches a fixpoint."""
+    pairs = overlay_pairs(seed=13, n=30, m=60)
+    sg = G.build_graph(edges_ds(pairs), P=P, symmetric=True)
+    og = O.build_oracle_graph(pairs, P)
+    truth = oracle_by_key(og, O.label_propagation_redblack(og, max_iter=6))
+    got = values_by_key(
+        label_propagation(sg, max_iter=6, method="redblack"), sg, "label")
+    assert got == truth
+    got_d = values_by_key(
+        label_propagation(sg, max_iter=6, method="redblack", fused=False),
+        sg, "label")
+    assert got_d == got
+    # bipartite pair: sync LP can swap labels forever; red/black fixes
+    two = [("rbx", "rby")]
+    sg2 = G.build_graph(edges_ds(two), P=P, symmetric=True)
+    m_rb: list = []
+    vals = values_by_key(
+        label_propagation(sg2, max_iter=10, method="redblack",
+                          metrics_out=m_rb), sg2, "label")
+    assert len(set(vals.values())) == 1            # converged to one label
+    assert m_rb[-1]["changed"] == 0                # true fixpoint reached
