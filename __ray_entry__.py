@@ -539,6 +539,23 @@ def q_graph_kcore(sf_dir: str):
     return _rename(join_keys(cores, sg, "in_core"), {"key": "user_id"})
 
 
+def q_graph_bfs_multi(sf_dir: str):
+    """Multi-source BFS: hop distances from the 3 smallest user ids in ONE
+    propagation (landmark-distance shape; kernels.bfs_hops_multi)."""
+    from raylink.graph import build_graph
+    from raylink.kernels import bfs_hops_multi
+    from raylink.pipelines.flagship import join_keys
+
+    sg = build_graph(_user_edges(sf_dir), P=GRAPH_P, symmetric=True,
+                     already_deduped=True)
+    kv = [(r["key"], r["vid"]) for b in sg.vertices.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()]
+    seeds = [v for _, v in sorted(kv)[:3]]
+    res = bfs_hops_multi(sg, seeds)
+    return _rename(join_keys(res, sg, ["source_idx", "hops"]),
+                   {"key": "user_id"})
+
+
 def q_graph_summary(sf_dir: str):
     """One-row whole-graph summary (counts, degree stats, triangles,
     global clustering) over the undirected user graph."""
@@ -895,6 +912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_hits": q_graph_hits,
         "graph_summary": q_graph_summary,
         "graph_triangles_approx": q_graph_triangles_approx,
+        "graph_bfs_multi": q_graph_bfs_multi,
         "graph_triangles": q_graph_triangles,
         "pages_docs": q_pages_docs,
         "pages_pagerank": q_pages_pagerank,
@@ -1271,6 +1289,9 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["graph_bfs"] = (
         """WITH RECURSIVE " + _E_CTE + ", und AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e)), v AS (SELECT a AS v FROM und UNION SELECT b FROM und), b(v, d) AS (SELECT (SELECT min(v) FROM v), 0 UNION SELECT u.b, b.d + 1 FROM b JOIN und u ON u.a = b.v WHERE b.d < 200) SELECT v AS user_id, CAST(min(d) AS BIGINT) AS hops FROM b GROUP BY v"""
+    ).replace('" + _E_CTE + "', _E_CTE)
+    sql["graph_bfs_multi"] = (
+        """WITH RECURSIVE " + _E_CTE + ", und AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e)), vx AS (SELECT DISTINCT v FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und)), s AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS si FROM vx ORDER BY v LIMIT 3), b(v, si, d) AS (SELECT v, si, 0 FROM s UNION SELECT u.b, b.si, b.d + 1 FROM b JOIN und u ON u.a = b.v WHERE b.d < 200) SELECT v AS user_id, CAST(si AS BIGINT) AS source_idx, CAST(min(d) AS BIGINT) AS hops FROM b GROUP BY v, si"""
     ).replace('" + _E_CTE + "', _E_CTE)
     sql["graph_kcore"] = (
         """WITH " + _E_CTE + ", und AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e)), v AS (SELECT a AS v FROM und UNION SELECT b FROM und), a0 AS (SELECT v FROM v), a1 AS (SELECT u.a AS v FROM und u JOIN a0 nb ON nb.v = u.b JOIN a0 me ON me.v = u.a GROUP BY u.a HAVING count(*) >= 2), a2 AS (SELECT u.a AS v FROM und u JOIN a1 nb ON nb.v = u.b JOIN a1 me ON me.v = u.a GROUP BY u.a HAVING count(*) >= 2), a3 AS (SELECT u.a AS v FROM und u JOIN a2 nb ON nb.v = u.b JOIN a2 me ON me.v = u.a GROUP BY u.a HAVING count(*) >= 2), a4 AS (SELECT u.a AS v FROM und u JOIN a3 nb ON nb.v = u.b JOIN a3 me ON me.v = u.a GROUP BY u.a HAVING count(*) >= 2), a5 AS (SELECT u.a AS v FROM und u JOIN a4 nb ON nb.v = u.b JOIN a4 me ON me.v = u.a GROUP BY u.a HAVING count(*) >= 2), a6 AS (SELECT u.a AS v FROM und u JOIN a5 nb ON nb.v = u.b JOIN a5 me ON me.v = u.a GROUP BY u.a HAVING count(*) >= 2), a7 AS (SELECT u.a AS v FROM und u JOIN a6 nb ON nb.v = u.b JOIN a6 me ON me.v = u.a GROUP BY u.a HAVING count(*) >= 2), a8 AS (SELECT u.a AS v FROM und u JOIN a7 nb ON nb.v = u.b JOIN a7 me ON me.v = u.a GROUP BY u.a HAVING count(*) >= 2) SELECT v.v AS user_id, CAST(CASE WHEN v.v IN (SELECT v FROM a8) THEN 1 ELSE 0 END AS BIGINT) AS in_core FROM v"""

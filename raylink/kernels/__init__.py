@@ -20,9 +20,9 @@ from .pagerank import pagerank
 from .cc import connected_components
 from .labelprop import label_propagation
 from .triangles import approx_triangle_count, graph_summary, triangle_count
-from .traversal import bfs_hops, k_core
+from .traversal import bfs_hops, bfs_hops_multi, k_core
 from .hits import hits
 
 __all__ = ["pagerank", "connected_components", "label_propagation",
            "triangle_count", "approx_triangle_count", "graph_summary",
-           "bfs_hops", "k_core", "hits"]
+           "bfs_hops", "bfs_hops_multi", "k_core", "hits"]

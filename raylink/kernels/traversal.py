@@ -334,3 +334,178 @@ def k_core(graph: Graph, k: int, *, max_iter: int = 10_000,
             break
 
     return state_to_vertex_table(state, graph, "vec", "in_core")
+
+
+def _multi_min_scatter(graph, S: int):
+    """Min-plus scatter over S sources at once: each partition's state is
+    the row-major flattened (n_local x S) distance matrix; one gather +
+    one vectorized minimum per (src_part -> dst_part) segment serves all
+    S sources (the batch-analytics shape: S landmarks cost one traversal,
+    not S)."""
+    refs = graph.blocks
+    P = graph.P
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        rows = []
+        for part, sub, vec in iter_chunk_rows(batch, "vec"):
+            vec = vec.astype(np.int64, copy=False)
+            if sub < 0:
+                rows.append(partial_row(part, -1, -1, 1, lab=vec))
+                continue
+            chunks = refs.get(part, [])
+            if sub >= len(chunks):
+                continue
+            blk = _ray.get(chunks[sub])
+            mat = vec.reshape(-1, S)
+            vals = mat[blk.src_local]                      # (m_seg, S)
+            vals = np.where(vals >= _INF, _INF, vals + 1)
+            for q in range(P):
+                lo, hi = blk.bounds[q], blk.bounds[q + 1]
+                if hi <= lo:
+                    continue
+                seg_dst = blk.dst_local[lo:hi].astype(np.int64)
+                width = int(seg_dst.max()) + 1
+                acc = np.full(width * S, _INF, dtype=np.int64)
+                flat = (seg_dst[:, None] * S
+                        + np.arange(S, dtype=np.int64)[None, :]).ravel()
+                np.minimum.at(acc, flat, vals[lo:hi].ravel())
+                nz = np.flatnonzero(acc != _INF)
+                if len(nz):
+                    rows.append(partial_row(q, part, sub, 0,
+                                            idx=nz.astype(np.int32),
+                                            lab=acc[nz]))
+        return partials_table(rows)
+
+    return scatter
+
+
+def _multi_min_combine(graph, S: int):
+    n_per_part = graph.n_per_part
+
+    def combine(group: pa.Table) -> pa.Table:
+        kinds = group["kind"].to_numpy(zero_copy_only=False)
+        prev_i = int(np.flatnonzero(kinds == 1)[0])
+        part = int(group["dst_part"][prev_i].as_py())
+        idx_col = group["idx"].combine_chunks()
+        lab_col = group["lab"].combine_chunks()
+        idx_flat = idx_col.flatten().to_numpy(zero_copy_only=False)
+        idx_offs = idx_col.offsets.to_numpy(zero_copy_only=False)
+        lab_flat = lab_col.flatten().to_numpy(zero_copy_only=False)
+        lab_offs = lab_col.offsets.to_numpy(zero_copy_only=False)
+        prev = lab_flat[lab_offs[prev_i]: lab_offs[prev_i + 1]].astype(np.int64)
+        new = prev.copy()
+        for i in range(group.num_rows):
+            if kinds[i] != 0:
+                continue
+            idx = idx_flat[idx_offs[i]: idx_offs[i + 1]].astype(np.int64)
+            lab = lab_flat[lab_offs[i]: lab_offs[i + 1]]
+            np.minimum.at(new, idx, lab)
+        changed = int((new != prev).sum())
+        assert len(prev) == int(n_per_part[part]) * S
+        return pa.table({
+            "part": pa.array([part], pa.int64()),
+            "vec": pa.array([new], pa.list_(pa.int64())),
+            "changed": pa.array([changed], pa.int64()),
+        })
+
+    return combine
+
+
+@ray.remote
+def _fused_multi_min(view, state_tab: pa.Table, S: int, max_iter: int):
+    from .bsp import fused_superstep, table_scalar_sums
+
+    scatter = _multi_min_scatter(view, S)
+    combine = _multi_min_combine(view, S)
+    metrics = []
+    for it in range(1, max_iter + 1):
+        t0 = time.perf_counter()
+        state_tab = fused_superstep(state_tab, scatter, combine)
+        changed = int(table_scalar_sums(state_tab, ["changed"])["changed"])
+        metrics.append({"iter": it, "changed": changed, "fused": True,
+                        "sec": time.perf_counter() - t0})
+        if changed == 0:
+            break
+    return state_tab.select(["part", "vec"]), metrics
+
+
+def bfs_hops_multi(graph: Graph, source_vids, *, max_iter: int = 10_000,
+                   metrics_out: list | None = None,
+                   fused: bool | None = None) -> rd.Dataset:
+    """Hop distances from S sources in ONE propagation: rows
+    (vid, source_idx, hops) for reachable pairs, source_idx = position in
+    ``source_vids``. State is the flattened (n_local x S) matrix per
+    partition, so every superstep serves all sources (landmark-distance /
+    closeness-estimation shape). Requires n_local * S < 2^31 per
+    partition (int32 sparse indices)."""
+    sources = [int(v) for v in source_vids]
+    S = len(sources)
+    if S == 0:
+        raise ValueError("need at least one source")
+    if graph.n == 0:
+        from .bsp import empty_vertex_result
+
+        return empty_vertex_result({"source_idx": pa.int64(),
+                                    "hops": pa.int64()})
+    P = graph.P
+    if int(graph.n_per_part.max()) * S >= (1 << 31):
+        raise ValueError("n_local * S must stay below 2^31")
+
+    def init_of(p: int) -> np.ndarray:
+        v = np.full(int(graph.n_per_part[p]) * S, _INF, dtype=np.int64)
+        for s_i, sv in enumerate(sources):
+            if sv % P == p:
+                v[(sv // P) * S + s_i] = 0
+        return v
+
+    state = init_state(graph, init_of, dtype=pa.int64())
+
+    from .bsp import fused_eligible, graph_view, state_table
+
+    if fused_eligible(graph, fused):
+        final_tab, metrics = ray.get(_fused_multi_min.remote(
+            graph_view(graph), state_table(state), S, max_iter))
+        if metrics_out is not None:
+            metrics_out.extend(metrics)
+        state = rd.from_arrow(final_tab)
+    else:
+        scatter = _multi_min_scatter(graph, S)
+        combine = _multi_min_combine(graph, S)
+        for it in range(1, max_iter + 1):
+            t0 = time.perf_counter()
+            state = (
+                maybe_expand_chunks(state, graph)
+                .map_batches(scatter, batch_format="pyarrow", batch_size=1,
+                             zero_copy_batch=True)
+                .groupby("dst_part")
+                .map_groups(combine, batch_format="pyarrow")
+                .materialize()
+            )
+            changed = int(sum_columns(state, ["changed"])["changed"])
+            if metrics_out is not None:
+                metrics_out.append({"iter": it, "changed": changed,
+                                    "sec": time.perf_counter() - t0})
+            if changed == 0:
+                break
+
+    from .bsp import iter_state_rows
+
+    def expand(batch: pa.Table) -> pa.Table:
+        vids, sidx, hops = [], [], []
+        for part, vec in iter_state_rows(batch, "vec"):
+            mat = np.asarray(vec).reshape(-1, S)
+            loc, s_i = np.nonzero(mat < _INF)
+            vids.append(loc.astype(np.int64) * P + part)
+            sidx.append(s_i.astype(np.int64))
+            hops.append(mat[loc, s_i])
+        if not vids:
+            return pa.table({"vid": pa.array([], pa.int64()),
+                             "source_idx": pa.array([], pa.int64()),
+                             "hops": pa.array([], pa.int64())})
+        return pa.table({"vid": pa.array(np.concatenate(vids)),
+                         "source_idx": pa.array(np.concatenate(sidx)),
+                         "hops": pa.array(np.concatenate(hops))})
+
+    return state.map_batches(expand, batch_format="pyarrow")

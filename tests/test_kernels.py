@@ -557,3 +557,25 @@ def test_lp_redblack_vs_oracle_and_paths():
                           metrics_out=m_rb), sg2, "label")
     assert len(set(vals.values())) == 1            # converged to one label
     assert m_rb[-1]["changed"] == 0                # true fixpoint reached
+
+
+def test_bfs_multi_matches_single_source():
+    """bfs_hops_multi == S independent bfs_hops runs (exact), on both
+    execution paths; unreachable (vid, source) pairs absent."""
+    from raylink.kernels import bfs_hops, bfs_hops_multi
+
+    pairs = overlay_pairs(seed=9, n=40, m=70) + [("iso1", "iso2")]
+    sg = G.build_graph(edges_ds(pairs), P=P, symmetric=True)
+    vert = {r["key"]: r["vid"] for b in sg.vertices.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()}
+    seeds = [vert["o0"], vert["o7"], vert["iso1"]]
+    multi = bfs_hops_multi(sg, seeds).to_pandas()
+    for s_i, sv in enumerate(seeds):
+        single = bfs_hops(sg, sv).to_pandas().sort_values("vid")
+        part = multi[multi.source_idx == s_i].sort_values("vid")
+        assert part.vid.tolist() == single.vid.tolist()
+        assert part.hops.tolist() == single.hops.tolist()
+    md = bfs_hops_multi(sg, seeds, fused=False).to_pandas()
+    key = ["vid", "source_idx"]
+    assert md.sort_values(key).hops.tolist() == \
+        multi.sort_values(key).hops.tolist()
