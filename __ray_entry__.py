@@ -556,6 +556,21 @@ def q_graph_bfs_multi(sf_dir: str):
                    {"key": "user_id"})
 
 
+def q_graph_local_clustering(sf_dir: str):
+    """Per-vertex triangle count + local clustering coefficient (1e-9
+    fixed-point) over the undirected user graph (kernels.local_clustering,
+    the center-carrying wedge join)."""
+    from raylink.graph import build_graph
+    from raylink.kernels import local_clustering
+    from raylink.pipelines.flagship import join_keys
+
+    sg = build_graph(_user_edges(sf_dir), P=GRAPH_P, symmetric=True,
+                     already_deduped=True)
+    res = local_clustering(sg)
+    return _rename(join_keys(res, sg, ["n_tri", "clustering_fp"]),
+                   {"key": "user_id"})
+
+
 def q_graph_summary(sf_dir: str):
     """One-row whole-graph summary (counts, degree stats, triangles,
     global clustering) over the undirected user graph."""
@@ -913,6 +928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_summary": q_graph_summary,
         "graph_triangles_approx": q_graph_triangles_approx,
         "graph_bfs_multi": q_graph_bfs_multi,
+        "graph_local_clustering": q_graph_local_clustering,
         "graph_triangles": q_graph_triangles,
         "pages_docs": q_pages_docs,
         "pages_pagerank": q_pages_pagerank,
@@ -1302,6 +1318,22 @@ def oracle_sql() -> dict[str, str]:
         "FROM e) "
         "SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM u2 e1 "
         "JOIN u2 e2 ON e2.a = e1.b JOIN u2 e3 ON e3.a = e1.a AND e3.b = e2.b"
+    )
+    sql["graph_local_clustering"] = (
+        f"WITH {_E_CTE}, "
+        "u2 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM e), "
+        "t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM u2 e1 "
+        "JOIN u2 e2 ON e2.a = e1.b JOIN u2 e3 ON e3.a = e1.a AND e3.b = e2.b), "
+        "tc AS (SELECT v, count(*) AS n FROM (SELECT x AS v FROM t "
+        "UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t) GROUP BY v), "
+        "deg AS (SELECT v, count(*) AS d FROM (SELECT a AS v FROM u2 "
+        "UNION ALL SELECT b FROM u2) GROUP BY v) "
+        "SELECT deg.v AS user_id, CAST(coalesce(tc.n, 0) AS BIGINT) AS n_tri, "
+        "CAST(CASE WHEN deg.d >= 2 THEN floor(2.0*coalesce(tc.n, 0)"
+        "/(deg.d*(deg.d - 1.0))*1e9 + 0.5) ELSE 0 END AS BIGINT) "
+        "AS clustering_fp "
+        "FROM deg LEFT JOIN tc ON tc.v = deg.v"
     )
     # pages_* oracles run over the generator's ground-truth edge list
     pages_e = _pages_edge_values()

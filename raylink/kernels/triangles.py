@@ -61,39 +61,44 @@ _PAIR_SCHEMA = pa.schema([
     pa.field("bucket", pa.int64()),
     pa.field("kind", pa.int8()),  # 0 = oriented edge, 1 = wedge
     pa.field("codes", pa.list_(pa.int64())),
+    # wedge-center vids, aligned with codes (empty for edge rows and for
+    # the exact-count path, which doesn't attribute triangles to vertices)
+    pa.field("centers", pa.list_(pa.int64())),
 ])
 
 
-def _pack_rows(bucket: np.ndarray, codes: np.ndarray, kind: int) -> pa.Table:
-    """(bucket, code) pairs -> one packed list row per bucket present."""
+def _pack_rows(bucket: np.ndarray, codes: np.ndarray, kind: int,
+               centers: np.ndarray | None = None) -> pa.Table:
+    """(bucket, code[, center]) pairs -> one packed list row per bucket."""
     order = np.argsort(bucket, kind="stable")
     b, c = bucket[order], codes[order]
     bounds = np.flatnonzero(np.r_[True, b[1:] != b[:-1], True])
     starts, ends = bounds[:-1], bounds[1:]
     offsets = pa.array(np.concatenate([[0], (ends - starts).cumsum()]), pa.int32())
     k = len(starts)
+    if centers is None:
+        cent = pa.ListArray.from_arrays(
+            pa.array(np.zeros(k + 1, np.int32), pa.int32()),
+            pa.array([], pa.int64()))
+    else:
+        cent = pa.ListArray.from_arrays(offsets, pa.array(centers[order], pa.int64()))
     return pa.table({
         "bucket": pa.array(b[starts], pa.int64()),
         "kind": pa.array(np.full(k, kind, np.int8), pa.int8()),
         "codes": pa.ListArray.from_arrays(offsets, pa.array(c, pa.int64())),
+        "centers": cent,
     }, schema=_PAIR_SCHEMA)
 
 
-def triangle_count(graph: Graph, *, buckets: int | None = None,
-                   max_emit: int = 1 << 22) -> int:
-    """Exact global triangle count. ``graph`` must be a symmetric build."""
+def _make_emit(graph: Graph, B: int, C: np.int64, max_emit: int,
+               deg_refs: dict, *, with_centers: bool = False):
+    """Oriented-edge + wedge emitter over a parts dataset (one task per
+    partition). ``with_centers=True`` additionally packs each wedge's
+    center vid alongside its pair code (doubles wedge shuffle bytes) so a
+    closed wedge can be attributed to all three triangle corners — the
+    local-clustering path; the exact-count path skips it."""
     P = graph.P
-    parts = graph.parts_with_edges()
-    if not parts:
-        return 0
-    B = buckets or max(32, P)
-    max_vid = int(graph.n_per_part.max()) * P + P
-    if graph.n >= (1 << 31):
-        raise NotImplementedError(
-            "int64 pair codes require n < ~3e9; widen to 2-column probes")
-    C = np.int64(max_vid + 1)
     refs = graph.blocks
-    deg_refs = {p: _deg_of.remote(refs[p][0]) for p in parts}
 
     def emit(batch: pa.Table) -> pa.Table:
         import ray as _ray
@@ -171,8 +176,29 @@ def triangle_count(graph: Graph, *, buckets: int | None = None,
                 wv = ov[rep_first]
                 ww = ov[second]
                 wcodes = wv * C + ww
-                tabs.append(_pack_rows(_bucket_of(wcodes, B), wcodes, 1))
+                cent = ou[rep_first] if with_centers else None
+                tabs.append(_pack_rows(_bucket_of(wcodes, B), wcodes, 1,
+                                       centers=cent))
         return pa.concat_tables(tabs)
+
+    return emit
+
+
+def triangle_count(graph: Graph, *, buckets: int | None = None,
+                   max_emit: int = 1 << 22) -> int:
+    """Exact global triangle count. ``graph`` must be a symmetric build."""
+    P = graph.P
+    parts = graph.parts_with_edges()
+    if not parts:
+        return 0
+    B = buckets or max(32, P)
+    max_vid = int(graph.n_per_part.max()) * P + P
+    if graph.n >= (1 << 31):
+        raise NotImplementedError(
+            "int64 pair codes require n < ~3e9; widen to 2-column probes")
+    C = np.int64(max_vid + 1)
+    deg_refs = {p: _deg_of.remote(graph.blocks[p][0]) for p in parts}
+    emit = _make_emit(graph, B, C, max_emit, deg_refs)
 
     parts_ds = rd.from_arrow(
         pa.table({"part": pa.array(parts, pa.int64())})
@@ -237,6 +263,131 @@ def graph_summary(graph: Graph) -> "pa.Table":
         "n_triangles": pa.array([tri], pa.int64()),
         "clustering_fp": pa.array([clus_fp], pa.int64()),
     })
+
+
+def local_clustering(graph: Graph, *, buckets: int | None = None,
+                     max_emit: int = 1 << 22) -> rd.Dataset:
+    """Per-vertex triangle counts + local clustering coefficient over a
+    SYMMETRIC build: rows (vid, n_tri, clustering_fp) for every vertex,
+    clustering_fp = floor(2*t_v/(deg_v*(deg_v-1)) * 1e9 + 0.5) (0 when
+    deg < 2) — the spam/community signal of web-graph analytics.
+
+    Same partitioned wedge join as :func:`triangle_count`, with each wedge
+    additionally carrying its center vid (2x wedge shuffle bytes); a closed
+    wedge (v,w) centered at u credits the triangle to u, v and w. Per-bucket
+    credits are pre-aggregated to sparse (dst_part, idx, cnt) partial rows
+    (<= P rows per bucket however skewed the hits), then one
+    ``groupby("dst_part")`` builds the dense per-partition count vector and
+    joins degrees in-place — no per-vertex shuffle rows, no driver gather."""
+    from .bsp import partial_row, partials_table
+
+    P = graph.P
+    if graph.n == 0:
+        from .bsp import empty_vertex_result
+
+        return empty_vertex_result({"n_tri": pa.int64(),
+                                    "clustering_fp": pa.int64()})
+    parts = graph.parts_with_edges()
+    vparts = [p for p in range(P) if graph.n_per_part[p] > 0]
+    B = buckets or max(32, P)
+    max_vid = int(graph.n_per_part.max()) * P + P
+    if graph.n >= (1 << 31):
+        raise NotImplementedError(
+            "int64 pair codes require n < ~3e9; widen to 2-column probes")
+    C = np.int64(max_vid + 1)
+    deg_refs = {p: _deg_of.remote(graph.blocks[p][0]) for p in parts}
+    n_per_part = np.asarray(graph.n_per_part)
+
+    def probe_credit(group: pa.Table) -> pa.Table:
+        kinds = group["kind"].to_numpy(zero_copy_only=False)
+        cl = group["codes"].combine_chunks()
+        flat = cl.flatten().to_numpy(zero_copy_only=False)
+        offs = cl.offsets.to_numpy(zero_copy_only=False)
+        ctr = group["centers"].combine_chunks()
+        ctr_flat = ctr.flatten().to_numpy(zero_copy_only=False)
+        ctr_offs = ctr.offsets.to_numpy(zero_copy_only=False)
+        e_parts, w_parts, c_parts = [], [], []
+        for i in range(group.num_rows):
+            if kinds[i] == 0:
+                e_parts.append(flat[offs[i]: offs[i + 1]])
+            else:
+                w_parts.append(flat[offs[i]: offs[i + 1]])
+                c_parts.append(ctr_flat[ctr_offs[i]: ctr_offs[i + 1]])
+        if not e_parts or not w_parts:
+            return partials_table([])
+        ecodes = np.sort(np.concatenate(e_parts))
+        wcodes = np.concatenate(w_parts)
+        centers = np.concatenate(c_parts)
+        pos = np.searchsorted(ecodes, wcodes)
+        safe = np.minimum(pos, len(ecodes) - 1)
+        hit = (pos < len(ecodes)) & (ecodes[safe] == wcodes)
+        if not hit.any():
+            return partials_table([])
+        closed = wcodes[hit]
+        all_vids = np.concatenate([centers[hit], closed // C, closed % C])
+        vpart = all_vids % P
+        vloc = all_vids // P
+        rows = []
+        for q in np.unique(vpart):
+            counts = np.bincount(vloc[vpart == q])
+            nz = np.flatnonzero(counts)
+            rows.append(partial_row(int(q), -1, -1, 0,
+                                    idx=nz.astype(np.int32),
+                                    cnt=counts[nz].astype(np.int64)))
+        return partials_table(rows)
+
+    def finish(group: pa.Table) -> pa.Table:
+        part = int(group["dst_part"][0].as_py())
+        n_q = int(n_per_part[part])
+        kinds = group["kind"].to_numpy(zero_copy_only=False)
+        idx_col = group["idx"].combine_chunks()
+        idx_flat = idx_col.flatten().to_numpy(zero_copy_only=False)
+        idx_offs = idx_col.offsets.to_numpy(zero_copy_only=False)
+        cnt_col = group["cnt"].combine_chunks()
+        cnt_flat = cnt_col.flatten().to_numpy(zero_copy_only=False)
+        cnt_offs = cnt_col.offsets.to_numpy(zero_copy_only=False)
+        tri = np.zeros(n_q, dtype=np.int64)
+        for i in range(group.num_rows):
+            if kinds[i] != 0:
+                continue
+            idx = idx_flat[idx_offs[i]: idx_offs[i + 1]].astype(np.int64)
+            np.add.at(tri, idx, cnt_flat[cnt_offs[i]: cnt_offs[i + 1]])
+        import ray as _ray
+
+        if part in deg_refs:
+            deg = np.asarray(_ray.get(deg_refs[part]), dtype=np.int64)
+        else:
+            deg = np.zeros(n_q, dtype=np.int64)
+        poss = deg * (deg - 1.0)
+        cf = np.where(
+            deg >= 2,
+            np.floor((2.0 * tri) / np.maximum(poss, 1.0) * 1e9 + 0.5),
+            0.0,
+        ).astype(np.int64)
+        return pa.table({
+            "vid": pa.array(np.arange(n_q, dtype=np.int64) * P + part),
+            "n_tri": pa.array(tri),
+            "clustering_fp": pa.array(cf),
+        })
+
+    carriers = rd.from_arrow(partials_table(
+        [partial_row(int(p), -1, -1, 1) for p in vparts]))
+    if not parts:
+        credits = carriers
+    else:
+        emit = _make_emit(graph, B, C, max_emit, deg_refs, with_centers=True)
+        parts_ds = rd.from_arrow(
+            pa.table({"part": pa.array(parts, pa.int64())})
+        ).repartition(len(parts))
+        credits = (
+            parts_ds.map_batches(emit, batch_format="pyarrow", batch_size=1,
+                                 zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(probe_credit, batch_format="pyarrow")
+            .union(carriers)
+        )
+    return credits.groupby("dst_part").map_groups(
+        finish, batch_format="pyarrow")
 
 
 def approx_triangle_count(edges: rd.Dataset, *, p: float = 0.25,

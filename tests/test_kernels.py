@@ -579,3 +579,29 @@ def test_bfs_multi_matches_single_source():
     key = ["vid", "source_idx"]
     assert md.sort_values(key).hops.tolist() == \
         multi.sort_values(key).hops.tolist()
+
+
+def test_local_clustering_vs_bruteforce():
+    """local_clustering == per-vertex brute force over the adjacency sets;
+    sum(n_tri) == 3 * triangle_count; deg<2 vertices report 0."""
+    from raylink.kernels import local_clustering
+
+    pairs = overlay_pairs(seed=11, n=35, m=120) + [("iso1", "iso2")]
+    sg = G.build_graph(edges_ds(pairs), P=P, symmetric=True)
+    out = local_clustering(sg).to_pandas().set_index("vid").sort_index()
+
+    vert = {r["key"]: r["vid"] for b in sg.vertices.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()}
+    adj = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(vert[a], set()).add(vert[b])
+            adj.setdefault(vert[b], set()).add(vert[a])
+    for v, nbrs in adj.items():
+        t = sum(len(adj[u] & nbrs) for u in nbrs) // 2
+        d = len(nbrs)
+        cf = int(np.floor((2.0 * t) / (d * (d - 1.0)) * 1e9 + 0.5)) if d >= 2 else 0
+        assert out.loc[v, "n_tri"] == t, (v, t, out.loc[v, "n_tri"])
+        assert out.loc[v, "clustering_fp"] == cf
+    assert len(out) == len(adj)
+    assert int(out.n_tri.sum()) == 3 * triangle_count(sg)
