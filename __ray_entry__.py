@@ -785,6 +785,17 @@ def q_emb_knn_ivf(sf_dir: str):
     return ivf_topk(emb, _query_vec(sf_dir), 10, n_lists=16, n_probe=6)
 
 
+def q_emb_knn_ivfpq(sf_dir: str):
+    """IVF-PQ ANN: corpus compressed to 8-byte PQ codes (32x vs raw
+    float32), scored by ADC table lookups over the probed lists
+    (similarity.ivfpq_topk; recall bounded in tests)."""
+    from raylink.similarity import ivfpq_topk
+
+    emb = _read(sf_dir, "embeddings")
+    return ivfpq_topk(emb, _query_vec(sf_dir), 10, n_lists=16, n_probe=6,
+                      m_subspaces=8)
+
+
 def q_emb_knn_multi(sf_dir: str):
     """Batched multi-query ANN: 4 query vectors, one scan, one matmul per
     batch (similarity.cosine_topk_multi)."""
@@ -946,6 +957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn": q_emb_knn,
         "emb_knn_lsh": q_emb_knn_lsh,
         "emb_knn_ivf": q_emb_knn_ivf,
+        "emb_knn_ivfpq": q_emb_knn_ivfpq,
         "emb_knn_multi": q_emb_knn_multi,
         "emb_near_dups": q_emb_near_dups,
         "emb_near_dups_lsh": q_emb_near_dups_lsh,

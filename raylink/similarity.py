@@ -250,6 +250,154 @@ def ivf_topk(emb: rd.Dataset, query: np.ndarray, k: int = 10, *,
     return ivf_query(index, query, k, n_probe=n_probe)
 
 
+@dataclass
+class IvfPqIndex:
+    """IVF + product-quantization index (ROADMAP 6, the memory-bound scale
+    path): the compressed corpus carries only (id, ivf_list:int32,
+    pq_code: M uint8 bytes) — M bytes/vector instead of 4*dim float32, a
+    32x shrink at dim=64 / M=8 — so a 10^12-vector corpus's codes fit the
+    cluster's aggregate RAM where raw vectors cannot. Centroids + codebooks
+    are tiny driver state, broadcast per query."""
+
+    centroids: np.ndarray       # (L, dim) coarse quantizer, unit-space
+    codebooks: np.ndarray       # (M, ksub, dim//M) residual codebooks
+    compressed: rd.Dataset      # (id_col, ivf_list, pq_code)
+    id_col: str
+    dim: int
+
+
+def ivfpq_build(emb: rd.Dataset, *, n_lists: int = 32, m_subspaces: int = 8,
+                train_sample: int = 8192, seed: int = 42,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> IvfPqIndex:
+    """Train coarse + residual quantizers on a bounded driver sample, then
+    one encode pass over the corpus (centroids/codebooks broadcast once via
+    ``ray.put``) that emits ONLY ids, list ids and M-byte PQ codes — the
+    raw vector column never enters the compressed dataset.
+
+    Residual PQ: each unit vector v with coarse list l is stored as
+    per-subspace nearest codebook entries of (v - centroid_l); a query
+    scores it as q.centroid_l + sum_j LUT[j, code_j] (asymmetric distance
+    computation — one 256-entry table lookup per subspace, no decode)."""
+    train = []
+    got = 0
+    for b in emb.select_columns([vec_col]).iter_batches(
+            batch_format="pyarrow", batch_size=4096):
+        v = b[vec_col].combine_chunks()
+        m = v.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        m = m.reshape(b.num_rows, -1)
+        train.append(m)
+        got += len(m)
+        if got >= train_sample:
+            break
+    mat = np.concatenate(train)[:train_sample]
+    dim = mat.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    ds = dim // m_subspaces
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    cent = _kmeans(unit, n_lists, seed=seed)
+    resid = unit - cent[_nearest_centroid(unit, cent)]
+    ksub = min(256, len(resid))
+    books = np.stack([
+        _kmeans(np.ascontiguousarray(resid[:, j * ds:(j + 1) * ds]),
+                ksub, seed=seed + 1 + j)
+        for j in range(m_subspaces)
+    ])
+    ref = ray.put((cent, books))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        c, cb = ray.get(ref)
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "ivf_list": pa.array([], pa.int32()),
+                             "pq_code": pa.array([], pa.list_(pa.uint8()))})
+        ids, m = _unwrap(batch, id_col, vec_col)
+        nm = np.linalg.norm(m, axis=1)
+        nm[nm == 0] = 1.0
+        u = m / nm[:, None]
+        lists = _nearest_centroid(u, c)
+        r = u - c[lists]
+        codes = np.empty((len(u), len(cb)), dtype=np.uint8)
+        for j in range(len(cb)):
+            codes[:, j] = _nearest_centroid(
+                np.ascontiguousarray(r[:, j * ds:(j + 1) * ds]), cb[j])
+        n, M = codes.shape
+        code_col = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * M, M, dtype=np.int32), pa.int32()),
+            pa.array(codes.ravel(), pa.uint8()))
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "ivf_list": pa.array(lists.astype(np.int32), pa.int32()),
+            "pq_code": code_col,
+        })
+
+    compressed = emb.map_batches(encode, batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+    return IvfPqIndex(centroids=cent, codebooks=books, compressed=compressed,
+                      id_col=id_col, dim=dim)
+
+
+def ivfpq_query(index: IvfPqIndex, query: np.ndarray, k: int = 10, *,
+                n_probe: int = 4) -> rd.Dataset:
+    """Approximate top-k over the PQ-compressed corpus: probe the
+    ``n_probe`` nearest lists, score by ADC table lookups only (the per
+    batch work is one (n, M) fancy-index + row sum — no vector math, no
+    raw vectors in memory). Returns (id, cos_sim) fixed-point 1e6 like the
+    other ANN scorers."""
+    import pyarrow.compute as pc
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    qd = ((qn[None, :] - index.centroids) ** 2).sum(axis=1)
+    probe = np.sort(np.argsort(qd, kind="stable")[:n_probe]).astype(np.int32)
+    offsets = index.centroids @ qn                     # (L,) q.centroid_l
+    M, ksub, ds = index.codebooks.shape
+    lut = np.stack([index.codebooks[j] @ qn[j * ds:(j + 1) * ds]
+                    for j in range(M)])                # (M, ksub)
+    id_col = index.id_col
+    ref = ray.put((probe, offsets, lut))
+
+    def score(batch: pa.Table) -> pa.Table:
+        probe_ids, offs, tab = ray.get(ref)
+        sub = batch.filter(pc.is_in(batch["ivf_list"],
+                                    value_set=pa.array(probe_ids, pa.int32())))
+        if sub.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.int64())})
+        ids = sub[id_col].to_numpy(zero_copy_only=False)
+        lists = sub["ivf_list"].to_numpy(zero_copy_only=False)
+        cl = sub["pq_code"].combine_chunks()
+        codes = cl.flatten().to_numpy(zero_copy_only=False).reshape(
+            sub.num_rows, -1)
+        sims = offs[lists] + tab[np.arange(codes.shape[1])[None, :],
+                                 codes].sum(axis=1)
+        fixed = np.floor(sims * 1_000_000.0 + 0.5).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "cos_sim": pa.array(fixed, pa.int64()),
+        })
+
+    scored = index.compressed.map_batches(score, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+    return scored.sort(key=["cos_sim", id_col], descending=[True, False]).limit(k)
+
+
+def ivfpq_topk(emb: rd.Dataset, query: np.ndarray, k: int = 10, *,
+               n_lists: int = 32, m_subspaces: int = 8, n_probe: int = 4,
+               train_sample: int = 8192, seed: int = 42,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> rd.Dataset:
+    """One-shot IVF-PQ approximate top-k (build the index once with
+    :func:`ivfpq_build` when serving several queries)."""
+    index = ivfpq_build(emb, n_lists=n_lists, m_subspaces=m_subspaces,
+                        train_sample=train_sample, seed=seed,
+                        id_col=id_col, vec_col=vec_col)
+    return ivfpq_query(index, query, k, n_probe=n_probe)
+
+
 def cosine_topk_multi(emb: rd.Dataset, queries: np.ndarray, k: int = 10, *,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       query_ids=None) -> rd.Dataset:
