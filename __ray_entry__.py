@@ -571,6 +571,40 @@ def q_graph_local_clustering(sf_dir: str):
                    {"key": "user_id"})
 
 
+def q_graph_truss_support(sf_dir: str):
+    """Per-edge triangle support (the k-truss primitive) over the
+    undirected user graph: one row per edge (user_a < user_b), support =
+    triangles containing the edge (kernels.edge_support)."""
+    import pyarrow.compute as pc
+
+    from raylink.graph import build_graph
+    from raylink.kernels import edge_support
+    from raylink.pipelines.flagship import join_keys
+
+    sg = build_graph(_user_edges(sf_dir), P=GRAPH_P, symmetric=True,
+                     already_deduped=True)
+    sup = edge_support(sg)
+    # map BOTH endpoint vids to user keys, then canonicalize by key
+    a = join_keys(sup.map_batches(
+        lambda b: b.rename_columns(["vid", "dst_vid", "support"]),
+        batch_format="pyarrow"), sg, ["dst_vid", "support"])
+    ab = join_keys(a.map_batches(
+        lambda b: b.select(["dst_vid", "key", "support"]).rename_columns(
+            ["vid", "key_a", "support"]),
+        batch_format="pyarrow"), sg, ["key_a", "support"])
+
+    def canon(b: pa.Table) -> pa.Table:
+        ka = b["key_a"]
+        kb = b["key"]
+        return pa.table({
+            "user_a": pc.min_element_wise(ka, kb),
+            "user_b": pc.max_element_wise(ka, kb),
+            "support": b["support"],
+        })
+
+    return ab.map_batches(canon, batch_format="pyarrow")
+
+
 def q_graph_summary(sf_dir: str):
     """One-row whole-graph summary (counts, degree stats, triangles,
     global clustering) over the undirected user graph."""
@@ -940,6 +974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_triangles_approx": q_graph_triangles_approx,
         "graph_bfs_multi": q_graph_bfs_multi,
         "graph_local_clustering": q_graph_local_clustering,
+        "graph_truss_support": q_graph_truss_support,
         "graph_triangles": q_graph_triangles,
         "pages_docs": q_pages_docs,
         "pages_pagerank": q_pages_pagerank,
@@ -1330,6 +1365,19 @@ def oracle_sql() -> dict[str, str]:
         "FROM e) "
         "SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM u2 e1 "
         "JOIN u2 e2 ON e2.a = e1.b JOIN u2 e3 ON e3.a = e1.a AND e3.b = e2.b"
+    )
+    sql["graph_truss_support"] = (
+        f"WITH {_E_CTE}, "
+        "u2 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM e), "
+        "t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM u2 e1 "
+        "JOIN u2 e2 ON e2.a = e1.b JOIN u2 e3 ON e3.a = e1.a AND e3.b = e2.b), "
+        "te AS (SELECT x AS a, y AS b FROM t UNION ALL SELECT x, z FROM t "
+        "UNION ALL SELECT y, z FROM t), "
+        "sup AS (SELECT a, b, count(*) AS s FROM te GROUP BY a, b) "
+        "SELECT u2.a AS user_a, u2.b AS user_b, "
+        "CAST(coalesce(sup.s, 0) AS BIGINT) AS support "
+        "FROM u2 LEFT JOIN sup ON sup.a = u2.a AND sup.b = u2.b"
     )
     sql["graph_local_clustering"] = (
         f"WITH {_E_CTE}, "

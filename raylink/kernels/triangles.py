@@ -390,6 +390,143 @@ def local_clustering(graph: Graph, *, buckets: int | None = None,
         finish, batch_format="pyarrow")
 
 
+_EMPTY_I64 = np.array([], dtype=np.int64)
+
+_SUPPORT_SCHEMA = pa.schema([
+    pa.field("bucket", pa.int64()),
+    pa.field("kind", pa.int8()),  # 0 = edge codes, 1 = credit (codes, cnts)
+    pa.field("codes", pa.list_(pa.int64())),
+    pa.field("cnts", pa.list_(pa.int64())),
+])
+
+
+def edge_support(graph: Graph, *, buckets: int | None = None,
+                 max_emit: int = 1 << 22) -> rd.Dataset:
+    """Per-edge triangle support over a SYMMETRIC build: rows
+    (src_vid, dst_vid, support) for every undirected edge (canonical
+    src_vid < dst_vid), support = number of triangles containing the edge —
+    the k-truss building block (an edge is in the k-truss iff iterated
+    peeling by support >= k-2 keeps it; one support pass is the per-round
+    primitive).
+
+    Two bucketed exchanges, no driver state: the center-carrying wedge join
+    closes triangles per pair-code bucket; each closed wedge (v,w) centered
+    u credits edges (u,v), (u,w), (v,w), pre-aggregated per bucket and
+    re-bucketed by the SAME pair-code hash, so every credit lands in the
+    bucket that owns its edge row; a second groupby merges credits onto the
+    oriented edge list and decodes codes to canonical vid pairs."""
+    P = graph.P
+    parts = graph.parts_with_edges()
+    if not parts:
+        return rd.from_arrow(pa.table({
+            "src_vid": pa.array([], pa.int64()),
+            "dst_vid": pa.array([], pa.int64()),
+            "support": pa.array([], pa.int64())}))
+    B = buckets or max(32, P)
+    max_vid = int(graph.n_per_part.max()) * P + P
+    if graph.n >= (1 << 31):
+        raise NotImplementedError(
+            "int64 pair codes require n < ~3e9; widen to 2-column probes")
+    C = np.int64(max_vid + 1)
+    deg_refs = {p: _deg_of.remote(graph.blocks[p][0]) for p in parts}
+    emit = _make_emit(graph, B, C, max_emit, deg_refs, with_centers=True)
+
+    def probe_support(group: pa.Table) -> pa.Table:
+        kinds = group["kind"].to_numpy(zero_copy_only=False)
+        cl = group["codes"].combine_chunks()
+        flat = cl.flatten().to_numpy(zero_copy_only=False)
+        offs = cl.offsets.to_numpy(zero_copy_only=False)
+        ctr = group["centers"].combine_chunks()
+        ctr_flat = ctr.flatten().to_numpy(zero_copy_only=False)
+        ctr_offs = ctr.offsets.to_numpy(zero_copy_only=False)
+        e_parts, w_parts, c_parts = [], [], []
+        for i in range(group.num_rows):
+            if kinds[i] == 0:
+                e_parts.append(flat[offs[i]: offs[i + 1]])
+            else:
+                w_parts.append(flat[offs[i]: offs[i + 1]])
+                c_parts.append(ctr_flat[ctr_offs[i]: ctr_offs[i + 1]])
+        if not e_parts:
+            return _SUPPORT_SCHEMA.empty_table()
+        bucket = int(group["bucket"][0].as_py())
+        edges_here = np.concatenate(e_parts)
+        out = [pa.table({
+            "bucket": pa.array([bucket], pa.int64()),
+            "kind": pa.array([0], pa.int8()),
+            "codes": pa.array([edges_here], pa.list_(pa.int64())),
+            "cnts": pa.array([_EMPTY_I64], pa.list_(pa.int64())),
+        }, schema=_SUPPORT_SCHEMA)]
+        if w_parts:
+            ecodes = np.sort(edges_here)
+            wcodes = np.concatenate(w_parts)
+            centers = np.concatenate(c_parts)
+            pos = np.searchsorted(ecodes, wcodes)
+            safe = np.minimum(pos, len(ecodes) - 1)
+            hit = (pos < len(ecodes)) & (ecodes[safe] == wcodes)
+            if hit.any():
+                closed = wcodes[hit]
+                u, v, w = centers[hit], closed // C, closed % C
+                credit = np.concatenate([u * C + v, u * C + w, closed])
+                ucodes, cnts = np.unique(credit, return_counts=True)
+                cb = _bucket_of(ucodes, B)
+                order = np.argsort(cb, kind="stable")
+                cbs, ucs, cns = cb[order], ucodes[order], cnts[order]
+                bounds = np.flatnonzero(np.r_[True, cbs[1:] != cbs[:-1], True])
+                st, en = bounds[:-1], bounds[1:]
+                loffs = pa.array(
+                    np.concatenate([[0], (en - st).cumsum()]), pa.int32())
+                out.append(pa.table({
+                    "bucket": pa.array(cbs[st], pa.int64()),
+                    "kind": pa.array(np.full(len(st), 1, np.int8), pa.int8()),
+                    "codes": pa.ListArray.from_arrays(
+                        loffs, pa.array(ucs, pa.int64())),
+                    "cnts": pa.ListArray.from_arrays(
+                        loffs, pa.array(cns.astype(np.int64), pa.int64())),
+                }, schema=_SUPPORT_SCHEMA))
+        return pa.concat_tables(out)
+
+    def merge_support(group: pa.Table) -> pa.Table:
+        kinds = group["kind"].to_numpy(zero_copy_only=False)
+        cl = group["codes"].combine_chunks()
+        flat = cl.flatten().to_numpy(zero_copy_only=False)
+        offs = cl.offsets.to_numpy(zero_copy_only=False)
+        nl = group["cnts"].combine_chunks()
+        n_flat = nl.flatten().to_numpy(zero_copy_only=False)
+        n_offs = nl.offsets.to_numpy(zero_copy_only=False)
+        e_parts = [flat[offs[i]: offs[i + 1]]
+                   for i in range(group.num_rows) if kinds[i] == 0]
+        if not e_parts:
+            return pa.table({"src_vid": pa.array([], pa.int64()),
+                             "dst_vid": pa.array([], pa.int64()),
+                             "support": pa.array([], pa.int64())})
+        eu = np.sort(np.concatenate(e_parts))
+        sup = np.zeros(len(eu), dtype=np.int64)
+        for i in range(group.num_rows):
+            if kinds[i] != 1:
+                continue
+            codes = flat[offs[i]: offs[i + 1]]
+            cnts = n_flat[n_offs[i]: n_offs[i + 1]]
+            np.add.at(sup, np.searchsorted(eu, codes), cnts)
+        a, b = eu // C, eu % C
+        return pa.table({
+            "src_vid": pa.array(np.minimum(a, b)),
+            "dst_vid": pa.array(np.maximum(a, b)),
+            "support": pa.array(sup),
+        })
+
+    parts_ds = rd.from_arrow(
+        pa.table({"part": pa.array(parts, pa.int64())})
+    ).repartition(len(parts))
+    return (
+        parts_ds.map_batches(emit, batch_format="pyarrow", batch_size=1,
+                             zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(probe_support, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge_support, batch_format="pyarrow")
+    )
+
+
 def approx_triangle_count(edges: rd.Dataset, *, p: float = 0.25,
                           seed: int = 7, P: int | None = None) -> int:
     """DOULION-style approximate triangle count (Tsourakakis et al., KDD'09

@@ -605,3 +605,28 @@ def test_local_clustering_vs_bruteforce():
         assert out.loc[v, "clustering_fp"] == cf
     assert len(out) == len(adj)
     assert int(out.n_tri.sum()) == 3 * triangle_count(sg)
+
+
+def test_edge_support_vs_bruteforce():
+    """edge_support == per-edge common-neighbor counts; every undirected
+    edge present exactly once (canonical vid order); total == 3x triangles."""
+    from raylink.kernels import edge_support
+
+    pairs = overlay_pairs(seed=13, n=30, m=110) + [("iso1", "iso2")]
+    sg = G.build_graph(edges_ds(pairs), P=P, symmetric=True)
+    out = edge_support(sg).to_pandas()
+    assert (out.src_vid < out.dst_vid).all()
+    assert not out.duplicated(["src_vid", "dst_vid"]).any()
+
+    vert = {r["key"]: r["vid"] for b in sg.vertices.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()}
+    adj = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(vert[a], set()).add(vert[b])
+            adj.setdefault(vert[b], set()).add(vert[a])
+    expect = {(min(u, v), max(u, v)): len(adj[u] & adj[v])
+              for u in adj for v in adj[u]}
+    got = {(r.src_vid, r.dst_vid): r.support for r in out.itertuples()}
+    assert got == expect
+    assert sum(got.values()) == 3 * triangle_count(sg)
