@@ -616,6 +616,19 @@ def q_graph_summary(sf_dir: str):
     return graph_summary(sg)
 
 
+def q_graph_assortativity(sf_dir: str):
+    """One-row degree assortativity (Newman's r, 1e-9 fixed-point) over
+    the undirected user graph: Pearson correlation of endpoint degrees
+    across all directed edge slots (kernels.degree_assortativity; exact
+    integer moments so the float finish matches the SQL oracle)."""
+    from raylink.graph import build_graph
+    from raylink.kernels import degree_assortativity
+
+    sg = build_graph(_user_edges(sf_dir), P=GRAPH_P, symmetric=True,
+                     already_deduped=True)
+    return degree_assortativity(sg)
+
+
 def q_graph_triangles_approx(sf_dir: str):
     """DOULION approximate triangles (seeded edge sampling, 1/p^3 scale;
     exact twin = graph_triangles). Accuracy bounded in pytest; no SQL
@@ -971,6 +984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_kcore": q_graph_kcore,
         "graph_hits": q_graph_hits,
         "graph_summary": q_graph_summary,
+        "graph_assortativity": q_graph_assortativity,
         "graph_triangles_approx": q_graph_triangles_approx,
         "graph_bfs_multi": q_graph_bfs_multi,
         "graph_local_clustering": q_graph_local_clustering,
@@ -1329,6 +1343,25 @@ def oracle_sql() -> dict[str, str]:
         "CAST(floor(3.0*(SELECT c FROM tri)/sum(d*(d-1)//2)*1000000000 + 0.5) "
         "AS BIGINT) AS clustering_fp "
         "FROM deg"
+    )
+    sql["graph_assortativity"] = (
+        f"WITH {_E_CTE}, "
+        "und AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM e "
+        "UNION ALL SELECT dst, src FROM e)), "
+        "deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d "
+        "FROM und GROUP BY a), "
+        "xy AS (SELECT da.d AS x, db.d AS y FROM und "
+        "JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b), "
+        "mo AS (SELECT CAST(count(*) AS BIGINT) AS m, "
+        "coalesce(sum(x), 0) AS sx, coalesce(sum(y), 0) AS sy, "
+        "coalesce(sum(x*y), 0) AS sxy, coalesce(sum(x*x), 0) AS sxx, "
+        "coalesce(sum(y*y), 0) AS syy FROM xy) "
+        "SELECT CAST(CASE WHEN m*sxx - sx*sx <= 0 OR m*syy - sy*sy <= 0 "
+        "THEN 0 ELSE floor(CAST(m*sxy - sx*sy AS DOUBLE)"
+        "/(sqrt(CAST(m*sxx - sx*sx AS DOUBLE))"
+        "*sqrt(CAST(m*syy - sy*sy AS DOUBLE)))*1000000000 + 0.5) END "
+        "AS BIGINT) AS assortativity_fp, "
+        "CAST(m AS BIGINT) AS n_directed_edges FROM mo"
     )
     sql["graph_components"] = (
         f"WITH RECURSIVE {_E_CTE}, "

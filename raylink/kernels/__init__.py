@@ -19,12 +19,14 @@ mirroring the reference's history-fed convergence gates
 from .pagerank import pagerank
 from .cc import connected_components
 from .labelprop import label_propagation
-from .triangles import (approx_triangle_count, edge_support, graph_summary,
-                        local_clustering, triangle_count)
+from .triangles import (approx_triangle_count, degree_assortativity,
+                        edge_support, graph_summary, local_clustering,
+                        triangle_count)
 from .traversal import bfs_hops, bfs_hops_multi, k_core
 from .hits import hits
 
 __all__ = ["pagerank", "connected_components", "label_propagation",
            "triangle_count", "approx_triangle_count", "graph_summary",
+           "degree_assortativity",
            "local_clustering", "edge_support", "bfs_hops", "bfs_hops_multi",
            "k_core", "hits"]

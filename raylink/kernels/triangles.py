@@ -390,6 +390,79 @@ def local_clustering(graph: Graph, *, buckets: int | None = None,
         finish, batch_format="pyarrow")
 
 
+def degree_assortativity(graph: Graph) -> "pa.Table":
+    """One-row degree assortativity (Newman's r, the hub-mixing signal of
+    web graphs) over a SYMMETRIC build: Pearson correlation of endpoint
+    degrees over all directed edge slots. All five moment sums (S_x, S_y,
+    S_xy, S_xx, S_yy) are computed EXACTLY as integers — per-partition
+    int64 segment sums accumulated into Python ints — so the final float
+    expression is order-independent and matches the SQL oracle bit-for-bit
+    (fixed-point 1e9). Per-partition work ships one 6-int row to the
+    driver; dst degrees arrive as per-partition arrays (O(n/P) each), the
+    same access pattern as the wedge join. Segment products assume
+    deg_max^2 * segment_edges < 2^63 (document-scale safe; beyond that
+    split segments)."""
+    parts = graph.parts_with_edges()
+    zero = pa.table({"assortativity_fp": pa.array([0], pa.int64()),
+                     "n_directed_edges": pa.array([0], pa.int64())})
+    if not parts:
+        return zero
+    P = graph.P
+    refs = graph.blocks
+    deg_refs = {p: _deg_of.remote(refs[p][0]) for p in parts}
+
+    def moments(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        out = {k: [] for k in ("sx", "sy", "sxy", "sxx", "syy", "m")}
+        for p in batch["part"].to_pylist():
+            chunks = [_ray.get(r) for r in refs[p]]
+            deg_u = chunks[0].deg.astype(np.int64)
+            need_q = {q for blk in chunks for q in range(P)
+                      if blk.bounds[q + 1] > blk.bounds[q]}
+            deg_q = {q: np.asarray(_ray.get(deg_refs[q]), dtype=np.int64)
+                     for q in need_q if q in deg_refs}
+            sx = sy = sxy = sxx = syy = m = 0
+            for blk in chunks:
+                for q in range(P):
+                    lo, hi = blk.bounds[q], blk.bounds[q + 1]
+                    if hi <= lo:
+                        continue
+                    du = deg_u[blk.src_local[lo:hi].astype(np.int64)]
+                    dv = deg_q[q][blk.dst_local[lo:hi].astype(np.int64)]
+                    sx += int(du.sum()); sy += int(dv.sum())
+                    sxy += int((du * dv).sum())
+                    sxx += int((du * du).sum()); syy += int((dv * dv).sum())
+                    m += int(hi - lo)
+            for k, v in zip(("sx", "sy", "sxy", "sxx", "syy", "m"),
+                            (sx, sy, sxy, sxx, syy, m)):
+                out[k].append(v)
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    parts_ds = rd.from_arrow(
+        pa.table({"part": pa.array(parts, pa.int64())})
+    ).repartition(len(parts))
+    rows = pa.concat_tables(list(
+        parts_ds.map_batches(moments, batch_format="pyarrow", batch_size=1,
+                             zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    import math
+
+    tot = {k: sum(int(x) for x in rows[k].to_pylist())
+           for k in ("sx", "sy", "sxy", "sxx", "syy", "m")}
+    m, sx, sy = tot["m"], tot["sx"], tot["sy"]
+    d1 = m * tot["sxx"] - sx * sx
+    d2 = m * tot["syy"] - sy * sy
+    if d1 <= 0 or d2 <= 0:
+        fp = 0
+    else:
+        r = float(m * tot["sxy"] - sx * sy) / (math.sqrt(float(d1))
+                                               * math.sqrt(float(d2)))
+        fp = int(math.floor(r * 1e9 + 0.5))
+    return pa.table({"assortativity_fp": pa.array([fp], pa.int64()),
+                     "n_directed_edges": pa.array([m], pa.int64())})
+
+
 _EMPTY_I64 = np.array([], dtype=np.int64)
 
 _SUPPORT_SCHEMA = pa.schema([

@@ -630,3 +630,40 @@ def test_edge_support_vs_bruteforce():
     got = {(r.src_vid, r.dst_vid): r.support for r in out.itertuples()}
     assert got == expect
     assert sum(got.values()) == 3 * triangle_count(sg)
+
+
+def test_degree_assortativity_vs_bruteforce():
+    """degree_assortativity == Pearson r of endpoint degrees over directed
+    edge slots, computed brute-force with exact integer moments; a clique
+    (all degrees equal -> zero variance) reports fp=0; empty graph typed."""
+    from raylink.kernels import degree_assortativity
+
+    pairs = overlay_pairs(seed=17, n=40, m=140) + [("iso1", "iso2")]
+    sg = G.build_graph(edges_ds(pairs), P=P, symmetric=True)
+    row = degree_assortativity(sg).to_pylist()[0]
+
+    adj = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    deg = {v: len(n) for v, n in adj.items()}
+    xs = [(deg[u], deg[v]) for u in adj for v in adj[u]]
+    m = len(xs)
+    sx = sum(x for x, _ in xs); sy = sum(y for _, y in xs)
+    sxy = sum(x * y for x, y in xs)
+    sxx = sum(x * x for x, _ in xs); syy = sum(y * y for _, y in xs)
+    d1, d2 = m * sxx - sx * sx, m * syy - sy * sy
+    r = float(m * sxy - sx * sy) / (math.sqrt(float(d1)) * math.sqrt(float(d2)))
+    assert row["n_directed_edges"] == m
+    assert row["assortativity_fp"] == int(math.floor(r * 1e9 + 0.5))
+    # symmetric slots -> sx == sy, so r is well-defined and in [-1, 1]
+    assert abs(row["assortativity_fp"]) <= 1_000_000_000
+
+    sgc = G.build_graph(edges_ds(clique_pairs(1, 6)), P=P, symmetric=True)
+    rowc = degree_assortativity(sgc).to_pylist()[0]
+    assert rowc == {"assortativity_fp": 0, "n_directed_edges": 30}
+
+    empty = G.build_graph(edges_ds([]), P=P, symmetric=True)
+    assert degree_assortativity(empty).to_pylist() == [
+        {"assortativity_fp": 0, "n_directed_edges": 0}]
