@@ -629,6 +629,59 @@ def q_graph_assortativity(sf_dir: str):
     return degree_assortativity(sg)
 
 
+def q_graph_link_pred(sf_dir: str):
+    """Top-50 predicted links (non-adjacent user pairs) by Adamic-Adar
+    score over the undirected user graph, with resource-allocation index
+    and common-neighbor count alongside (kernels.adamic_adar_candidates;
+    bucketed full-neighborhood wedge join, integer fixed-point scores).
+    Final order: aa_fp desc, then canonical user keys."""
+    import pyarrow.compute as pc
+
+    from raylink.graph import build_graph
+    from raylink.kernels import adamic_adar_candidates
+    from raylink.pipelines.flagship import join_keys
+
+    K = 50
+    sg = build_graph(_user_edges(sf_dir), P=GRAPH_P, symmetric=True,
+                     already_deduped=True)
+    cand = adamic_adar_candidates(sg, K)
+    a = join_keys(cand.map_batches(
+        lambda b: b.rename_columns(
+            ["vid", "dst_vid", "n_common", "aa_fp", "ra_fp"]),
+        batch_format="pyarrow"), sg,
+        ["dst_vid", "n_common", "aa_fp", "ra_fp"])
+    ab = join_keys(a.map_batches(
+        lambda b: b.select(["dst_vid", "key", "n_common", "aa_fp", "ra_fp"])
+        .rename_columns(["vid", "key_a", "n_common", "aa_fp", "ra_fp"]),
+        batch_format="pyarrow"), sg, ["key_a", "n_common", "aa_fp", "ra_fp"])
+
+    def canon(b: pa.Table) -> pa.Table:
+        ka, kb = b["key_a"], b["key"]
+        return pa.table({
+            "user_a": pc.min_element_wise(ka, kb),
+            "user_b": pc.max_element_wise(ka, kb),
+            "n_common": b["n_common"],
+            "aa_fp": b["aa_fp"],
+            "ra_fp": b["ra_fp"],
+        })
+
+    res = (ab.map_batches(canon, batch_format="pyarrow")
+           .sort(key=["aa_fp", "user_a", "user_b"],
+                 descending=[True, False, False])
+           .limit(K))
+    # materialize the tiny top-K as Arrow: an all-adjacent graph (sf0.001
+    # is complete) yields zero candidates, and an empty Dataset would
+    # otherwise reach the driver schema-less
+    batches = [b for b in res.iter_batches(batch_format="pyarrow")
+               if b.num_rows]
+    if batches:
+        return pa.concat_tables(batches)
+    return pa.schema([
+        pa.field("user_a", pa.int64()), pa.field("user_b", pa.int64()),
+        pa.field("n_common", pa.int64()), pa.field("aa_fp", pa.int64()),
+        pa.field("ra_fp", pa.int64())]).empty_table()
+
+
 def q_graph_triangles_approx(sf_dir: str):
     """DOULION approximate triangles (seeded edge sampling, 1/p^3 scale;
     exact twin = graph_triangles). Accuracy bounded in pytest; no SQL
@@ -985,6 +1038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_hits": q_graph_hits,
         "graph_summary": q_graph_summary,
         "graph_assortativity": q_graph_assortativity,
+        "graph_link_pred": q_graph_link_pred,
         "graph_triangles_approx": q_graph_triangles_approx,
         "graph_bfs_multi": q_graph_bfs_multi,
         "graph_local_clustering": q_graph_local_clustering,
@@ -1362,6 +1416,25 @@ def oracle_sql() -> dict[str, str]:
         "*sqrt(CAST(m*syy - sy*sy AS DOUBLE)))*1000000000 + 0.5) END "
         "AS BIGINT) AS assortativity_fp, "
         "CAST(m AS BIGINT) AS n_directed_edges FROM mo"
+    )
+    sql["graph_link_pred"] = (
+        f"WITH {_E_CTE}, "
+        "und AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM e "
+        "UNION ALL SELECT dst, src FROM e)), "
+        "deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d "
+        "FROM und GROUP BY a), "
+        "cand AS (SELECT u1.b AS x, u2.b AS y, "
+        "CAST(count(*) AS BIGINT) AS n_common, "
+        "CAST(sum(CAST(floor(1000000000.0/ln(dw.d) + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS aa_fp, "
+        "CAST(sum(CAST(floor(1000000000.0/dw.d + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS ra_fp "
+        "FROM und u1 JOIN und u2 ON u2.a = u1.a AND u1.b < u2.b "
+        "JOIN deg dw ON dw.v = u1.a GROUP BY u1.b, u2.b) "
+        "SELECT c.x AS user_a, c.y AS user_b, c.n_common, c.aa_fp, c.ra_fp "
+        "FROM cand c LEFT JOIN und ON und.a = c.x AND und.b = c.y "
+        "WHERE und.a IS NULL "
+        "ORDER BY c.aa_fp DESC, c.x, c.y LIMIT 50"
     )
     sql["graph_components"] = (
         f"WITH RECURSIVE {_E_CTE}, "

@@ -667,3 +667,50 @@ def test_degree_assortativity_vs_bruteforce():
     empty = G.build_graph(edges_ds([]), P=P, symmetric=True)
     assert degree_assortativity(empty).to_pylist() == [
         {"assortativity_fp": 0, "n_directed_edges": 0}]
+
+
+def test_adamic_adar_vs_bruteforce():
+    """adamic_adar_candidates is a superset of the global top-k with
+    exactly-matching (n_common, aa_fp, ra_fp) per pair; scores equal the
+    brute-force fixed-point sums; no returned pair is an existing edge."""
+    from raylink.kernels import adamic_adar_candidates
+
+    pairs = overlay_pairs(seed=23, n=30, m=100) + clique_pairs(9, 4)
+    sg = G.build_graph(edges_ds(pairs), P=P, symmetric=True)
+    K = 10
+    out = adamic_adar_candidates(sg, K).to_pandas()
+
+    vert = {r["key"]: r["vid"] for b in sg.vertices.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()}
+    adj = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(vert[a], set()).add(vert[b])
+            adj.setdefault(vert[b], set()).add(vert[a])
+    expect = {}
+    for w, nbrs in adj.items():
+        d = len(nbrs)
+        if d < 2:
+            continue
+        aa = int(math.floor(1e9 / math.log(d) + 0.5))
+        ra = int(math.floor(1e9 / d + 0.5))
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                key = (ns[i], ns[j])
+                c, a_, r_ = expect.get(key, (0, 0, 0))
+                expect[key] = (c + 1, a_ + aa, r_ + ra)
+    expect = {k: v for k, v in expect.items() if k[1] not in adj[k[0]]}
+
+    got = {(r.src_vid, r.dst_vid): (r.n_common, r.aa_fp, r.ra_fp)
+           for r in out.itertuples()}
+    assert all(got[k] == expect[k] for k in got)
+    # superset of the true global top-K by aa (ties at the boundary kept)
+    ranked = sorted(expect.items(), key=lambda kv: (-kv[1][1], kv[0]))
+    kth = ranked[min(K, len(ranked)) - 1][1][1]
+    topk = {k for k, v in ranked if v[1] >= kth}
+    assert topk <= set(got)
+    assert not any(b in adj.get(a, ()) for a, b in got)
+
+    empty = G.build_graph(edges_ds([]), P=P, symmetric=True)
+    assert adamic_adar_candidates(empty, 5).count() == 0
