@@ -524,6 +524,7 @@ def q_graph_bfs(sf_dir: str):
 
 
 KCORE_ROUNDS = 8
+TRUSS_ROUNDS = 4
 
 
 def q_graph_kcore(sf_dir: str):
@@ -596,6 +597,38 @@ def q_graph_truss_support(sf_dir: str):
     def canon(b: pa.Table) -> pa.Table:
         ka = b["key_a"]
         kb = b["key"]
+        return pa.table({
+            "user_a": pc.min_element_wise(ka, kb),
+            "user_b": pc.max_element_wise(ka, kb),
+            "support": b["support"],
+        })
+
+    return ab.map_batches(canon, batch_format="pyarrow")
+
+
+def q_graph_truss(sf_dir: str):
+    """4-truss of the user graph (edges in >= 2 triangles after iterated
+    peeling; kernels.k_truss). Fixed unroll depth TRUSS_ROUNDS shared
+    with the SQL oracle — equal even if the fixpoint lands earlier."""
+    import pyarrow.compute as pc
+
+    from raylink.graph import build_graph
+    from raylink.kernels import k_truss
+    from raylink.pipelines.flagship import join_keys
+
+    sg = build_graph(_user_edges(sf_dir), P=GRAPH_P, symmetric=True,
+                     already_deduped=True)
+    tr = k_truss(sg, 4, max_rounds=TRUSS_ROUNDS)
+    a = join_keys(tr.map_batches(
+        lambda b: b.rename_columns(["vid", "dst_vid", "support"]),
+        batch_format="pyarrow"), sg, ["dst_vid", "support"])
+    ab = join_keys(a.map_batches(
+        lambda b: b.select(["dst_vid", "key", "support"]).rename_columns(
+            ["vid", "key_a", "support"]),
+        batch_format="pyarrow"), sg, ["key_a", "support"])
+
+    def canon(b: pa.Table) -> pa.Table:
+        ka, kb = b["key_a"], b["key"]
         return pa.table({
             "user_a": pc.min_element_wise(ka, kb),
             "user_b": pc.max_element_wise(ka, kb),
@@ -1039,6 +1072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_summary": q_graph_summary,
         "graph_assortativity": q_graph_assortativity,
         "graph_link_pred": q_graph_link_pred,
+        "graph_truss": q_graph_truss,
         "graph_triangles_approx": q_graph_triangles_approx,
         "graph_bfs_multi": q_graph_bfs_multi,
         "graph_local_clustering": q_graph_local_clustering,
@@ -1109,6 +1143,36 @@ def _pr_sql_body(edge_cte: str, iters: int, out_key: str) -> str:
             f"AS score FROM s{iters}")
 
 
+
+
+def _truss_sql_body(edge_cte: str, rounds: int, thr: int,
+                    key_a: str, key_b: str) -> str:
+    """Unrolled k-truss peeling: ``rounds`` support computations, filter
+    support >= ``thr`` after each; output = last round's surviving edges
+    with their supports. AS MATERIALIZED throughout — DuckDB inlines
+    plain chained CTEs per reference, which explodes exponentially over
+    an iterative chain."""
+    parts = [edge_cte,
+             "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+             "greatest(src, dst) AS b FROM e)"]
+    for r in range(rounds):
+        parts.append(
+            f"u{r} AS MATERIALIZED (SELECT a, b FROM e{r} "
+            f"UNION ALL SELECT b, a FROM e{r})")
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT g.a, g.b, "
+            f"CAST(count(y.b) AS BIGINT) AS support FROM e{r} g "
+            f"LEFT JOIN u{r} x ON x.a = g.a "
+            f"LEFT JOIN u{r} y ON y.a = g.b AND y.b = x.b "
+            f"GROUP BY g.a, g.b)")
+        if r < rounds - 1:
+            parts.append(
+                f"e{r + 1} AS MATERIALIZED (SELECT a, b FROM s{r} "
+                f"WHERE support >= {thr})")
+    last = rounds - 1
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT a AS {key_a}, b AS {key_b}, support "
+            f"FROM s{last} WHERE support >= {thr}")
 
 
 def _hits_sql_body(edge_cte: str, iters: int, out_key: str) -> str:
@@ -1417,6 +1481,8 @@ def oracle_sql() -> dict[str, str]:
         "AS BIGINT) AS assortativity_fp, "
         "CAST(m AS BIGINT) AS n_directed_edges FROM mo"
     )
+    sql["graph_truss"] = _truss_sql_body(_E_CTE, TRUSS_ROUNDS, 2,
+                                         "user_a", "user_b")
     sql["graph_link_pred"] = (
         f"WITH {_E_CTE}, "
         "und AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM e "

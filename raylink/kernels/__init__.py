@@ -24,10 +24,11 @@ from .triangles import (approx_triangle_count, degree_assortativity,
                         triangle_count)
 from .traversal import bfs_hops, bfs_hops_multi, k_core
 from .linkpred import adamic_adar_candidates
+from .truss import k_truss
 from .hits import hits
 
 __all__ = ["pagerank", "connected_components", "label_propagation",
            "triangle_count", "approx_triangle_count", "graph_summary",
-           "degree_assortativity", "adamic_adar_candidates",
+           "degree_assortativity", "adamic_adar_candidates", "k_truss",
            "local_clustering", "edge_support", "bfs_hops", "bfs_hops_multi",
            "k_core", "hits"]

@@ -714,3 +714,53 @@ def test_adamic_adar_vs_bruteforce():
 
     empty = G.build_graph(edges_ds([]), P=P, symmetric=True)
     assert adamic_adar_candidates(empty, 5).count() == 0
+
+
+def test_k_truss_vs_bruteforce():
+    """k_truss == brute-force iterative peeling to the fixpoint; a clique
+    of size c survives any k <= c; peeled supports equal the truss-internal
+    common-neighbor counts."""
+    from raylink.kernels import k_truss
+
+    # two 5-cliques bridged by a path, plus sparse noise: the bridge and
+    # noise peel away at k=4, the cliques survive
+    pairs = (clique_pairs(2, 5) + [("c0_0", "br"), ("br", "c1_0")]
+             + overlay_pairs(seed=29, n=25, m=45))
+    sg = G.build_graph(edges_ds(pairs), P=P, symmetric=True)
+    metrics = []
+    out = k_truss(sg, 4, metrics_out=metrics).to_pandas()
+
+    vert = {r["key"]: r["vid"] for b in sg.vertices.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()}
+    adj = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(vert[a], set()).add(vert[b])
+            adj.setdefault(vert[b], set()).add(vert[a])
+    # brute-force peel to fixpoint
+    edges = {(min(u, v), max(u, v)) for u in adj for v in adj[u]}
+    while True:
+        nbr = {}
+        for a, b in edges:
+            nbr.setdefault(a, set()).add(b)
+            nbr.setdefault(b, set()).add(a)
+        sup = {(a, b): len(nbr[a] & nbr[b]) for a, b in edges}
+        nxt = {e for e in edges if sup[e] >= 2}
+        if nxt == edges:
+            break
+        edges = nxt
+    got = {(r.src_vid, r.dst_vid): r.support for r in out.itertuples()}
+    assert set(got) == edges
+    assert all(got[e] == sup[e] for e in edges)
+    # both cliques fully present: C(5,2)*2 = 20 edges at least
+    clique_vids = [{vert[f"c{b}_{i}"] for i in range(5)} for b in range(2)]
+    for cv in clique_vids:
+        for u in cv:
+            for v in cv:
+                if u < v:
+                    assert (u, v) in got and got[(u, v)] == 3
+    assert metrics and metrics[-1]["edges_in"] >= metrics[-1]["edges_out"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        k_truss(sg, 2)
