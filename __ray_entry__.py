@@ -606,6 +606,20 @@ def q_graph_truss_support(sf_dir: str):
     return ab.map_batches(canon, batch_format="pyarrow")
 
 
+def q_graph_modularity(sf_dir: str):
+    """Newman modularity of the 1-round LP labeling (same labeling as
+    graph_lp1): one row (modularity_fp, n_communities, m_edges).
+    Integer-exact E2 / sum(d_c^2) reduction, one float division at the
+    end (kernels.modularity)."""
+    from raylink.graph import build_graph
+    from raylink.kernels import label_propagation, modularity
+
+    sg = build_graph(_user_edges(sf_dir), P=GRAPH_P, symmetric=True,
+                     already_deduped=True)
+    labels = label_propagation(sg, max_iter=1, init="key")
+    return modularity(sg, labels)
+
+
 def q_graph_truss(sf_dir: str):
     """4-truss of the user graph (edges in >= 2 triangles after iterated
     peeling; kernels.k_truss). Fixed unroll depth TRUSS_ROUNDS shared
@@ -1073,6 +1087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_assortativity": q_graph_assortativity,
         "graph_link_pred": q_graph_link_pred,
         "graph_truss": q_graph_truss,
+        "graph_modularity": q_graph_modularity,
         "graph_triangles_approx": q_graph_triangles_approx,
         "graph_bfs_multi": q_graph_bfs_multi,
         "graph_local_clustering": q_graph_local_clustering,
@@ -1483,6 +1498,33 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["graph_truss"] = _truss_sql_body(_E_CTE, TRUSS_ROUNDS, 2,
                                          "user_a", "user_b")
+    sql["graph_modularity"] = (
+        f"WITH {_E_CTE}, "
+        "und AS MATERIALIZED (SELECT DISTINCT a, b FROM "
+        "(SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src "
+        "FROM e)), "
+        "vx AS (SELECT a AS v FROM und UNION SELECT b FROM und), "
+        "votes AS (SELECT b AS v, a AS lab FROM und "
+        "UNION ALL SELECT v, v FROM vx), "
+        "c AS (SELECT v, lab, count(*) AS n FROM votes GROUP BY v, lab), "
+        "w AS (SELECT v, lab, row_number() OVER (PARTITION BY v "
+        "ORDER BY n DESC, lab) AS rn FROM c), "
+        "la AS MATERIALIZED (SELECT v, CAST(lab AS BIGINT) AS lab "
+        "FROM w WHERE rn = 1), "
+        "mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM "
+        "(SELECT DISTINCT least(a, b), greatest(a, b) FROM und)), "
+        "ee AS (SELECT CAST(count(*) AS BIGINT) AS e2 FROM und u "
+        "JOIN la x ON x.v = u.a JOIN la y ON y.v = u.b "
+        "WHERE x.lab = y.lab), "
+        "dc AS (SELECT x.lab, CAST(count(*) AS BIGINT) AS d FROM und u "
+        "JOIN la x ON x.v = u.a GROUP BY x.lab), "
+        "dd AS (SELECT CAST(sum(d*d) AS BIGINT) AS d_sq, "
+        "CAST(count(*) AS BIGINT) AS n_comm FROM dc) "
+        "SELECT CAST(floor(CAST(2*mm.m*ee.e2 - dd.d_sq AS DOUBLE)"
+        "/CAST(4*mm.m*mm.m AS DOUBLE)*1000000000 + 0.5) AS BIGINT) "
+        "AS modularity_fp, dd.n_comm AS n_communities, "
+        "mm.m AS m_edges FROM mm, ee, dd"
+    )
     sql["graph_link_pred"] = (
         f"WITH {_E_CTE}, "
         "und AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM e "

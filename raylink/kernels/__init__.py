@@ -25,10 +25,12 @@ from .triangles import (approx_triangle_count, degree_assortativity,
 from .traversal import bfs_hops, bfs_hops_multi, k_core
 from .linkpred import adamic_adar_candidates
 from .truss import k_truss
+from .modularity import modularity
 from .hits import hits
 
 __all__ = ["pagerank", "connected_components", "label_propagation",
            "triangle_count", "approx_triangle_count", "graph_summary",
            "degree_assortativity", "adamic_adar_candidates", "k_truss",
+           "modularity",
            "local_clustering", "edge_support", "bfs_hops", "bfs_hops_multi",
            "k_core", "hits"]

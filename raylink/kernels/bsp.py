@@ -140,6 +140,48 @@ def init_state(graph: Graph, values_of_part, col: str = "vec",
     return rd.from_arrow(tab).materialize()
 
 
+def vertex_table_to_state(vt: rd.Dataset, graph: Graph, col: str,
+                          dtype=pa.int64()) -> rd.Dataset:
+    """(vid, <col>) per-vertex rows -> dense (part, vec) state rows — the
+    inverse of :func:`state_to_vertex_table` (one groupby shuffle of
+    per-vertex rows). Requires every vertex of each partition present
+    exactly once; raises on gaps so a partial attribute table can't
+    silently read as zeros."""
+    P = graph.P
+    n_per_part = np.asarray(graph.n_per_part)
+    np_dtype = dtype.to_pandas_dtype()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        vids = batch["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "part": pa.array(vids % P, pa.int64()),
+            "vid": pa.array(vids, pa.int64()),
+            col: batch[col].cast(dtype),
+        })
+
+    def build(group: pa.Table) -> pa.Table:
+        part = int(group["part"][0].as_py())
+        n_q = int(n_per_part[part])
+        vids = group["vid"].to_numpy(zero_copy_only=False)
+        vals = group[col].to_numpy(zero_copy_only=False)
+        idx = vids // P
+        seen = np.zeros(n_q, dtype=bool)
+        seen[idx] = True
+        if len(vids) != n_q or not seen.all():
+            raise ValueError(
+                f"vertex table does not cover partition {part} exactly "
+                f"({len(vids)} rows for {n_q} vertices)")
+        vec = np.empty(n_q, dtype=np_dtype)
+        vec[idx] = vals
+        return pa.table({
+            "part": pa.array([part], pa.int64()),
+            "vec": pa.array([vec], pa.list_(dtype)),
+        })
+
+    return (vt.map_batches(tag, batch_format="pyarrow")
+            .groupby("part").map_groups(build, batch_format="pyarrow"))
+
+
 def state_to_vertex_table(state: rd.Dataset, graph: Graph, col: str,
                           out_col: str) -> rd.Dataset:
     """(part, vec) state -> per-vertex rows (vid, <out_col>)."""

@@ -764,3 +764,54 @@ def test_k_truss_vs_bruteforce():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         k_truss(sg, 2)
+
+
+def test_modularity_vs_bruteforce():
+    """modularity == the exact integer formula (2m*E2 - sum d_c^2)/(4m^2)
+    computed brute force; two disjoint cliques labeled by component give
+    the known Q = 1/2 - 1/4... exact fixture; all-one-community gives 0."""
+    from raylink.kernels import label_propagation, modularity
+
+    pairs = overlay_pairs(seed=31, n=30, m=90) + clique_pairs(2, 5)
+    sg = G.build_graph(edges_ds(pairs), P=P, symmetric=True)
+    labels = label_propagation(sg, max_iter=1, init="vid")
+    row = modularity(sg, labels).to_pylist()[0]
+
+    lab = {r["vid"]: r["label"] for b in labels.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()}
+    vert = {r["key"]: r["vid"] for b in sg.vertices.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()}
+    adj = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(vert[a], set()).add(vert[b])
+            adj.setdefault(vert[b], set()).add(vert[a])
+    m = sum(len(v) for v in adj.values()) // 2
+    e2 = sum(1 for u in adj for v in adj[u] if lab[u] == lab[v])
+    dc = {}
+    for u in adj:
+        dc[lab[u]] = dc.get(lab[u], 0) + len(adj[u])
+    d_sq = sum(d * d for d in dc.values())
+    q_fp = int(np.floor(float(2 * m * e2 - d_sq) / float(4 * m * m)
+                        * 1e9 + 0.5))
+    assert row == {"modularity_fp": q_fp, "n_communities": len(dc),
+                   "m_edges": m}
+
+    # perfect two-community labeling on two disjoint 5-cliques:
+    # Q = sum_c (10/20 - (40/40)^2/4) = 2*(0.5 - 0.25) = 0.5
+    sg2 = G.build_graph(edges_ds(clique_pairs(2, 5)), P=P, symmetric=True)
+    vert2 = {r["key"]: r["vid"] for b in sg2.vertices.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()}
+    lt = pa.table({
+        "vid": pa.array([vert2[f"c{b}_{i}"] for b in range(2)
+                         for i in range(5)], pa.int64()),
+        "label": pa.array([b for b in range(2) for _ in range(5)],
+                          pa.int64()),
+    })
+    row2 = modularity(sg2, rd.from_arrow(lt)).to_pylist()[0]
+    assert row2 == {"modularity_fp": 500_000_000, "n_communities": 2,
+                    "m_edges": 20}
+    # everything in one community -> Q = 0 exactly
+    one = lt.set_column(1, "label", pa.array([7] * 10, pa.int64()))
+    row3 = modularity(sg2, rd.from_arrow(one)).to_pylist()[0]
+    assert row3["modularity_fp"] == 0 and row3["n_communities"] == 1
