@@ -465,6 +465,25 @@ def q_graph_pagerank(sf_dir: str):
     return scale_columns(out, {"score": 1e9})
 
 
+def q_graph_pagerank_weighted(sf_dir: str):
+    """Weighted PageRank over the user-transition MULTIgraph: duplicate
+    transitions collapse to one edge whose multiplicity is its weight
+    (build_graph(weighted=True) on the non-distinct stream); score mass
+    splits per edge as score/W(u)*w. Same fixed-iteration protocol as
+    graph_pagerank."""
+    from raylink.graph import build_graph
+    from raylink.kernels import pagerank
+    from raylink.ops import transition_edges, scale_columns
+    from raylink.pipelines.flagship import join_keys
+
+    edges = transition_edges(
+        _read(sf_dir, "events", ["event_id", "user_id"]), distinct=False)
+    g = build_graph(edges, P=GRAPH_P, weighted=True, already_deduped=True)
+    ranks = pagerank(g, damping=DAMPING, tol=0.0, max_iter=PR_ITERS)
+    out = _rename(join_keys(ranks, g, "score"), {"key": "user_id"})
+    return scale_columns(out, {"score": 1e9})
+
+
 def q_graph_components(sf_dir: str):
     from raylink.graph import build_graph
     from raylink.kernels import connected_components
@@ -1088,6 +1107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_link_pred": q_graph_link_pred,
         "graph_truss": q_graph_truss,
         "graph_modularity": q_graph_modularity,
+        "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "graph_triangles_approx": q_graph_triangles_approx,
         "graph_bfs_multi": q_graph_bfs_multi,
         "graph_local_clustering": q_graph_local_clustering,
@@ -1128,13 +1148,28 @@ _E_CTE = (
     "WHERE a.user_id <> b.user_id)"
 )
 
+# multiplicity-weighted variant: one row per distinct pair, w = count
+_EW_CTE = (
+    "e AS (SELECT a.user_id AS src, b.user_id AS dst, "
+    "CAST(count(*) AS DOUBLE) AS w "
+    "FROM events a JOIN events b ON b.event_id = a.event_id + 1 "
+    "WHERE a.user_id <> b.user_id GROUP BY 1, 2)"
+)
 
-def _pr_sql_body(edge_cte: str, iters: int, out_key: str) -> str:
+
+def _pr_sql_body(edge_cte: str, iters: int, out_key: str,
+                 weighted: bool = False) -> str:
+    """``weighted=True``: the edge CTE must expose (src, dst, w); out-mass
+    is sum(w) per source and each edge carries s/W(u)*w — the float
+    sequence mirroring the weighted CSR scatter."""
     d = DAMPING
+    deg_expr = ("CAST(sum(w) AS DOUBLE)" if weighted
+                else "CAST(count(*) AS DOUBLE)")
+    contrib_expr = "p.s/deg.d*e.w" if weighted else "p.s/deg.d"
     parts = [
         edge_cte,
         "v AS (SELECT src AS v FROM e UNION SELECT dst FROM e)",
-        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src)",
+        f"deg AS (SELECT src, {deg_expr} AS d FROM e GROUP BY src)",
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v)",
         "s0 AS (SELECT v.v, 1.0/nn.n AS s FROM v CROSS JOIN nn)",
     ]
@@ -1144,7 +1179,7 @@ def _pr_sql_body(edge_cte: str, iters: int, out_key: str) -> str:
             f"LEFT JOIN deg ON p.v = deg.src WHERE deg.src IS NULL)"
         )
         parts.append(
-            f"c{k} AS (SELECT e.dst AS v, sum(p.s/deg.d) AS contrib "
+            f"c{k} AS (SELECT e.dst AS v, sum({contrib_expr}) AS contrib "
             f"FROM s{k-1} p JOIN e ON p.v = e.src JOIN deg ON deg.src = e.src "
             f"GROUP BY e.dst)"
         )
@@ -1455,6 +1490,8 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT dst, 0, 1 FROM e) GROUP BY v"
     )
     sql["graph_pagerank"] = _pr_sql_body(_E_CTE, PR_ITERS, "user_id")
+    sql["graph_pagerank_weighted"] = _pr_sql_body(_EW_CTE, PR_ITERS,
+                                                  "user_id", weighted=True)
     sql["graph_ppr"] = _ppr_sql_body(_E_CTE, PR_ITERS, "user_id")
     sql["graph_hits"] = _hits_sql_body(_E_CTE, PR_ITERS, "user_id")
     sql["graph_summary"] = (

@@ -293,6 +293,11 @@ class CSRBlock:
       deg        int64[n_local]  out-degree of local vertices (whole part,
                                  repeated across chunks of the same part)
       n_local    int        vertex count of this partition
+      w          int64[m]|None   per-edge multiplicity weights (weighted
+                                 builds only: duplicate (src,dst) pairs
+                                 collapse to one edge of weight=count)
+      wdeg       int64[n_local]|None  weighted out-degree (sum of w),
+                                 whole part, when weighted
     """
 
     part: int
@@ -301,6 +306,8 @@ class CSRBlock:
     bounds: np.ndarray
     deg: np.ndarray
     n_local: int
+    w: np.ndarray | None = None
+    wdeg: np.ndarray | None = None
 
     @property
     def m(self) -> int:
@@ -318,6 +325,7 @@ class Graph:
     blocks: dict[int, list[Any]]  # part -> [ObjectRef(CSRBlock chunk), ...]
     prep: "PreparedEdges"  # shared dictionary state (lazy vertices table)
     key_type: pa.DataType
+    weighted: bool = False  # blocks carry per-edge multiplicity weights
 
     @property
     def vertices(self) -> rd.Dataset:
@@ -330,23 +338,31 @@ class Graph:
 
 
 def _build_block_rows(group: pa.Table, P: int, n_per_part: np.ndarray,
-                      chunk_edges: int) -> pa.Table:
+                      chunk_edges: int, weighted: bool = False) -> pa.Table:
     part = int(group["src_part"][0].as_py())
     direction = int(group["dir"][0].as_py()) if "dir" in group.column_names else 0
     src = group["srcs"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
     dst = group["dsts"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
     return _csr_rows_from_vids(part, direction, src, dst, P, n_per_part,
-                               chunk_edges)
+                               chunk_edges, weighted)
 
 
 def _csr_blocks_from_vids(part: int, src: np.ndarray, dst: np.ndarray,
                           P: int, n_per_part: np.ndarray,
-                          chunk_edges: int) -> list[CSRBlock]:
+                          chunk_edges: int,
+                          weighted: bool = False) -> list[CSRBlock]:
     # global exact dedup happens HERE, for free: any given (src,dst) pair
     # always lands in this partition, so a local unique is a global one.
-    # (Self-loops were dropped before the vertex build.)
+    # (Self-loops were dropped before the vertex build.) ``weighted``
+    # keeps the multiplicity of each collapsed pair as its edge weight —
+    # the same shuffle, one extra int64 array.
     pair = np.stack([src, dst], axis=1)
-    pair = np.unique(pair, axis=0)
+    if weighted:
+        pair, w = np.unique(pair, axis=0, return_counts=True)
+        w = w.astype(np.int64)
+    else:
+        pair = np.unique(pair, axis=0)
+        w = None
     src, dst = pair[:, 0].astype(np.int64), pair[:, 1].astype(np.int64)
     n_local = int(n_per_part[part])
     src_local = (src // P).astype(np.int32)
@@ -356,6 +372,12 @@ def _csr_blocks_from_vids(part: int, src: np.ndarray, dst: np.ndarray,
     src_local, dst_local, dst_part = src_local[order], dst_local[order], dst_part[order]
     bounds = np.searchsorted(dst_part, np.arange(P + 1), side="left").astype(np.int64)
     deg = np.bincount(src_local, minlength=n_local).astype(np.int64)
+    if w is not None:
+        w = w[order]
+        wdeg = np.zeros(n_local, dtype=np.int64)
+        np.add.at(wdeg, src_local.astype(np.int64), w)
+    else:
+        wdeg = None
     m = len(src_local)
     n_chunks = max(1, -(-m // chunk_edges))
     blocks = []
@@ -370,14 +392,17 @@ def _csr_blocks_from_vids(part: int, src: np.ndarray, dst: np.ndarray,
             bounds=cb,
             deg=deg,
             n_local=n_local,
+            w=None if w is None else w[lo:hi],
+            wdeg=wdeg,
         ))
     return blocks
 
 
 def _csr_rows_from_vids(part: int, direction: int, src: np.ndarray,
                         dst: np.ndarray, P: int, n_per_part: np.ndarray,
-                        chunk_edges: int) -> pa.Table:
-    blocks = _csr_blocks_from_vids(part, src, dst, P, n_per_part, chunk_edges)
+                        chunk_edges: int, weighted: bool = False) -> pa.Table:
+    blocks = _csr_blocks_from_vids(part, src, dst, P, n_per_part, chunk_edges,
+                                   weighted)
     return pa.table(
         {
             "dir": pa.array([direction] * len(blocks), pa.int64()),
@@ -684,7 +709,7 @@ def _prepare_small(edges: rd.Dataset, P: int, key_type) -> "PreparedEdges | None
 
 
 def _build_blocks_small(prep: PreparedEdges, directions: tuple[int, ...],
-                        chunk_edges: int):
+                        chunk_edges: int, weighted: bool = False):
     """Local block build for the small path: one bounded gather of the
     already-encoded vid pairs, numpy pack per (direction, part), blocks
     ray.put from the driver (bounded by SMALL_BUILD_MAX_EDGES)."""
@@ -713,7 +738,7 @@ def _build_blocks_small(prep: PreparedEdges, directions: tuple[int, ...],
         for p in np.unique(parts):
             sel = parts == p
             blks = _csr_blocks_from_vids(int(p), sv[sel], dv[sel], P,
-                                         n_per_part, chunk_edges)
+                                         n_per_part, chunk_edges, weighted)
             per[int(p)] = [ray.put(b) for b in blks]
             m_d += sum(b.m for b in blks)
         blocks[d] = per
@@ -768,7 +793,8 @@ def _empty_list(n: int, vt) -> pa.ListArray:
 
 def _build_blocks_fused(edges: rd.Dataset, rank_rows: rd.Dataset, P: int,
                         n_per_part: np.ndarray,
-                        directions: tuple[int, ...], chunk_edges: int):
+                        directions: tuple[int, ...], chunk_edges: int,
+                        weighted: bool = False):
     """Partitioned-mode encode FUSED into the CSR block build — 2 shuffles
     total after the rank build (vs 3 when the encode is materialized first:
     groupby(part) + groupby(bid) + groupby(dir, src_part)), and no bid/idx
@@ -879,7 +905,8 @@ def _build_blocks_fused(edges: rd.Dataset, rank_rows: rd.Dataset, P: int,
                 [dv_flat[dv_offs[i]: dv_offs[i + 1]] for i in rows])
             sv = np.searchsorted(u, hs).astype(np.int64) * P + part
             tabs.append(_csr_rows_from_vids(part, int(code), sv, dv, P,
-                                            n_per_part, chunk_edges))
+                                            n_per_part, chunk_edges,
+                                            weighted))
         return pa.concat_tables(tabs) if tabs else _BLOCK_ROW_SCHEMA.empty_table()
 
     n_blocks = max(64, 8 * P)
@@ -983,16 +1010,16 @@ def _collect_blocks(block_rows: rd.Dataset) -> dict[int, dict[int, list[Any]]]:
 
 
 def _build_blocks(prep: PreparedEdges, directions: tuple[bool, ...],
-                  chunk_edges: int):
+                  chunk_edges: int, weighted: bool = False):
     P, n_per_part = prep.P, prep.n_per_part
     if prep.enc_edges is None:
         # "partitioned-fused": encode + block build share their shuffles
         return _build_blocks_fused(prep.edges, prep.rank_rows, P, n_per_part,
                                    tuple(int(d) for d in directions),
-                                   chunk_edges)
+                                   chunk_edges, weighted)
     if prep.encode_mode == "broadcast-small":
         return _build_blocks_small(prep, tuple(int(d) for d in directions),
-                                   chunk_edges)
+                                   chunk_edges, weighted)
     # coalesce the encoded edges into ~8 blocks per partition before packing:
     # the pack stage emits one row per (dir, part) per input block, so block
     # count directly multiplies the shuffle's row count
@@ -1005,7 +1032,8 @@ def _build_blocks(prep: PreparedEdges, directions: tuple[bool, ...],
     block_rows = (
         enc.groupby(["dir", "src_part"])
         .map_groups(
-            lambda g: _build_block_rows(g, P, n_per_part, chunk_edges),
+            lambda g: _build_block_rows(g, P, n_per_part, chunk_edges,
+                                        weighted),
             batch_format="pyarrow",
         )
         .materialize()
@@ -1013,23 +1041,27 @@ def _build_blocks(prep: PreparedEdges, directions: tuple[bool, ...],
     return _collect_blocks(block_rows)
 
 
-def _graph_of(prep: PreparedEdges, blocks: dict[int, list[Any]], m: int) -> Graph:
+def _graph_of(prep: PreparedEdges, blocks: dict[int, list[Any]], m: int,
+              weighted: bool = False) -> Graph:
     return Graph(
         P=prep.P, n=prep.n, m=m, n_per_part=prep.n_per_part, blocks=blocks,
-        prep=prep, key_type=prep.key_type,
+        prep=prep, key_type=prep.key_type, weighted=weighted,
     )
 
 
 def build_graph_from_prepared(prep: PreparedEdges, *, symmetric: bool = False,
                               transpose: bool = False,
-                              chunk_edges: int = CHUNK_EDGES) -> Graph:
+                              chunk_edges: int = CHUNK_EDGES,
+                              weighted: bool = False) -> Graph:
     """One-direction build from shared prep. ``transpose=True`` builds the
-    in-edge CSR (direction code 2; mutually exclusive with symmetric)."""
+    in-edge CSR (direction code 2; mutually exclusive with symmetric).
+    ``weighted=True`` keeps duplicate-(src,dst) multiplicities as edge
+    weights (feed a NON-distinct edge stream)."""
     if symmetric and transpose:
         raise ValueError("symmetric and transpose are mutually exclusive")
     d = 2 if transpose else int(symmetric)
-    blocks, m = _build_blocks(prep, (d,), chunk_edges)
-    return _graph_of(prep, blocks.get(d, {}), m.get(d, 0))
+    blocks, m = _build_blocks(prep, (d,), chunk_edges, weighted)
+    return _graph_of(prep, blocks.get(d, {}), m.get(d, 0), weighted)
 
 
 def build_graph_pair(prep: PreparedEdges,
@@ -1058,12 +1090,16 @@ def build_graph(
     symmetric: bool = False,
     already_deduped: bool = False,
     chunk_edges: int = CHUNK_EDGES,
+    weighted: bool = False,
 ) -> Graph:
     """Full build: dedup -> vertices -> encode -> CSR blocks.
 
     ``symmetric=True`` adds reversed edges before partitioning (undirected
     kernels: connected components, label propagation, triangles).
-    """
+    ``weighted=True``: duplicate (src,dst) rows collapse to one edge whose
+    weight is the multiplicity (pass the non-distinct stream and
+    ``already_deduped=True`` so nothing upstream drops the duplicates)."""
     prep = prepare_edges(edges, P=P, already_deduped=already_deduped)
     return build_graph_from_prepared(prep, symmetric=symmetric,
-                                     chunk_edges=chunk_edges)
+                                     chunk_edges=chunk_edges,
+                                     weighted=weighted)

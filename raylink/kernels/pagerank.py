@@ -72,9 +72,17 @@ def _make_scatter(graph: Graph):
             if sub >= len(chunks):
                 continue  # plain-row shape on a blockless partition
             blk = _ray.get(chunks[sub])
-            deg = blk.deg
-            w = np.where(deg > 0, scores / np.maximum(deg, 1), 0.0)
-            vals = w[blk.src_local]
+            if blk.w is not None:
+                # weighted: score mass splits by edge multiplicity
+                # (score/wdeg per unit weight, times w per slot); dangling
+                # set is unchanged (deg == 0 iff wdeg == 0)
+                wdeg = blk.wdeg
+                w = np.where(wdeg > 0, scores / np.maximum(wdeg, 1), 0.0)
+                vals = w[blk.src_local] * blk.w
+            else:
+                deg = blk.deg
+                w = np.where(deg > 0, scores / np.maximum(deg, 1), 0.0)
+                vals = w[blk.src_local]
             for q in range(P):
                 lo, hi = blk.bounds[q], blk.bounds[q + 1]
                 if hi <= lo:

@@ -283,7 +283,8 @@ def count_in_window_join(
 
 def transition_edges(events: rd.Dataset, *, id_col: str = "event_id",
                      actor_col: str = "user_id",
-                     chunk: int = 1 << 14) -> rd.Dataset:
+                     chunk: int = 1 << 14,
+                     distinct: bool = True) -> rd.Dataset:
     """(actor of event i) -> (actor of event i+1): the ordered self-join on
     ``id + 1``, distributed as a range-bucketed exchange — NO driver gather,
     no dense-id assumption.
@@ -323,8 +324,8 @@ def transition_edges(events: rd.Dataset, *, id_col: str = "event_id",
 
     bucketed = events.select_columns([id_col, actor_col]).map_batches(
         bucketize, batch_format="pyarrow", zero_copy_batch=True)
-    return dedup_edges(
-        bucketed.groupby("bkt").map_groups(pairs, batch_format="pyarrow"))
+    paired = bucketed.groupby("bkt").map_groups(pairs, batch_format="pyarrow")
+    return dedup_edges(paired) if distinct else paired
 
 
 def column_moments(ds: rd.Dataset, col: str) -> tuple[int, float, float]:

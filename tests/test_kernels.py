@@ -815,3 +815,100 @@ def test_modularity_vs_bruteforce():
     one = lt.set_column(1, "label", pa.array([7] * 10, pa.int64()))
     row3 = modularity(sg2, rd.from_arrow(one)).to_pylist()[0]
     assert row3["modularity_fp"] == 0 and row3["n_communities"] == 1
+
+
+def test_weighted_pagerank_vs_bruteforce():
+    """build_graph(weighted=True) collapses duplicate (src,dst) rows into
+    multiplicity weights; pagerank splits score mass proportionally to
+    weight. Brute-force weighted power iteration agrees to 1e-9; weights
+    all-1 reproduces the unweighted scores exactly."""
+    base = overlay_pairs(seed=37, n=20, m=60)
+    # duplicate a subset with varying multiplicity (2x, 3x)
+    pairs = base + base[::3] + base[::5] + base[::5]
+    g = G.build_graph(edges_ds(pairs), P=P, weighted=True,
+                      already_deduped=True)
+    assert g.weighted
+    ranks = values_by_key(pagerank(g, tol=1e-12, max_iter=300), g, "score")
+
+    # brute force
+    from collections import Counter
+    wmap = Counter((a, b) for a, b in pairs if a != b)
+    verts = sorted({v for e in wmap for v in e})
+    vi = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    W = np.zeros(n)
+    for (a, b), w in wmap.items():
+        W[vi[a]] += w
+    s = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(300):
+        acc = np.zeros(n)
+        for (a, b), w in wmap.items():
+            acc[vi[b]] += s[vi[a]] / W[vi[a]] * w
+        dm = s[W == 0].sum()
+        new = (1 - d) / n + d * (acc + dm / n)
+        if np.abs(new - s).sum() < 1e-12:
+            s = new
+            break
+        s = new
+    for v in verts:
+        assert abs(ranks[v] - s[vi[v]]) < 1e-9, v
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+    # multiplicity-1 weighted build == unweighted build, bit-for-bit
+    g1 = G.build_graph(edges_ds(base), P=P, weighted=True,
+                       already_deduped=True)
+    g0 = G.build_graph(edges_ds(base), P=P)
+    r1 = values_by_key(pagerank(g1, tol=1e-10), g1, "score")
+    r0 = values_by_key(pagerank(g0, tol=1e-10), g0, "score")
+    assert r1 == r0
+
+
+def test_weighted_build_all_encode_modes_bit_equal():
+    """Weighted builds agree bit-for-bit across the small/local, broadcast
+    and partitioned-fused build paths (weights ride every path's CSR
+    pack), and per-block weight invariants hold: sum(w) == raw slot count,
+    wdeg == bincount of w by source."""
+    base = overlay_pairs(seed=41, n=25, m=70)
+    pairs = base + base[::2] + base[::7]
+    ds = edges_ds(pairs)
+    pb = G.prepare_edges(ds, P=P, already_deduped=True, encode="broadcast")
+    pf = G.prepare_edges(ds, P=P, already_deduped=True,
+                         encode="partitioned-fused")
+    gs = G.build_graph(ds, P=P, weighted=True, already_deduped=True)
+    gb = G.build_graph_from_prepared(pb, weighted=True)
+    gf = G.build_graph_from_prepared(pf, weighted=True)
+    assert (gs.n, gs.m) == (gb.n, gb.m) == (gf.n, gf.m)
+    import ray as _ray
+
+    def flat(g):
+        out = {}
+        total_w = 0
+        for p, refs in sorted(g.blocks.items()):
+            for i, r in enumerate(refs):
+                blk = _ray.get(r)
+                assert blk.w is not None and blk.wdeg is not None
+                total_w += int(blk.w.sum())
+                if i == 0:
+                    out[p] = (blk.src_local.copy(), blk.dst_local.copy(),
+                              blk.w.copy(), blk.wdeg.copy())
+                if len(refs) == 1:
+                    wd = np.zeros(blk.n_local, np.int64)
+                    np.add.at(wd, blk.src_local.astype(np.int64), blk.w)
+                    assert np.array_equal(wd, blk.wdeg)
+        return out, total_w
+
+    fs, ws = flat(gs)
+    fb, wb = flat(gb)
+    ff, wf = flat(gf)
+    raw_slots = len([1 for a, b in pairs if a != b])
+    assert ws == wb == wf == raw_slots
+    for p in fs:
+        for a, b in ((fs, fb), (fs, ff)):
+            for x, y in zip(a[p], b[p]):
+                assert np.array_equal(x, y)
+    r_s = pagerank(gs, tol=0.0, max_iter=4).to_pandas().sort_values("vid")
+    r_b = pagerank(gb, tol=0.0, max_iter=4).to_pandas().sort_values("vid")
+    r_f = pagerank(gf, tol=0.0, max_iter=4).to_pandas().sort_values("vid")
+    assert np.array_equal(r_s["score"].to_numpy(), r_b["score"].to_numpy())
+    assert np.array_equal(r_s["score"].to_numpy(), r_f["score"].to_numpy())
