@@ -465,6 +465,37 @@ def q_graph_pagerank(sf_dir: str):
     return scale_columns(out, {"score": 1e9})
 
 
+def q_graph_strength(sf_dir: str):
+    """Weighted degrees (vertex strength): out/in transition counts per
+    user over the NON-distinct transition stream (ops.degree_table —
+    partial unique-counts per batch, one grouped sum)."""
+    from raylink.ops import degree_table, transition_edges
+
+    ew = transition_edges(
+        _read(sf_dir, "events", ["event_id", "user_id"]), distinct=False)
+    return _rename(degree_table(ew),
+                   {"v": "user_id", "out_deg": "out_strength",
+                    "in_deg": "in_strength"})
+
+
+def q_graph_sssp(sf_dir: str):
+    """Weighted single-source shortest paths from the min-key user over
+    the symmetric transition multigraph (edge length = transition
+    multiplicity, both directions summed). Fixed unroll depth SSSP_ROUNDS
+    shared with the Bellman-Ford SQL oracle."""
+    from raylink.graph import build_graph
+    from raylink.kernels import sssp
+    from raylink.ops import transition_edges
+    from raylink.pipelines.flagship import join_keys
+
+    ew = transition_edges(
+        _read(sf_dir, "events", ["event_id", "user_id"]), distinct=False)
+    sg = build_graph(ew, P=GRAPH_P, symmetric=True, weighted=True,
+                     already_deduped=True)
+    dist = sssp(sg, _min_key_vid(sg), max_iter=SSSP_ROUNDS)
+    return _rename(join_keys(dist, sg, "dist"), {"key": "user_id"})
+
+
 def q_graph_pagerank_weighted(sf_dir: str):
     """Weighted PageRank over the user-transition MULTIgraph: duplicate
     transitions collapse to one edge whose multiplicity is its weight
@@ -544,6 +575,7 @@ def q_graph_bfs(sf_dir: str):
 
 KCORE_ROUNDS = 8
 TRUSS_ROUNDS = 4
+SSSP_ROUNDS = 8
 
 
 def q_graph_kcore(sf_dir: str):
@@ -1108,6 +1140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_truss": q_graph_truss,
         "graph_modularity": q_graph_modularity,
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
+        "graph_strength": q_graph_strength,
+        "graph_sssp": q_graph_sssp,
         "graph_triangles_approx": q_graph_triangles_approx,
         "graph_bfs_multi": q_graph_bfs_multi,
         "graph_local_clustering": q_graph_local_clustering,
@@ -1535,6 +1569,39 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["graph_truss"] = _truss_sql_body(_E_CTE, TRUSS_ROUNDS, 2,
                                          "user_a", "user_b")
+    _RAW_CTE = (
+        "raw AS (SELECT a.user_id AS src, b.user_id AS dst "
+        "FROM events a JOIN events b ON b.event_id = a.event_id + 1 "
+        "WHERE a.user_id <> b.user_id)"
+    )
+    sql["graph_strength"] = (
+        f"WITH {_RAW_CTE} "
+        "SELECT v AS user_id, CAST(sum(o) AS BIGINT) AS out_strength, "
+        "CAST(sum(i) AS BIGINT) AS in_strength FROM "
+        "(SELECT src AS v, 1 AS o, 0 AS i FROM raw "
+        "UNION ALL SELECT dst, 0, 1 FROM raw) GROUP BY v"
+    )
+    # Bellman-Ford unroll: SSSP_ROUNDS one-hop relaxations over the
+    # symmetric weighted multigraph (w = multiplicity, directions summed)
+    _sssp_parts = [
+        _RAW_CTE,
+        "uw AS MATERIALIZED (SELECT a, b, CAST(sum(w) AS BIGINT) AS w "
+        "FROM (SELECT src AS a, dst AS b, 1 AS w FROM raw "
+        "UNION ALL SELECT dst, src, 1 FROM raw) GROUP BY a, b)",
+        "d0 AS MATERIALIZED (SELECT (SELECT min(a) FROM uw) AS v, "
+        "CAST(0 AS BIGINT) AS dist)",
+    ]
+    for _k in range(1, SSSP_ROUNDS + 1):
+        _sssp_parts.append(
+            f"d{_k} AS MATERIALIZED (SELECT v, min(dist) AS dist FROM "
+            f"(SELECT v, dist FROM d{_k - 1} UNION ALL "
+            f"SELECT u.b, d{_k - 1}.dist + u.w FROM d{_k - 1} "
+            f"JOIN uw u ON u.a = d{_k - 1}.v) GROUP BY v)")
+    sql["graph_sssp"] = (
+        "WITH " + ", ".join(_sssp_parts) +
+        f" SELECT v AS user_id, CAST(dist AS BIGINT) AS dist "
+        f"FROM d{SSSP_ROUNDS}"
+    )
     sql["graph_modularity"] = (
         f"WITH {_E_CTE}, "
         "und AS MATERIALIZED (SELECT DISTINCT a, b FROM "

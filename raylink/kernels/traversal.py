@@ -42,7 +42,11 @@ from .bsp import (
 _INF = np.int64(1 << 62)
 
 
-def _min_scatter(graph: Graph, *, plus_one: bool):
+def _min_scatter(graph: Graph, *, plus_one: bool,
+                 use_weights: bool = False):
+    """``use_weights=True`` (weighted build): each slot relaxes by its
+    edge weight instead of +1 — min-plus over edge lengths, i.e. the
+    Bellman-Ford step. Falls back to +1 on unweighted blocks."""
     refs = graph.blocks
     P = graph.P
 
@@ -61,7 +65,9 @@ def _min_scatter(graph: Graph, *, plus_one: bool):
             blk = _ray.get(chunks[sub])
             vals = vec[blk.src_local]
             if plus_one:
-                vals = np.where(vals >= _INF, _INF, vals + 1)
+                step = (blk.w if use_weights and blk.w is not None
+                        else np.int64(1))
+                vals = np.where(vals >= _INF, _INF, vals + step)
             for q in range(P):
                 lo, hi = blk.bounds[q], blk.bounds[q + 1]
                 if hi <= lo:
@@ -112,11 +118,12 @@ def _min_combine(graph: Graph):
 
 
 @ray.remote
-def _fused_min_loop(view, state_tab: pa.Table, max_iter: int):
-    """Fused min-plus propagation (BFS) — one task, bit-equal output."""
+def _fused_min_loop(view, state_tab: pa.Table, max_iter: int,
+                    use_weights: bool = False):
+    """Fused min-plus propagation (BFS/SSSP) — one task, bit-equal."""
     from .bsp import fused_superstep, table_scalar_sums
 
-    scatter = _min_scatter(view, plus_one=True)
+    scatter = _min_scatter(view, plus_one=True, use_weights=use_weights)
     combine = _min_combine(view)
     metrics = []
     for it in range(1, max_iter + 1):
@@ -136,10 +143,31 @@ def bfs_hops(graph: Graph, source_vid: int, *, max_iter: int = 10_000,
     """(vid, hops) for vertices reachable from ``source_vid``. Run on a
     symmetric build for undirected hop distance, directed for reachability
     distance."""
+    return _min_plus_single(graph, source_vid, "hops", False, max_iter,
+                            metrics_out, fused)
+
+
+def sssp(graph: Graph, source_vid: int, *, max_iter: int = 10_000,
+         metrics_out: list | None = None,
+         fused: bool | None = None) -> rd.Dataset:
+    """Single-source shortest paths over a WEIGHTED build (edge length =
+    multiplicity weight): (vid, dist) for reachable vertices. Bellman-Ford
+    as min-plus supersteps — same physical shape as BFS, each slot relaxes
+    by its weight; converges in <= (longest shortest-path hop count)
+    rounds, ``max_iter`` caps rounds for fixed-unroll oracle parity. On an
+    unweighted build this degrades to hop distance (weight 1)."""
+    return _min_plus_single(graph, source_vid, "dist", True, max_iter,
+                            metrics_out, fused)
+
+
+def _min_plus_single(graph: Graph, source_vid: int, out_col: str,
+                     use_weights: bool, max_iter: int,
+                     metrics_out: list | None,
+                     fused: bool | None) -> rd.Dataset:
     if graph.n == 0:
         from .bsp import empty_vertex_result
 
-        return empty_vertex_result({"hops": pa.int64()})
+        return empty_vertex_result({out_col: pa.int64()})
     P = graph.P
     s_part, s_local = int(source_vid) % P, int(source_vid) // P
 
@@ -155,20 +183,20 @@ def bfs_hops(graph: Graph, source_vid: int, *, max_iter: int = 10_000,
 
     if fused_eligible(graph, fused):
         final_tab, metrics = ray.get(_fused_min_loop.remote(
-            graph_view(graph), state_table(state), max_iter))
+            graph_view(graph), state_table(state), max_iter, use_weights))
         if metrics_out is not None:
             metrics_out.extend(metrics)
         state = rd.from_arrow(final_tab)
-        out = state_to_vertex_table(state, graph, "vec", "hops")
+        out = state_to_vertex_table(state, graph, "vec", out_col)
 
         def finite_f(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
-            return batch.filter(pc.less(batch["hops"], int(_INF)))
+            return batch.filter(pc.less(batch[out_col], int(_INF)))
 
         return out.map_batches(finite_f, batch_format="pyarrow")
 
-    scatter = _min_scatter(graph, plus_one=True)
+    scatter = _min_scatter(graph, plus_one=True, use_weights=use_weights)
     combine = _min_combine(graph)
 
     for it in range(1, max_iter + 1):
@@ -188,12 +216,12 @@ def bfs_hops(graph: Graph, source_vid: int, *, max_iter: int = 10_000,
         if changed == 0:
             break
 
-    out = state_to_vertex_table(state, graph, "vec", "hops")
+    out = state_to_vertex_table(state, graph, "vec", out_col)
 
     def finite(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return batch.filter(pc.less(batch["hops"], int(_INF)))
+        return batch.filter(pc.less(batch[out_col], int(_INF)))
 
     return out.map_batches(finite, batch_format="pyarrow")
 

@@ -912,3 +912,56 @@ def test_weighted_build_all_encode_modes_bit_equal():
     r_f = pagerank(gf, tol=0.0, max_iter=4).to_pandas().sort_values("vid")
     assert np.array_equal(r_s["score"].to_numpy(), r_b["score"].to_numpy())
     assert np.array_equal(r_s["score"].to_numpy(), r_f["score"].to_numpy())
+
+
+def test_sssp_weighted_vs_bruteforce():
+    """sssp over a weighted symmetric build == Dijkstra over multiplicity
+    weights (w_uv = duplicate count across both directions); unreachable
+    vertices absent; fused and distributed paths bit-equal; on an
+    unweighted build sssp == bfs_hops."""
+    import heapq
+
+    from raylink.kernels import bfs_hops, sssp
+
+    base = overlay_pairs(seed=43, n=22, m=55) + [("iso1", "iso2")]
+    pairs = base + base[::2] + base[::3]
+    sg = G.build_graph(edges_ds(pairs), P=P, symmetric=True, weighted=True,
+                      already_deduped=True)
+    kv = sorted((r["key"], r["vid"]) for b in sg.vertices.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist())
+    src_key, src_vid = kv[0]
+    out_f = sssp(sg, src_vid).to_pandas().set_index("vid")["dist"]
+    out_d = sssp(sg, src_vid, fused=False).to_pandas().set_index("vid")["dist"]
+    assert out_f.sort_index().equals(out_d.sort_index())
+
+    from collections import Counter
+    w = Counter()
+    for a, b in pairs:
+        if a != b:
+            w[(a, b)] += 1
+            w[(b, a)] += 1
+    adj = {}
+    for (a, b), ww in w.items():
+        adj.setdefault(a, {})[b] = ww
+    dist = {src_key: 0}
+    pq = [(0, src_key)]
+    while pq:
+        d0, u = heapq.heappop(pq)
+        if d0 > dist.get(u, 1 << 62):
+            continue
+        for v, ww in adj.get(u, {}).items():
+            nd = d0 + ww
+            if nd < dist.get(v, 1 << 62):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    vid_of = dict(kv)
+    expect = {vid_of[k]: d for k, d in dist.items()}
+    assert dict(out_f) == expect
+
+    # unweighted build: sssp degrades to hop distance
+    g0 = G.build_graph(edges_ds(base), P=P, symmetric=True)
+    s_vid = sorted(r["vid"] for b in g0.vertices.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist())[0]
+    h = bfs_hops(g0, s_vid).to_pandas().set_index("vid")["hops"]
+    s = sssp(g0, s_vid).to_pandas().set_index("vid")["dist"]
+    assert h.sort_index().tolist() == s.sort_index().tolist()
