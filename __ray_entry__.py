@@ -496,6 +496,23 @@ def q_graph_sssp(sf_dir: str):
     return _rename(join_keys(dist, sg, "dist"), {"key": "user_id"})
 
 
+def q_graph_lp1_weighted(sf_dir: str):
+    """1-round WEIGHTED label propagation over the symmetric transition
+    multigraph: neighbor votes count edge multiplicity (both directions
+    summed), self-vote 1, max-weight/min-label tiebreak."""
+    from raylink.graph import build_graph
+    from raylink.kernels import label_propagation
+    from raylink.ops import transition_edges
+    from raylink.pipelines.flagship import join_keys
+
+    ew = transition_edges(
+        _read(sf_dir, "events", ["event_id", "user_id"]), distinct=False)
+    sg = build_graph(ew, P=GRAPH_P, symmetric=True, weighted=True,
+                     already_deduped=True)
+    labels = label_propagation(sg, max_iter=1, init="key", weighted=True)
+    return _rename(join_keys(labels, sg, "label"), {"key": "user_id"})
+
+
 def q_graph_pagerank_weighted(sf_dir: str):
     """Weighted PageRank over the user-transition MULTIgraph: duplicate
     transitions collapse to one edge whose multiplicity is its weight
@@ -1141,6 +1158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_modularity": q_graph_modularity,
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "graph_strength": q_graph_strength,
+        "graph_lp1_weighted": q_graph_lp1_weighted,
         "graph_sssp": q_graph_sssp,
         "graph_triangles_approx": q_graph_triangles_approx,
         "graph_bfs_multi": q_graph_bfs_multi,
@@ -1573,6 +1591,20 @@ def oracle_sql() -> dict[str, str]:
         "raw AS (SELECT a.user_id AS src, b.user_id AS dst "
         "FROM events a JOIN events b ON b.event_id = a.event_id + 1 "
         "WHERE a.user_id <> b.user_id)"
+    )
+    sql["graph_lp1_weighted"] = (
+        f"WITH {_RAW_CTE}, "
+        "uw AS MATERIALIZED (SELECT a, b, CAST(sum(w) AS BIGINT) AS w "
+        "FROM (SELECT src AS a, dst AS b, 1 AS w FROM raw "
+        "UNION ALL SELECT dst, src, 1 FROM raw) GROUP BY a, b), "
+        "vx AS (SELECT DISTINCT a AS v FROM uw), "
+        "votes AS (SELECT b AS v, a AS lab, w FROM uw "
+        "UNION ALL SELECT v, v, 1 FROM vx), "
+        "c AS (SELECT v, lab, sum(w) AS n FROM votes GROUP BY v, lab), "
+        "wr AS (SELECT v, lab, row_number() OVER (PARTITION BY v "
+        "ORDER BY n DESC, lab) AS rn FROM c) "
+        "SELECT v AS user_id, CAST(lab AS BIGINT) AS label "
+        "FROM wr WHERE rn = 1"
     )
     sql["graph_strength"] = (
         f"WITH {_RAW_CTE} "

@@ -30,7 +30,10 @@ from ..graph import Graph
 from .bsp import init_state, iter_state_rows, partial_row, partials_table, state_to_vertex_table
 
 
-def _make_scatter(graph: Graph):
+def _make_scatter(graph: Graph, use_weights: bool = False):
+    """``use_weights=True`` (weighted build): each neighbor's vote counts
+    its edge weight instead of 1 — vote partials stay pre-aggregated
+    (dst_local, label, weight-sum) triples, exact int64."""
     refs = graph.blocks
     P = graph.P
 
@@ -56,7 +59,12 @@ def _make_scatter(graph: Graph):
                     continue
                 pairs = np.stack([blk.dst_local[lo:hi].astype(np.int64),
                                   vals[lo:hi]], axis=1)
-                uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
+                if use_weights and blk.w is not None:
+                    uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+                    cnt = np.zeros(len(uniq), dtype=np.int64)
+                    np.add.at(cnt, inv, blk.w[lo:hi])
+                else:
+                    uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
                 rows.append(
                     partial_row(q, part, sub, 0,
                                 idx=uniq[:, 0].astype(np.int32),
@@ -132,11 +140,11 @@ def _make_combine(graph: Graph, active_parity: int | None = None):
 
 @ray.remote
 def _fused_lp(view, state_tab: pa.Table, max_iter: int, start_iter: int,
-              method: str):
+              method: str, use_weights: bool = False):
     """All LP supersteps in ONE task — same closures, bit-equal output."""
     from .bsp import fused_superstep, table_scalar_sums
 
-    scatter = _make_scatter(view)
+    scatter = _make_scatter(view, use_weights)
     if method == "redblack":
         combines = [_make_combine(view, 0), _make_combine(view, 1)]
     else:
@@ -162,6 +170,7 @@ def label_propagation(
     max_iter: int = 20,
     init: str = "vid",
     method: str = "sync",
+    weighted: bool = False,
     checkpoint_dir: str | None = None,
     metrics_out: list | None = None,
     fused: bool | None = None,
@@ -176,7 +185,11 @@ def label_propagation(
     partitions update first, odd partitions see the fresh even labels
     (2 half-steps per round, each half fully parallel across its color;
     breaks 2-cycles, deterministic via the fixed color order). Matches
-    oracle.label_propagation_redblack exactly."""
+    oracle.label_propagation_redblack exactly.
+
+    ``weighted=True`` (weighted symmetric build): each neighbor's vote
+    counts its edge multiplicity; the self-vote stays 1. Integer-exact,
+    same tiebreak (max weight, then min label)."""
     if method not in ("sync", "redblack"):
         raise ValueError(f"unknown LP method {method!r}")
     from .bsp import key_init_state
@@ -199,7 +212,7 @@ def label_propagation(
         store = CheckpointStore(checkpoint_dir, "labelprop",
                                 graph_fingerprint(graph),
                                 {"max_iter": max_iter, "init": init,
-                                 "method": method})
+                                 "method": method, "weighted": weighted})
         resumed = store.latest()
         if resumed is not None:
             start_iter, state = resumed
@@ -209,13 +222,13 @@ def label_propagation(
     if store is None and fused_eligible(graph, fused):
         final_tab, metrics = ray.get(_fused_lp.remote(
             graph_view(graph), state_table(state), max_iter, start_iter,
-            method))
+            method, weighted))
         if metrics_out is not None:
             metrics_out.extend(metrics)
         return state_to_vertex_table(rd.from_arrow(final_tab), graph,
                                      "vec", "label")
 
-    scatter = _make_scatter(graph)
+    scatter = _make_scatter(graph, weighted)
     if method == "redblack":
         combines = [_make_combine(graph, 0), _make_combine(graph, 1)]
     else:

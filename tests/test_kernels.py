@@ -965,3 +965,59 @@ def test_sssp_weighted_vs_bruteforce():
     h = bfs_hops(g0, s_vid).to_pandas().set_index("vid")["hops"]
     s = sssp(g0, s_vid).to_pandas().set_index("vid")["dist"]
     assert h.sort_index().tolist() == s.sort_index().tolist()
+
+
+def test_weighted_lp_vs_bruteforce():
+    """Weighted LP: neighbor votes count edge multiplicity (self-vote 1,
+    same max-weight/min-label tiebreak). Brute force over the weighted
+    adjacency agrees after 1 and 3 rounds; weights-1 == unweighted."""
+    base = overlay_pairs(seed=47, n=24, m=60)
+    pairs = base + base[::2] + base[::2] + base[::5]
+    sg = G.build_graph(edges_ds(pairs), P=P, symmetric=True, weighted=True,
+                      already_deduped=True)
+    vert = {r["key"]: r["vid"] for b in sg.vertices.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()}
+
+    from collections import Counter
+    w = Counter()
+    for a, b in pairs:
+        if a != b:
+            w[(vert[a], vert[b])] += 1
+            w[(vert[b], vert[a])] += 1
+    adj = {}
+    for (a, b), ww in w.items():
+        adj.setdefault(b, {})[a] = ww  # votes INTO b
+
+    def brute(rounds):
+        lab = {v: v for v in adj}
+        for _ in range(rounds):
+            new = {}
+            for v in adj:
+                votes = Counter({lab[v]: 1})
+                for u, ww in adj[v].items():
+                    votes[lab[u]] += ww
+                best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[v] = best[0]
+            lab = new
+        return lab
+
+    for rounds in (1, 3):
+        got = {r["vid"]: r["label"] for b in label_propagation(
+            sg, max_iter=rounds, weighted=True).iter_batches(
+            batch_format="pyarrow") for r in b.to_pylist()}
+        assert got == brute(rounds), rounds
+
+    # weights-1 parity needs a reciprocal-free list: (a,b)+(b,a) in the
+    # input merge to w=2 under symmetric weighted build, by design
+    bset = set(base)
+    nor = [p for p in base if p[0] < p[1] or (p[1], p[0]) not in bset]
+    g1 = G.build_graph(edges_ds(nor), P=P, symmetric=True, weighted=True,
+                       already_deduped=True)
+    g0 = G.build_graph(edges_ds(nor), P=P, symmetric=True)
+    l1 = {r["vid"]: r["label"] for b in label_propagation(
+        g1, max_iter=4, weighted=True).iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()}
+    l0 = {r["vid"]: r["label"] for b in label_propagation(
+        g0, max_iter=4).iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()}
+    assert l1 == l0
