@@ -513,6 +513,27 @@ def q_graph_lp1_weighted(sf_dir: str):
     return _rename(join_keys(labels, sg, "label"), {"key": "user_id"})
 
 
+def q_graph_pagerank_persisted(sf_dir: str):
+    """PageRank over a SAVED-then-LOADED graph (graphstore.save_graph /
+    load_graph round-trip through parquet under /tmp): must match the
+    plain graph_pagerank oracle exactly — persistence is lossless."""
+    import tempfile
+
+    from raylink.graph import build_graph
+    from raylink.graphstore import load_graph, save_graph
+    from raylink.kernels import pagerank
+    from raylink.ops import scale_columns
+    from raylink.pipelines.flagship import join_keys
+
+    g = build_graph(_user_edges(sf_dir), P=GRAPH_P, already_deduped=True)
+    root = tempfile.mkdtemp(prefix="raylink_gstore_")
+    save_graph(g, root)
+    g2 = load_graph(root)
+    ranks = pagerank(g2, damping=DAMPING, tol=0.0, max_iter=PR_ITERS)
+    out = _rename(join_keys(ranks, g2, "score"), {"key": "user_id"})
+    return scale_columns(out, {"score": 1e9})
+
+
 def q_graph_pagerank_weighted(sf_dir: str):
     """Weighted PageRank over the user-transition MULTIgraph: duplicate
     transitions collapse to one edge whose multiplicity is its weight
@@ -1159,6 +1180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "graph_strength": q_graph_strength,
         "graph_lp1_weighted": q_graph_lp1_weighted,
+        "graph_pagerank_persisted": q_graph_pagerank_persisted,
         "graph_sssp": q_graph_sssp,
         "graph_triangles_approx": q_graph_triangles_approx,
         "graph_bfs_multi": q_graph_bfs_multi,
@@ -1542,6 +1564,8 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT dst, 0, 1 FROM e) GROUP BY v"
     )
     sql["graph_pagerank"] = _pr_sql_body(_E_CTE, PR_ITERS, "user_id")
+    sql["graph_pagerank_persisted"] = _pr_sql_body(_E_CTE, PR_ITERS,
+                                                   "user_id")
     sql["graph_pagerank_weighted"] = _pr_sql_body(_EW_CTE, PR_ITERS,
                                                   "user_id", weighted=True)
     sql["graph_ppr"] = _ppr_sql_body(_E_CTE, PR_ITERS, "user_id")

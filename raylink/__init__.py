@@ -14,6 +14,7 @@ Layout:
                    triangles (partitioned wedge join), BFS, k-core, HITS;
                    fused single-task execution for small graphs (bsp.py)
     checkpoint.py  per-superstep per-partition parquet state + manifest lineage
+    graphstore.py  whole-graph persistence: save/load the partitioned CSR
     ops.py         generic relational ops: filter/agg/topk/dedup, rolling
                    and hopping windows, anomaly top-k, segmentation,
                    impute/transforms, exact distributed quantiles, joins

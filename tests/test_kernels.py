@@ -1021,3 +1021,45 @@ def test_weighted_lp_vs_bruteforce():
         g0, max_iter=4).iter_batches(
         batch_format="pyarrow") for r in b.to_pylist()}
     assert l1 == l0
+
+
+def test_graph_save_load_roundtrip(tmp_path):
+    """save_graph/load_graph round-trips a weighted symmetric build:
+    identical vids, blocks, weights; PageRank/LP/triangles bit-equal on
+    the loaded graph; join_keys works (vertices persisted); a root
+    without a manifest (torn save) is refused."""
+    from raylink.graphstore import load_graph, save_graph
+    from raylink.kernels import triangle_count as tc
+
+    base = overlay_pairs(seed=53, n=25, m=70)
+    pairs = base + base[::3]
+    sg = G.build_graph(edges_ds(pairs), P=P, symmetric=True, weighted=True,
+                      already_deduped=True)
+    root = str(tmp_path / "g1")
+    man = save_graph(sg, root)
+    g2 = load_graph(root)
+    assert (g2.P, g2.n, g2.m, g2.weighted) == (sg.P, sg.n, sg.m, True)
+    assert np.array_equal(g2.n_per_part, sg.n_per_part)
+    assert man["m"] == sg.m
+
+    import ray as _ray
+    for p in sg.blocks:
+        for r1, r2 in zip(sg.blocks[p], g2.blocks[p]):
+            b1, b2 = _ray.get(r1), _ray.get(r2)
+            assert np.array_equal(b1.src_local, b2.src_local)
+            assert np.array_equal(b1.dst_local, b2.dst_local)
+            assert np.array_equal(b1.w, b2.w)
+            assert np.array_equal(b1.wdeg, b2.wdeg)
+
+    r1 = pagerank(sg, tol=0.0, max_iter=4).to_pandas().sort_values("vid")
+    r2 = pagerank(g2, tol=0.0, max_iter=4).to_pandas().sort_values("vid")
+    assert np.array_equal(r1["score"].to_numpy(), r2["score"].to_numpy())
+    assert tc(sg) == tc(g2)
+    k1 = values_by_key(label_propagation(sg, max_iter=2, weighted=True),
+                       sg, "label")
+    k2 = values_by_key(label_propagation(g2, max_iter=2, weighted=True),
+                       g2, "label")
+    assert k1 == k2  # exercises join_keys on the loaded vertices table
+
+    with pytest.raises(FileNotFoundError):
+        load_graph(str(tmp_path / "nope"))
