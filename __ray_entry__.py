@@ -614,6 +614,7 @@ def q_graph_bfs(sf_dir: str):
 KCORE_ROUNDS = 8
 TRUSS_ROUNDS = 4
 SSSP_ROUNDS = 8
+CORENESS_ROUNDS = 8
 
 
 def q_graph_kcore(sf_dir: str):
@@ -693,6 +694,21 @@ def q_graph_truss_support(sf_dir: str):
         })
 
     return ab.map_batches(canon, batch_format="pyarrow")
+
+
+def q_graph_coreness(sf_dir: str):
+    """Full core decomposition (coreness number per user) via the h-index
+    iteration (kernels.coreness). Fixed unroll depth CORENESS_ROUNDS
+    shared with the SQL oracle — extra rounds past the fixpoint are
+    no-ops, so early convergence stays equal."""
+    from raylink.graph import build_graph
+    from raylink.kernels import coreness
+    from raylink.pipelines.flagship import join_keys
+
+    sg = build_graph(_user_edges(sf_dir), P=GRAPH_P, symmetric=True,
+                     already_deduped=True)
+    cores = coreness(sg, max_iter=CORENESS_ROUNDS)
+    return _rename(join_keys(cores, sg, "core"), {"key": "user_id"})
 
 
 def q_graph_modularity(sf_dir: str):
@@ -1177,6 +1193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_link_pred": q_graph_link_pred,
         "graph_truss": q_graph_truss,
         "graph_modularity": q_graph_modularity,
+        "graph_coreness": q_graph_coreness,
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "graph_strength": q_graph_strength,
         "graph_lp1_weighted": q_graph_lp1_weighted,
@@ -1657,6 +1674,27 @@ def oracle_sql() -> dict[str, str]:
         "WITH " + ", ".join(_sssp_parts) +
         f" SELECT v AS user_id, CAST(dist AS BIGINT) AS dist "
         f"FROM d{SSSP_ROUNDS}"
+    )
+    # h-index iteration unroll: s0 = degree; each round s_k(v) =
+    # max_i min(x_i, i) over v's neighbor values x sorted desc
+    _core_parts = [
+        _E_CTE,
+        "und AS MATERIALIZED (SELECT DISTINCT a, b FROM "
+        "(SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src "
+        "FROM e))",
+        "h0 AS MATERIALIZED (SELECT a AS v, CAST(count(*) AS BIGINT) AS s "
+        "FROM und GROUP BY a)",
+    ]
+    for _k in range(1, CORENESS_ROUNDS + 1):
+        _core_parts.append(
+            f"h{_k} AS MATERIALIZED (SELECT v, max(least(x, rn)) AS s FROM "
+            f"(SELECT u.a AS v, p.s AS x, row_number() OVER "
+            f"(PARTITION BY u.a ORDER BY p.s DESC) AS rn "
+            f"FROM und u JOIN h{_k - 1} p ON p.v = u.b) GROUP BY v)")
+    sql["graph_coreness"] = (
+        "WITH " + ", ".join(_core_parts) +
+        f" SELECT v AS user_id, CAST(s AS BIGINT) AS core "
+        f"FROM h{CORENESS_ROUNDS}"
     )
     sql["graph_modularity"] = (
         f"WITH {_E_CTE}, "

@@ -537,3 +537,148 @@ def bfs_hops_multi(graph: Graph, source_vids, *, max_iter: int = 10_000,
                          "hops": pa.array(np.concatenate(hops))})
 
     return state.map_batches(expand, batch_format="pyarrow")
+
+
+def _coreness_combine(graph: Graph):
+    """Per-vertex h-index of neighbor values from pre-aggregated
+    (idx, value, count) vote partials: with values sorted desc and
+    cumulative counts c_i, h = max_i min(v_i, c_i)."""
+    n_per_part = graph.n_per_part
+
+    def combine(group: pa.Table) -> pa.Table:
+        kinds = group["kind"].to_numpy(zero_copy_only=False)
+        prev_i = int(np.flatnonzero(kinds == 1)[0])
+        part = int(group["dst_part"][prev_i].as_py())
+        idx_col = group["idx"].combine_chunks()
+        lab_col = group["lab"].combine_chunks()
+        cnt_col = group["cnt"].combine_chunks()
+        idx_flat = idx_col.flatten().to_numpy(zero_copy_only=False)
+        idx_offs = idx_col.offsets.to_numpy(zero_copy_only=False)
+        lab_flat = lab_col.flatten().to_numpy(zero_copy_only=False)
+        lab_offs = lab_col.offsets.to_numpy(zero_copy_only=False)
+        cnt_flat = cnt_col.flatten().to_numpy(zero_copy_only=False)
+        cnt_offs = cnt_col.offsets.to_numpy(zero_copy_only=False)
+        prev = lab_flat[lab_offs[prev_i]: lab_offs[prev_i + 1]].astype(np.int64)
+        Is, Vs, Cs = [], [], []
+        for i in range(group.num_rows):
+            if kinds[i] != 0:
+                continue
+            Is.append(idx_flat[idx_offs[i]: idx_offs[i + 1]].astype(np.int64))
+            Vs.append(lab_flat[lab_offs[i]: lab_offs[i + 1]].astype(np.int64))
+            Cs.append(cnt_flat[cnt_offs[i]: cnt_offs[i + 1]].astype(np.int64))
+        new = prev.copy()
+        if Is:
+            I = np.concatenate(Is)
+            V = np.concatenate(Vs)
+            C = np.concatenate(Cs)
+            # merge duplicate (vertex, value) partials, sort value DESC
+            order = np.lexsort((-V, I))
+            I, V, C = I[order], V[order], C[order]
+            b = np.r_[True, (I[1:] != I[:-1]) | (V[1:] != V[:-1])]
+            st = np.flatnonzero(b)
+            C2 = np.add.reduceat(C, st)
+            I2, V2 = I[st], V[st]
+            # per-vertex cumulative counts over desc values
+            firsts = np.r_[True, I2[1:] != I2[:-1]]
+            cum = C2.cumsum()
+            # within-vertex cumulative = global cumsum minus the total
+            # BEFORE each vertex's first row
+            seg_start = np.flatnonzero(firsts)
+            seg_base = np.r_[np.int64(0), cum[:-1]][seg_start]
+            base = np.repeat(seg_base, np.diff(np.r_[seg_start, len(I2)]))
+            c_within = cum - base
+            h_cand = np.minimum(V2, c_within)
+            # max per vertex
+            hs = np.maximum.reduceat(h_cand, seg_start)
+            new[I2[seg_start]] = hs
+        changed = int((new != prev).sum())
+        return pa.table({
+            "part": pa.array([part], pa.int64()),
+            "vec": pa.array([new], pa.list_(pa.int64())),
+            "changed": pa.array([changed], pa.int64()),
+        })
+
+    return combine
+
+
+@ray.remote
+def _fused_coreness(view, state_tab: pa.Table, max_iter: int):
+    from .bsp import fused_superstep, table_scalar_sums
+
+    from .labelprop import _make_scatter as _lp_scatter
+
+    scatter = _lp_scatter(view)
+    combine = _coreness_combine(view)
+    metrics = []
+    for it in range(1, max_iter + 1):
+        t0 = time.perf_counter()
+        state_tab = fused_superstep(state_tab, scatter, combine)
+        changed = int(table_scalar_sums(state_tab, ["changed"])["changed"])
+        metrics.append({"iter": it, "changed": changed, "fused": True,
+                        "sec": time.perf_counter() - t0})
+        if changed == 0:
+            break
+    return state_tab.select(["part", "vec"]), metrics
+
+
+def coreness(graph: Graph, *, max_iter: int = 10_000,
+             metrics_out: list | None = None,
+             fused: bool | None = None) -> rd.Dataset:
+    """Full core decomposition of a SYMMETRIC build: (vid, core) with
+    core = the largest k such that v is in the k-core. Lu et al.'s
+    h-index iteration: state starts at degree and each round replaces a
+    vertex's value with the h-index of its neighbors' values — provably
+    converges to coreness, order-independent, and the neighbor-value
+    exchange pre-aggregates into the SAME (idx, value, count) vote
+    partials as label propagation (a hub receives at most
+    P * distinct-values rows). ``max_iter`` caps rounds for fixed-unroll
+    oracle parity (extra rounds past the fixpoint are no-ops)."""
+    from .labelprop import _make_scatter as _lp_scatter
+
+    if graph.n == 0:
+        from .bsp import empty_vertex_result
+
+        return empty_vertex_result({"core": pa.int64()})
+
+    import ray as _ray
+
+    deg_of_part = {}
+    for p in range(graph.P):
+        if graph.n_per_part[p] > 0:
+            if p in graph.blocks:
+                deg_of_part[p] = np.asarray(
+                    _ray.get(graph.blocks[p][0]).deg, dtype=np.int64)
+            else:
+                deg_of_part[p] = np.zeros(int(graph.n_per_part[p]), np.int64)
+
+    state = init_state(graph, lambda p: deg_of_part[p], dtype=pa.int64())
+
+    from .bsp import fused_eligible, graph_view, state_table
+
+    if fused_eligible(graph, fused):
+        final_tab, metrics = ray.get(_fused_coreness.remote(
+            graph_view(graph), state_table(state), max_iter))
+        if metrics_out is not None:
+            metrics_out.extend(metrics)
+        return state_to_vertex_table(rd.from_arrow(final_tab), graph,
+                                     "vec", "core")
+
+    scatter = _lp_scatter(graph)
+    combine = _coreness_combine(graph)
+    for it in range(1, max_iter + 1):
+        t0 = time.perf_counter()
+        state = (
+            maybe_expand_chunks(state, graph)
+            .map_batches(scatter, batch_format="pyarrow", batch_size=1,
+                         zero_copy_batch=True)
+            .groupby("dst_part")
+            .map_groups(combine, batch_format="pyarrow")
+            .materialize()
+        )
+        changed = int(sum_columns(state, ["changed"])["changed"])
+        if metrics_out is not None:
+            metrics_out.append({"iter": it, "changed": changed,
+                                "sec": time.perf_counter() - t0})
+        if changed == 0:
+            break
+    return state_to_vertex_table(state, graph, "vec", "core")

@@ -1063,3 +1063,51 @@ def test_graph_save_load_roundtrip(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         load_graph(str(tmp_path / "nope"))
+
+
+def test_coreness_vs_bruteforce():
+    """coreness (h-index iteration) == brute-force peeling core numbers;
+    cliques have core c-1; fused == distributed; consistent with binary
+    k_core membership at k=2."""
+    from raylink.kernels import coreness, k_core
+
+    pairs = (overlay_pairs(seed=59, n=35, m=90) + clique_pairs(1, 6)
+             + [("iso1", "iso2")])
+    sg = G.build_graph(edges_ds(pairs), P=P, symmetric=True)
+    out_f = coreness(sg).to_pandas().set_index("vid")["core"]
+    out_d = coreness(sg, fused=False).to_pandas().set_index("vid")["core"]
+    assert out_f.sort_index().equals(out_d.sort_index())
+
+    vert = {r["key"]: r["vid"] for b in sg.vertices.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()}
+    adj = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(vert[a], set()).add(vert[b])
+            adj.setdefault(vert[b], set()).add(vert[a])
+    # brute-force core numbers: repeated k-core peeling
+    core = {}
+    k = 1
+    remaining = {v: set(n) for v, n in adj.items()}
+    while remaining:
+        while True:
+            drop = [v for v, n in remaining.items() if len(n) < k]
+            if not drop:
+                break
+            for v in drop:
+                for u in remaining[v]:
+                    remaining[u].discard(v)
+                core[v] = k - 1
+                del remaining[v]
+        k += 1
+    expect = {v: c for v, c in core.items()}
+    got = dict(out_f)
+    assert got == expect
+    # a 6-clique pins its members' core number at >= 5
+    for i in range(6):
+        assert got[vert[f"c0_{i}"]] >= 5
+    # membership consistency with binary k_core(k=2)
+    kc = {r["vid"]: r["in_core"] for b in k_core(sg, 2).iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()}
+    for v, c in got.items():
+        assert (c >= 2) == (kc[v] == 1), v
