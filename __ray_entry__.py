@@ -757,6 +757,78 @@ def q_graph_truss(sf_dir: str):
     return ab.map_batches(canon, batch_format="pyarrow")
 
 
+def q_graph_reciprocity(sf_dir: str):
+    """One-row link reciprocity of the DIRECTED user-transition graph
+    (fraction of edges whose reverse exists; kernels.reciprocity pair-code
+    bucket join)."""
+    from raylink.graph import build_graph
+    from raylink.kernels import reciprocity
+
+    g = build_graph(_user_edges(sf_dir), P=GRAPH_P, already_deduped=True)
+    return reciprocity(g)
+
+
+def q_graph_edge_jaccard(sf_dir: str):
+    """Neighborhood Jaccard per existing edge: support/(deg_a+deg_b-support)
+    over the undirected user graph (edge_support + per-partition degree
+    attach) — the graph-structural near-duplicate signal for adjacent
+    pages."""
+    import pyarrow.compute as pc
+
+    from raylink.graph import build_graph
+    from raylink.kernels import edge_support
+    from raylink.kernels.triangles import _deg_of
+    from raylink.pipelines.flagship import join_keys
+
+    sg = build_graph(_user_edges(sf_dir), P=GRAPH_P, symmetric=True,
+                     already_deduped=True)
+    P = sg.P
+    deg_refs = {p: _deg_of.remote(sg.blocks[p][0])
+                for p in sg.parts_with_edges()}
+    sup = edge_support(sg)
+
+    def attach(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        import ray as _ray
+
+        sv = b["src_vid"].to_numpy(zero_copy_only=False)
+        dv = b["dst_vid"].to_numpy(zero_copy_only=False)
+        s = b["support"].to_numpy(zero_copy_only=False).astype(np.int64)
+        deg = {p: np.asarray(_ray.get(deg_refs[p]), dtype=np.int64)
+               for p in np.unique(np.concatenate([sv % P, dv % P]))}
+        da = np.array([deg[v % P][v // P] for v in sv], dtype=np.int64)
+        db = np.array([deg[v % P][v // P] for v in dv], dtype=np.int64)
+        denom = da + db - s
+        fp = np.floor(s / denom * 1e9 + 0.5).astype(np.int64)
+        return pa.table({
+            "src_vid": b["src_vid"], "dst_vid": b["dst_vid"],
+            "support": b["support"],
+            "jaccard_fp": pa.array(fp, pa.int64()),
+        })
+
+    withj = sup.map_batches(attach, batch_format="pyarrow")
+    a = join_keys(withj.map_batches(
+        lambda b: b.rename_columns(["vid", "dst_vid", "support",
+                                    "jaccard_fp"]),
+        batch_format="pyarrow"), sg, ["dst_vid", "support", "jaccard_fp"])
+    ab = join_keys(a.map_batches(
+        lambda b: b.select(["dst_vid", "key", "support", "jaccard_fp"])
+        .rename_columns(["vid", "key_a", "support", "jaccard_fp"]),
+        batch_format="pyarrow"), sg, ["key_a", "support", "jaccard_fp"])
+
+    def canon(b: pa.Table) -> pa.Table:
+        ka, kb = b["key_a"], b["key"]
+        return pa.table({
+            "user_a": pc.min_element_wise(ka, kb),
+            "user_b": pc.max_element_wise(ka, kb),
+            "support": b["support"],
+            "jaccard_fp": b["jaccard_fp"],
+        })
+
+    return ab.map_batches(canon, batch_format="pyarrow")
+
+
 def q_graph_summary(sf_dir: str):
     """One-row whole-graph summary (counts, degree stats, triangles,
     global clustering) over the undirected user graph."""
@@ -1194,6 +1266,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_truss": q_graph_truss,
         "graph_modularity": q_graph_modularity,
         "graph_coreness": q_graph_coreness,
+        "graph_reciprocity": q_graph_reciprocity,
+        "graph_edge_jaccard": q_graph_edge_jaccard,
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "graph_strength": q_graph_strength,
         "graph_lp1_weighted": q_graph_lp1_weighted,
@@ -1628,6 +1702,37 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["graph_truss"] = _truss_sql_body(_E_CTE, TRUSS_ROUNDS, 2,
                                          "user_a", "user_b")
+    sql["graph_reciprocity"] = (
+        f"WITH {_E_CTE}, "
+        "r AS (SELECT CAST(count(*) AS BIGINT) AS rec FROM e "
+        "WHERE EXISTS (SELECT 1 FROM e r WHERE r.src = e.dst "
+        "AND r.dst = e.src)), "
+        "mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e) "
+        "SELECT r.rec AS n_reciprocal, mm.m AS n_directed, "
+        "CAST(CASE WHEN mm.m = 0 THEN 0 ELSE "
+        "floor(CAST(r.rec AS DOUBLE)/mm.m*1000000000 + 0.5) END AS BIGINT) "
+        "AS reciprocity_fp FROM r, mm"
+    )
+    sql["graph_edge_jaccard"] = (
+        f"WITH {_E_CTE}, "
+        "u2 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM e), "
+        "und AS (SELECT a, b FROM u2 UNION ALL SELECT b, a FROM u2), "
+        "deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d "
+        "FROM und GROUP BY a), "
+        "t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM u2 e1 "
+        "JOIN u2 e2 ON e2.a = e1.b JOIN u2 e3 ON e3.a = e1.a AND e3.b = e2.b), "
+        "te AS (SELECT x AS a, y AS b FROM t UNION ALL SELECT x, z FROM t "
+        "UNION ALL SELECT y, z FROM t), "
+        "sup AS (SELECT a, b, count(*) AS s FROM te GROUP BY a, b) "
+        "SELECT u2.a AS user_a, u2.b AS user_b, "
+        "CAST(coalesce(sup.s, 0) AS BIGINT) AS support, "
+        "CAST(floor(CAST(coalesce(sup.s, 0) AS DOUBLE)"
+        "/(da.d + db.d - coalesce(sup.s, 0))*1000000000 + 0.5) AS BIGINT) "
+        "AS jaccard_fp "
+        "FROM u2 JOIN deg da ON da.v = u2.a JOIN deg db ON db.v = u2.b "
+        "LEFT JOIN sup ON sup.a = u2.a AND sup.b = u2.b"
+    )
     _RAW_CTE = (
         "raw AS (SELECT a.user_id AS src, b.user_id AS dst "
         "FROM events a JOIN events b ON b.event_id = a.event_id + 1 "

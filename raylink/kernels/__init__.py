@@ -21,7 +21,7 @@ from .cc import connected_components
 from .labelprop import label_propagation
 from .triangles import (approx_triangle_count, degree_assortativity,
                         edge_support, graph_summary, local_clustering,
-                        triangle_count)
+                        reciprocity, triangle_count)
 from .traversal import bfs_hops, bfs_hops_multi, coreness, k_core, sssp
 from .linkpred import adamic_adar_candidates
 from .truss import k_truss
@@ -33,4 +33,4 @@ __all__ = ["pagerank", "connected_components", "label_propagation",
            "degree_assortativity", "adamic_adar_candidates", "k_truss",
            "modularity",
            "local_clustering", "edge_support", "bfs_hops", "bfs_hops_multi",
-           "k_core", "hits", "sssp", "coreness"]
+           "k_core", "hits", "sssp", "coreness", "reciprocity"]

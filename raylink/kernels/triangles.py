@@ -643,3 +643,91 @@ def approx_triangle_count(edges: rd.Dataset, *, p: float = 0.25,
     sg = build_graph(sampled, P=P or DEFAULT_P, symmetric=True)
     t = triangle_count(sg)
     return int(round(t / (p ** 3)))
+
+
+def reciprocity(graph: Graph) -> "pa.Table":
+    """One-row link reciprocity of a DIRECTED build: the fraction of
+    directed edges whose reverse edge also exists — the mutual-linking
+    signal of web graphs. Pair-code bucket join (edges vs reversed edges,
+    same skew-proof bucketing as the wedge join); each bucket ships one
+    int; fixed-point 1e9 so the SQL oracle matches bit-for-bit."""
+    parts = graph.parts_with_edges()
+    if not parts:
+        return pa.table({"n_reciprocal": pa.array([0], pa.int64()),
+                         "n_directed": pa.array([0], pa.int64()),
+                         "reciprocity_fp": pa.array([0], pa.int64())})
+    P = graph.P
+    refs = graph.blocks
+    B = max(32, P)
+    max_vid = int(graph.n_per_part.max()) * P + P
+    if graph.n >= (1 << 31):
+        raise NotImplementedError(
+            "int64 pair codes require n < ~3e9; widen to 2-column probes")
+    C = np.int64(max_vid + 1)
+
+    schema = pa.schema([pa.field("bucket", pa.int64()),
+                        pa.field("kind", pa.int8()),
+                        pa.field("codes", pa.list_(pa.int64()))])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        tabs = [schema.empty_table()]
+        for p in batch["part"].to_pylist():
+            us, vs = [], []
+            for blk in (_ray.get(r) for r in refs[p]):
+                for q in range(P):
+                    lo, hi = blk.bounds[q], blk.bounds[q + 1]
+                    if hi <= lo:
+                        continue
+                    us.append(blk.src_local[lo:hi].astype(np.int64) * P + p)
+                    vs.append(blk.dst_local[lo:hi].astype(np.int64) * P + q)
+            u = np.concatenate(us)
+            v = np.concatenate(vs)
+            for kind, codes in ((0, u * C + v), (1, v * C + u)):
+                b = _bucket_of(codes, B)
+                order = np.argsort(b, kind="stable")
+                bs, cs = b[order], codes[order]
+                bounds = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1], True])
+                st, en = bounds[:-1], bounds[1:]
+                offs = pa.array(
+                    np.concatenate([[0], (en - st).cumsum()]), pa.int32())
+                tabs.append(pa.table({
+                    "bucket": pa.array(bs[st], pa.int64()),
+                    "kind": pa.array(np.full(len(st), kind, np.int8),
+                                     pa.int8()),
+                    "codes": pa.ListArray.from_arrays(
+                        offs, pa.array(cs, pa.int64())),
+                }, schema=schema))
+        return pa.concat_tables(tabs)
+
+    def probe(group: pa.Table) -> pa.Table:
+        kinds = group["kind"].to_numpy(zero_copy_only=False)
+        cl = group["codes"].combine_chunks()
+        flat = cl.flatten().to_numpy(zero_copy_only=False)
+        offs = cl.offsets.to_numpy(zero_copy_only=False)
+        e_parts, r_parts = [], []
+        for i in range(group.num_rows):
+            (e_parts if kinds[i] == 0 else r_parts).append(
+                flat[offs[i]: offs[i + 1]])
+        if not e_parts or not r_parts:
+            return pa.table({"hit": pa.array([0], pa.int64())})
+        ecodes = np.sort(np.concatenate(e_parts))
+        rcodes = np.concatenate(r_parts)
+        pos = np.searchsorted(ecodes, rcodes)
+        safe = np.minimum(pos, len(ecodes) - 1)
+        hit = (pos < len(ecodes)) & (ecodes[safe] == rcodes)
+        return pa.table({"hit": pa.array([int(hit.sum())], pa.int64())})
+
+    parts_ds = rd.from_arrow(
+        pa.table({"part": pa.array(parts, pa.int64())})
+    ).repartition(len(parts))
+    out = (parts_ds.map_batches(emit, batch_format="pyarrow", batch_size=1,
+                                zero_copy_batch=True)
+           .groupby("bucket").map_groups(probe, batch_format="pyarrow"))
+    rec = int(out.sum("hit") or 0)
+    m = graph.m
+    fp = int(np.floor(rec / m * 1e9 + 0.5)) if m else 0
+    return pa.table({"n_reciprocal": pa.array([rec], pa.int64()),
+                     "n_directed": pa.array([m], pa.int64()),
+                     "reciprocity_fp": pa.array([fp], pa.int64())})

@@ -1111,3 +1111,22 @@ def test_coreness_vs_bruteforce():
         batch_format="pyarrow") for r in b.to_pylist()}
     for v, c in got.items():
         assert (c >= 2) == (kc[v] == 1), v
+
+
+def test_reciprocity_vs_bruteforce():
+    """reciprocity == brute-force reverse-membership count over the
+    directed deduped edge set; all-mutual fixture gives 1e9 exactly."""
+    from raylink.kernels import reciprocity
+
+    pairs = overlay_pairs(seed=61, n=25, m=80)
+    g = G.build_graph(edges_ds(pairs), P=P)
+    row = reciprocity(g).to_pylist()[0]
+    eset = {(a, b) for a, b in pairs if a != b}
+    rec = sum(1 for a, b in eset if (b, a) in eset)
+    assert row["n_directed"] == len(eset)
+    assert row["n_reciprocal"] == rec
+    assert row["reciprocity_fp"] == int(
+        np.floor(rec / len(eset) * 1e9 + 0.5))
+
+    gm = G.build_graph(edges_ds(clique_pairs(1, 4)), P=P)
+    assert reciprocity(gm).to_pylist()[0]["reciprocity_fp"] == 1_000_000_000
