@@ -553,6 +553,25 @@ def q_graph_pagerank_weighted(sf_dir: str):
     return scale_columns(out, {"score": 1e9})
 
 
+def q_graph_pagerank_value(sf_dir: str):
+    """PageRank over a FLOAT-weighted transition graph: each raw transition
+    carries the successor event's ``value`` as its weight (SQL b.value);
+    duplicate (src,dst) pairs SUM their weights in the CSR build
+    (build_graph(weight_col="w")); score mass splits as score/W(u)*w."""
+    from raylink.graph import build_graph
+    from raylink.kernels import pagerank
+    from raylink.ops import transition_edges, scale_columns
+    from raylink.pipelines.flagship import join_keys
+
+    edges = transition_edges(
+        _read(sf_dir, "events", ["event_id", "user_id", "value"]),
+        distinct=False, value_col="value")
+    g = build_graph(edges, P=GRAPH_P, weight_col="w", already_deduped=True)
+    ranks = pagerank(g, damping=DAMPING, tol=0.0, max_iter=PR_ITERS)
+    out = _rename(join_keys(ranks, g, "score"), {"key": "user_id"})
+    return scale_columns(out, {"score": 1e9})
+
+
 def q_graph_components(sf_dir: str):
     from raylink.graph import build_graph
     from raylink.kernels import connected_components
@@ -1269,6 +1288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_reciprocity": q_graph_reciprocity,
         "graph_edge_jaccard": q_graph_edge_jaccard,
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
+        "graph_pagerank_value": q_graph_pagerank_value,
         "graph_strength": q_graph_strength,
         "graph_lp1_weighted": q_graph_lp1_weighted,
         "graph_pagerank_persisted": q_graph_pagerank_persisted,
@@ -1317,6 +1337,14 @@ _E_CTE = (
 _EW_CTE = (
     "e AS (SELECT a.user_id AS src, b.user_id AS dst, "
     "CAST(count(*) AS DOUBLE) AS w "
+    "FROM events a JOIN events b ON b.event_id = a.event_id + 1 "
+    "WHERE a.user_id <> b.user_id GROUP BY 1, 2)"
+)
+
+# float-weighted variant: w = sum of successor-event values per pair
+_EV_CTE = (
+    "e AS (SELECT a.user_id AS src, b.user_id AS dst, "
+    "CAST(sum(b.value) AS DOUBLE) AS w "
     "FROM events a JOIN events b ON b.event_id = a.event_id + 1 "
     "WHERE a.user_id <> b.user_id GROUP BY 1, 2)"
 )
@@ -1657,6 +1685,8 @@ def oracle_sql() -> dict[str, str]:
     sql["graph_pagerank"] = _pr_sql_body(_E_CTE, PR_ITERS, "user_id")
     sql["graph_pagerank_persisted"] = _pr_sql_body(_E_CTE, PR_ITERS,
                                                    "user_id")
+    sql["graph_pagerank_value"] = _pr_sql_body(_EV_CTE, PR_ITERS,
+                                               "user_id", weighted=True)
     sql["graph_pagerank_weighted"] = _pr_sql_body(_EW_CTE, PR_ITERS,
                                                   "user_id", weighted=True)
     sql["graph_ppr"] = _ppr_sql_body(_E_CTE, PR_ITERS, "user_id")

@@ -343,21 +343,29 @@ def _build_block_rows(group: pa.Table, P: int, n_per_part: np.ndarray,
     direction = int(group["dir"][0].as_py()) if "dir" in group.column_names else 0
     src = group["srcs"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
     dst = group["dsts"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    wvals = (group["ws"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False) if "ws" in group.column_names else None)
     return _csr_rows_from_vids(part, direction, src, dst, P, n_per_part,
-                               chunk_edges, weighted)
+                               chunk_edges, weighted, wvals)
 
 
 def _csr_blocks_from_vids(part: int, src: np.ndarray, dst: np.ndarray,
                           P: int, n_per_part: np.ndarray,
                           chunk_edges: int,
-                          weighted: bool = False) -> list[CSRBlock]:
+                          weighted: bool = False,
+                          wvals: np.ndarray | None = None) -> list[CSRBlock]:
     # global exact dedup happens HERE, for free: any given (src,dst) pair
     # always lands in this partition, so a local unique is a global one.
     # (Self-loops were dropped before the vertex build.) ``weighted``
-    # keeps the multiplicity of each collapsed pair as its edge weight —
-    # the same shuffle, one extra int64 array.
+    # keeps the multiplicity of each collapsed pair as its edge weight;
+    # ``wvals`` (float per raw edge) SUMS duplicate pairs' weights instead
+    # — the same shuffle, one extra array either way.
     pair = np.stack([src, dst], axis=1)
-    if weighted:
+    if wvals is not None:
+        pair, inv = np.unique(pair, axis=0, return_inverse=True)
+        w = np.zeros(len(pair), dtype=np.float64)
+        np.add.at(w, inv, wvals.astype(np.float64))
+    elif weighted:
         pair, w = np.unique(pair, axis=0, return_counts=True)
         w = w.astype(np.int64)
     else:
@@ -374,7 +382,7 @@ def _csr_blocks_from_vids(part: int, src: np.ndarray, dst: np.ndarray,
     deg = np.bincount(src_local, minlength=n_local).astype(np.int64)
     if w is not None:
         w = w[order]
-        wdeg = np.zeros(n_local, dtype=np.int64)
+        wdeg = np.zeros(n_local, dtype=w.dtype)
         np.add.at(wdeg, src_local.astype(np.int64), w)
     else:
         wdeg = None
@@ -400,9 +408,10 @@ def _csr_blocks_from_vids(part: int, src: np.ndarray, dst: np.ndarray,
 
 def _csr_rows_from_vids(part: int, direction: int, src: np.ndarray,
                         dst: np.ndarray, P: int, n_per_part: np.ndarray,
-                        chunk_edges: int, weighted: bool = False) -> pa.Table:
+                        chunk_edges: int, weighted: bool = False,
+                        wvals: np.ndarray | None = None) -> pa.Table:
     blocks = _csr_blocks_from_vids(part, src, dst, P, n_per_part, chunk_edges,
-                                   weighted)
+                                   weighted, wvals)
     return pa.table(
         {
             "dir": pa.array([direction] * len(blocks), pa.int64()),
@@ -436,6 +445,9 @@ class PreparedEdges:
     vertices_cache: rd.Dataset | None = None
     encode_mode: str = "broadcast"  # which key->vid path built enc_edges
     rank_rows: rd.Dataset | None = None  # (part, hashes) dictionary rows
+    weight_col: str | None = None  # float weight column (fused build only:
+    #                                broadcast/small paths bake it into
+    #                                enc_edges as "w" instead)
 
     @property
     def vertices(self) -> rd.Dataset:
@@ -564,7 +576,8 @@ def _encode_partitioned(edges: rd.Dataset, dict_rows: rd.Dataset,
 
 def prepare_edges(edges: rd.Dataset, *, P: int = DEFAULT_P,
                   already_deduped: bool = False, encode: str = "auto",
-                  broadcast_max_vertices: int = 4_000_000) -> PreparedEdges:
+                  broadcast_max_vertices: int = 4_000_000,
+                  weight_col: str | None = None) -> PreparedEdges:
     """Self-loop drop + vertex ranks + vid encoding; the shared prefix of
     any build.
 
@@ -584,7 +597,13 @@ def prepare_edges(edges: rd.Dataset, *, P: int = DEFAULT_P,
         count anywhere; the 10^12-vertex path;
       - ``"auto"`` (default): broadcast iff n <= ``broadcast_max_vertices``
         (64 MB dictionary), else partitioned.
-    Both produce identical vids."""
+    Both produce identical vids.
+
+    ``weight_col``: carry a float edge-weight column through the encode
+    (duplicate pairs SUM their weights in the CSR build). Supported on
+    the small, broadcast and partitioned-fused (10^12-vertex) paths; the
+    explicit "partitioned" materialized encode would need weight
+    transport through the request/reassemble rows and raises."""
     key_type = edges.schema().base_schema.field("src").type if hasattr(
         edges.schema(), "base_schema") else edges.schema().field("src").type
     if not already_deduped:
@@ -596,7 +615,7 @@ def prepare_edges(edges: rd.Dataset, *, P: int = DEFAULT_P,
     edges = edges.materialize()
 
     if encode == "auto" and edges.count() <= SMALL_BUILD_MAX_EDGES:
-        prep = _prepare_small(edges, P, key_type)
+        prep = _prepare_small(edges, P, key_type, weight_col)
         if prep is not None:  # None on a (2^-128-rare) hash collision
             return prep
 
@@ -620,8 +639,10 @@ def prepare_edges(edges: rd.Dataset, *, P: int = DEFAULT_P,
             keys, vids = ray.get(keys_ref)
             sidx = pc.index_in(batch["src"].combine_chunks(), value_set=keys)
             didx = pc.index_in(batch["dst"].combine_chunks(), value_set=keys)
-            return pa.table({"src_vid": vids.take(sidx),
-                             "dst_vid": vids.take(didx)})
+            out = {"src_vid": vids.take(sidx), "dst_vid": vids.take(didx)}
+            if weight_col is not None:
+                out["w"] = pc.cast(batch[weight_col], pa.float64())
+            return pa.table(out)
 
         enc = edges.map_batches(encode_exact, batch_format="pyarrow",
                                 zero_copy_batch=True).materialize()
@@ -638,8 +659,11 @@ def prepare_edges(edges: rd.Dataset, *, P: int = DEFAULT_P,
             hs, vs = ray.get(dict_ref)
             sv = vs[np.searchsorted(hs, hash64(batch["src"]))]
             dv = vs[np.searchsorted(hs, hash64(batch["dst"]))]
-            return pa.table({"src_vid": pa.array(sv, pa.int64()),
-                             "dst_vid": pa.array(dv, pa.int64())})
+            out = {"src_vid": pa.array(sv, pa.int64()),
+                   "dst_vid": pa.array(dv, pa.int64())}
+            if weight_col is not None:
+                out["w"] = pc.cast(batch[weight_col], pa.float64())
+            return pa.table(out)
 
         enc = edges.map_batches(encode_fn, batch_format="pyarrow",
                                 zero_copy_batch=True).materialize()
@@ -647,22 +671,31 @@ def prepare_edges(edges: rd.Dataset, *, P: int = DEFAULT_P,
     elif encode == "partitioned":
         # explicit: materialize the encoded edge table (callers that want
         # the (src_vid, dst_vid) product itself)
+        if weight_col is not None:
+            raise NotImplementedError(
+                "weight_col requires the small or broadcast encode; the "
+                "partitioned encode would need a weight list riding the "
+                "request rows (ROADMAP)")
         dict_ref = None
         enc = _encode_partitioned(edges, rank_rows, P).materialize()
         mode = "partitioned"
     else:
         # auto above the broadcast threshold (or explicit
         # "partitioned-fused"): defer the encode — it runs fused inside the
-        # CSR block build (2 shuffles total instead of 3, no bid transport)
+        # CSR block build (2 shuffles total instead of 3, no bid transport;
+        # a weight column rides the packed rows as a float64 list)
         dict_ref = None
         enc = None
         mode = "partitioned-fused"
     return PreparedEdges(enc_edges=enc, dict_ref=dict_ref, n=n,
                          n_per_part=n_per_part, P=P, key_type=key_type,
-                         edges=edges, encode_mode=mode, rank_rows=rank_rows)
+                         edges=edges, encode_mode=mode, rank_rows=rank_rows,
+                         weight_col=weight_col if mode == "partitioned-fused"
+                         else None)
 
 
-def _prepare_small(edges: rd.Dataset, P: int, key_type) -> "PreparedEdges | None":
+def _prepare_small(edges: rd.Dataset, P: int, key_type,
+                   weight_col: str | None = None) -> "PreparedEdges | None":
     """Local single-pass prepare for small edge tables (bounded driver
     gather, <= SMALL_BUILD_MAX_EDGES rows): the exact same canonical rank
     order and encode as the distributed broadcast path — per-part asc-sorted
@@ -700,8 +733,11 @@ def _prepare_small(edges: rd.Dataset, P: int, key_type) -> "PreparedEdges | None
     dict_ref = ray.put((h1, vids))
     sv = vids[np.searchsorted(h1, h_src)]
     dv = vids[np.searchsorted(h1, h_dst)]
-    enc_tab = pa.table({"src_vid": pa.array(sv, pa.int64()),
-                        "dst_vid": pa.array(dv, pa.int64())})
+    enc_cols = {"src_vid": pa.array(sv, pa.int64()),
+                "dst_vid": pa.array(dv, pa.int64())}
+    if weight_col is not None:
+        enc_cols["w"] = pc.cast(tab[weight_col], pa.float64())
+    enc_tab = pa.table(enc_cols)
     return PreparedEdges(
         enc_edges=rd.from_arrow(enc_tab).materialize(), dict_ref=dict_ref,
         n=len(h1), n_per_part=n_per_part, P=P, key_type=key_type,
@@ -716,10 +752,13 @@ def _build_blocks_small(prep: PreparedEdges, directions: tuple[int, ...],
     P, n_per_part = prep.P, prep.n_per_part
     batches = list(prep.enc_edges.iter_batches(batch_format="pyarrow",
                                                batch_size=1 << 20))
+    w0 = None
     if batches:
         tab = pa.concat_tables(batches)
         sv0 = tab["src_vid"].to_numpy(zero_copy_only=False)
         dv0 = tab["dst_vid"].to_numpy(zero_copy_only=False)
+        if "w" in tab.column_names:
+            w0 = tab["w"].to_numpy(zero_copy_only=False)
     else:
         sv0 = dv0 = np.array([], np.int64)
     blocks: dict[int, dict[int, list[Any]]] = {}
@@ -728,17 +767,19 @@ def _build_blocks_small(prep: PreparedEdges, directions: tuple[int, ...],
         if d == 1:
             sv = np.concatenate([sv0, dv0])
             dv = np.concatenate([dv0, sv0])
+            wv = None if w0 is None else np.concatenate([w0, w0])
         elif d == 2:
-            sv, dv = dv0, sv0
+            sv, dv, wv = dv0, sv0, w0
         else:
-            sv, dv = sv0, dv0
+            sv, dv, wv = sv0, dv0, w0
         per: dict[int, list[Any]] = {}
         m_d = 0
         parts = (sv % P).astype(np.int64)
         for p in np.unique(parts):
             sel = parts == p
             blks = _csr_blocks_from_vids(int(p), sv[sel], dv[sel], P,
-                                         n_per_part, chunk_edges, weighted)
+                                         n_per_part, chunk_edges, weighted,
+                                         None if wv is None else wv[sel])
             per[int(p)] = [ray.put(b) for b in blks]
             m_d += sum(b.m for b in blks)
         blocks[d] = per
@@ -763,6 +804,12 @@ _BLOCK_ROW_SCHEMA = pa.schema([
     pa.field("chunk", pa.int64()), pa.field("m", pa.int64()),
     pa.field("payload", pa.binary()),
 ])
+
+# weighted fused-build variants: one extra float64 list rides each packed
+# row (unweighted builds keep the lean schemas above — no shuffle overhead)
+_WS_FIELD = pa.field("ws", pa.list_(pa.float64()))
+_FUSED_A_W = pa.schema(list(_FUSED_A) + [_WS_FIELD])
+_FUSED_B_W = pa.schema(list(_FUSED_B) + [_WS_FIELD])
 
 
 def _pack_by_part(key: np.ndarray, cols: list[tuple[str, np.ndarray, Any]],
@@ -794,7 +841,8 @@ def _empty_list(n: int, vt) -> pa.ListArray:
 def _build_blocks_fused(edges: rd.Dataset, rank_rows: rd.Dataset, P: int,
                         n_per_part: np.ndarray,
                         directions: tuple[int, ...], chunk_edges: int,
-                        weighted: bool = False):
+                        weighted: bool = False,
+                        weight_col: str | None = None):
     """Partitioned-mode encode FUSED into the CSR block build — 2 shuffles
     total after the rank build (vs 3 when the encode is materialized first:
     groupby(part) + groupby(bid) + groupby(dir, src_part)), and no bid/idx
@@ -811,44 +859,56 @@ def _build_blocks_fused(edges: rd.Dataset, rank_rows: rd.Dataset, P: int,
                        build the CSR chunks in place (dedup included).
 
     Vid assignment is identical to every other encode path (same sorted-hash
-    dictionary probes)."""
+    dictionary probes). ``weight_col``: a float64 weight list rides each
+    packed row through both shuffles (duplicate pairs SUM in the final
+    in-place dedup) — same two exchanges, one extra array."""
     codes = tuple(int(d) for d in directions)
+    sch_a = _FUSED_A_W if weight_col is not None else _FUSED_A
+    sch_b = _FUSED_B_W if weight_col is not None else _FUSED_B
 
     def stage_a(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return _FUSED_A.empty_table()
+            return sch_a.empty_table()
         h_src = hash64(batch["src"])
         h_dst = hash64(batch["dst"])
+        w0 = (pc.cast(batch[weight_col], pa.float64()).to_numpy(
+            zero_copy_only=False) if weight_col is not None else None)
         tabs = []
         for code in codes:
             if code == 1:
                 hs = np.concatenate([h_src, h_dst])
                 hd = np.concatenate([h_dst, h_src])
+                wv = None if w0 is None else np.concatenate([w0, w0])
             elif code == 2:
-                hs, hd = h_dst, h_src
+                hs, hd, wv = h_dst, h_src, w0
             else:
-                hs, hd = h_src, h_dst
+                hs, hd, wv = h_src, h_dst, w0
             key = (hd % np.uint64(P)).astype(np.int64)
-            tabs.append(_pack_by_part(
-                key, [("hs", hs, pa.uint64()), ("hd", hd, pa.uint64())],
-                {"dir": code, "kind": 1}, _FUSED_A))
+            cols = [("hs", hs, pa.uint64()), ("hd", hd, pa.uint64())]
+            if wv is not None:
+                cols.append(("ws", wv, pa.float64()))
+            tabs.append(_pack_by_part(key, cols, {"dir": code, "kind": 1},
+                                      sch_a))
         return pa.concat_tables(tabs)
 
     def dict_a(batch: pa.Table) -> pa.Table:
         k = batch.num_rows
-        return pa.table({
+        out = {
             "part": batch["part"],
             "dir": pa.array(np.full(k, -1), pa.int64()),
             "kind": pa.array(np.zeros(k, np.int8), pa.int8()),
             "hs": _empty_list(k, pa.uint64()),
             "hd": batch["hashes"],
-        }, schema=_FUSED_A)
+        }
+        if weight_col is not None:
+            out["ws"] = _empty_list(k, pa.float64())
+        return pa.table(out, schema=sch_a)
 
     def group_a(g: pa.Table) -> pa.Table:
         kinds = g["kind"].to_numpy(zero_copy_only=False)
         di = np.flatnonzero(kinds == 0)
         if len(di) == 0 or (kinds == 1).sum() == 0:
-            return _FUSED_B.empty_table()
+            return sch_b.empty_table()
         part = int(g["part"][0].as_py())
         hd_col = g["hd"].combine_chunks()
         hd_flat = hd_col.flatten().to_numpy(zero_copy_only=False)
@@ -856,6 +916,10 @@ def _build_blocks_fused(edges: rd.Dataset, rank_rows: rd.Dataset, P: int,
         hs_col = g["hs"].combine_chunks()
         hs_flat = hs_col.flatten().to_numpy(zero_copy_only=False)
         hs_offs = hs_col.offsets.to_numpy(zero_copy_only=False)
+        if weight_col is not None:
+            ws_col = g["ws"].combine_chunks()
+            ws_flat = ws_col.flatten().to_numpy(zero_copy_only=False)
+            ws_offs = ws_col.offsets.to_numpy(zero_copy_only=False)
         u = hd_flat[hd_offs[di[0]]: hd_offs[di[0] + 1]]  # asc-sorted dict
         dirs = g["dir"].to_numpy(zero_copy_only=False)
         tabs = []
@@ -867,20 +931,27 @@ def _build_blocks_fused(edges: rd.Dataset, rank_rows: rd.Dataset, P: int,
                 [hd_flat[hd_offs[i]: hd_offs[i + 1]] for i in rows])
             dv = np.searchsorted(u, hd).astype(np.int64) * P + part
             key = (hs % np.uint64(P)).astype(np.int64)
-            tabs.append(_pack_by_part(
-                key, [("hs", hs, pa.uint64()), ("dv", dv, pa.int64())],
-                {"dir": int(code), "kind": 1}, _FUSED_B))
-        return pa.concat_tables(tabs) if tabs else _FUSED_B.empty_table()
+            cols = [("hs", hs, pa.uint64()), ("dv", dv, pa.int64())]
+            if weight_col is not None:
+                ws = np.concatenate(
+                    [ws_flat[ws_offs[i]: ws_offs[i + 1]] for i in rows])
+                cols.append(("ws", ws, pa.float64()))
+            tabs.append(_pack_by_part(key, cols,
+                                      {"dir": int(code), "kind": 1}, sch_b))
+        return pa.concat_tables(tabs) if tabs else sch_b.empty_table()
 
     def dict_b(batch: pa.Table) -> pa.Table:
         k = batch.num_rows
-        return pa.table({
+        out = {
             "part": batch["part"],
             "dir": pa.array(np.full(k, -1), pa.int64()),
             "kind": pa.array(np.zeros(k, np.int8), pa.int8()),
             "hs": batch["hashes"],
             "dv": _empty_list(k, pa.int64()),
-        }, schema=_FUSED_B)
+        }
+        if weight_col is not None:
+            out["ws"] = _empty_list(k, pa.float64())
+        return pa.table(out, schema=sch_b)
 
     def group_b(g: pa.Table) -> pa.Table:
         kinds = g["kind"].to_numpy(zero_copy_only=False)
@@ -894,6 +965,10 @@ def _build_blocks_fused(edges: rd.Dataset, rank_rows: rd.Dataset, P: int,
         dv_col = g["dv"].combine_chunks()
         dv_flat = dv_col.flatten().to_numpy(zero_copy_only=False)
         dv_offs = dv_col.offsets.to_numpy(zero_copy_only=False)
+        if weight_col is not None:
+            ws_col = g["ws"].combine_chunks()
+            ws_flat = ws_col.flatten().to_numpy(zero_copy_only=False)
+            ws_offs = ws_col.offsets.to_numpy(zero_copy_only=False)
         u = hs_flat[hs_offs[di[0]]: hs_offs[di[0] + 1]]
         dirs = g["dir"].to_numpy(zero_copy_only=False)
         tabs = []
@@ -904,9 +979,12 @@ def _build_blocks_fused(edges: rd.Dataset, rank_rows: rd.Dataset, P: int,
             dv = np.concatenate(
                 [dv_flat[dv_offs[i]: dv_offs[i + 1]] for i in rows])
             sv = np.searchsorted(u, hs).astype(np.int64) * P + part
+            wv = (np.concatenate(
+                [ws_flat[ws_offs[i]: ws_offs[i + 1]] for i in rows])
+                if weight_col is not None else None)
             tabs.append(_csr_rows_from_vids(part, int(code), sv, dv, P,
                                             n_per_part, chunk_edges,
-                                            weighted))
+                                            weighted, wv))
         return pa.concat_tables(tabs) if tabs else _BLOCK_ROW_SCHEMA.empty_table()
 
     n_blocks = max(64, 8 * P)
@@ -942,16 +1020,19 @@ def _pack_fn(P: int, directions: tuple[int, ...]):
     def pack(batch: pa.Table) -> pa.Table:
         sv0 = batch["src_vid"].to_numpy(zero_copy_only=False)
         dv0 = batch["dst_vid"].to_numpy(zero_copy_only=False)
+        w0 = (batch["w"].to_numpy(zero_copy_only=False)
+              if "w" in batch.column_names else None)
         tabs = []
         for direction in directions:
             symmetric = int(direction)
             if symmetric == 1:
                 sv = np.concatenate([sv0, dv0])
                 dv = np.concatenate([dv0, sv0])
+                wv = None if w0 is None else np.concatenate([w0, w0])
             elif symmetric == 2:
-                sv, dv = dv0, sv0
+                sv, dv, wv = dv0, sv0, w0
             else:
-                sv, dv = sv0, dv0
+                sv, dv, wv = sv0, dv0, w0
             part = sv % P
             order = np.argsort(part, kind="stable")
             sv, dv, part = sv[order], dv[order], part[order]
@@ -960,12 +1041,16 @@ def _pack_fn(P: int, directions: tuple[int, ...]):
             offsets = pa.array(
                 np.concatenate([[0], np.diff(bounds)[present].cumsum()]),
                 pa.int32())
-            tabs.append(pa.table({
+            cols = {
                 "dir": pa.array(np.full(len(present), int(symmetric)), pa.int64()),
                 "src_part": pa.array(present.astype(np.int64), pa.int64()),
                 "srcs": pa.ListArray.from_arrays(offsets, pa.array(sv, pa.int64())),
                 "dsts": pa.ListArray.from_arrays(offsets, pa.array(dv, pa.int64())),
-            }))
+            }
+            if wv is not None:
+                cols["ws"] = pa.ListArray.from_arrays(
+                    offsets, pa.array(wv[order], pa.float64()))
+            tabs.append(pa.table(cols))
         return pa.concat_tables(tabs)
 
     return pack
@@ -1016,7 +1101,7 @@ def _build_blocks(prep: PreparedEdges, directions: tuple[bool, ...],
         # "partitioned-fused": encode + block build share their shuffles
         return _build_blocks_fused(prep.edges, prep.rank_rows, P, n_per_part,
                                    tuple(int(d) for d in directions),
-                                   chunk_edges, weighted)
+                                   chunk_edges, weighted, prep.weight_col)
     if prep.encode_mode == "broadcast-small":
         return _build_blocks_small(prep, tuple(int(d) for d in directions),
                                    chunk_edges, weighted)
@@ -1091,6 +1176,7 @@ def build_graph(
     already_deduped: bool = False,
     chunk_edges: int = CHUNK_EDGES,
     weighted: bool = False,
+    weight_col: str | None = None,
 ) -> Graph:
     """Full build: dedup -> vertices -> encode -> CSR blocks.
 
@@ -1098,8 +1184,11 @@ def build_graph(
     kernels: connected components, label propagation, triangles).
     ``weighted=True``: duplicate (src,dst) rows collapse to one edge whose
     weight is the multiplicity (pass the non-distinct stream and
-    ``already_deduped=True`` so nothing upstream drops the duplicates)."""
-    prep = prepare_edges(edges, P=P, already_deduped=already_deduped)
+    ``already_deduped=True`` so nothing upstream drops the duplicates).
+    ``weight_col``: use a float column of ``edges`` as the weight instead
+    (duplicates SUM; see prepare_edges for the encode-path restriction)."""
+    prep = prepare_edges(edges, P=P, already_deduped=already_deduped,
+                         weight_col=weight_col)
     return build_graph_from_prepared(prep, symmetric=symmetric,
                                      chunk_edges=chunk_edges,
-                                     weighted=weighted)
+                                     weighted=weighted or weight_col is not None)

@@ -60,6 +60,10 @@ def _make_scatter(graph: Graph, use_weights: bool = False):
                 pairs = np.stack([blk.dst_local[lo:hi].astype(np.int64),
                                   vals[lo:hi]], axis=1)
                 if use_weights and blk.w is not None:
+                    if not np.issubdtype(blk.w.dtype, np.integer):
+                        raise TypeError(
+                            "weighted LP requires integer edge weights "
+                            "(exact int64 vote tallies)")
                     uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
                     cnt = np.zeros(len(uniq), dtype=np.int64)
                     np.add.at(cnt, inv, blk.w[lo:hi])

@@ -77,7 +77,9 @@ def _make_scatter(graph: Graph):
                 # (score/wdeg per unit weight, times w per slot); dangling
                 # set is unchanged (deg == 0 iff wdeg == 0)
                 wdeg = blk.wdeg
-                w = np.where(wdeg > 0, scores / np.maximum(wdeg, 1), 0.0)
+                # safe divide (float weights can have 0 < wdeg < 1)
+                w = np.where(wdeg > 0,
+                             scores / np.where(wdeg > 0, wdeg, 1.0), 0.0)
                 vals = w[blk.src_local] * blk.w
             else:
                 deg = blk.deg

@@ -65,8 +65,15 @@ def _min_scatter(graph: Graph, *, plus_one: bool,
             blk = _ray.get(chunks[sub])
             vals = vec[blk.src_local]
             if plus_one:
-                step = (blk.w if use_weights and blk.w is not None
-                        else np.int64(1))
+                if use_weights and blk.w is not None:
+                    if not np.issubdtype(blk.w.dtype, np.integer):
+                        raise TypeError(
+                            "sssp requires integer edge weights (int64 "
+                            "min-plus state); float-weight SSSP would "
+                            "need a float distance lattice")
+                    step = blk.w
+                else:
+                    step = np.int64(1)
                 vals = np.where(vals >= _INF, _INF, vals + step)
             for q in range(P):
                 lo, hi = blk.bounds[q], blk.bounds[q + 1]

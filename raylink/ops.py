@@ -284,7 +284,8 @@ def count_in_window_join(
 def transition_edges(events: rd.Dataset, *, id_col: str = "event_id",
                      actor_col: str = "user_id",
                      chunk: int = 1 << 14,
-                     distinct: bool = True) -> rd.Dataset:
+                     distinct: bool = True,
+                     value_col: str | None = None) -> rd.Dataset:
     """(actor of event i) -> (actor of event i+1): the ordered self-join on
     ``id + 1``, distributed as a range-bucketed exchange — NO driver gather,
     no dense-id assumption.
@@ -295,18 +296,31 @@ def transition_edges(events: rd.Dataset, *, id_col: str = "event_id",
     group. Within a group the successor lookup is one vectorized
     ``searchsorted``. Gaps in the id space simply yield no pair (identical
     to the SQL join on ``event_id + 1``). Self-transitions dropped; result
-    deduplicated (distinct edges)."""
+    deduplicated (distinct edges).
+
+    ``value_col``: also emit a float ``w`` column per raw edge — the
+    SUCCESSOR event's value (SQL ``b.<value_col>``); feed the result to
+    ``build_graph(weight_col="w")`` which sums duplicates. Requires
+    ``distinct=False`` (dedup would drop the weights)."""
+    if value_col is not None and distinct:
+        raise ValueError("value_col requires distinct=False")
 
     def bucketize(batch: pa.Table) -> pa.Table:
         eid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         act = batch[actor_col].to_numpy(zero_copy_only=False)
         b = eid // chunk
         bound = (eid % chunk == 0) & (eid > 0)
-        return pa.table({
+        cols = {
             "bkt": pa.array(np.concatenate([b, b[bound] - 1]), pa.int64()),
             id_col: pa.array(np.concatenate([eid, eid[bound]]), pa.int64()),
             actor_col: pa.array(np.concatenate([act, act[bound]])),
-        })
+        }
+        if value_col is not None:
+            val = batch[value_col].to_numpy(zero_copy_only=False).astype(
+                np.float64)
+            cols[value_col] = pa.array(
+                np.concatenate([val, val[bound]]), pa.float64())
+        return pa.table(cols)
 
     def pairs(g: pa.Table) -> pa.Table:
         eid = g[id_col].to_numpy(zero_copy_only=False)
@@ -318,11 +332,16 @@ def transition_edges(events: rd.Dataset, *, id_col: str = "event_id",
         ok = (pos < len(eid)) & (eid[safe] == eid + 1)
         src, dst = act[ok], act[pos[ok]]
         m = src != dst
-        return pa.table({"src": pa.array(src[m]), "dst": pa.array(dst[m])})
+        cols = {"src": pa.array(src[m]), "dst": pa.array(dst[m])}
+        if value_col is not None:
+            val = g[value_col].to_numpy(zero_copy_only=False)[order]
+            cols["w"] = pa.array(val[pos[ok]][m], pa.float64())
+        return pa.table(cols)
 
     from .graph import dedup_edges
 
-    bucketed = events.select_columns([id_col, actor_col]).map_batches(
+    sel = [id_col, actor_col] + ([value_col] if value_col else [])
+    bucketed = events.select_columns(sel).map_batches(
         bucketize, batch_format="pyarrow", zero_copy_batch=True)
     paired = bucketed.groupby("bkt").map_groups(pairs, batch_format="pyarrow")
     return dedup_edges(paired) if distinct else paired

@@ -1130,3 +1130,114 @@ def test_reciprocity_vs_bruteforce():
 
     gm = G.build_graph(edges_ds(clique_pairs(1, 4)), P=P)
     assert reciprocity(gm).to_pylist()[0]["reciprocity_fp"] == 1_000_000_000
+
+
+def test_float_weight_col_build_and_pagerank():
+    """build_graph(weight_col=...) carries a float edge-weight column
+    through the encode; duplicate (src,dst) pairs SUM their weights in the
+    CSR dedup pass; weighted PageRank over float weights matches a brute
+    force power iteration to 1e-9. The small/local, broadcast and
+    partitioned-fused encode paths agree bit-for-bit (blocks and scores);
+    the int-lattice kernels (weighted LP votes, SSSP min-plus) reject
+    float weights; the explicit materialized "partitioned" encode raises
+    NotImplementedError (documented restriction)."""
+    from raylink.kernels import sssp
+
+    rng = np.random.default_rng(59)
+    base = overlay_pairs(seed=59, n=18, m=50)
+    pairs = base + base[::4]  # duplicates -> weight summing
+    wts = rng.uniform(0.1, 3.0, size=len(pairs))
+    src, dst = zip(*pairs)
+    tab = pa.table({"src": pa.array(src, pa.string()),
+                    "dst": pa.array(dst, pa.string()),
+                    "wt": pa.array(wts, pa.float64())})
+    ds = rd.from_arrow(tab)
+    g = G.build_graph(ds, P=P, weight_col="wt", already_deduped=True)
+    assert g.weighted
+
+    # per-block invariant: weights of duplicate pairs summed, float dtype
+    import ray as _ray
+    wmap: dict = {}
+    for (a, b), w in zip(pairs, wts):
+        wmap[(a, b)] = wmap.get((a, b), 0.0) + float(w)
+    total = 0.0
+    for p, refs in g.blocks.items():
+        for r in refs:
+            blk = _ray.get(r)
+            assert blk.w is not None and blk.w.dtype == np.float64
+            assert blk.wdeg is not None and blk.wdeg.dtype == np.float64
+            total += float(blk.w.sum())
+    assert abs(total - sum(wmap.values())) < 1e-9
+
+    # brute-force weighted power iteration (summed float weights)
+    verts = sorted({v for e in wmap for v in e})
+    vi = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    W = np.zeros(n)
+    for (a, b), w in wmap.items():
+        W[vi[a]] += w
+    s = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(300):
+        acc = np.zeros(n)
+        for (a, b), w in wmap.items():
+            acc[vi[b]] += s[vi[a]] / W[vi[a]] * w
+        dm = s[W == 0].sum()
+        new = (1 - d) / n + d * (acc + dm / n)
+        if np.abs(new - s).sum() < 1e-13:
+            s = new
+            break
+        s = new
+    ranks = values_by_key(pagerank(g, tol=1e-13, max_iter=300), g, "score")
+    for v in verts:
+        assert abs(ranks[v] - s[vi[v]]) < 1e-9, v
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+    # broadcast and partitioned-fused encodes bit-equal to the small path
+    pb = G.prepare_edges(ds, P=P, already_deduped=True, encode="broadcast",
+                         weight_col="wt")
+    gb = G.build_graph_from_prepared(pb, weighted=True)
+    pf = G.prepare_edges(ds, P=P, already_deduped=True,
+                         encode="partitioned-fused", weight_col="wt")
+    gf = G.build_graph_from_prepared(pf, weighted=True)
+    r_s = pagerank(g, tol=0.0, max_iter=4).to_pandas().sort_values("vid")
+    r_b = pagerank(gb, tol=0.0, max_iter=4).to_pandas().sort_values("vid")
+    r_f = pagerank(gf, tol=0.0, max_iter=4).to_pandas().sort_values("vid")
+    assert np.array_equal(r_s["score"].to_numpy(), r_b["score"].to_numpy())
+    assert np.array_equal(r_s["score"].to_numpy(), r_f["score"].to_numpy())
+    for p, refs in gf.blocks.items():
+        for rr, rf in zip(g.blocks[p], refs):
+            bs, bf = _ray.get(rr), _ray.get(rf)
+            assert np.array_equal(bs.src_local, bf.src_local)
+            assert np.array_equal(bs.dst_local, bf.dst_local)
+            assert np.array_equal(bs.w, bf.w) and bf.w.dtype == np.float64
+            assert np.array_equal(bs.wdeg, bf.wdeg)
+
+    # all-1.0 float weight column == unweighted build, bit-for-bit
+    ones = tab.set_column(2, "wt", pa.array([1.0] * len(pairs), pa.float64()))
+    dpairs = sorted(set(pairs))
+    g1 = G.build_graph(rd.from_arrow(ones), P=P, weight_col="wt",
+                       already_deduped=True)
+    # 1.0-per-duplicate sums to multiplicity -> equals weighted=True build
+    gm = G.build_graph(edges_ds(pairs), P=P, weighted=True,
+                       already_deduped=True)
+    r1 = pagerank(g1, tol=0.0, max_iter=4).to_pandas().sort_values("vid")
+    rm = pagerank(gm, tol=0.0, max_iter=4).to_pandas().sort_values("vid")
+    assert np.array_equal(r1["score"].to_numpy(), rm["score"].to_numpy())
+    del dpairs
+
+    # float weights rejected by int-lattice kernels
+    sg = G.build_graph(ds, P=P, symmetric=True, weight_col="wt",
+                       already_deduped=True)
+    svid = sorted(r["vid"] for b in sg.vertices.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist())[0]
+    with pytest.raises(TypeError):
+        label_propagation(sg, max_iter=1, weighted=True).materialize()
+    with pytest.raises(TypeError):
+        sssp(sg, svid).materialize()
+
+    # the explicit materialized "partitioned" encode refuses a weight
+    # column (documented; the fused variant is the scale path)
+    with pytest.raises(NotImplementedError):
+        G.prepare_edges(ds, P=P, already_deduped=True, encode="partitioned",
+                        weight_col="wt")
