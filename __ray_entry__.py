@@ -634,6 +634,34 @@ KCORE_ROUNDS = 8
 TRUSS_ROUNDS = 4
 SSSP_ROUNDS = 8
 CORENESS_ROUNDS = 8
+MIS_ROUNDS = 8
+WALK_STEPS = 4
+
+
+def q_graph_mis(sf_dir: str):
+    """Maximal independent set (Luby-style, deterministic arithmetic
+    priorities from the user id) over the symmetric transition graph —
+    fixed unroll depth MIS_ROUNDS shared with the SQL oracle; extra
+    rounds past the fixpoint are no-ops."""
+    from raylink.graph import build_graph
+    from raylink.kernels import maximal_independent_set
+    from raylink.pipelines.flagship import join_keys
+
+    sg = build_graph(_user_edges(sf_dir), P=GRAPH_P, symmetric=True,
+                     already_deduped=True)
+    mis = maximal_independent_set(sg, max_iter=MIS_ROUNDS)
+    return _rename(join_keys(mis, sg, "in_mis"), {"key": "user_id"})
+
+
+def q_graph_walks(sf_dir: str):
+    """One deterministic random walk of WALK_STEPS steps from every user
+    over the directed distinct transition graph (node2vec/DeepWalk corpus
+    shape): rows (walker, step, v); the step-k neighbor index is the
+    shared mix arithmetic mod out-degree over dst-ascending adjacency, so
+    the SQL oracle replays the walks exactly. Walks die at sinks."""
+    from raylink.sampling import random_walks
+
+    return random_walks(_user_edges(sf_dir), length=WALK_STEPS, buckets=32)
 
 
 def q_graph_kcore(sf_dir: str):
@@ -1293,6 +1321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_lp1_weighted": q_graph_lp1_weighted,
         "graph_pagerank_persisted": q_graph_pagerank_persisted,
         "graph_sssp": q_graph_sssp,
+        "graph_mis": q_graph_mis,
+        "graph_walks": q_graph_walks,
         "graph_triangles_approx": q_graph_triangles_approx,
         "graph_bfs_multi": q_graph_bfs_multi,
         "graph_local_clustering": q_graph_local_clustering,
@@ -1809,6 +1839,56 @@ def oracle_sql() -> dict[str, str]:
         "WITH " + ", ".join(_sssp_parts) +
         f" SELECT v AS user_id, CAST(dist AS BIGINT) AS dist "
         f"FROM d{SSSP_ROUNDS}"
+    )
+    # Luby MIS unroll: single min-scatter per round — IN scatters 0,
+    # undecided scatters combined(priority, key); see kernels/mis.py
+    _comb = ("((({k})*48271 + 12345) % 2147483647 + 1) * 2147483648 "
+             "+ ({k})")
+    _mis_parts = [
+        _E_CTE,
+        "es AS MATERIALIZED (SELECT src, dst FROM e "
+        "UNION SELECT dst, src FROM e)",
+        "mv AS (SELECT DISTINCT src AS v FROM es)",
+        "st0 AS (SELECT v, 0 AS s FROM mv)",
+    ]
+    for _k in range(1, MIS_ROUNDS + 1):
+        _mis_parts.append(
+            f"m{_k} AS MATERIALIZED (SELECT es.dst AS v, "
+            f"min(CASE WHEN st.s = 1 THEN 0 WHEN st.s = 0 THEN "
+            f"{_comb.format(k='st.v')} END) AS m "
+            f"FROM st{_k - 1} st JOIN es ON es.src = st.v GROUP BY es.dst)")
+        _mis_parts.append(
+            f"st{_k} AS MATERIALIZED (SELECT st.v, CASE "
+            f"WHEN st.s <> 0 THEN st.s WHEN m.m = 0 THEN 2 "
+            f"WHEN m.m IS NULL OR {_comb.format(k='st.v')} < m.m THEN 1 "
+            f"ELSE 0 END AS s "
+            f"FROM st{_k - 1} st LEFT JOIN m{_k} m ON m.v = st.v)")
+    sql["graph_mis"] = (
+        "WITH " + ", ".join(_mis_parts) +
+        f" SELECT v AS user_id, CAST(s = 1 AS BIGINT) AS in_mis "
+        f"FROM st{MIS_ROUNDS}"
+    )
+    # deterministic random-walk unroll: shared mix arithmetic mod
+    # out-degree over dst-ascending adjacency; see raylink/sampling.py
+    _wmix = ("CAST(1 + ((s.walker*48271 + {k}*16807 + 12345) % 2147483647)"
+             " % len(adj.nb) AS BIGINT)")
+    _walk_parts = [
+        _E_CTE,
+        "wv AS (SELECT src AS v FROM e UNION SELECT dst FROM e)",
+        "adj AS MATERIALIZED (SELECT src, list(dst ORDER BY dst) AS nb "
+        "FROM e GROUP BY src)",
+        "s0 AS (SELECT v AS walker, v FROM wv)",
+    ]
+    for _k in range(1, WALK_STEPS + 1):
+        _walk_parts.append(
+            f"s{_k} AS MATERIALIZED (SELECT s.walker, "
+            f"adj.nb[{_wmix.format(k=_k)}] AS v "
+            f"FROM s{_k - 1} s JOIN adj ON adj.src = s.v)")
+    sql["graph_walks"] = (
+        "WITH " + ", ".join(_walk_parts) + " " +
+        " UNION ALL ".join(
+            f"SELECT walker, CAST({_k} AS BIGINT) AS step, v FROM s{_k}"
+            for _k in range(WALK_STEPS + 1))
     )
     # h-index iteration unroll: s0 = degree; each round s_k(v) =
     # max_i min(x_i, i) over v's neighbor values x sorted desc

@@ -27,10 +27,12 @@ from .linkpred import adamic_adar_candidates
 from .truss import k_truss
 from .modularity import modularity
 from .hits import hits
+from .mis import maximal_independent_set
 
 __all__ = ["pagerank", "connected_components", "label_propagation",
            "triangle_count", "approx_triangle_count", "graph_summary",
            "degree_assortativity", "adamic_adar_candidates", "k_truss",
            "modularity",
            "local_clustering", "edge_support", "bfs_hops", "bfs_hops_multi",
-           "k_core", "hits", "sssp", "coreness", "reciprocity"]
+           "k_core", "hits", "sssp", "coreness", "reciprocity",
+           "maximal_independent_set"]

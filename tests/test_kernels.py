@@ -1241,3 +1241,149 @@ def test_float_weight_col_build_and_pagerank():
     with pytest.raises(NotImplementedError):
         G.prepare_edges(ds, P=P, already_deduped=True, encode="partitioned",
                         weight_col="wt")
+
+
+def _int_edges_ds(pairs):
+    s, d = zip(*pairs) if pairs else ((), ())
+    return rd.from_arrow(pa.table({"src": pa.array(s, pa.int64()),
+                                   "dst": pa.array(d, pa.int64())}))
+
+
+def _comb_prio(v: int) -> int:
+    return ((v * 48271 + 12345) % 2147483647 + 1) * 2**31 + v
+
+
+def test_mis_vs_bruteforce():
+    """maximal_independent_set == the synchronous single-scatter brute
+    force (IN scatters 0, undecided scatters combined priority; min per
+    vertex decides) after K rounds for K = 1..4 and at the fixpoint; the
+    fixpoint set is independent AND maximal; fused and distributed paths
+    agree; string-keyed graphs are rejected."""
+    from raylink.kernels import maximal_independent_set
+
+    rng = np.random.default_rng(61)
+    pairs = set()
+    while len(pairs) < 80:
+        a, b = (int(x) for x in rng.integers(0, 30, size=2))
+        if a != b:
+            pairs.add((a * 17 + 3, b * 17 + 3))  # non-dense int keys
+    pairs = sorted(pairs)
+    sg = G.build_graph(_int_edges_ds(pairs), P=P, symmetric=True)
+    kv = {r["vid"]: r["key"] for b in sg.vertices.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()}
+
+    adj: dict[int, set] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def brute(rounds):
+        s = {v: 0 for v in adj}
+        for _ in range(rounds):
+            m = {}
+            for v in adj:
+                vals = [0 if s[u] == 1 else _comb_prio(u)
+                        for u in adj[v] if s[u] in (0, 1)]
+                m[v] = min(vals) if vals else None
+            ns = {}
+            for v in adj:
+                if s[v] != 0:
+                    ns[v] = s[v]
+                elif m[v] == 0:
+                    ns[v] = 2
+                elif m[v] is None or _comb_prio(v) < m[v]:
+                    ns[v] = 1
+                else:
+                    ns[v] = 0
+            s = ns
+        return s
+
+    for rounds in (1, 2, 3, 4, 32):
+        got = {kv[r["vid"]]: r["in_mis"] for b in maximal_independent_set(
+            sg, max_iter=rounds).iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()}
+        want = {v: int(s == 1) for v, s in brute(rounds).items()}
+        assert got == want, rounds
+
+    # fixpoint properties: independent and maximal
+    final = brute(64)
+    assert all(s != 0 for s in final.values())  # everyone decided
+    mis = {v for v, s in final.items() if s == 1}
+    for a, b in pairs:
+        assert not (a in mis and b in mis)  # independent
+    for v, s in final.items():
+        if s == 2:
+            assert adj[v] & mis  # maximal: every OUT has an IN neighbor
+
+    # fused == distributed
+    mi_f = maximal_independent_set(sg, max_iter=8, fused=True).to_pandas()
+    mi_d = maximal_independent_set(sg, max_iter=8, fused=False).to_pandas()
+    pd_f = mi_f.sort_values("vid").reset_index(drop=True)
+    pd_d = mi_d.sort_values("vid").reset_index(drop=True)
+    assert pd_f.equals(pd_d)
+
+    # string keys refused (priorities are arithmetic in the key)
+    gs = G.build_graph(edges_ds(clique_pairs(1, 4)), P=P, symmetric=True)
+    with pytest.raises(TypeError):
+        maximal_independent_set(gs)
+
+
+def test_random_walks_vs_bruteforce():
+    """random_walks == a sequential replay of the shared mix arithmetic
+    over dst-ascending adjacency; walks die at sinks; custom starts work;
+    the bucket count never changes the output."""
+    from raylink.sampling import random_walks
+
+    rng = np.random.default_rng(67)
+    pairs = set()
+    while len(pairs) < 60:
+        a, b = (int(x) for x in rng.integers(0, 25, size=2))
+        if a != b:
+            pairs.add((a, b))
+    pairs = sorted(pairs)
+    # add a guaranteed sink: edges into 999, none out
+    pairs += [(0, 999), (1, 999)]
+    ds = _int_edges_ds(pairs)
+
+    adj: dict[int, list] = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+    for v in adj:
+        adj[v] = sorted(set(adj[v]))
+    verts = sorted({x for e in pairs for x in e})
+
+    K = 5
+
+    def brute():
+        rows = set()
+        for w in verts:
+            cur = w
+            rows.add((w, 0, w))
+            for k in range(1, K + 1):
+                nb = adj.get(cur)
+                if not nb:
+                    break
+                idx = ((w * 48271 + k * 16807 + 12345) % 2147483647) % len(nb)
+                cur = nb[idx]
+                rows.add((w, k, cur))
+        return rows
+
+    want = brute()
+    for buckets in (3, 16):
+        got = {(r["walker"], r["step"], r["v"])
+               for b in random_walks(ds, length=K, buckets=buckets)
+               .iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
+        assert got == want, buckets
+
+    # custom starts: only two walkers
+    starts = rd.from_arrow(pa.table({"v": pa.array([0, 999], pa.int64())}))
+    got2 = {(r["walker"], r["step"], r["v"])
+            for b in random_walks(ds, length=K, buckets=4, starts=starts)
+            .iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
+    assert got2 == {t for t in want if t[0] in (0, 999)}
+    assert (999, 1, 999) not in got2  # sink walk dies after step 0
+
+    # key-range guard (surfaces through Ray's task-error wrapper)
+    bad = _int_edges_ds([(1, 1 << 40)])
+    with pytest.raises(Exception, match="integer vertex keys"):
+        random_walks(bad, length=1).materialize()
