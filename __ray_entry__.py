@@ -636,6 +636,33 @@ SSSP_ROUNDS = 8
 CORENESS_ROUNDS = 8
 MIS_ROUNDS = 8
 WALK_STEPS = 4
+SAMPLE_HOPS = 3
+SAMPLE_FANOUT = 3
+
+
+def q_graph_sample(sf_dir: str):
+    """GraphSAGE-style k-hop neighborhood sampling from the 3 smallest
+    user ids: SAMPLE_FANOUT deterministic children per frontier vertex
+    per hop (shared mix arithmetic mod out-degree over dst-ascending
+    adjacency), frontier deduped per (seed, v); DISTINCT rows
+    (seed, hop, v), hop 0 = the seed. One walker-rows-only shuffle per
+    hop; adjacency bucketed once into the object store."""
+    import numpy as np
+
+    from raylink.sampling import neighborhood_sample
+
+    e = _user_edges(sf_dir).materialize()
+
+    def both(batch: pa.Table) -> pa.Table:
+        v = np.unique(np.concatenate([
+            batch["src"].to_numpy(zero_copy_only=False),
+            batch["dst"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"v": pa.array(v, pa.int64())})
+
+    seeds = (e.map_batches(both, batch_format="pyarrow")
+             .groupby("v").count().sort("v").limit(3).select_columns(["v"]))
+    return neighborhood_sample(e, seeds, hops=SAMPLE_HOPS,
+                               fanout=SAMPLE_FANOUT, buckets=32)
 
 
 def q_graph_mis(sf_dir: str):
@@ -1323,6 +1350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_sssp": q_graph_sssp,
         "graph_mis": q_graph_mis,
         "graph_walks": q_graph_walks,
+        "graph_sample": q_graph_sample,
         "graph_triangles_approx": q_graph_triangles_approx,
         "graph_bfs_multi": q_graph_bfs_multi,
         "graph_local_clustering": q_graph_local_clustering,
@@ -1889,6 +1917,30 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL ".join(
             f"SELECT walker, CAST({_k} AS BIGINT) AS step, v FROM s{_k}"
             for _k in range(WALK_STEPS + 1))
+    )
+    # k-hop neighborhood-sample unroll: fanout children per frontier
+    # vertex via CROSS JOIN generate_series; frontier DISTINCT per hop
+    _smix = ("CAST(1 + ((fr.seed*48271 + {h}*16807 + j.j*9973 "
+             "+ fr.v*7919 + 12345) % 2147483647) % len(adj.nb) AS BIGINT)")
+    _samp_parts = [
+        _E_CTE,
+        "wv AS (SELECT src AS v FROM e UNION SELECT dst FROM e)",
+        "adj AS MATERIALIZED (SELECT src, list(dst ORDER BY dst) AS nb "
+        "FROM e GROUP BY src)",
+        "seeds AS (SELECT v FROM wv ORDER BY v LIMIT 3)",
+        "f0 AS (SELECT v AS seed, v FROM seeds)",
+    ]
+    for _h in range(1, SAMPLE_HOPS + 1):
+        _samp_parts.append(
+            f"f{_h} AS MATERIALIZED (SELECT DISTINCT fr.seed, "
+            f"adj.nb[{_smix.format(h=_h)}] AS v "
+            f"FROM f{_h - 1} fr JOIN adj ON adj.src = fr.v "
+            f"CROSS JOIN generate_series(1, {SAMPLE_FANOUT}) j(j))")
+    sql["graph_sample"] = (
+        "WITH " + ", ".join(_samp_parts) + " " +
+        " UNION ALL ".join(
+            f"SELECT seed, CAST({_h} AS BIGINT) AS hop, v FROM f{_h}"
+            for _h in range(SAMPLE_HOPS + 1))
     )
     # h-index iteration unroll: s0 = degree; each round s_k(v) =
     # max_i min(x_i, i) over v's neighbor values x sorted desc

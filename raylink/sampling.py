@@ -188,3 +188,121 @@ def random_walks(edges: rd.Dataset, *, length: int,
     for o in outs[1:]:
         res = res.union(o)
     return res
+
+
+def neighborhood_sample(edges: rd.Dataset, seeds: rd.Dataset, *,
+                        hops: int, fanout: int,
+                        buckets: int = 64) -> rd.Dataset:
+    """GraphSAGE-style k-hop neighborhood sampling: from every seed, draw
+    ``fanout`` deterministic children per frontier vertex per hop, dedup
+    the frontier per (seed, vertex), and emit DISTINCT rows
+    (seed, hop, v) — hop 0 is the seed itself.
+
+    Child j (1-based) of vertex v in seed s's tree at hop h is
+
+        nb[ ((s*48271 + h*16807 + j*9973 + v*7919 + 12345)
+             mod 2147483647) mod deg(v) ]
+
+    over dst-ascending adjacency — replayable by an unrolled SQL oracle
+    (CROSS JOIN generate_series(1, fanout)). All products stay below
+    2^47, exact in int64 on both sides. Frontier vertices with no
+    out-edges contribute no children (inner join).
+
+    Physical shape: one groupby shuffle per hop moving only (seed, v)
+    int64 pairs; adjacency lives in the bucketed object-store blobs from
+    :func:`adjacency_buckets` and never reshuffles. The per-hop dedup
+    happens inside the same group task (same-(seed,v) rows share a
+    v-bucket, so the local distinct is a global one)."""
+    refs = adjacency_buckets(edges, buckets)
+
+    def seed_state(batch: pa.Table) -> pa.Table:
+        v = _check_keys(batch["v"].to_numpy(zero_copy_only=False))
+        return pa.table({"seed": pa.array(v, pa.int64()),
+                         "v": pa.array(v, pa.int64())})
+
+    raw = seeds.map_batches(seed_state, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    def tag_v(batch: pa.Table) -> pa.Table:
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bkt": pa.array(_bkt(v, buckets), pa.int64()),
+            "seed": batch["seed"],
+            "v": batch["v"],
+        })
+
+    def kind_filter(kind: int):
+        def f(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.equal(batch["kind"], kind)).select(
+                ["seed", "v"])
+
+        return f
+
+    def with_hop(ds: rd.Dataset, h: int) -> rd.Dataset:
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                "seed": batch["seed"],
+                "hop": pa.array(np.full(n, h), pa.int64()),
+                "v": batch["v"],
+            })
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    outs = []
+    for lvl in range(hops + 1):
+        last = lvl == hops
+
+        def work(group: pa.Table, _h=lvl + 1, _last=last) -> pa.Table:
+            import ray as _ray
+
+            bkt = int(group["bkt"][0].as_py())
+            pairs = np.stack([
+                group["seed"].to_numpy(zero_copy_only=False),
+                group["v"].to_numpy(zero_copy_only=False)], axis=1)
+            pairs = np.unique(pairs, axis=0)  # global (seed, v) dedup
+            seed, v = pairs[:, 0], pairs[:, 1]
+            cols = [seed, v, np.zeros(len(seed), np.int64)]
+            ref = refs.get(bkt)
+            if not _last and ref is not None:
+                src_u, indptr, nb = _ray.get(ref)
+                pos = np.searchsorted(src_u, v)
+                safe = np.minimum(pos, len(src_u) - 1)
+                has = (pos < len(src_u)) & (src_u[safe] == v)
+                if has.any():
+                    es, ev, pos2 = seed[has], v[has], pos[has]
+                    deg = indptr[pos2 + 1] - indptr[pos2]
+                    # vectorized fanout expansion: repeat rows fanout times
+                    rs = np.repeat(es, fanout)
+                    rv = np.repeat(ev, fanout)
+                    rpos = np.repeat(indptr[pos2], fanout)
+                    rdeg = np.repeat(deg, fanout)
+                    j = np.tile(np.arange(1, fanout + 1, dtype=np.int64),
+                                len(es))
+                    mix = (rs * np.int64(48271)
+                           + np.int64(_h) * np.int64(16807)
+                           + j * np.int64(9973) + rv * np.int64(7919)
+                           + np.int64(12345)) % _P_MOD
+                    child = nb[rpos + mix % rdeg]
+                    cols = [np.concatenate([cols[0], rs]),
+                            np.concatenate([cols[1], child]),
+                            np.concatenate([cols[2],
+                                            np.ones(len(rs), np.int64)])]
+            return pa.table({"seed": pa.array(cols[0], pa.int64()),
+                             "v": pa.array(cols[1], pa.int64()),
+                             "kind": pa.array(cols[2], pa.int64())})
+
+        grouped = (raw.map_batches(tag_v, batch_format="pyarrow")
+                   .groupby("bkt").map_groups(work, batch_format="pyarrow")
+                   .materialize())
+        frontier = grouped.map_batches(kind_filter(0), batch_format="pyarrow")
+        outs.append(with_hop(frontier, lvl))
+        if not last:
+            raw = grouped.map_batches(kind_filter(1), batch_format="pyarrow")
+
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.union(o)
+    return res

@@ -1387,3 +1387,60 @@ def test_random_walks_vs_bruteforce():
     bad = _int_edges_ds([(1, 1 << 40)])
     with pytest.raises(Exception, match="integer vertex keys"):
         random_walks(bad, length=1).materialize()
+
+
+def test_neighborhood_sample_vs_bruteforce():
+    """neighborhood_sample == a sequential replay: per hop, every
+    (seed, v) frontier pair expands fanout children via the shared mix
+    arithmetic over dst-ascending adjacency, then the frontier dedups per
+    (seed, v). Bucket count never changes the output; dead-ends stop."""
+    from raylink.sampling import neighborhood_sample
+
+    rng = np.random.default_rng(71)
+    pairs = set()
+    while len(pairs) < 70:
+        a, b = (int(x) for x in rng.integers(0, 20, size=2))
+        if a != b:
+            pairs.add((a, b))
+    pairs = sorted(pairs) + [(3, 500)]  # 500 is a sink
+    ds = _int_edges_ds(pairs)
+
+    adj: dict[int, list] = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+    for v in adj:
+        adj[v] = sorted(set(adj[v]))
+
+    H, F = 3, 2
+    seeds = [0, 1, 3]
+
+    def brute():
+        rows = set()
+        frontier = {(s, s) for s in seeds}
+        rows |= {(s, 0, v) for s, v in frontier}
+        for h in range(1, H + 1):
+            nxt = set()
+            for s, v in sorted(frontier):
+                nb = adj.get(v)
+                if not nb:
+                    continue
+                for j in range(1, F + 1):
+                    idx = ((s * 48271 + h * 16807 + j * 9973 + v * 7919
+                            + 12345) % 2147483647) % len(nb)
+                    nxt.add((s, nb[idx]))
+            rows |= {(s, h, v) for s, v in nxt}
+            frontier = nxt
+        return rows
+
+    want = brute()
+    seeds_ds = rd.from_arrow(pa.table({"v": pa.array(seeds, pa.int64())}))
+    for buckets in (2, 13):
+        got = {(r["seed"], r["hop"], r["v"])
+               for b in neighborhood_sample(ds, seeds_ds, hops=H, fanout=F,
+                                            buckets=buckets)
+               .iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
+        assert got == want, buckets
+    # distinctness: no duplicate rows
+    res = neighborhood_sample(ds, seeds_ds, hops=H, fanout=F,
+                              buckets=5).to_pandas()
+    assert len(res) == len(res.drop_duplicates())
