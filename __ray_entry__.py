@@ -638,6 +638,30 @@ MIS_ROUNDS = 8
 WALK_STEPS = 4
 SAMPLE_HOPS = 3
 SAMPLE_FANOUT = 3
+BETW_ROUNDS = 6
+
+
+def q_graph_betweenness(sf_dir: str):
+    """Landmark betweenness: Brandes dependency sums from the 3 smallest
+    user ids over the symmetric transition graph — ONE forward
+    multi-source sigma-counting BFS + a backward per-level dependency
+    sweep (2*depth supersteps amortized over all landmarks). Fixed
+    forward cap BETW_ROUNDS shared with the unrolled SQL oracle (both
+    sides compute the identically-truncated recursion)."""
+    from raylink.graph import build_graph
+    from raylink.kernels import betweenness
+    from raylink.ops import scale_columns
+    from raylink.pipelines.flagship import join_keys
+
+    sg = build_graph(_user_edges(sf_dir), P=GRAPH_P, symmetric=True,
+                     already_deduped=True)
+    kv = [(r["key"], r["vid"]) for b in sg.vertices.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()]
+    seeds = [v for _, v in sorted(kv)[:3]]
+    res = betweenness(sg, seeds, max_depth=BETW_ROUNDS)
+    out = _rename(join_keys(res, sg, "bc"), {"key": "user_id"})
+    out = scale_columns(out, {"bc": 1e9})
+    return _rename(out, {"bc": "bc_fp"})
 
 
 def q_graph_sample(sf_dir: str):
@@ -1351,6 +1375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_mis": q_graph_mis,
         "graph_walks": q_graph_walks,
         "graph_sample": q_graph_sample,
+        "graph_betweenness": q_graph_betweenness,
         "graph_triangles_approx": q_graph_triangles_approx,
         "graph_bfs_multi": q_graph_bfs_multi,
         "graph_local_clustering": q_graph_local_clustering,
@@ -1941,6 +1966,50 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL ".join(
             f"SELECT seed, CAST({_h} AS BIGINT) AS hop, v FROM f{_h}"
             for _h in range(SAMPLE_HOPS + 1))
+    )
+    # Brandes unroll: forward sigma-counting BFS rounds (anti-join keeps
+    # first discovery), then backward dependency levels K..1; both sides
+    # compute the identically-truncated recursion — see kernels/betweenness.py
+    _bw_parts = [
+        _E_CTE,
+        "es AS MATERIALIZED (SELECT src, dst FROM e "
+        "UNION SELECT dst, src FROM e)",
+        "bv AS (SELECT DISTINCT src AS v FROM es)",
+        "srcs AS (SELECT v AS s FROM bv ORDER BY v LIMIT 3)",
+        "F0 AS (SELECT s, s AS v, 0 AS d, CAST(1 AS DOUBLE) AS sig "
+        "FROM srcs)",
+    ]
+    for _t in range(1, BETW_ROUNDS + 1):
+        _bw_parts.append(
+            f"F{_t} AS MATERIALIZED (SELECT * FROM F{_t - 1} UNION ALL "
+            f"SELECT g.s, g.v, {_t} AS d, g.sig FROM "
+            f"(SELECT f.s, es.dst AS v, sum(f.sig) AS sig FROM F{_t - 1} f "
+            f"JOIN es ON es.src = f.v WHERE f.d = {_t - 1} "
+            f"GROUP BY f.s, es.dst) g "
+            f"LEFT JOIN F{_t - 1} p ON p.s = g.s AND p.v = g.v "
+            f"WHERE p.v IS NULL)")
+    _bw_parts.append(
+        f"D{BETW_ROUNDS} AS (SELECT s, v, d AS dd, sig, "
+        f"CAST(0 AS DOUBLE) AS delta FROM F{BETW_ROUNDS})")
+    for _t in range(BETW_ROUNDS, 0, -1):
+        _bw_parts.append(
+            f"A{_t} AS (SELECT dv.s, dv.v, "
+            f"sum(dv.sig / dw.sig * (1 + dw.delta)) AS ad "
+            f"FROM D{_t} dv JOIN es ON es.src = dv.v "
+            f"JOIN D{_t} dw ON dw.s = dv.s AND dw.v = es.dst "
+            f"AND dw.dd = {_t} "
+            f"WHERE dv.dd = {_t - 1} GROUP BY dv.s, dv.v)")
+        _bw_parts.append(
+            f"D{_t - 1} AS MATERIALIZED (SELECT d.s, d.v, d.dd, d.sig, "
+            f"d.delta + coalesce(a.ad, 0) AS delta FROM D{_t} d "
+            f"LEFT JOIN A{_t} a ON a.s = d.s AND a.v = d.v)")
+    sql["graph_betweenness"] = (
+        "WITH " + ", ".join(_bw_parts) +
+        " SELECT bv.v AS user_id, "
+        "CAST(floor(coalesce(t.bc, 0)*1000000000 + 0.5) AS BIGINT) "
+        "AS bc_fp FROM bv LEFT JOIN "
+        "(SELECT v, sum(delta) AS bc FROM D0 WHERE dd > 0 GROUP BY v) t "
+        "ON t.v = bv.v"
     )
     # h-index iteration unroll: s0 = degree; each round s_k(v) =
     # max_i min(x_i, i) over v's neighbor values x sorted desc

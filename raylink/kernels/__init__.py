@@ -28,6 +28,7 @@ from .truss import k_truss
 from .modularity import modularity
 from .hits import hits
 from .mis import maximal_independent_set
+from .betweenness import betweenness
 
 __all__ = ["pagerank", "connected_components", "label_propagation",
            "triangle_count", "approx_triangle_count", "graph_summary",
@@ -35,4 +36,4 @@ __all__ = ["pagerank", "connected_components", "label_propagation",
            "modularity",
            "local_clustering", "edge_support", "bfs_hops", "bfs_hops_multi",
            "k_core", "hits", "sssp", "coreness", "reciprocity",
-           "maximal_independent_set"]
+           "maximal_independent_set", "betweenness"]

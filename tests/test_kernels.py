@@ -1444,3 +1444,119 @@ def test_neighborhood_sample_vs_bruteforce():
     res = neighborhood_sample(ds, seeds_ds, hops=H, fanout=F,
                               buckets=5).to_pandas()
     assert len(res) == len(res.drop_duplicates())
+
+
+def test_betweenness_vs_bruteforce():
+    """betweenness == sequential Brandes dependency sums from the same
+    source set (allclose 1e-9), on a path graph (known answer) and a
+    random symmetric graph with multiple components; a truncated
+    max_depth matches the equally-truncated recursion."""
+    from collections import deque
+
+    from raylink.kernels import betweenness
+
+    def brandes(adj, sources):
+        bc = {v: 0.0 for v in adj}
+        for s in sources:
+            dist = {s: 0}
+            sigma = {s: 1.0}
+            order = []
+            q = deque([s])
+            while q:
+                v = q.popleft()
+                order.append(v)
+                for w in adj[v]:
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        q.append(w)
+                    if dist[w] == dist[v] + 1:
+                        sigma[w] = sigma.get(w, 0.0) + sigma[v]
+            delta = {v: 0.0 for v in order}
+            for w in reversed(order):
+                for u in adj[w]:
+                    if dist.get(u, -2) == dist[w] - 1:
+                        delta[u] += sigma[u] / sigma[w] * (1 + delta[w])
+            for v in order:
+                if v != s:
+                    bc[v] += delta[v]
+        return bc
+
+    def run(pairs, sources_keys, **kw):
+        sg = G.build_graph(_int_edges_ds(pairs), P=P, symmetric=True)
+        kv = {r["key"]: r["vid"] for b in sg.vertices.iter_batches(
+            batch_format="pyarrow") for r in b.to_pylist()}
+        vk = {v: k for k, v in kv.items()}
+        res = betweenness(sg, [kv[k] for k in sources_keys], **kw)
+        return {vk[r["vid"]]: r["bc"] for b in res.iter_batches(
+            batch_format="pyarrow") for r in b.to_pylist()}
+
+    def sym_adj(pairs):
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        return {v: sorted(n) for v, n in adj.items()}
+
+    # path a-b-c-d: from ALL sources, raw dependency of the middle two
+    # is 4 each ((a,c),(a,d),(d,b),(d,a) style pairs; classic bc = raw/2)
+    path = [(10, 11), (11, 12), (12, 13)]
+    got = run(path, [10, 11, 12, 13])
+    want = brandes(sym_adj(path), [10, 11, 12, 13])
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+    assert got[11] == got[12] == 4.0
+
+    # random graph + an isolated component, landmark subset of sources
+    rng = np.random.default_rng(73)
+    pairs = set()
+    while len(pairs) < 90:
+        a, b = (int(x) for x in rng.integers(0, 28, size=2))
+        if a != b:
+            pairs.add((a, b))
+    pairs = sorted(pairs) + [(100, 101), (101, 102)]
+    adj = sym_adj(pairs)
+    for sources in ([0, 1, 2, 100], sorted(adj)):
+        got = run(pairs, sources)
+        want = brandes(adj, sources)
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9, (k, sources)
+
+    # truncated depth == equally-truncated sequential recursion
+    def brandes_trunc(adj, sources, K):
+        bc = {v: 0.0 for v in adj}
+        for s in sources:
+            dist = {s: 0}
+            sigma = {s: 1.0}
+            order = []
+            q = deque([s])
+            while q:
+                v = q.popleft()
+                if dist[v] >= K:
+                    continue
+                order.append(v)
+                for w in adj[v]:
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        q.append(w)
+                    if dist[w] == dist[v] + 1:
+                        sigma[w] = sigma.get(w, 0.0) + sigma[v]
+            full = [v for v in dist]
+            delta = {v: 0.0 for v in full}
+            for t in range(K, 0, -1):
+                for w in full:
+                    if dist[w] != t:
+                        continue
+                    for u in adj[w]:
+                        if dist.get(u, -2) == t - 1:
+                            delta[u] += sigma[u] / sigma[w] * (1 + delta[w])
+            for v in full:
+                if v != s:
+                    bc[v] += delta[v]
+        return bc
+
+    chain = [(i, i + 1) for i in range(8)]
+    got = run(chain, [0, 4], max_depth=2)
+    want = brandes_trunc(sym_adj(chain), [0, 4], 2)
+    for k in got:
+        assert abs(got[k] - want.get(k, 0.0)) < 1e-9, k
