@@ -639,6 +639,23 @@ WALK_STEPS = 4
 SAMPLE_HOPS = 3
 SAMPLE_FANOUT = 3
 BETW_ROUNDS = 6
+COLOR_ROUNDS = 8
+
+
+def q_graph_coloring(sf_dir: str):
+    """Distance-1 graph coloring (Jones-Plassmann, deterministic
+    arithmetic priorities) over the symmetric transition graph: adjacent
+    users always get different colors, <= maxdeg+1 colors. Fixed unroll
+    depth COLOR_ROUNDS shared with the SQL oracle; vertices the cap
+    leaves uncolored report -1 on both sides."""
+    from raylink.graph import build_graph
+    from raylink.kernels import graph_coloring
+    from raylink.pipelines.flagship import join_keys
+
+    sg = build_graph(_user_edges(sf_dir), P=GRAPH_P, symmetric=True,
+                     already_deduped=True)
+    colors = graph_coloring(sg, max_iter=COLOR_ROUNDS)
+    return _rename(join_keys(colors, sg, "color"), {"key": "user_id"})
 
 
 def q_graph_betweenness(sf_dir: str):
@@ -1376,6 +1393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_walks": q_graph_walks,
         "graph_sample": q_graph_sample,
         "graph_betweenness": q_graph_betweenness,
+        "graph_coloring": q_graph_coloring,
         "graph_triangles_approx": q_graph_triangles_approx,
         "graph_bfs_multi": q_graph_bfs_multi,
         "graph_local_clustering": q_graph_local_clustering,
@@ -1920,6 +1938,36 @@ def oracle_sql() -> dict[str, str]:
         "WITH " + ", ".join(_mis_parts) +
         f" SELECT v AS user_id, CAST(s = 1 AS BIGINT) AS in_mis "
         f"FROM st{MIS_ROUNDS}"
+    )
+    # Jones-Plassmann unroll: per round, min of uncolored neighbors'
+    # combined priorities (blocking channel) + bit-OR of colored
+    # neighbors' color bits; ready vertices take the lowest free bit
+    _col_parts = [
+        _E_CTE,
+        "es AS MATERIALIZED (SELECT src, dst FROM e "
+        "UNION SELECT dst, src FROM e)",
+        "cv AS (SELECT DISTINCT src AS v FROM es)",
+        "c0 AS (SELECT v, CAST(NULL AS BIGINT) AS c FROM cv)",
+    ]
+    for _k in range(1, COLOR_ROUNDS + 1):
+        _col_parts.append(
+            f"cm{_k} AS MATERIALIZED (SELECT es.dst AS v, "
+            f"min(CASE WHEN st.c IS NULL THEN {_comb.format(k='st.v')} END)"
+            f" AS m, coalesce(bit_or(CASE WHEN st.c IS NOT NULL THEN "
+            f"(CAST(1 AS BIGINT) << st.c) END), 0) AS o "
+            f"FROM c{_k - 1} st JOIN es ON es.src = st.v GROUP BY es.dst)")
+        _col_parts.append(
+            f"c{_k} AS MATERIALIZED (SELECT st.v, "
+            f"CASE WHEN st.c IS NOT NULL THEN st.c "
+            f"WHEN cm.m IS NULL OR cm.m > {_comb.format(k='st.v')} THEN "
+            f"(SELECT min(g.i) FROM generate_series(0,62) g(i) "
+            f"WHERE (coalesce(cm.o,0) >> g.i) & 1 = 0) "
+            f"ELSE NULL END AS c "
+            f"FROM c{_k - 1} st LEFT JOIN cm{_k} cm ON cm.v = st.v)")
+    sql["graph_coloring"] = (
+        "WITH " + ", ".join(_col_parts) +
+        f" SELECT v AS user_id, CAST(coalesce(c, -1) AS BIGINT) AS color "
+        f"FROM c{COLOR_ROUNDS}"
     )
     # deterministic random-walk unroll: shared mix arithmetic mod
     # out-degree over dst-ascending adjacency; see raylink/sampling.py

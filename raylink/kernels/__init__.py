@@ -29,6 +29,7 @@ from .modularity import modularity
 from .hits import hits
 from .mis import maximal_independent_set
 from .betweenness import betweenness
+from .coloring import graph_coloring
 
 __all__ = ["pagerank", "connected_components", "label_propagation",
            "triangle_count", "approx_triangle_count", "graph_summary",
@@ -36,4 +37,4 @@ __all__ = ["pagerank", "connected_components", "label_propagation",
            "modularity",
            "local_clustering", "edge_support", "bfs_hops", "bfs_hops_multi",
            "k_core", "hits", "sssp", "coreness", "reciprocity",
-           "maximal_independent_set", "betweenness"]
+           "maximal_independent_set", "betweenness", "graph_coloring"]

@@ -1560,3 +1560,65 @@ def test_betweenness_vs_bruteforce():
     want = brandes_trunc(sym_adj(chain), [0, 4], 2)
     for k in got:
         assert abs(got[k] - want.get(k, 0.0)) < 1e-9, k
+
+
+def test_graph_coloring_vs_bruteforce():
+    """graph_coloring == the synchronous Jones-Plassmann brute force
+    (uncolored vertex with no uncolored higher-priority neighbor takes
+    the lowest color unused by colored neighbors) per round; the fixpoint
+    is a PROPER distance-1 coloring with <= maxdeg+1 colors; fused ==
+    distributed; string keys refused."""
+    from raylink.kernels import graph_coloring
+
+    rng = np.random.default_rng(79)
+    pairs = set()
+    while len(pairs) < 100:
+        a, b = (int(x) for x in rng.integers(0, 26, size=2))
+        if a != b:
+            pairs.add((a * 13 + 1, b * 13 + 1))
+    pairs = sorted(pairs)
+    sg = G.build_graph(_int_edges_ds(pairs), P=P, symmetric=True)
+    kv = {r["vid"]: r["key"] for b in sg.vertices.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()}
+
+    adj: dict[int, set] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def brute(rounds):
+        c = {v: None for v in adj}
+        for _ in range(rounds):
+            nc = dict(c)
+            for v in adj:
+                if c[v] is not None:
+                    continue
+                if any(c[u] is None and _comb_prio(u) < _comb_prio(v)
+                       for u in adj[v]):
+                    continue
+                used = {c[u] for u in adj[v] if c[u] is not None}
+                nc[v] = min(i for i in range(64) if i not in used)
+            c = nc
+        return c
+
+    for rounds in (1, 2, 3, 32):
+        got = {kv[r["vid"]]: r["color"] for b in graph_coloring(
+            sg, max_iter=rounds).iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()}
+        want = {v: (-1 if c is None else c) for v, c in brute(rounds).items()}
+        assert got == want, rounds
+
+    final = brute(64)
+    assert all(c is not None for c in final.values())
+    for a, b in pairs:
+        assert final[a] != final[b]  # proper
+    assert max(final.values()) <= max(len(n) for n in adj.values())
+
+    cf = graph_coloring(sg, max_iter=16, fused=True).to_pandas()
+    cd = graph_coloring(sg, max_iter=16, fused=False).to_pandas()
+    assert cf.sort_values("vid").reset_index(drop=True).equals(
+        cd.sort_values("vid").reset_index(drop=True))
+
+    gs = G.build_graph(edges_ds(clique_pairs(1, 4)), P=P, symmetric=True)
+    with pytest.raises(TypeError):
+        graph_coloring(gs)
