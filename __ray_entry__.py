@@ -732,6 +732,20 @@ def q_graph_walks(sf_dir: str):
     return random_walks(_user_edges(sf_dir), length=WALK_STEPS, buckets=32)
 
 
+def q_graph_walks_weighted(sf_dir: str):
+    """Weight-PROPORTIONAL deterministic walks over the transition
+    MULTIgraph: duplicate transitions collapse to multiplicity weights,
+    and step k picks the unique dst-ascending slot whose cumulative
+    weight interval contains mix mod W(v) — the SQL twin uses windowed
+    cumulative sums."""
+    from raylink.ops import transition_edges
+    from raylink.sampling import random_walks
+
+    e = transition_edges(_read(sf_dir, "events", ["event_id", "user_id"]),
+                         distinct=False)
+    return random_walks(e, length=WALK_STEPS, buckets=32, weighted=True)
+
+
 def q_graph_kcore(sf_dir: str):
     """2-core membership via iterative peeling (fixed unroll depth shared
     with the SQL oracle; equal even if the fixpoint lands earlier)."""
@@ -1391,6 +1405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_sssp": q_graph_sssp,
         "graph_mis": q_graph_mis,
         "graph_walks": q_graph_walks,
+        "graph_walks_weighted": q_graph_walks_weighted,
         "graph_sample": q_graph_sample,
         "graph_betweenness": q_graph_betweenness,
         "graph_coloring": q_graph_coloring,
@@ -1987,6 +2002,34 @@ def oracle_sql() -> dict[str, str]:
             f"FROM s{_k - 1} s JOIN adj ON adj.src = s.v)")
     sql["graph_walks"] = (
         "WITH " + ", ".join(_walk_parts) + " " +
+        " UNION ALL ".join(
+            f"SELECT walker, CAST({_k} AS BIGINT) AS step, v FROM s{_k}"
+            for _k in range(WALK_STEPS + 1))
+    )
+    # weight-proportional walk unroll: windowed cumulative weights per
+    # (src, dst-asc); the pick is the unique slot whose [cumw-w, cumw)
+    # interval contains mix mod tot — see raylink/sampling.py
+    _wmixw = "((s.walker*48271 + {k}*16807 + 12345) % 2147483647)"
+    _walkw_parts = [
+        "ewi AS (SELECT a.user_id AS src, b.user_id AS dst, "
+        "CAST(count(*) AS BIGINT) AS w FROM events a "
+        "JOIN events b ON b.event_id = a.event_id + 1 "
+        "WHERE a.user_id <> b.user_id GROUP BY 1, 2)",
+        "wv AS (SELECT src AS v FROM ewi UNION SELECT dst FROM ewi)",
+        "adjw AS MATERIALIZED (SELECT src, dst, w, "
+        "sum(w) OVER (PARTITION BY src ORDER BY dst) AS cumw, "
+        "sum(w) OVER (PARTITION BY src) AS tot FROM ewi)",
+        "s0 AS (SELECT v AS walker, v FROM wv)",
+    ]
+    for _k in range(1, WALK_STEPS + 1):
+        _m = _wmixw.format(k=_k)
+        _walkw_parts.append(
+            f"s{_k} AS MATERIALIZED (SELECT s.walker, a.dst AS v "
+            f"FROM s{_k - 1} s JOIN adjw a ON a.src = s.v "
+            f"AND ({_m}) % a.tot >= a.cumw - a.w "
+            f"AND ({_m}) % a.tot < a.cumw)")
+    sql["graph_walks_weighted"] = (
+        "WITH " + ", ".join(_walkw_parts) + " " +
         " UNION ALL ".join(
             f"SELECT walker, CAST({_k} AS BIGINT) AS step, v FROM s{_k}"
             for _k in range(WALK_STEPS + 1))

@@ -55,10 +55,16 @@ def _check_keys(x: np.ndarray) -> np.ndarray:
     return x
 
 
-def adjacency_buckets(edges: rd.Dataset, buckets: int) -> dict[int, Any]:
-    """DISTINCT (src:int64, dst:int64) -> {bucket: ObjectRef(blob)} where
-    blob = (src_sorted, indptr, nb_flat) with per-src neighbors ascending.
-    One groupby shuffle; the driver holds only B small refs."""
+def adjacency_buckets(edges: rd.Dataset, buckets: int,
+                      weighted: bool = False) -> dict[int, Any]:
+    """(src:int64, dst:int64) -> {bucket: ObjectRef(blob)} where blob =
+    (src_sorted, indptr, nb_flat, wcum) with per-src neighbors ascending.
+    ``weighted=False``: edges must be DISTINCT, wcum is None.
+    ``weighted=True``: pass the NON-distinct stream — duplicate pairs
+    collapse to one slot whose weight is the multiplicity, and ``wcum``
+    is the leading-zero global cumulative weight (wcum[j] = total weight
+    of slots before j), so weight-proportional picks are one global
+    searchsorted. One groupby shuffle; the driver holds only B refs."""
 
     def tag(batch: pa.Table) -> pa.Table:
         src = _check_keys(batch["src"].to_numpy(zero_copy_only=False))
@@ -73,11 +79,18 @@ def adjacency_buckets(edges: rd.Dataset, buckets: int) -> dict[int, Any]:
         bkt = int(group["bkt"][0].as_py())
         src = group["src"].to_numpy(zero_copy_only=False)
         dst = group["dst"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((dst, src))
-        src, dst = src[order], dst[order]
+        if weighted:
+            pair, w = np.unique(np.stack([src, dst], axis=1), axis=0,
+                                return_counts=True)
+            src, dst = pair[:, 0], pair[:, 1]  # already (src, dst) asc
+            wcum = np.concatenate([[0], w.astype(np.int64).cumsum()])
+        else:
+            order = np.lexsort((dst, src))
+            src, dst = src[order], dst[order]
+            wcum = None
         src_u, counts = np.unique(src, return_counts=True)
         indptr = np.concatenate([[0], counts.cumsum()]).astype(np.int64)
-        blob = pickle.dumps((src_u, indptr, dst), protocol=5)
+        blob = pickle.dumps((src_u, indptr, dst, wcum), protocol=5)
         return pa.table({"bkt": pa.array([bkt], pa.int64()),
                          "payload": pa.array([blob], pa.binary())})
 
@@ -93,16 +106,21 @@ def adjacency_buckets(edges: rd.Dataset, buckets: int) -> dict[int, Any]:
 
 def random_walks(edges: rd.Dataset, *, length: int,
                  buckets: int = 64,
-                 starts: rd.Dataset | None = None) -> rd.Dataset:
+                 starts: rd.Dataset | None = None,
+                 weighted: bool = False) -> rd.Dataset:
     """One deterministic walk of ``length`` steps from every start vertex
     (default: every distinct vertex of ``edges``); returns rows
     (walker, step, v) — step 0 is the start itself, and a walk that
     reaches a vertex with no out-edges stops emitting.
 
-    ``edges`` must be DISTINCT directed (src, dst) int64 pairs (pass the
-    output of :func:`raylink.ops.transition_edges` or any deduped edge
-    table) — duplicates would shift neighbor indices vs the oracle."""
-    refs = adjacency_buckets(edges, buckets)
+    ``weighted=False``: uniform next-neighbor pick, index = mix mod deg;
+    ``edges`` must be DISTINCT (duplicates would shift neighbor indices
+    vs the oracle). ``weighted=True``: pass the NON-distinct stream —
+    the pick is weight-PROPORTIONAL over multiplicity weights: r = mix
+    mod W(v) selects the unique slot (dst ascending) whose cumulative
+    weight interval contains r (SQL twin: windowed sum(w) cumulative
+    intervals)."""
+    refs = adjacency_buckets(edges, buckets, weighted=weighted)
 
     if starts is None:
         def verts(batch: pa.Table) -> pa.Table:
@@ -163,7 +181,7 @@ def random_walks(edges: rd.Dataset, *, length: int,
                               "v": pa.array([], pa.int64())})
             if ref is None:
                 return empty
-            src_u, indptr, nb = _ray.get(ref)
+            src_u, indptr, nb, wcum = _ray.get(ref)
             walker = group["walker"].to_numpy(zero_copy_only=False)
             v = group["v"].to_numpy(zero_copy_only=False)
             pos = np.searchsorted(src_u, v)
@@ -172,10 +190,16 @@ def random_walks(edges: rd.Dataset, *, length: int,
             if not has.any():
                 return empty
             walker, pos = walker[has], pos[has]
-            deg = indptr[pos + 1] - indptr[pos]
             mix = (walker * np.int64(48271) + np.int64(_k) * np.int64(16807)
                    + np.int64(12345)) % _P_MOD
-            nxt = nb[indptr[pos] + mix % deg]
+            if wcum is not None:
+                lo, hi = indptr[pos], indptr[pos + 1]
+                tot = wcum[hi] - wcum[lo]
+                target = wcum[lo] + mix % tot
+                nxt = nb[np.searchsorted(wcum, target, side="right") - 1]
+            else:
+                deg = indptr[pos + 1] - indptr[pos]
+                nxt = nb[indptr[pos] + mix % deg]
             return pa.table({"walker": pa.array(walker, pa.int64()),
                              "v": pa.array(nxt, pa.int64())})
 
@@ -267,7 +291,7 @@ def neighborhood_sample(edges: rd.Dataset, seeds: rd.Dataset, *,
             cols = [seed, v, np.zeros(len(seed), np.int64)]
             ref = refs.get(bkt)
             if not _last and ref is not None:
-                src_u, indptr, nb = _ray.get(ref)
+                src_u, indptr, nb, _ = _ray.get(ref)
                 pos = np.searchsorted(src_u, v)
                 safe = np.minimum(pos, len(src_u) - 1)
                 has = (pos < len(src_u)) & (src_u[safe] == v)

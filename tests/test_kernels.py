@@ -1622,3 +1622,68 @@ def test_graph_coloring_vs_bruteforce():
     gs = G.build_graph(edges_ds(clique_pairs(1, 4)), P=P, symmetric=True)
     with pytest.raises(TypeError):
         graph_coloring(gs)
+
+
+def test_weighted_random_walks_vs_bruteforce():
+    """random_walks(weighted=True) == sequential replay of the cumulative
+    multiplicity-weight pick (r = mix mod W(v) lands in the unique
+    dst-ascending [cumw-w, cumw) interval); all-multiplicity-1 equals the
+    unweighted walk; bucket count never changes the output."""
+    from raylink.sampling import random_walks
+
+    rng = np.random.default_rng(83)
+    base = set()
+    while len(base) < 50:
+        a, b = (int(x) for x in rng.integers(0, 20, size=2))
+        if a != b:
+            base.add((a, b))
+    base = sorted(base)
+    pairs = base + base[::3] + base[::3] + base[::7]  # multiplicities
+    ds = _int_edges_ds(pairs)
+
+    from collections import Counter
+    wmap = Counter(pairs)
+    adj: dict[int, list] = {}
+    for (a, b), w in sorted(wmap.items()):
+        adj.setdefault(a, []).append((b, w))
+    verts = sorted({x for e in pairs for x in e})
+
+    K = 5
+
+    def brute():
+        rows = set()
+        for wk in verts:
+            cur = wk
+            rows.add((wk, 0, wk))
+            for k in range(1, K + 1):
+                nb = adj.get(cur)
+                if not nb:
+                    break
+                tot = sum(w for _, w in nb)
+                r = ((wk * 48271 + k * 16807 + 12345) % 2147483647) % tot
+                acc = 0
+                for b, w in nb:
+                    acc += w
+                    if r < acc:
+                        cur = b
+                        break
+                rows.add((wk, k, cur))
+        return rows
+
+    want = brute()
+    for buckets in (4, 11):
+        got = {(r["walker"], r["step"], r["v"])
+               for b in random_walks(ds, length=K, buckets=buckets,
+                                     weighted=True)
+               .iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
+        assert got == want, buckets
+
+    # multiplicity-1 weighted == unweighted exactly
+    w1 = {(r["walker"], r["step"], r["v"])
+          for b in random_walks(_int_edges_ds(base), length=K, buckets=7,
+                                weighted=True)
+          .iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
+    u1 = {(r["walker"], r["step"], r["v"])
+          for b in random_walks(_int_edges_ds(base), length=K, buckets=7)
+          .iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
+    assert w1 == u1
