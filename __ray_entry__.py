@@ -642,6 +642,53 @@ BETW_ROUNDS = 6
 COLOR_ROUNDS = 8
 
 
+def q_graph_closeness(sf_dir: str):
+    """Landmark closeness: per vertex, how many of the 3 smallest-id
+    landmarks reach it, the summed hop distance, and the harmonic sum
+    (per-term fixed-point floor(1e9/d + 0.5), order-free and exact on
+    both sides). One multi-source BFS serves all landmarks."""
+    import numpy as np
+
+    from raylink.graph import build_graph
+    from raylink.kernels import bfs_hops_multi
+    from raylink.pipelines.flagship import join_keys
+
+    sg = build_graph(_user_edges(sf_dir), P=GRAPH_P, symmetric=True,
+                     already_deduped=True)
+    kv = [(r["key"], r["vid"]) for b in sg.vertices.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()]
+    seeds = [v for _, v in sorted(kv)[:3]]
+    res = bfs_hops_multi(sg, seeds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hops = batch["hops"].to_numpy(zero_copy_only=False)
+        harm = np.where(hops > 0,
+                        np.floor(1e9 / np.maximum(hops, 1) + 0.5), 0.0)
+        return pa.table({
+            "vid": batch["vid"],
+            "n": pa.array(np.ones(len(hops), np.int64)),
+            "h": pa.array(hops, pa.int64()),
+            "hm": pa.array(harm.astype(np.int64), pa.int64()),
+        })
+
+    def final(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "vid": g["vid"][:1],
+            "n_reached": pa.array([int(pa.compute.sum(g["n"]).as_py())],
+                                  pa.int64()),
+            "sum_hops": pa.array([int(pa.compute.sum(g["h"]).as_py())],
+                                 pa.int64()),
+            "harmonic_fp": pa.array([int(pa.compute.sum(g["hm"]).as_py())],
+                                    pa.int64()),
+        })
+
+    agg = (res.map_batches(partial, batch_format="pyarrow")
+           .groupby("vid").map_groups(final, batch_format="pyarrow"))
+    return _rename(join_keys(agg, sg, ["n_reached", "sum_hops",
+                                       "harmonic_fp"]),
+                   {"key": "user_id"})
+
+
 def q_graph_coloring(sf_dir: str):
     """Distance-1 graph coloring (Jones-Plassmann, deterministic
     arithmetic priorities) over the symmetric transition graph: adjacent
@@ -1409,6 +1456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_sample": q_graph_sample,
         "graph_betweenness": q_graph_betweenness,
         "graph_coloring": q_graph_coloring,
+        "graph_closeness": q_graph_closeness,
         "graph_triangles_approx": q_graph_triangles_approx,
         "graph_bfs_multi": q_graph_bfs_multi,
         "graph_local_clustering": q_graph_local_clustering,
@@ -2194,6 +2242,9 @@ def oracle_sql() -> dict[str, str]:
     ).replace('" + _E_CTE + "', _E_CTE)
     sql["graph_bfs_multi"] = (
         """WITH RECURSIVE " + _E_CTE + ", und AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e)), vx AS (SELECT DISTINCT v FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und)), s AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS si FROM vx ORDER BY v LIMIT 3), b(v, si, d) AS (SELECT v, si, 0 FROM s UNION SELECT u.b, b.si, b.d + 1 FROM b JOIN und u ON u.a = b.v WHERE b.d < 200) SELECT v AS user_id, CAST(si AS BIGINT) AS source_idx, CAST(min(d) AS BIGINT) AS hops FROM b GROUP BY v, si"""
+    ).replace('" + _E_CTE + "', _E_CTE)
+    sql["graph_closeness"] = (
+        """WITH RECURSIVE " + _E_CTE + ", und AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e)), vx AS (SELECT DISTINCT v FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und)), s AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS si FROM vx ORDER BY v LIMIT 3), b(v, si, d) AS (SELECT v, si, 0 FROM s UNION SELECT u.b, b.si, b.d + 1 FROM b JOIN und u ON u.a = b.v WHERE b.d < 200), dd AS (SELECT v, si, min(d) AS d FROM b GROUP BY v, si) SELECT v AS user_id, CAST(count(*) AS BIGINT) AS n_reached, CAST(sum(d) AS BIGINT) AS sum_hops, CAST(sum(CASE WHEN d > 0 THEN CAST(floor(1000000000.0/d + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS harmonic_fp FROM dd GROUP BY v"""
     ).replace('" + _E_CTE + "', _E_CTE)
     sql["graph_kcore"] = (
         """WITH " + _E_CTE + ", und AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e)), v AS (SELECT a AS v FROM und UNION SELECT b FROM und), a0 AS (SELECT v FROM v), a1 AS (SELECT u.a AS v FROM und u JOIN a0 nb ON nb.v = u.b JOIN a0 me ON me.v = u.a GROUP BY u.a HAVING count(*) >= 2), a2 AS (SELECT u.a AS v FROM und u JOIN a1 nb ON nb.v = u.b JOIN a1 me ON me.v = u.a GROUP BY u.a HAVING count(*) >= 2), a3 AS (SELECT u.a AS v FROM und u JOIN a2 nb ON nb.v = u.b JOIN a2 me ON me.v = u.a GROUP BY u.a HAVING count(*) >= 2), a4 AS (SELECT u.a AS v FROM und u JOIN a3 nb ON nb.v = u.b JOIN a3 me ON me.v = u.a GROUP BY u.a HAVING count(*) >= 2), a5 AS (SELECT u.a AS v FROM und u JOIN a4 nb ON nb.v = u.b JOIN a4 me ON me.v = u.a GROUP BY u.a HAVING count(*) >= 2), a6 AS (SELECT u.a AS v FROM und u JOIN a5 nb ON nb.v = u.b JOIN a5 me ON me.v = u.a GROUP BY u.a HAVING count(*) >= 2), a7 AS (SELECT u.a AS v FROM und u JOIN a6 nb ON nb.v = u.b JOIN a6 me ON me.v = u.a GROUP BY u.a HAVING count(*) >= 2), a8 AS (SELECT u.a AS v FROM und u JOIN a7 nb ON nb.v = u.b JOIN a7 me ON me.v = u.a GROUP BY u.a HAVING count(*) >= 2) SELECT v.v AS user_id, CAST(CASE WHEN v.v IN (SELECT v FROM a8) THEN 1 ELSE 0 END AS BIGINT) AS in_core FROM v"""

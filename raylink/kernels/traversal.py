@@ -46,7 +46,20 @@ def _min_scatter(graph: Graph, *, plus_one: bool,
                  use_weights: bool = False):
     """``use_weights=True`` (weighted build): each slot relaxes by its
     edge weight instead of +1 — min-plus over edge lengths, i.e. the
-    Bellman-Ford step. Falls back to +1 on unweighted blocks."""
+    Bellman-Ford step. Falls back to +1 on unweighted blocks.
+
+    ``plus_one=True`` expects the FRESH-BIT state encoding (enc =
+    dist*2 + fresh, INF literal): only sources whose distance improved
+    last round relax their edges — the label-correcting sparsification
+    of Bellman-Ford. The emitted partials (and so the superstep's
+    SHUFFLE volume) shrink to the improved frontier; all-stale
+    partitions skip their CSR scan entirely (the in-task gather for a
+    partition with any fresh vertex stays one O(m_p) vectorized pass).
+    Per-round distances are provably identical to the dense relaxation
+    (a vertex's contribution lands the round after its last improvement,
+    exactly when the dense sweep first uses the improved value), so
+    fixed-unroll SQL-oracle parity is preserved. ``plus_one=False``
+    (the MIS vote channel) keeps plain values."""
     refs = graph.blocks
     P = graph.P
 
@@ -63,8 +76,12 @@ def _min_scatter(graph: Graph, *, plus_one: bool,
             if sub >= len(chunks):
                 continue
             blk = _ray.get(chunks[sub])
-            vals = vec[blk.src_local]
             if plus_one:
+                fresh = (vec < _INF) & ((vec & 1) == 1)
+                if not fresh.any():
+                    continue
+                dist = np.where(fresh, vec >> 1, _INF)
+                vals = dist[blk.src_local]
                 if use_weights and blk.w is not None:
                     if not np.issubdtype(blk.w.dtype, np.integer):
                         raise TypeError(
@@ -75,6 +92,8 @@ def _min_scatter(graph: Graph, *, plus_one: bool,
                 else:
                     step = np.int64(1)
                 vals = np.where(vals >= _INF, _INF, vals + step)
+            else:
+                vals = vec[blk.src_local]
             for q in range(P):
                 lo, hi = blk.bounds[q], blk.bounds[q + 1]
                 if hi <= lo:
@@ -93,6 +112,10 @@ def _min_scatter(graph: Graph, *, plus_one: bool,
 
 
 def _min_combine(graph: Graph):
+    """Fresh-bit-aware min reduction: incoming candidates are PLAIN
+    distances; state rows carry enc = dist*2 + fresh (INF literal).
+    Improved vertices re-arm their fresh bit, everyone else's clears —
+    the next scatter relaxes only the improved frontier."""
     n_per_part = graph.n_per_part
 
     def combine(group: pa.Table) -> pa.Table:
@@ -105,15 +128,19 @@ def _min_combine(graph: Graph):
         idx_offs = idx_col.offsets.to_numpy(zero_copy_only=False)
         lab_flat = lab_col.flatten().to_numpy(zero_copy_only=False)
         lab_offs = lab_col.offsets.to_numpy(zero_copy_only=False)
-        prev = lab_flat[lab_offs[prev_i]: lab_offs[prev_i + 1]].astype(np.int64)
-        new = prev.copy()
+        enc = lab_flat[lab_offs[prev_i]: lab_offs[prev_i + 1]].astype(np.int64)
+        prev = np.where(enc < _INF, enc >> 1, _INF)
+        inc = np.full(len(prev), _INF, dtype=np.int64)
         for i in range(group.num_rows):
             if kinds[i] != 0:
                 continue
             idx = idx_flat[idx_offs[i]: idx_offs[i + 1]].astype(np.int64)
             lab = lab_flat[lab_offs[i]: lab_offs[i + 1]]
-            np.minimum.at(new, idx, lab)
-        changed = int((new != prev).sum())
+            np.minimum.at(inc, idx, lab)
+        improved = inc < prev
+        new = np.where(improved, inc * 2 + 1,
+                       np.where(enc < _INF, (enc >> 1) * 2, enc))
+        changed = int(improved.sum())
         assert len(prev) == int(n_per_part[part])
         return pa.table({
             "part": pa.array([part], pa.int64()),
@@ -181,10 +208,19 @@ def _min_plus_single(graph: Graph, source_vid: int, out_col: str,
     def init_of(p: int) -> np.ndarray:
         v = np.full(int(graph.n_per_part[p]), _INF, dtype=np.int64)
         if p == s_part:
-            v[s_local] = 0
+            v[s_local] = 1  # enc = dist 0, fresh
         return v
 
     state = init_state(graph, init_of, dtype=pa.int64())
+
+    def decode_f(batch: pa.Table) -> pa.Table:
+        # enc = dist*2 + fresh -> dist; INF rows (unreachable) dropped
+        enc = batch[out_col].to_numpy(zero_copy_only=False)
+        keep = enc < _INF
+        return pa.table({
+            "vid": batch["vid"].filter(pa.array(keep)),
+            out_col: pa.array(enc[keep] >> 1, pa.int64()),
+        })
 
     from .bsp import fused_eligible, graph_view, state_table
 
@@ -195,13 +231,7 @@ def _min_plus_single(graph: Graph, source_vid: int, out_col: str,
             metrics_out.extend(metrics)
         state = rd.from_arrow(final_tab)
         out = state_to_vertex_table(state, graph, "vec", out_col)
-
-        def finite_f(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            return batch.filter(pc.less(batch[out_col], int(_INF)))
-
-        return out.map_batches(finite_f, batch_format="pyarrow")
+        return out.map_batches(decode_f, batch_format="pyarrow")
 
     scatter = _min_scatter(graph, plus_one=True, use_weights=use_weights)
     combine = _min_combine(graph)
@@ -224,13 +254,7 @@ def _min_plus_single(graph: Graph, source_vid: int, out_col: str,
             break
 
     out = state_to_vertex_table(state, graph, "vec", out_col)
-
-    def finite(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return batch.filter(pc.less(batch[out_col], int(_INF)))
-
-    return out.map_batches(finite, batch_format="pyarrow")
+    return out.map_batches(decode_f, batch_format="pyarrow")
 
 
 def _make_alive_scatter(graph):
@@ -394,7 +418,14 @@ def _multi_min_scatter(graph, S: int):
                 continue
             blk = _ray.get(chunks[sub])
             mat = vec.reshape(-1, S)
-            vals = mat[blk.src_local]                      # (m_seg, S)
+            # fresh-bit state (enc = hops*2 + fresh): relax only slots
+            # whose hop count improved last round (frontier-proportional
+            # work; per-round values identical to the dense sweep)
+            fresh = (mat < _INF) & ((mat & 1) == 1)
+            if not fresh.any():
+                continue
+            dist = np.where(fresh, mat >> 1, _INF)
+            vals = dist[blk.src_local]                     # (m_seg, S)
             vals = np.where(vals >= _INF, _INF, vals + 1)
             for q in range(P):
                 lo, hi = blk.bounds[q], blk.bounds[q + 1]
@@ -429,15 +460,19 @@ def _multi_min_combine(graph, S: int):
         idx_offs = idx_col.offsets.to_numpy(zero_copy_only=False)
         lab_flat = lab_col.flatten().to_numpy(zero_copy_only=False)
         lab_offs = lab_col.offsets.to_numpy(zero_copy_only=False)
-        prev = lab_flat[lab_offs[prev_i]: lab_offs[prev_i + 1]].astype(np.int64)
-        new = prev.copy()
+        enc = lab_flat[lab_offs[prev_i]: lab_offs[prev_i + 1]].astype(np.int64)
+        prev = np.where(enc < _INF, enc >> 1, _INF)
+        inc = np.full(len(prev), _INF, dtype=np.int64)
         for i in range(group.num_rows):
             if kinds[i] != 0:
                 continue
             idx = idx_flat[idx_offs[i]: idx_offs[i + 1]].astype(np.int64)
             lab = lab_flat[lab_offs[i]: lab_offs[i + 1]]
-            np.minimum.at(new, idx, lab)
-        changed = int((new != prev).sum())
+            np.minimum.at(inc, idx, lab)
+        improved = inc < prev
+        new = np.where(improved, inc * 2 + 1,
+                       np.where(enc < _INF, (enc >> 1) * 2, enc))
+        changed = int(improved.sum())
         assert len(prev) == int(n_per_part[part]) * S
         return pa.table({
             "part": pa.array([part], pa.int64()),
@@ -492,7 +527,7 @@ def bfs_hops_multi(graph: Graph, source_vids, *, max_iter: int = 10_000,
         v = np.full(int(graph.n_per_part[p]) * S, _INF, dtype=np.int64)
         for s_i, sv in enumerate(sources):
             if sv % P == p:
-                v[(sv // P) * S + s_i] = 0
+                v[(sv // P) * S + s_i] = 1  # enc = hops 0, fresh
         return v
 
     state = init_state(graph, init_of, dtype=pa.int64())
@@ -534,7 +569,7 @@ def bfs_hops_multi(graph: Graph, source_vids, *, max_iter: int = 10_000,
             loc, s_i = np.nonzero(mat < _INF)
             vids.append(loc.astype(np.int64) * P + part)
             sidx.append(s_i.astype(np.int64))
-            hops.append(mat[loc, s_i])
+            hops.append(mat[loc, s_i] >> 1)  # decode enc = hops*2 + fresh
         if not vids:
             return pa.table({"vid": pa.array([], pa.int64()),
                              "source_idx": pa.array([], pa.int64()),
