@@ -553,6 +553,41 @@ def q_graph_pagerank_weighted(sf_dir: str):
     return scale_columns(out, {"score": 1e9})
 
 
+def q_graph_pagerank_merged(sf_dir: str):
+    """PageRank over an INCREMENTALLY MERGED graph: the distinct
+    transition edges are split deterministically ((src*7 + dst) % 3 == 0
+    is the increment), the base graph is built first and the increment
+    merged in via graph.merge_edges (existing vids and untouched CSR
+    blocks reused verbatim, only partitions with new arrivals rebuild).
+    The oracle is PageRank over the FULL edge set — merge must be
+    indistinguishable from a fresh build."""
+    import numpy as np
+
+    from raylink.graph import build_graph, merge_edges
+    from raylink.kernels import pagerank
+    from raylink.ops import scale_columns
+    from raylink.pipelines.flagship import join_keys
+
+    edges = _user_edges(sf_dir).materialize()
+
+    def split(want_inc):
+        def f(batch: pa.Table) -> pa.Table:
+            s = batch["src"].to_numpy(zero_copy_only=False)
+            d = batch["dst"].to_numpy(zero_copy_only=False)
+            sel = (s * 7 + d) % 3 == 0
+            return batch.filter(pa.array(sel if want_inc else ~sel))
+
+        return f
+
+    base = edges.map_batches(split(False), batch_format="pyarrow")
+    inc = edges.map_batches(split(True), batch_format="pyarrow")
+    g0 = build_graph(base, P=GRAPH_P, already_deduped=True)
+    g = merge_edges(g0, inc, symmetric=False)
+    ranks = pagerank(g, damping=DAMPING, tol=0.0, max_iter=PR_ITERS)
+    out = _rename(join_keys(ranks, g, "score"), {"key": "user_id"})
+    return scale_columns(out, {"score": 1e9})
+
+
 def q_graph_pagerank_value(sf_dir: str):
     """PageRank over a FLOAT-weighted transition graph: each raw transition
     carries the successor event's ``value`` as its weight (SQL b.value);
@@ -1446,6 +1481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_edge_jaccard": q_graph_edge_jaccard,
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "graph_pagerank_value": q_graph_pagerank_value,
+        "graph_pagerank_merged": q_graph_pagerank_merged,
         "graph_strength": q_graph_strength,
         "graph_lp1_weighted": q_graph_lp1_weighted,
         "graph_pagerank_persisted": q_graph_pagerank_persisted,
@@ -1847,6 +1883,9 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT dst, 0, 1 FROM e) GROUP BY v"
     )
     sql["graph_pagerank"] = _pr_sql_body(_E_CTE, PR_ITERS, "user_id")
+    # incremental merge must be indistinguishable from a fresh build over
+    # the full edge set — same oracle as graph_pagerank
+    sql["graph_pagerank_merged"] = _pr_sql_body(_E_CTE, PR_ITERS, "user_id")
     sql["graph_pagerank_persisted"] = _pr_sql_body(_E_CTE, PR_ITERS,
                                                    "user_id")
     sql["graph_pagerank_value"] = _pr_sql_body(_EV_CTE, PR_ITERS,

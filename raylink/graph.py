@@ -1192,3 +1192,198 @@ def build_graph(
     return build_graph_from_prepared(prep, symmetric=symmetric,
                                      chunk_edges=chunk_edges,
                                      weighted=weighted or weight_col is not None)
+
+
+@ray.remote
+def _pad_block(blk: CSRBlock, n_local_new: int) -> CSRBlock:
+    """Worker-side deg pad for a partition that gained vertices but no
+    edges (the merged state vectors are n_local_new long)."""
+    pad = n_local_new - blk.n_local
+    return CSRBlock(part=blk.part, src_local=blk.src_local,
+                    dst_local=blk.dst_local, bounds=blk.bounds,
+                    deg=np.concatenate([blk.deg, np.zeros(pad, np.int64)]),
+                    n_local=n_local_new, w=blk.w, wdeg=None if blk.wdeg is
+                    None else np.concatenate(
+                        [blk.wdeg, np.zeros(pad, blk.wdeg.dtype)]))
+
+
+@ray.remote
+def _block_m(blk: CSRBlock) -> int:
+    return blk.m
+
+
+def merge_edges(graph: Graph, new_edges: rd.Dataset, *,
+                symmetric: bool = True,
+                chunk_edges: int = CHUNK_EDGES) -> Graph:
+    """Incrementally extend an UNWEIGHTED graph with a batch of new edges
+    (the daily-crawl-increment path) WITHOUT re-encoding or re-shuffling
+    the existing edge set.
+
+    New vertices get vids appended AFTER the partition's existing ranks
+    (vid = (n_old_p + i) * P + p, new hashes ascending), so every
+    existing vid — and every untouched CSR block — is reused verbatim.
+    Only partitions that receive new edges rebuild their blocks (old
+    pairs are reconstructed from the partition's own CSR chunks inside
+    the rebuild task and deduped against the new arrivals in the same
+    np.unique pass as a fresh build); partitions that merely grew their
+    vertex count get a cheap deg-pad patch. Kernel results on the merged
+    graph match a fresh build over the unioned edge list exactly (keyed
+    by vertex key — vids of NEW vertices differ from a fresh build's).
+
+    ``symmetric`` must match the direction of the original build (a
+    Graph handle does not record it). Requires the broadcast/small
+    encode (``prep.dict_ref``); the driver holds only the NEW vertex
+    set (hash, key) — increments are assumed vertex-sparse relative to
+    the accumulated graph, the usual crawl shape."""
+    if graph.weighted:
+        raise NotImplementedError("merge_edges supports unweighted graphs")
+    prep = graph.prep
+    if prep.dict_ref is None:
+        raise NotImplementedError(
+            "merge_edges requires the broadcast/small encode dictionary "
+            "(prep.dict_ref); fused-encode graphs would need a "
+            "partitioned dictionary merge")
+    P = graph.P
+    n_old = np.asarray(graph.n_per_part, dtype=np.int64)
+    key_type = graph.key_type
+    old_vertices = graph.vertices.materialize()
+
+    def drop_self(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(pc.equal(batch["src"], batch["dst"])))
+
+    new_edges = new_edges.map_batches(drop_self, batch_format="pyarrow",
+                                      zero_copy_batch=True).materialize()
+
+    # 1. discover NEW keys (hash not in the old dictionary), distributed
+    # pre-dedup per batch; the driver gathers only the new vertex set
+    dict_ref = prep.dict_ref
+
+    def unknown(batch: pa.Table) -> pa.Table:
+        hs_old, _ = ray.get(dict_ref)
+        keys = pa.concat_arrays([batch["src"].combine_chunks().cast(key_type),
+                                 batch["dst"].combine_chunks().cast(key_type)])
+        keys = pc.unique(keys)
+        h = hash64(keys)
+        if len(hs_old):
+            pos = np.searchsorted(hs_old, h)
+            safe = np.minimum(pos, len(hs_old) - 1)
+            known = (pos < len(hs_old)) & (hs_old[safe] == h)
+        else:
+            known = np.zeros(len(h), bool)
+        nk = keys.filter(pa.array(~known))
+        return pa.table({"key": nk, "h": pa.array(h[~known], pa.uint64())})
+
+    new_rows = []
+    for b in new_edges.map_batches(unknown, batch_format="pyarrow",
+                                   zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20):
+        new_rows.append(b)
+    if new_rows:
+        nt = pa.concat_tables(new_rows)
+        nh = nt["h"].to_numpy(zero_copy_only=False)
+        _, first = np.unique(nh, return_index=True)
+        nt = nt.take(pa.array(np.sort(first), pa.int64()))
+        nh = nt["h"].to_numpy(zero_copy_only=False)
+        nkeys = nt["key"]
+    else:
+        nh = np.array([], np.uint64)
+        nkeys = pa.array([], key_type)
+
+    # 2. assign appended vids per partition (new hashes ascending)
+    n_per_part = n_old.copy()
+    parts = (nh % np.uint64(P)).astype(np.int64)
+    new_vids = np.empty(len(nh), np.int64)
+    for p in np.unique(parts):
+        sel = np.flatnonzero(parts == p)
+        order = sel[np.argsort(nh[sel], kind="stable")]
+        new_vids[order] = (n_old[p] + np.arange(len(sel))) * P + p
+        n_per_part[p] += len(sel)
+    n_new = int(n_per_part.sum())
+
+    # 3. merged broadcast dictionary
+    hs_old, vids_old = ray.get(dict_ref)
+    h_all = np.concatenate([hs_old, nh])
+    v_all = np.concatenate([vids_old, new_vids])
+    order = np.argsort(h_all, kind="stable")
+    new_dict_ref = ray.put((h_all[order], v_all[order]))
+
+    # 4. encode + pack the new edges only
+    def encode_fn(batch: pa.Table) -> pa.Table:
+        hs, vs = ray.get(new_dict_ref)
+        sv = vs[np.searchsorted(hs, hash64(batch["src"]))]
+        dv = vs[np.searchsorted(hs, hash64(batch["dst"]))]
+        return pa.table({"src_vid": pa.array(sv, pa.int64()),
+                         "dst_vid": pa.array(dv, pa.int64())})
+
+    enc = new_edges.map_batches(encode_fn, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    direction = int(symmetric)
+    packed = enc.map_batches(_pack_fn(P, (direction,)),
+                             batch_format="pyarrow", zero_copy_batch=True)
+
+    # 5. per affected partition: reconstruct old pairs from the existing
+    # CSR chunks, concat the new arrivals, rebuild (dedup included)
+    old_blocks = graph.blocks
+    npp = n_per_part
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        part = int(group["src_part"][0].as_py())
+        sv_new = group["srcs"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)
+        dv_new = group["dsts"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)
+        svs, dvs = [sv_new], [dv_new]
+        for ref in old_blocks.get(part, []):
+            blk = _ray.get(ref)
+            for q in range(P):
+                lo, hi = blk.bounds[q], blk.bounds[q + 1]
+                if hi <= lo:
+                    continue
+                svs.append(blk.src_local[lo:hi].astype(np.int64) * P + part)
+                dvs.append(blk.dst_local[lo:hi].astype(np.int64) * P + q)
+        sv = np.concatenate(svs)
+        dv = np.concatenate(dvs)
+        return _csr_rows_from_vids(part, direction, sv, dv, P, npp,
+                                   chunk_edges)
+
+    block_rows = (packed.groupby(["dir", "src_part"])
+                  .map_groups(rebuild, batch_format="pyarrow")
+                  .materialize())
+    rebuilt, m_by_dir = _collect_blocks(block_rows)
+    rebuilt = rebuilt.get(direction, {})
+
+    # 6. untouched partitions: reuse refs; pad deg where the vertex count
+    # grew without new edges (possible on DIRECTED merges only). Both the
+    # pad and the edge counting run in worker tasks — no CSR payload
+    # crosses the driver (only O(#chunks) ints come back).
+    blocks: dict[int, list[Any]] = dict(rebuilt)
+    m_total = int(m_by_dir.get(direction, 0))
+    grown = {p for p in range(P) if n_per_part[p] > n_old[p]}
+    m_refs = []
+    for p, refs in old_blocks.items():
+        if p in blocks:
+            continue
+        if p in grown:
+            blocks[p] = [_pad_block.remote(r, int(n_per_part[p]))
+                         for r in refs]
+        else:
+            blocks[p] = list(refs)
+        m_refs.extend(_block_m.remote(r) for r in refs)
+    m_total += sum(ray.get(m_refs))
+
+    # 7. merged vertices table (old rows verbatim + appended new rows)
+    nv_tab = pa.table({"key": nkeys,
+                       "vid": pa.array(new_vids, pa.int64()),
+                       "part": pa.array(parts, pa.int64())})
+    merged_vertices = old_vertices.union(
+        rd.from_arrow(nv_tab)).materialize()
+
+    prep2 = PreparedEdges(
+        enc_edges=None, dict_ref=new_dict_ref, n=n_new,
+        n_per_part=n_per_part, P=P, key_type=key_type, edges=None,
+        vertices_cache=merged_vertices, encode_mode="merged",
+        rank_rows=None)
+    return Graph(P=P, n=n_new, m=m_total, n_per_part=n_per_part,
+                 blocks=blocks, prep=prep2, key_type=key_type)

@@ -1687,3 +1687,71 @@ def test_weighted_random_walks_vs_bruteforce():
           for b in random_walks(_int_edges_ds(base), length=K, buckets=7)
           .iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
     assert w1 == u1
+
+
+def test_merge_edges_matches_fresh_build():
+    """merge_edges(g, increment) produces kernel results identical BY KEY
+    to a fresh build over the unioned edge list: PageRank (exact),
+    components, triangles; duplicate edges across old/new collapse; new
+    vertices get appended vids; directed merges pad deg for partitions
+    that grew without new out-edges; an empty increment is a no-op."""
+    from raylink.graph import merge_edges
+    from raylink.kernels import connected_components, triangle_count
+
+    rng = np.random.default_rng(89)
+    old = set()
+    while len(old) < 70:
+        a, b = (int(x) for x in rng.integers(0, 24, size=2))
+        if a != b:
+            old.add((a, b))
+    old = sorted(old)
+    # increment: overlaps old, bridges to brand-new vertices 100..110
+    inc = old[::5] + [(0, 100), (100, 101), (101, 102), (5, 103),
+                      (103, 0), (104, 105)]
+    union = sorted(set(old) | set(inc))
+
+    def keyed(ds, g, col):
+        from raylink.pipelines.flagship import join_keys
+
+        return {r["key"]: r[col] for b in join_keys(ds, g, col)
+                .iter_batches(batch_format="pyarrow")
+                for r in b.to_pylist()}
+
+    # symmetric merge
+    g0 = G.build_graph(_int_edges_ds(old), P=P, symmetric=True)
+    gm = G.merge_edges(g0, _int_edges_ds(inc), symmetric=True)
+    gf = G.build_graph(_int_edges_ds(union), P=P, symmetric=True)
+    assert (gm.n, gm.m) == (gf.n, gf.m)
+    r_m = keyed(pagerank(gm, tol=0.0, max_iter=6), gm, "score")
+    r_f = keyed(pagerank(gf, tol=0.0, max_iter=6), gf, "score")
+    assert set(r_m) == set(r_f)
+    for k in r_f:
+        assert r_m[k] == r_f[k], k  # bit-equal: same P, same arithmetic
+    c_m = keyed(connected_components(gm), gm, "comp")
+    c_f = keyed(connected_components(gf), gf, "comp")
+    # component ids are min-vids, which differ for new vertices: compare
+    # the PARTITION into components, not the labels
+    def groups(c):
+        inv = {}
+        for k, v in c.items():
+            inv.setdefault(v, set()).add(k)
+        return sorted(map(frozenset, inv.values()), key=sorted)
+    assert groups(c_m) == groups(c_f)
+    assert triangle_count(gm) == triangle_count(gf)
+
+    # directed merge with dst-only new vertices (deg padding path)
+    d0 = G.build_graph(_int_edges_ds(old), P=P)
+    dinc = [(1, 300), (2, 301), (3, 302), (4, 303), (6, 304), (7, 305)]
+    dm = G.merge_edges(d0, _int_edges_ds(dinc), symmetric=False)
+    df = G.build_graph(_int_edges_ds(sorted(set(old) | set(dinc))), P=P)
+    assert (dm.n, dm.m) == (df.n, df.m)
+    p_m = keyed(pagerank(dm, tol=0.0, max_iter=6), dm, "score")
+    p_f = keyed(pagerank(df, tol=0.0, max_iter=6), df, "score")
+    assert p_m == p_f
+
+    # empty increment: same results as the base graph
+    ge = G.merge_edges(g0, _int_edges_ds([]), symmetric=True)
+    assert (ge.n, ge.m) == (g0.n, g0.m)
+    r_e = keyed(pagerank(ge, tol=0.0, max_iter=4), ge, "score")
+    r_0 = keyed(pagerank(g0, tol=0.0, max_iter=4), g0, "score")
+    assert r_e == r_0
