@@ -588,6 +588,28 @@ def q_graph_pagerank_merged(sf_dir: str):
     return scale_columns(out, {"score": 1e9})
 
 
+def q_graph_edges(sf_dir: str):
+    """Round-trip export: the directed transition graph's CSR blocks
+    reconstructed back into an edge table (graph.edges_table, one task
+    per chunk, payloads never on the driver), joined back to user ids —
+    must equal the distinct SQL edge CTE exactly (build + dedup +
+    export is lossless)."""
+    from raylink.graph import build_graph, edges_table
+    from raylink.pipelines.flagship import join_keys
+
+    g = build_graph(_user_edges(sf_dir), P=GRAPH_P, already_deduped=True)
+    et = edges_table(g)
+    a = join_keys(et.map_batches(
+        lambda b: b.rename_columns(["vid", "dst_vid"]),
+        batch_format="pyarrow"), g, ["dst_vid"])
+    ab = join_keys(a.map_batches(
+        lambda b: b.select(["dst_vid", "key"]).rename_columns(
+            ["vid", "src"]), batch_format="pyarrow"), g, ["src"])
+    return ab.map_batches(
+        lambda b: b.select(["src", "key"]).rename_columns(["src", "dst"]),
+        batch_format="pyarrow")
+
+
 def q_graph_pagerank_value(sf_dir: str):
     """PageRank over a FLOAT-weighted transition graph: each raw transition
     carries the successor event's ``value`` as its weight (SQL b.value);
@@ -1482,6 +1504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "graph_pagerank_value": q_graph_pagerank_value,
         "graph_pagerank_merged": q_graph_pagerank_merged,
+        "graph_edges": q_graph_edges,
         "graph_strength": q_graph_strength,
         "graph_lp1_weighted": q_graph_lp1_weighted,
         "graph_pagerank_persisted": q_graph_pagerank_persisted,
@@ -1886,6 +1909,8 @@ def oracle_sql() -> dict[str, str]:
     # incremental merge must be indistinguishable from a fresh build over
     # the full edge set — same oracle as graph_pagerank
     sql["graph_pagerank_merged"] = _pr_sql_body(_E_CTE, PR_ITERS, "user_id")
+    # CSR -> edge-table export round trip: lossless build + dedup
+    sql["graph_edges"] = f"WITH {_E_CTE} SELECT src, dst FROM e"
     sql["graph_pagerank_persisted"] = _pr_sql_body(_E_CTE, PR_ITERS,
                                                    "user_id")
     sql["graph_pagerank_value"] = _pr_sql_body(_EV_CTE, PR_ITERS,

@@ -1387,3 +1387,51 @@ def merge_edges(graph: Graph, new_edges: rd.Dataset, *,
         rank_rows=None)
     return Graph(P=P, n=n_new, m=m_total, n_per_part=n_per_part,
                  blocks=blocks, prep=prep2, key_type=key_type)
+
+
+def edges_table(graph: Graph) -> rd.Dataset:
+    """(src_vid, dst_vid[, w]) rows reconstructed from the CSR blocks —
+    the inverse of the build. One task per CSR chunk; payloads never
+    cross the driver. On a symmetric build every undirected edge appears
+    in both directions (exactly as stored)."""
+    refs = graph.blocks
+    P = graph.P
+    weighted = graph.weighted
+    items = [{"part": p, "i": i}
+             for p, chunk_refs in sorted(graph.blocks.items())
+             for i in range(len(chunk_refs))]
+    if not items:
+        cols = {"src_vid": pa.array([], pa.int64()),
+                "dst_vid": pa.array([], pa.int64())}
+        if weighted:
+            cols["w"] = pa.array([], pa.float64())
+        return rd.from_arrow(pa.table(cols))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        svs, dvs, ws = [], [], []
+        parts = batch["part"].to_numpy(zero_copy_only=False)
+        idxs = batch["i"].to_numpy(zero_copy_only=False)
+        for part, i in zip(parts, idxs):
+            blk = _ray.get(refs[int(part)][int(i)])
+            for q in range(P):
+                lo, hi = blk.bounds[q], blk.bounds[q + 1]
+                if hi <= lo:
+                    continue
+                svs.append(blk.src_local[lo:hi].astype(np.int64) * P
+                           + int(part))
+                dvs.append(blk.dst_local[lo:hi].astype(np.int64) * P + q)
+                if weighted and blk.w is not None:
+                    ws.append(blk.w[lo:hi])
+        sv = (np.concatenate(svs) if svs else np.array([], np.int64))
+        dv = (np.concatenate(dvs) if dvs else np.array([], np.int64))
+        cols = {"src_vid": pa.array(sv, pa.int64()),
+                "dst_vid": pa.array(dv, pa.int64())}
+        if weighted:
+            w = (np.concatenate(ws) if ws else np.array([], np.float64))
+            cols["w"] = pa.array(w)
+        return pa.table(cols)
+
+    return rd.from_items(items).map_batches(
+        expand, batch_format="pyarrow", batch_size=1)

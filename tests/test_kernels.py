@@ -1755,3 +1755,61 @@ def test_merge_edges_matches_fresh_build():
     r_e = keyed(pagerank(ge, tol=0.0, max_iter=4), ge, "score")
     r_0 = keyed(pagerank(g0, tol=0.0, max_iter=4), g0, "score")
     assert r_e == r_0
+
+
+def test_edges_table_roundtrip():
+    """edges_table reconstructs exactly the deduped directed edge set (in
+    vid space); symmetric builds emit both directions; weighted builds
+    carry w; build(edges_table(g)) is idempotent for PageRank."""
+    from raylink.graph import edges_table
+
+    base = overlay_pairs(seed=97, n=20, m=55)
+    pairs = base + base[::4]
+    g = G.build_graph(edges_ds(pairs), P=P)
+    vert = {r["key"]: r["vid"] for b in g.vertices.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()}
+    want = {(vert[a], vert[b]) for a, b in set(pairs)}
+    got = {(r["src_vid"], r["dst_vid"])
+           for b in edges_table(g).iter_batches(batch_format="pyarrow")
+           for r in b.to_pylist()}
+    assert got == want
+
+    sg = G.build_graph(edges_ds(base), P=P, symmetric=True)
+    sgot = {(r["src_vid"], r["dst_vid"])
+            for b in edges_table(sg).iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()}
+    svert = {r["key"]: r["vid"] for b in sg.vertices.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()}
+    swant = set()
+    for a, b in base:
+        swant.add((svert[a], svert[b]))
+        swant.add((svert[b], svert[a]))
+    assert sgot == swant
+
+    gw = G.build_graph(edges_ds(pairs), P=P, weighted=True,
+                       already_deduped=True)
+    from collections import Counter
+    wm = Counter((a, b) for a, b in pairs if a != b)
+    wgot = {(r["src_vid"], r["dst_vid"]): r["w"]
+            for b in edges_table(gw).iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()}
+    assert {k: int(v) for k, v in wgot.items()} == {
+        (vert[a], vert[b]): c for (a, b), c in wm.items()}
+
+    # rebuild from the export: same PageRank (1e-12 — the int64-vid keys
+    # hash to a different partition layout, shifting summation order by
+    # an ulp, the documented cross-build float tolerance)
+    from raylink.pipelines.flagship import join_keys as _jk
+
+    et = edges_table(g).map_batches(
+        lambda b: b.rename_columns(["src", "dst"]), batch_format="pyarrow")
+    g2 = G.build_graph(et, P=P, already_deduped=True)
+    k1 = {str(vert[r["key"]]): r["score"] for b in _jk(
+        pagerank(g, tol=0.0, max_iter=4), g, "score").iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()}
+    k2 = {str(r["key"]): r["score"] for b in _jk(
+        pagerank(g2, tol=0.0, max_iter=4), g2, "score").iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()}
+    assert set(k1) == set(k2)
+    for k in k1:
+        assert abs(k1[k] - k2[k]) < 1e-12, k
