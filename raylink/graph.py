@@ -1239,10 +1239,24 @@ def merge_edges(graph: Graph, new_edges: rd.Dataset, *,
         raise NotImplementedError("merge_edges supports unweighted graphs")
     prep = graph.prep
     if prep.dict_ref is None:
-        raise NotImplementedError(
-            "merge_edges requires the broadcast/small encode dictionary "
-            "(prep.dict_ref); fused-encode graphs would need a "
-            "partitioned dictionary merge")
+        # loaded (graphstore) or fused-encode graphs carry no broadcast
+        # dictionary; rebuild it from the vertices table when the graph
+        # is inside the broadcast regime (same 4M-vertex bound as the
+        # broadcast encode — the load -> merge daily-increment path)
+        if graph.n > 4_000_000:
+            raise NotImplementedError(
+                "merge_edges on a dictionary-less graph above the "
+                "broadcast bound would need a partitioned dictionary "
+                "merge (ROADMAP)")
+        hs_l, vid_l = [], []
+        for b in graph.vertices.iter_batches(batch_format="pyarrow",
+                                             batch_size=1 << 20):
+            hs_l.append(hash64(b["key"]))
+            vid_l.append(b["vid"].to_numpy(zero_copy_only=False))
+        h = (np.concatenate(hs_l) if hs_l else np.array([], np.uint64))
+        v = (np.concatenate(vid_l) if vid_l else np.array([], np.int64))
+        order = np.argsort(h, kind="stable")
+        prep.dict_ref = ray.put((h[order], v[order].astype(np.int64)))
     P = graph.P
     n_old = np.asarray(graph.n_per_part, dtype=np.int64)
     key_type = graph.key_type

@@ -1813,3 +1813,33 @@ def test_edges_table_roundtrip():
     assert set(k1) == set(k2)
     for k in k1:
         assert abs(k1[k] - k2[k]) < 1e-12, k
+
+
+def test_merge_after_load_roundtrip(tmp_path):
+    """The daily-increment workflow: save a graph, load it, merge a new
+    edge batch into the LOADED graph (dictionary rebuilt from the
+    persisted vertices) — kernel results equal a fresh build over the
+    union, keyed by vertex key."""
+    from raylink.graph import merge_edges
+    from raylink.graphstore import load_graph, save_graph
+    from raylink.pipelines.flagship import join_keys
+
+    base = sorted({(int(a), int(b)) for a, b in
+                   np.random.default_rng(101).integers(0, 22, size=(60, 2))
+                   if a != b})
+    inc = base[::4] + [(0, 400), (400, 401), (3, 402)]
+    g0 = G.build_graph(_int_edges_ds(base), P=P, symmetric=True)
+    root = str(tmp_path / "gmerge")
+    save_graph(g0, root)
+    gl = load_graph(root)
+    gm = merge_edges(gl, _int_edges_ds(inc), symmetric=True)
+    gf = G.build_graph(_int_edges_ds(sorted(set(base) | set(inc))), P=P,
+                       symmetric=True)
+    assert (gm.n, gm.m) == (gf.n, gf.m)
+    r_m = {r["key"]: r["score"] for b in join_keys(
+        pagerank(gm, tol=0.0, max_iter=5), gm, "score").iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()}
+    r_f = {r["key"]: r["score"] for b in join_keys(
+        pagerank(gf, tol=0.0, max_iter=5), gf, "score").iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()}
+    assert r_m == r_f
