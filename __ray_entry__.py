@@ -810,6 +810,32 @@ def q_graph_sample(sf_dir: str):
                                fanout=SAMPLE_FANOUT, buckets=32)
 
 
+def q_graph_sample_weighted(sf_dir: str):
+    """Weight-proportional k-hop neighborhood sampling over the
+    transition MULTIgraph (duplicate transitions -> multiplicity
+    weights): each child pick lands in the cumulative-weight interval
+    containing mix mod W(v); same dedup/shuffle shape as graph_sample."""
+    import numpy as np
+
+    from raylink.ops import transition_edges
+    from raylink.sampling import neighborhood_sample
+
+    e = transition_edges(_read(sf_dir, "events", ["event_id", "user_id"]),
+                         distinct=False).materialize()
+
+    def both(batch: pa.Table) -> pa.Table:
+        v = np.unique(np.concatenate([
+            batch["src"].to_numpy(zero_copy_only=False),
+            batch["dst"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"v": pa.array(v, pa.int64())})
+
+    seeds = (e.map_batches(both, batch_format="pyarrow")
+             .groupby("v").count().sort("v").limit(3).select_columns(["v"]))
+    return neighborhood_sample(e, seeds, hops=SAMPLE_HOPS,
+                               fanout=SAMPLE_FANOUT, buckets=32,
+                               weighted=True)
+
+
 def q_graph_mis(sf_dir: str):
     """Maximal independent set (Luby-style, deterministic arithmetic
     priorities from the user id) over the symmetric transition graph —
@@ -1513,6 +1539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_walks": q_graph_walks,
         "graph_walks_weighted": q_graph_walks_weighted,
         "graph_sample": q_graph_sample,
+        "graph_sample_weighted": q_graph_sample_weighted,
         "graph_betweenness": q_graph_betweenness,
         "graph_coloring": q_graph_coloring,
         "graph_closeness": q_graph_closeness,
@@ -2166,6 +2193,37 @@ def oracle_sql() -> dict[str, str]:
             f"CROSS JOIN generate_series(1, {SAMPLE_FANOUT}) j(j))")
     sql["graph_sample"] = (
         "WITH " + ", ".join(_samp_parts) + " " +
+        " UNION ALL ".join(
+            f"SELECT seed, CAST({_h} AS BIGINT) AS hop, v FROM f{_h}"
+            for _h in range(SAMPLE_HOPS + 1))
+    )
+    # weight-proportional k-hop sample unroll: fanout picks via the
+    # windowed-cumsum interval join, frontier DISTINCT per hop
+    _swmix = ("((fr.seed*48271 + {h}*16807 + j.j*9973 + fr.v*7919 "
+              "+ 12345) % 2147483647)")
+    _sampw_parts = [
+        "ewi AS (SELECT a.user_id AS src, b.user_id AS dst, "
+        "CAST(count(*) AS BIGINT) AS w FROM events a "
+        "JOIN events b ON b.event_id = a.event_id + 1 "
+        "WHERE a.user_id <> b.user_id GROUP BY 1, 2)",
+        "wv AS (SELECT src AS v FROM ewi UNION SELECT dst FROM ewi)",
+        "adjw AS MATERIALIZED (SELECT src, dst, w, "
+        "sum(w) OVER (PARTITION BY src ORDER BY dst) AS cumw, "
+        "sum(w) OVER (PARTITION BY src) AS tot FROM ewi)",
+        "seeds AS (SELECT v FROM wv ORDER BY v LIMIT 3)",
+        "f0 AS (SELECT v AS seed, v FROM seeds)",
+    ]
+    for _h in range(1, SAMPLE_HOPS + 1):
+        _m = _swmix.format(h=_h)
+        _sampw_parts.append(
+            f"f{_h} AS MATERIALIZED (SELECT DISTINCT fr.seed, a.dst AS v "
+            f"FROM f{_h - 1} fr "
+            f"CROSS JOIN generate_series(1, {SAMPLE_FANOUT}) j(j) "
+            f"JOIN adjw a ON a.src = fr.v "
+            f"AND ({_m}) % a.tot >= a.cumw - a.w "
+            f"AND ({_m}) % a.tot < a.cumw)")
+    sql["graph_sample_weighted"] = (
+        "WITH " + ", ".join(_sampw_parts) + " " +
         " UNION ALL ".join(
             f"SELECT seed, CAST({_h} AS BIGINT) AS hop, v FROM f{_h}"
             for _h in range(SAMPLE_HOPS + 1))

@@ -216,28 +216,31 @@ def random_walks(edges: rd.Dataset, *, length: int,
 
 def neighborhood_sample(edges: rd.Dataset, seeds: rd.Dataset, *,
                         hops: int, fanout: int,
-                        buckets: int = 64) -> rd.Dataset:
+                        buckets: int = 64,
+                        weighted: bool = False) -> rd.Dataset:
     """GraphSAGE-style k-hop neighborhood sampling: from every seed, draw
     ``fanout`` deterministic children per frontier vertex per hop, dedup
     the frontier per (seed, vertex), and emit DISTINCT rows
     (seed, hop, v) — hop 0 is the seed itself.
 
-    Child j (1-based) of vertex v in seed s's tree at hop h is
-
-        nb[ ((s*48271 + h*16807 + j*9973 + v*7919 + 12345)
-             mod 2147483647) mod deg(v) ]
-
-    over dst-ascending adjacency — replayable by an unrolled SQL oracle
-    (CROSS JOIN generate_series(1, fanout)). All products stay below
-    2^47, exact in int64 on both sides. Frontier vertices with no
-    out-edges contribute no children (inner join).
+    Child j (1-based) of vertex v in seed s's tree at hop h uses
+    mix = (s*48271 + h*16807 + j*9973 + v*7919 + 12345) mod 2147483647:
+    ``weighted=False`` picks nb[mix mod deg(v)] over dst-ascending
+    adjacency (edges must be DISTINCT); ``weighted=True`` (pass the
+    NON-distinct stream — duplicates collapse to multiplicity weights)
+    picks the unique slot whose cumulative-weight interval contains
+    mix mod W(v), i.e. weight-proportional sampling. Both replayable by
+    an unrolled SQL oracle (CROSS JOIN generate_series(1, fanout); the
+    weighted twin joins on windowed-cumsum intervals). All products
+    stay below 2^47, exact in int64 on both sides. Frontier vertices
+    with no out-edges contribute no children (inner join).
 
     Physical shape: one groupby shuffle per hop moving only (seed, v)
     int64 pairs; adjacency lives in the bucketed object-store blobs from
     :func:`adjacency_buckets` and never reshuffles. The per-hop dedup
     happens inside the same group task (same-(seed,v) rows share a
     v-bucket, so the local distinct is a global one)."""
-    refs = adjacency_buckets(edges, buckets)
+    refs = adjacency_buckets(edges, buckets, weighted=weighted)
 
     def seed_state(batch: pa.Table) -> pa.Table:
         v = _check_keys(batch["v"].to_numpy(zero_copy_only=False))
@@ -291,25 +294,33 @@ def neighborhood_sample(edges: rd.Dataset, seeds: rd.Dataset, *,
             cols = [seed, v, np.zeros(len(seed), np.int64)]
             ref = refs.get(bkt)
             if not _last and ref is not None:
-                src_u, indptr, nb, _ = _ray.get(ref)
+                src_u, indptr, nb, wcum = _ray.get(ref)
                 pos = np.searchsorted(src_u, v)
                 safe = np.minimum(pos, len(src_u) - 1)
                 has = (pos < len(src_u)) & (src_u[safe] == v)
                 if has.any():
                     es, ev, pos2 = seed[has], v[has], pos[has]
-                    deg = indptr[pos2 + 1] - indptr[pos2]
                     # vectorized fanout expansion: repeat rows fanout times
                     rs = np.repeat(es, fanout)
                     rv = np.repeat(ev, fanout)
-                    rpos = np.repeat(indptr[pos2], fanout)
-                    rdeg = np.repeat(deg, fanout)
                     j = np.tile(np.arange(1, fanout + 1, dtype=np.int64),
                                 len(es))
                     mix = (rs * np.int64(48271)
                            + np.int64(_h) * np.int64(16807)
                            + j * np.int64(9973) + rv * np.int64(7919)
                            + np.int64(12345)) % _P_MOD
-                    child = nb[rpos + mix % rdeg]
+                    if wcum is not None:
+                        lo_i = np.repeat(indptr[pos2], fanout)
+                        hi_i = np.repeat(indptr[pos2 + 1], fanout)
+                        tot = wcum[hi_i] - wcum[lo_i]
+                        target = wcum[lo_i] + mix % tot
+                        child = nb[np.searchsorted(wcum, target,
+                                                   side="right") - 1]
+                    else:
+                        deg = indptr[pos2 + 1] - indptr[pos2]
+                        rpos = np.repeat(indptr[pos2], fanout)
+                        rdeg = np.repeat(deg, fanout)
+                        child = nb[rpos + mix % rdeg]
                     cols = [np.concatenate([cols[0], rs]),
                             np.concatenate([cols[1], child]),
                             np.concatenate([cols[2],

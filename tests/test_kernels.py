@@ -1843,3 +1843,69 @@ def test_merge_after_load_roundtrip(tmp_path):
         pagerank(gf, tol=0.0, max_iter=5), gf, "score").iter_batches(
         batch_format="pyarrow") for r in b.to_pylist()}
     assert r_m == r_f
+
+
+def test_weighted_neighborhood_sample_vs_bruteforce():
+    """neighborhood_sample(weighted=True) replays the cumulative
+    multiplicity-weight pick per (seed, hop, slot); multiplicity-1
+    equals the unweighted sample; bucket-count invariant."""
+    from raylink.sampling import neighborhood_sample
+
+    rng = np.random.default_rng(103)
+    base = sorted({(int(a), int(b)) for a, b in
+                   rng.integers(0, 18, size=(55, 2)) if a != b})
+    pairs = base + base[::2] + base[::5]
+    ds = _int_edges_ds(pairs)
+
+    from collections import Counter
+    wmap = Counter(pairs)
+    adj: dict[int, list] = {}
+    for (a, b), w in sorted(wmap.items()):
+        adj.setdefault(a, []).append((b, w))
+
+    H, F = 3, 2
+    seeds = [0, 2, 5]
+
+    def brute():
+        rows = set()
+        frontier = {(s, s) for s in seeds}
+        rows |= {(s, 0, v) for s, v in frontier}
+        for h in range(1, H + 1):
+            nxt = set()
+            for s, v in sorted(frontier):
+                nb = adj.get(v)
+                if not nb:
+                    continue
+                tot = sum(w for _, w in nb)
+                for j in range(1, F + 1):
+                    r = ((s * 48271 + h * 16807 + j * 9973 + v * 7919
+                          + 12345) % 2147483647) % tot
+                    acc = 0
+                    for b, w in nb:
+                        acc += w
+                        if r < acc:
+                            nxt.add((s, b))
+                            break
+            rows |= {(s, h, v) for s, v in nxt}
+            frontier = nxt
+        return rows
+
+    want = brute()
+    seeds_ds = rd.from_arrow(pa.table({"v": pa.array(seeds, pa.int64())}))
+    for buckets in (3, 9):
+        got = {(r["seed"], r["hop"], r["v"])
+               for b in neighborhood_sample(ds, seeds_ds, hops=H, fanout=F,
+                                            buckets=buckets, weighted=True)
+               .iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
+        assert got == want, buckets
+
+    w1 = {(r["seed"], r["hop"], r["v"])
+          for b in neighborhood_sample(_int_edges_ds(base), seeds_ds,
+                                       hops=H, fanout=F, buckets=5,
+                                       weighted=True)
+          .iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
+    u1 = {(r["seed"], r["hop"], r["v"])
+          for b in neighborhood_sample(_int_edges_ds(base), seeds_ds,
+                                       hops=H, fanout=F, buckets=5)
+          .iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
+    assert w1 == u1
