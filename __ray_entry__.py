@@ -1344,6 +1344,74 @@ def q_doc_dedup_clusters(sf_dir: str):
     return near_dup_components(pairs.map_batches(thr, batch_format="pyarrow"))
 
 
+def q_doc_tfidf(sf_dir: str):
+    """Top-3 salient terms per document by tf-idf: tokenize combiner ->
+    doc-frequency groupby -> co-partitioned term join -> per-doc top-k
+    (deterministic score-desc/term-asc tiebreak). Vocabulary never leaves
+    the shuffle — no driver/broadcast term table."""
+    from raylink.textops import tfidf_topk
+
+    return tfidf_topk(_read(sf_dir, "documents", ["doc_id", "text"]), k=3)
+
+
+def q_doc_corpus_split(sf_dir: str):
+    """Deterministic train/val/test assignment — pure function of the key
+    (md5 bucket), reproducible across engines and partitionings; keying by
+    a group column keeps groups in one fold (GroupShuffleSplit analog,
+    pig_extract.py:3589-3635)."""
+    from raylink.ops import hash_split
+
+    return hash_split(_read(sf_dir, "documents", ["doc_id"]), "doc_id")
+
+
+def q_events_stratified(sf_dir: str):
+    """Seed-free stratified sample: 5 events per type by smallest
+    (md5(id), id) — per-batch partial top-n before the shuffle."""
+    from raylink.ops import stratified_sample
+
+    return stratified_sample(
+        _read(sf_dir, "events", ["event_type", "event_id"]),
+        "event_type", "event_id", 5)
+
+
+def q_customers_semi_urgent(sf_dir: str):
+    """Distributed semi-join (EXISTS) with a Bloom prefilter: customers
+    with >=1 URGENT order. The Bloom bits (built by a distributed
+    OR-reduce over the right keys) drop definitely-absent left rows before
+    the shuffle; false positives ride through to the exact join, so the
+    result is exact."""
+    from raylink.ops import semi_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def urgent(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(batch["o_orderpriority"], "1-URGENT")
+        ).select(["o_custkey"])
+
+    return semi_join(cust, orders.map_batches(urgent, batch_format="pyarrow"),
+                     "c_custkey", right_on="o_custkey", bloom_bits=1 << 20)
+
+
+def q_customers_anti_urgent(sf_dir: str):
+    """Distributed anti-join (NOT EXISTS) with a Bloom bypass: left rows
+    missing from the Bloom filter are provably unmatched and skip the
+    shuffle entirely; only maybe-present rows pay the exact anti-join."""
+    from raylink.ops import anti_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def urgent(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(batch["o_orderpriority"], "1-URGENT")
+        ).select(["o_custkey"])
+
+    return anti_join(cust, orders.map_batches(urgent, batch_format="pyarrow"),
+                     "c_custkey", right_on="o_custkey", bloom_bits=1 << 20)
+
+
 def q_emb_knn(sf_dir: str):
     from raylink.similarity import cosine_topk
 
@@ -1561,6 +1629,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_simhash": q_doc_simhash,
         "doc_dedup_clusters": q_doc_dedup_clusters,
+        "doc_tfidf": q_doc_tfidf,
+        "doc_corpus_split": q_doc_corpus_split,
+        "events_stratified": q_events_stratified,
+        "customers_semi_urgent": q_customers_semi_urgent,
+        "customers_anti_urgent": q_customers_anti_urgent,
         "emb_knn": q_emb_knn,
         "emb_knn_lsh": q_emb_knn_lsh,
         "emb_knn_ivf": q_emb_knn_ivf,
@@ -2486,6 +2559,44 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN trim(text) = '' THEN 0 ELSE "
         "array_length(regexp_split_to_array(trim(text), '\\s+')) END AS tok "
         "FROM documents)"
+    )
+    sql["doc_tfidf"] = (
+        "WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), "
+        "'[^a-z0-9]+')) AS term FROM documents), "
+        "tok2 AS (SELECT * FROM tok WHERE term <> ''), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2), "
+        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY 1), "
+        "n AS (SELECT count(*) AS n FROM documents), "
+        "s AS (SELECT tf.doc_id, tf.term, CAST(floor(CAST(tf.tf AS DOUBLE) * "
+        "ln(CAST(n.n AS DOUBLE)/CAST(df.df AS DOUBLE)) * 1000000 + 0.5) "
+        "AS BIGINT) AS score FROM tf JOIN df USING(term) CROSS JOIN n), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY score DESC, term) AS rn FROM s) "
+        "SELECT doc_id, term, score FROM r WHERE rn <= 3"
+    )
+    sql["doc_corpus_split"] = (
+        "SELECT doc_id, CASE "
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train' "
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val' "
+        "ELSE 'test' END AS split FROM documents"
+    )
+    sql["events_stratified"] = (
+        "SELECT event_type, event_id FROM ("
+        "SELECT event_type, event_id, row_number() OVER ("
+        "PARTITION BY event_type "
+        "ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn "
+        "FROM events) WHERE rn <= 5"
+    )
+    sql["customers_semi_urgent"] = (
+        "SELECT c_custkey, c_name, c_acctbal FROM customer c "
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_orderpriority = '1-URGENT')"
+    )
+    sql["customers_anti_urgent"] = (
+        "SELECT c_custkey, c_name, c_acctbal FROM customer c "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_orderpriority = '1-URGENT')"
     )
     sql["emb_knn"] = (
         "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "

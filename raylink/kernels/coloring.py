@@ -16,15 +16,18 @@ One scatter per round with TWO pre-aggregated channels per
 
 - lab: MIN of uncolored senders' combined priorities (blocks receivers
   with smaller priority),
-- cnt: bit-OR of colored senders' color bits (1 << color).
+- cnt: bit-OR of colored senders' LOW color bits (1 << color, colors
+  0..61),
+- kind=2 spill rows: distinct (receiver, color) pairs for colors >= 62,
+  so the palette is UNBOUNDED — a receiver whose 62 low colors are all
+  taken computes an exact mex over its sorted spilled colors. Spill
+  volume is bounded by distinct high colors per receiver per source
+  partition (web hubs can legitimately force >62 colors; the common case
+  still ships one packed word per receiver per segment).
 
-Colors are capped at 63 by the single-int64 bitmask; a vertex whose
-colored neighborhood fills all 64 bits raises (the documented cap — a
-multi-word mask would lift it; web-scale hubs rarely force >64 colors
-but CAN adversarially, so the failure is loud, not silent).
-
-State encoding (one int64 per vertex): values < 64 are assigned colors;
-values >= 2^31 are combined priorities of still-uncolored vertices.
+State encoding (one int64 per vertex): values < 2^31 are assigned
+colors; values >= 2^31 are combined priorities of still-uncolored
+vertices.
 
 Reference parity: conflict-free greedy assignment over a priority order
 mirrors the reference's keep-best non-overlapping detection gates
@@ -55,6 +58,8 @@ from .mis import _combined
 
 _INF = np.int64(1 << 62)
 _UNDEC_MIN = np.int64(1) << 31
+_SPILL_BASE = np.int64(62)           # colors below: bitmask; at/above: spill
+_FULL_LOW = np.int64((1 << 62) - 1)  # all low colors taken -> consult spill
 
 
 def _jp_scatter(graph: Graph):
@@ -77,8 +82,14 @@ def _jp_scatter(graph: Graph):
             vals = vec[blk.src_local]
             undec = vals >= _UNDEC_MIN
             minv = np.where(undec, vals, _INF)
-            maskv = np.where(undec, np.int64(0),
-                             np.int64(1) << np.minimum(vals, 62))
+            # colors 0..61 travel as bits in the compact cnt channel;
+            # colors >= 62 spill to explicit (receiver, color) pairs
+            # (kind=2 rows) so the palette is unbounded, not capped at
+            # the int64 word (web hubs can legitimately force >62 colors)
+            low = (~undec) & (vals < _SPILL_BASE)
+            maskv = np.where(low, np.int64(1) << np.where(low, vals, 0),
+                             np.int64(0))
+            high = (~undec) & (vals >= _SPILL_BASE)
             for q in range(P):
                 lo, hi = blk.bounds[q], blk.bounds[q + 1]
                 if hi <= lo:
@@ -94,6 +105,18 @@ def _jp_scatter(graph: Graph):
                     rows.append(partial_row(q, part, sub, 0,
                                             idx=nz.astype(np.int32),
                                             lab=accm[nz], cnt=acco[nz]))
+                hs = np.flatnonzero(high[lo:hi])
+                if len(hs):
+                    # distinct (dst_local, color) pairs per segment: the
+                    # spill volume is bounded by distinct colors seen per
+                    # receiver per source partition, never raw edges
+                    code = (seg_dst[hs].astype(np.int64) << np.int64(32)
+                            ) | vals[lo:hi][hs]
+                    code = np.unique(code)
+                    rows.append(partial_row(
+                        q, part, sub, 2,
+                        idx=(code >> np.int64(32)).astype(np.int32),
+                        lab=code & np.int64(0xFFFFFFFF)))
         return partials_table(rows)
 
     return scatter
@@ -118,7 +141,14 @@ def _jp_combine(graph: Graph):
         prev = lab_flat[lab_offs[prev_i]: lab_offs[prev_i + 1]].astype(np.int64)
         accm = np.full(len(prev), _INF, dtype=np.int64)
         acco = np.zeros(len(prev), dtype=np.int64)
+        spill_codes = []
         for i in range(group.num_rows):
+            if kinds[i] == 2:  # spilled high colors: (receiver << 32) | color
+                idx = idx_flat[idx_offs[i]: idx_offs[i + 1]].astype(np.int64)
+                spill_codes.append(
+                    (idx << np.int64(32))
+                    | lab_flat[lab_offs[i]: lab_offs[i + 1]])
+                continue
             if kinds[i] != 0:
                 continue
             idx = idx_flat[idx_offs[i]: idx_offs[i + 1]].astype(np.int64)
@@ -127,15 +157,24 @@ def _jp_combine(graph: Graph):
         und = prev >= _UNDEC_MIN
         ready = und & (accm > prev)  # no uncolored higher-priority neighbor
         mask = acco[ready].astype(np.uint64)
-        # colors capped at 62 so 1 << color never touches the sign bit in
-        # the int64 channel (and stays exact on the SQL BIGINT side)
-        if np.any((mask & np.uint64(0x7FFFFFFFFFFFFFFF))
-                  == np.uint64(0x7FFFFFFFFFFFFFFF)):
-            raise ValueError(
-                "graph_coloring: a vertex's colored neighborhood uses all "
-                "63 bitmask colors; this graph needs a multi-word mask")
         lzb = (~mask) & (mask + np.uint64(1))
         color = np.round(np.log2(lzb.astype(np.float64))).astype(np.int64)
+        # vertices whose 62 low colors are all taken: exact mex over the
+        # spilled >=62 neighbor colors (unbounded palette, no word cap)
+        sat = np.flatnonzero(acco[ready] == _FULL_LOW)
+        if len(sat):
+            ready_idx = np.flatnonzero(ready)
+            codes = (np.unique(np.concatenate(spill_codes))
+                     if spill_codes else np.empty(0, np.int64))
+            s_idx = codes >> np.int64(32)
+            s_col = codes & np.int64(0xFFFFFFFF)
+            starts = np.searchsorted(s_idx, ready_idx[sat])
+            ends = np.searchsorted(s_idx, ready_idx[sat], side="right")
+            for j, (lo2, hi2) in enumerate(zip(starts, ends)):
+                cols = s_col[lo2:hi2]  # sorted distinct colors >= 62
+                pos = np.flatnonzero(cols != _SPILL_BASE + np.arange(len(cols)))
+                color[sat[j]] = (_SPILL_BASE + (pos[0] if len(pos)
+                                                else len(cols)))
         new = prev.copy()
         new[ready] = color
         changed = int(ready.sum())
@@ -171,9 +210,10 @@ def graph_coloring(graph: Graph, *, max_iter: int = 128,
                    metrics_out: list | None = None,
                    fused: bool | None = None) -> rd.Dataset:
     """(vid, color) over a SYMMETRIC build: a proper distance-1 coloring
-    (adjacent vertices always differ) using at most maxdeg+1 (<= 64)
-    colors. Vertices still uncolored when ``max_iter`` cuts convergence
-    short report color -1, exactly like the fixed-unroll SQL oracle."""
+    (adjacent vertices always differ) using at most maxdeg+1 colors
+    (unbounded palette — colors >= 62 ride the spill channel). Vertices
+    still uncolored when ``max_iter`` cuts convergence short report
+    color -1, exactly like the fixed-unroll SQL oracle."""
     if graph.n == 0:
         from .bsp import empty_vertex_result
 
@@ -225,7 +265,7 @@ def graph_coloring(graph: Graph, *, max_iter: int = 128,
 
     def finish(batch: pa.Table) -> pa.Table:
         enc = batch["enc"].to_numpy(zero_copy_only=False)
-        color = np.where(enc < 64, enc, np.int64(-1))
+        color = np.where(enc < _UNDEC_MIN, enc, np.int64(-1))
         return pa.table({"vid": batch["vid"],
                          "color": pa.array(color, pa.int64())})
 

@@ -916,3 +916,134 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
         right, join_type=how, num_partitions=num_partitions,
         on=(on,), right_on=(right_on,) if right_on else None,
     )
+
+
+def hash_split(ds: rd.Dataset, key_col: str,
+               fractions: dict[str, float] | None = None,
+               out_col: str = "split") -> rd.Dataset:
+    """Deterministic, engine-independent corpus split (train/val/test).
+
+    Assignment is a pure function of the KEY — md5 of its decimal string,
+    first 4 hex digits compared against cumulative-fraction thresholds — so
+    (a) re-running on any partitioning/cluster gives the same split, and
+    (b) keying by a GROUP column (user, domain) keeps whole groups in one
+    fold (the reference's GroupShuffleSplit discipline,
+    pig_extract.py:3589-3635). SQL twin: CASE on substr(md5(CAST(key AS
+    VARCHAR)),1,4). Fractions land on a 65536-bucket grid (off by < 2e-5)."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    names, bounds, cum = [], [], 0.0
+    for name, frac in fractions.items():
+        cum += frac
+        names.append(name)
+        bounds.append(format(min(int(np.floor(cum * 65536)), 65536), "04x"))
+    bounds[-1] = "ffffffff"  # top bucket closed regardless of fp rounding
+
+    import hashlib
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        hexes = [hashlib.md5(str(k).encode()).hexdigest()[:4] for k in keys]
+        splits = []
+        for h in hexes:
+            for name, b in zip(names, bounds):
+                if h < b:
+                    splits.append(name)
+                    break
+        return batch.append_column(out_col, pa.array(splits, pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def stratified_sample(ds: rd.Dataset, group_col: str, id_col: str,
+                      n: int) -> rd.Dataset:
+    """Deterministic stratified sample: the ``n`` rows per group with the
+    smallest (md5(id), id) — a seed-free uniform draw that is reproducible
+    across engines and cluster shapes (corpus subsampling per language /
+    source / event type). Partial+final combine: each batch keeps at most
+    ``n`` rows per group before the shuffle."""
+    import hashlib
+
+    def rank_key(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[[group_col, id_col]].copy()
+        out["_h"] = [hashlib.md5(str(k).encode()).hexdigest()
+                     for k in out[id_col]]
+        return (out.sort_values(["_h", id_col], kind="mergesort")
+                .groupby(group_col, sort=False).head(n))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_h", id_col], kind="mergesort").head(n)
+        return g.drop(columns=["_h"])
+
+    return (ds.map_batches(rank_key, batch_format="pandas")
+            .groupby(group_col).map_groups(final, batch_format="pandas"))
+
+
+def _bloom_prefilter(left: rd.Dataset, right: rd.Dataset, on: str,
+                     right_on: str, num_bits: int, num_hashes: int):
+    """Split ``left`` by a Bloom filter built over ``right[right_on]``:
+    returns (maybe, definitely_absent). Rows in ``definitely_absent`` have
+    NO match in right (Bloom has no false negatives); ``maybe`` still needs
+    the exact join. The filter bits are built with a distributed OR-reduce
+    and broadcast once — only O(num_bits/8) bytes ship anywhere."""
+    from .sketches import bloom_build, bloom_may_contain
+
+    bits_ref = ray.put(bloom_build(
+        right, right_on, num_bits=num_bits, num_hashes=num_hashes))
+
+    def split(keep_maybe: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            mask = bloom_may_contain(ray.get(bits_ref), batch[on],
+                                     num_hashes=num_hashes)
+            return batch.filter(pa.array(mask if keep_maybe else ~mask))
+        return f
+
+    maybe = left.map_batches(split(True), batch_format="pyarrow")
+    absent = left.map_batches(split(False), batch_format="pyarrow")
+    return maybe, absent
+
+
+def semi_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
+              right_on: str | None = None, num_partitions: int = 32,
+              bloom_bits: int = 0, bloom_hashes: int = 5) -> rd.Dataset:
+    """Distributed left semi-join (EXISTS): keep left rows with >=1 match in
+    right; left columns only, no duplication (SURVEY §2.7 set-semantics
+    lookups; training-data use: keep documents on an allowlist).
+
+    ``bloom_bits > 0`` enables the scale path: a Bloom filter over the right
+    keys drops definitely-absent left rows BEFORE the shuffle, so only
+    plausible matches pay the exchange. The result stays exact — false
+    positives just ride through to the exact join."""
+    r_on = right_on or on
+    if bloom_bits:
+        left, _ = _bloom_prefilter(left, right, on, r_on,
+                                   bloom_bits, bloom_hashes)
+    return left.join(right.select_columns([r_on]), join_type="left_semi",
+                     num_partitions=num_partitions, on=(on,),
+                     right_on=(r_on,) if r_on != on else None)
+
+
+def anti_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
+              right_on: str | None = None, num_partitions: int = 32,
+              bloom_bits: int = 0, bloom_hashes: int = 5) -> rd.Dataset:
+    """Distributed left anti-join (NOT EXISTS): keep left rows with NO match
+    in right (training-data use: blocklist / already-processed-id
+    subtraction).
+
+    With ``bloom_bits > 0``, left rows whose key misses the Bloom filter are
+    emitted DIRECTLY (no false negatives -> provably unmatched, zero shuffle
+    cost); only the maybe-present remainder goes through the exact
+    anti-join. Exact either way."""
+    r_on = right_on or on
+    rkeys = right.select_columns([r_on])
+    if bloom_bits:
+        maybe, absent = _bloom_prefilter(left, right, on, r_on,
+                                         bloom_bits, bloom_hashes)
+        joined = maybe.join(rkeys, join_type="left_anti",
+                            num_partitions=num_partitions, on=(on,),
+                            right_on=(r_on,) if r_on != on else None)
+        return absent.union(joined)
+    return left.join(rkeys, join_type="left_anti",
+                     num_partitions=num_partitions, on=(on,),
+                     right_on=(r_on,) if r_on != on else None)

@@ -158,6 +158,85 @@ def summary_quantile(vals: np.ndarray, weights: np.ndarray,
     return float(vals[min(idx, len(vals) - 1)])
 
 
+# ---------------------------------------------------------------------------
+# Bloom filter (set-membership sketch backing semi/anti-join prefilters)
+# ---------------------------------------------------------------------------
+
+_BLOOM_SEED2 = 1337
+
+
+def _bloom_positions(values: pa.Array | pa.ChunkedArray, num_bits: int,
+                     num_hashes: int) -> np.ndarray:
+    """(n, num_hashes) bit positions via double hashing: pos_i = (h1 + i*h2)
+    mod m with h2 forced odd (full-period stride for power-of-two m)."""
+    h1 = hash64(values)
+    h2 = hash64(values, seed=_BLOOM_SEED2) | np.uint64(1)
+    i = np.arange(num_hashes, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            % np.uint64(num_bits)).astype(np.int64)
+
+
+def bloom_build(ds: rd.Dataset, col: str, *, num_bits: int = 1 << 23,
+                num_hashes: int = 5, chunks: int = 32) -> np.ndarray:
+    """Distributed Bloom-filter build over ``ds[col]``: each batch emits its
+    set-bit bytes split into ``chunks`` fixed byte ranges; a tiny
+    ``groupby(chunk)`` bit-ORs the partials so the driver collects exactly
+    ``num_bits/8`` bytes once — never the keys. Returns the packed uint8
+    bit array (broadcast it with ``ray.put``).
+
+    With n keys, FP rate ~= (1 - e^(-kn/m))^k; at the default m=8M bits and
+    k=5 that is <1% up to ~800k keys. False positives only cost exactness of
+    the PREfilter, never of the joins built on it (see ``ops.semi_join``).
+    """
+    if num_bits % (8 * chunks):
+        raise ValueError("num_bits must be divisible by 8*chunks")
+    chunk_bytes = num_bits // 8 // chunks
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pos = _bloom_positions(batch[col], num_bits, num_hashes).ravel()
+        byte_idx = pos >> 3
+        bit = (pos & 7).astype(np.uint8)
+        chunk = byte_idx // chunk_bytes
+        out_c, out_b = [], []
+        for c in np.unique(chunk):
+            sel = chunk == c
+            seg = np.zeros(chunk_bytes, dtype=np.uint8)
+            np.bitwise_or.at(seg, byte_idx[sel] - int(c) * chunk_bytes,
+                             np.left_shift(np.uint8(1), bit[sel]))
+            out_c.append(int(c))
+            out_b.append(seg.tobytes())
+        return pa.table({"chunk": pa.array(out_c, pa.int64()),
+                         "bits": pa.array(out_b, pa.binary())})
+
+    def merge(grp: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(chunk_bytes, dtype=np.uint8)
+        for b in grp["bits"]:
+            acc |= np.frombuffer(b, dtype=np.uint8)
+        return pd.DataFrame({"chunk": [int(grp["chunk"].iloc[0])],
+                             "bits": [acc.tobytes()]})
+
+    rows = (ds.select_columns([col])
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("chunk").map_groups(merge, batch_format="pandas"))
+    bits = np.zeros(num_bits // 8, dtype=np.uint8)
+    for b in rows.iter_batches(batch_format="pyarrow"):
+        cs = b["chunk"].to_numpy(zero_copy_only=False)
+        for j in range(b.num_rows):
+            seg = np.frombuffer(b["bits"][j].as_py(), dtype=np.uint8)
+            bits[int(cs[j]) * chunk_bytes:(int(cs[j]) + 1) * chunk_bytes] = seg
+    return bits
+
+
+def bloom_may_contain(bits: np.ndarray, values: pa.Array | pa.ChunkedArray,
+                      *, num_hashes: int = 5) -> np.ndarray:
+    """Vectorized membership probe: True = maybe present (FP possible),
+    False = DEFINITELY absent."""
+    num_bits = len(bits) * 8
+    pos = _bloom_positions(values, num_bits, num_hashes)
+    probe = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return probe.all(axis=1)
+
+
 def approx_iqr_outliers(ds: rd.Dataset, col: str, k: float = 1.5,
                         keep_cols: list | None = None, *,
                         q: int = 512) -> rd.Dataset:

@@ -87,6 +87,67 @@ def fingerprints(ds: rd.Dataset, id_col: str = "doc_id",
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+_TERM_RE = re.compile(r"[a-z0-9]+")
+
+
+def tfidf_topk(ds: rd.Dataset, id_col: str = "doc_id",
+               text_col: str = "text", *, k: int = 3,
+               num_partitions: int = 32) -> rd.Dataset:
+    """Top-k salient terms per document by tf-idf (training-data keyword /
+    salience extraction). Fully distributed:
+
+    1. per-batch vectorized tokenize (``[a-z0-9]+`` over lowercased text)
+       -> one (doc, term, tf) row per distinct doc-term (the per-batch
+       groupby is the combiner: shuffle volume is doc-term pairs, not
+       token occurrences);
+    2. document frequency = ``groupby(term).count()`` over those rows;
+    3. co-partitioned hash join (doc,term,tf) x (term,df) — vocabulary is
+       never broadcast or driver-resident;
+    4. score = floor(tf * ln(N/df) * 1e6 + 0.5) (int64 fixed-point, the
+       exact IEEE expression mirrored by the SQL oracle), then per-doc
+       top-k with a deterministic (score desc, term asc) tiebreak.
+
+    N (corpus size) is the only driver scalar."""
+    n_docs = ds.count()
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        txt = batch[text_col].fillna("").str.lower()
+        toks = txt.str.findall(_TERM_RE)
+        out = pd.DataFrame({id_col: batch[id_col], "term": toks}).explode("term")
+        out = out.dropna(subset=["term"])
+        tf = out.groupby([id_col, "term"], sort=False).size()
+        tf = tf.rename("tf").reset_index()
+        tf["tf"] = tf["tf"].astype("int64")
+        return tf
+
+    doc_terms = ds.select_columns([id_col, text_col]).map_batches(
+        pairs, batch_format="pandas")
+    def _as_df(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["df" if c == "count()" else c for c in batch.column_names])
+
+    df = doc_terms.groupby("term").count().map_batches(
+        _as_df, batch_format="pyarrow")
+    from .ops import hash_join
+
+    scored = hash_join(doc_terms, df, "term", num_partitions=num_partitions)
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.floor(tf * np.log(float(n_docs) / dfv) * 1e6 + 0.5)
+        return pa.table({id_col: batch[id_col], "term": batch["term"],
+                         "score": pa.array(s.astype(np.int64), pa.int64())})
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "term"], ascending=[False, True],
+                          kind="mergesort")
+        return g.head(k)
+
+    return (scored.map_batches(score, batch_format="pyarrow")
+            .groupby(id_col).map_groups(topk, batch_format="pandas"))
+
+
 _PROFILES = {
     "en": ["the", "and", "of", "to", "in", "is", "it", "that"],
     "de": ["der", "die", "und", "das", "ist", "ein", "nicht", "zu"],

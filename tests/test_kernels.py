@@ -1909,3 +1909,26 @@ def test_weighted_neighborhood_sample_vs_bruteforce():
                                        hops=H, fanout=F, buckets=5)
           .iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
     assert w1 == u1
+
+
+def test_graph_coloring_unbounded_palette_spill():
+    """A K70 clique needs 70 colors (> the 62-bit low mask): the spill
+    channel must produce the exact greedy-by-priority coloring — each
+    vertex's color is its rank in ascending combined-priority order —
+    with fused == distributed."""
+    from raylink.kernels import graph_coloring
+
+    keys = list(range(1, 71))
+    pairs = [(a, b) for a in keys for b in keys if a != b]
+    sg = G.build_graph(_int_edges_ds(pairs), P=P, symmetric=True)
+    kv = {r["vid"]: r["key"] for b in sg.vertices.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()}
+    got = {kv[r["vid"]]: r["color"] for b in graph_coloring(
+        sg, max_iter=128).iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()}
+    rank = {v: i for i, v in enumerate(sorted(keys, key=_comb_prio))}
+    assert got == rank  # colors 0..69, all distinct, priority-ordered
+    cf = graph_coloring(sg, max_iter=128, fused=True).to_pandas()
+    cd = graph_coloring(sg, max_iter=128, fused=False).to_pandas()
+    assert cf.sort_values("vid").reset_index(drop=True).equals(
+        cd.sort_values("vid").reset_index(drop=True))

@@ -436,3 +436,109 @@ def test_ivfpq_topk_recall_and_compression():
     assert 0 in set(approx.vec_id)                  # planted near-dup found
     again = ivfpq_query(index, q, 10, n_probe=6).to_pandas()
     assert approx.equals(again)                     # deterministic
+
+
+def test_semi_anti_join_exact_with_and_without_bloom():
+    from raylink.ops import anti_join, semi_join
+
+    rng = np.random.default_rng(7)
+    lk = rng.integers(0, 400, 2000)
+    left = ds_of({"k": lk, "v": np.arange(2000)})
+    rk = np.arange(0, 400, 3)
+    right = ds_of({"rk": rk, "x": rk * 2})
+    in_right = np.isin(lk, rk)
+
+    for bb in (0, 1 << 14):
+        semi = semi_join(left, right, "k", right_on="rk",
+                         num_partitions=4, bloom_bits=bb).to_pandas()
+        anti = anti_join(left, right, "k", right_on="rk",
+                         num_partitions=4, bloom_bits=bb).to_pandas()
+        # exact partition of left, left columns only, no duplication
+        assert sorted(semi.columns) == ["k", "v"] == sorted(anti.columns)
+        assert len(semi) == int(in_right.sum())
+        assert len(anti) == int((~in_right).sum())
+        assert np.isin(semi["k"].to_numpy(), rk).all()
+        assert not np.isin(anti["k"].to_numpy(), rk).any()
+        assert sorted(semi["v"].tolist() + anti["v"].tolist()) == list(range(2000))
+
+
+def test_bloom_filter_no_false_negatives_and_bounded_fp():
+    from raylink.sketches import bloom_build, bloom_may_contain
+
+    keys = np.arange(0, 5000, 2)  # evens present
+    ds = ds_of({"k": keys})
+    bits = bloom_build(ds, "k", num_bits=1 << 16, num_hashes=5)
+    probe = pa.array(np.arange(10000))
+    maybe = bloom_may_contain(bits, probe, num_hashes=5)
+    truth = np.isin(np.arange(10000), keys)
+    assert maybe[truth].all()  # Bloom never loses a present key
+    # m/n = 65536/2500 ≈ 26 bits/key -> theoretical FP ~3e-4; allow slack
+    assert float(maybe[~truth].mean()) < 0.01
+
+
+def test_tfidf_topk_hand_computed():
+    from raylink.textops import tfidf_topk
+
+    docs = ds_of({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["apple apple banana", "apple cherry", "banana cherry date",
+                 "DATE! date, fig?"],
+    })
+    out = tfidf_topk(docs, k=2, num_partitions=4).to_pandas()
+    n = 4
+    # doc 1: apple tf=2 df=2 -> 2*ln(2); banana tf=1 df=2 -> ln(2)
+    d1 = out[out.doc_id == 1].sort_values("score", ascending=False)
+    assert d1.term.tolist() == ["apple", "banana"]
+    assert d1.score.tolist() == [
+        int(np.floor(2.0 * np.log(n / 2.0) * 1e6 + 0.5)),
+        int(np.floor(1.0 * np.log(n / 2.0) * 1e6 + 0.5)),
+    ]
+    # doc 4: punctuation stripped, case-folded: date tf=2 df=2, fig tf=1 df=1
+    d4 = out[out.doc_id == 4].sort_values("score", ascending=False)
+    assert d4.term.tolist() == ["date", "fig"]
+    # ties broken term-asc: doc 2 apple/cherry both tf=1 df=2
+    d2 = out[out.doc_id == 2]
+    assert d2.sort_values(["score", "term"], ascending=[False, True])[
+        "term"].tolist() == ["apple", "cherry"]
+
+
+def test_hash_split_deterministic_disjoint_and_group_aware():
+    import hashlib
+
+    from raylink.ops import hash_split
+
+    ids = np.arange(1000)
+    groups = ids % 97  # key by group -> whole groups land in one fold
+    ds = ds_of({"doc_id": ids, "grp": groups})
+    out = hash_split(ds, "grp").to_pandas()
+    assert set(out["split"]) <= {"train", "val", "test"}
+    assert len(out) == 1000
+    # same key -> same split everywhere (group-aware)
+    assert (out.groupby("grp")["split"].nunique() == 1).all()
+    # matches the md5-bucket spec exactly
+    for g, s in out.groupby("grp")["split"].first().items():
+        h = hashlib.md5(str(g).encode()).hexdigest()[:4]
+        want = "train" if h < "cccc" else ("val" if h < "e666" else "test")
+        assert s == want
+    # roughly the requested fractions at the group level
+    per = out.groupby("grp")["split"].first().value_counts(normalize=True)
+    assert 0.6 < per.get("train", 0) < 0.95
+
+
+def test_stratified_sample_matches_sequential():
+    import hashlib
+
+    from raylink.ops import stratified_sample
+
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 5, 500)
+    ids = rng.permutation(500)
+    ds = ds_of({"g": g, "id": ids})
+    out = stratified_sample(ds, "g", "id", 7).to_pandas()
+    pdf = pd.DataFrame({"g": g, "id": ids})
+    pdf["_h"] = [hashlib.md5(str(k).encode()).hexdigest() for k in pdf["id"]]
+    want = (pdf.sort_values(["_h", "id"]).groupby("g").head(7)
+            .drop(columns="_h"))
+    a = out.sort_values(["g", "id"]).reset_index(drop=True)
+    b = want.sort_values(["g", "id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
