@@ -640,6 +640,21 @@ def q_graph_components(sf_dir: str):
     return _rename(join_keys(comps, sg, "comp"), {"key": "user_id"})
 
 
+def q_graph_anf(sf_dir: str):
+    """Approximate neighborhood function (HyperANF): per-vertex HLL
+    sketches max-merged along edges each superstep; nf(h) ~ pairs within
+    distance h, run to the diameter fixpoint. Sketch estimates have no
+    faithful ANSI-SQL twin -> rows-only check; the pytest oracle bounds
+    the error against exact all-pairs BFS."""
+    from raylink.graph import build_graph
+    from raylink.kernels import neighborhood_function
+    from raylink.ops import scale_columns
+
+    sg = build_graph(_user_edges(sf_dir), P=GRAPH_P, symmetric=True,
+                     already_deduped=True)
+    return scale_columns(neighborhood_function(sg, p=7), {"nf": 1.0})
+
+
 def q_graph_lp1(sf_dir: str):
     from raylink.graph import build_graph
     from raylink.kernels import label_propagation
@@ -1583,6 +1598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_components": q_graph_components,
         "graph_lp1": q_graph_lp1,
+        "graph_anf": q_graph_anf,
         "graph_ppr": q_graph_ppr,
         "graph_bfs": q_graph_bfs,
         "graph_kcore": q_graph_kcore,

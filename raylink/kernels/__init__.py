@@ -30,6 +30,7 @@ from .hits import hits
 from .mis import maximal_independent_set
 from .betweenness import betweenness
 from .coloring import graph_coloring
+from .anf import effective_diameter, neighborhood_function
 
 __all__ = ["pagerank", "connected_components", "label_propagation",
            "triangle_count", "approx_triangle_count", "graph_summary",
@@ -37,4 +38,5 @@ __all__ = ["pagerank", "connected_components", "label_propagation",
            "modularity",
            "local_clustering", "edge_support", "bfs_hops", "bfs_hops_multi",
            "k_core", "hits", "sssp", "coreness", "reciprocity",
-           "maximal_independent_set", "betweenness", "graph_coloring"]
+           "maximal_independent_set", "betweenness", "graph_coloring",
+           "neighborhood_function", "effective_diameter"]

@@ -1,0 +1,247 @@
+"""Approximate neighborhood function (HyperANF) — per-vertex HyperLogLog
+registers propagated as BSP supersteps.
+
+N(h) = sum over vertices v of |ball(v, h)| (the number of (u, v) pairs
+within distance h). Exact computation needs all-pairs BFS; HyperANF
+(Boldi-Rosa-Vigna, WWW'11) keeps one HLL sketch per vertex — the sketch of
+the ball around v — and each superstep max-merges every vertex's sketch
+into its neighbors', so after h rounds vertex v's sketch estimates
+|ball(v, h)|. The per-superstep shuffle is one 2^p-byte register block per
+(receiver, source-partition segment), pre-aggregated inside the scatter by
+an elementwise byte max — the same structural skew bound as every other
+kernel here (a hub receives at most P partial blocks).
+
+State: n_local x (2^p/8) int64 words per partition (registers packed 8 per
+word; byte view on both ends, little-endian assumed — same-arch clusters).
+Registers only grow, so the fixpoint (no register changed) is reached by
+round = graph diameter, and N(h) is read off per round as a per-partition
+row-wise HLL estimate summed by the driver (one float per partition per
+round). The exact twin at test scale is all-pairs BFS via the oracle;
+relative error concentrates well below the single-sketch 1.04/sqrt(2^p)
+because N(h) sums n independent estimates.
+
+Reference parity: the global whole-series analytic role of
+stumpy_fluss_phase_angle.py:574-649 (the reference's only non-windowed
+global pass); the sketch pattern extends sketches.approx_distinct (HLL)
+into the superstep machinery (SURVEY §7, kernels with carried state).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..graph import Graph, hash64
+from ..sketches import _alpha
+from .bsp import (
+    init_state,
+    iter_chunk_rows,
+    maybe_expand_chunks,
+    partial_row,
+    partials_table,
+    sum_columns,
+)
+
+
+def _est_rows(regs: np.ndarray) -> np.ndarray:
+    """Row-wise HLL estimate over a (n, m) uint8 register matrix."""
+    m = regs.shape[1]
+    s = np.sum(np.exp2(-regs.astype(np.float64)), axis=1)
+    est = _alpha(m) * m * m / s
+    zeros = (regs == 0).sum(axis=1)
+    small = (est <= 2.5 * m) & (zeros > 0)
+    if small.any():
+        est[small] = m * np.log(m / zeros[small])
+    return est
+
+
+def _init_regs(graph: Graph, p: int):
+    """Each vertex starts as the HLL of {its own vid}."""
+    m = 1 << p
+    W = m // 8
+    P = graph.P
+
+    def init_of(part: int) -> np.ndarray:
+        n_local = int(graph.n_per_part[part])
+        vids = np.arange(n_local, dtype=np.int64) * P + part
+        h = hash64(pa.array(vids, pa.int64()))
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = h & np.uint64((1 << (64 - p)) - 1)
+        bits = np.zeros(n_local, dtype=np.int64)
+        nz = w > 0
+        bits[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64) + 1
+        rho = ((64 - p) - bits + 1).astype(np.uint8)
+        regs = np.zeros((n_local, m), dtype=np.uint8)
+        regs[np.arange(n_local), idx] = rho
+        return regs.reshape(-1).view(np.int64)
+
+    return init_state(graph, init_of, dtype=pa.int64())
+
+
+def _anf_scatter(graph: Graph, p: int):
+    refs = graph.blocks
+    P = graph.P
+    m = 1 << p
+    W = m // 8
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        rows = []
+        for part, sub, vec in iter_chunk_rows(batch, "vec"):
+            vec = np.ascontiguousarray(vec.astype(np.int64, copy=False))
+            if sub < 0:
+                rows.append(partial_row(part, -1, -1, 1, lab=vec))
+                continue
+            chunks = refs.get(part, [])
+            if sub >= len(chunks):
+                continue
+            blk = _ray.get(chunks[sub])
+            snd = vec.view(np.uint8).reshape(-1, m)
+            for q in range(P):
+                lo, hi = blk.bounds[q], blk.bounds[q + 1]
+                if hi <= lo:
+                    continue
+                seg_dst = blk.dst_local[lo:hi]
+                width = int(seg_dst.max()) + 1
+                acc = np.zeros((width, m), dtype=np.uint8)
+                np.maximum.at(acc, seg_dst, snd[blk.src_local[lo:hi]])
+                nz = np.flatnonzero(acc.any(axis=1))
+                if len(nz):
+                    rows.append(partial_row(
+                        q, part, sub, 0, idx=nz.astype(np.int32),
+                        lab=acc[nz].reshape(-1).view(np.int64)))
+        return partials_table(rows)
+
+    return scatter
+
+
+def _anf_combine(graph: Graph, p: int):
+    n_per_part = graph.n_per_part
+    m = 1 << p
+    W = m // 8
+
+    def combine(group: pa.Table) -> pa.Table:
+        kinds = group["kind"].to_numpy(zero_copy_only=False)
+        prev_i = int(np.flatnonzero(kinds == 1)[0])
+        part = int(group["dst_part"][prev_i].as_py())
+        idx_col = group["idx"].combine_chunks()
+        lab_col = group["lab"].combine_chunks()
+        idx_flat = idx_col.flatten().to_numpy(zero_copy_only=False)
+        idx_offs = idx_col.offsets.to_numpy(zero_copy_only=False)
+        lab_flat = lab_col.flatten().to_numpy(zero_copy_only=False)
+        lab_offs = lab_col.offsets.to_numpy(zero_copy_only=False)
+        prev = np.ascontiguousarray(
+            lab_flat[lab_offs[prev_i]: lab_offs[prev_i + 1]].astype(np.int64))
+        prev_b = prev.view(np.uint8).reshape(-1, m)
+        acc = prev_b.copy()
+        for i in range(group.num_rows):
+            if kinds[i] != 0:
+                continue
+            idx = idx_flat[idx_offs[i]: idx_offs[i + 1]].astype(np.int64)
+            lab = np.ascontiguousarray(
+                lab_flat[lab_offs[i]: lab_offs[i + 1]].astype(np.int64))
+            np.maximum.at(acc, idx, lab.view(np.uint8).reshape(-1, m))
+        changed = int(np.any(acc != prev_b, axis=1).sum())
+        est = float(_est_rows(acc).sum())
+        assert acc.shape[0] == int(n_per_part[part])
+        return pa.table({
+            "part": pa.array([part], pa.int64()),
+            "vec": pa.array([acc.reshape(-1).view(np.int64)],
+                            pa.list_(pa.int64())),
+            "changed": pa.array([changed], pa.int64()),
+            "est": pa.array([est], pa.float64()),
+        })
+
+    return combine
+
+
+@ray.remote
+def _fused_anf_loop(view, state_tab: pa.Table, p: int, max_iter: int):
+    from .bsp import fused_superstep, table_scalar_sums
+
+    scatter = _anf_scatter(view, p)
+    combine = _anf_combine(view, p)
+    metrics = []
+    for it in range(1, max_iter + 1):
+        t0 = time.perf_counter()
+        state_tab = fused_superstep(state_tab, scatter, combine)
+        sums = table_scalar_sums(state_tab, ["changed", "est"])
+        metrics.append({"iter": it, "changed": int(sums["changed"]),
+                        "nf": float(sums["est"]), "fused": True,
+                        "sec": time.perf_counter() - t0})
+        if int(sums["changed"]) == 0:
+            break
+    return metrics
+
+
+def neighborhood_function(graph: Graph, *, p: int = 6, max_iter: int = 256,
+                          metrics_out: list | None = None,
+                          fused: bool | None = None) -> rd.Dataset:
+    """(hop, nf) rows: nf(h) ~ number of ordered pairs within distance h
+    (hop 0 = n, exact). Runs to the register fixpoint (h = diameter) or
+    ``max_iter``. Use a SYMMETRIC build for the undirected neighborhood
+    function. ``p``: HLL precision (2^p registers, 2^p bytes state and
+    shuffle per vertex)."""
+    if p < 4 or p > 12:
+        raise ValueError("p must be in [4, 12]")
+    if graph.n == 0:
+        return rd.from_arrow(pa.table({"hop": pa.array([], pa.int64()),
+                                       "nf": pa.array([], pa.float64())}))
+    state = _init_regs(graph, p)
+    nf = [float(graph.n)]  # N(0) is exact: every vertex reaches itself
+
+    from .bsp import fused_eligible, graph_view, state_table
+
+    if fused_eligible(graph, fused):
+        metrics = ray.get(_fused_anf_loop.remote(
+            graph_view(graph), state_table(state), p, max_iter))
+        if metrics_out is not None:
+            metrics_out.extend(metrics)
+        # the fixpoint round repeats the previous estimate; drop it
+        nf.extend(mt["nf"] for mt in metrics if mt["changed"] > 0)
+    else:
+        scatter = _anf_scatter(graph, p)
+        combine = _anf_combine(graph, p)
+        for it in range(1, max_iter + 1):
+            t0 = time.perf_counter()
+            state = (
+                maybe_expand_chunks(state, graph)
+                .map_batches(scatter, batch_format="pyarrow", batch_size=1,
+                             zero_copy_batch=True)
+                .groupby("dst_part")
+                .map_groups(combine, batch_format="pyarrow")
+                .materialize()
+            )
+            sums = sum_columns(state, ["changed", "est"])
+            changed = int(sums["changed"])
+            if metrics_out is not None:
+                metrics_out.append({"iter": it, "changed": changed,
+                                    "nf": float(sums["est"]),
+                                    "sec": time.perf_counter() - t0})
+            if changed == 0:
+                break
+            nf.append(float(sums["est"]))
+            state = state.select_columns(["part", "vec"])
+
+    return rd.from_arrow(pa.table({
+        "hop": pa.array(np.arange(len(nf), dtype=np.int64)),
+        "nf": pa.array(np.asarray(nf, dtype=np.float64)),
+    }))
+
+
+def effective_diameter(nf_hops: list[float], q: float = 0.9) -> int:
+    """Smallest h with nf(h) >= q * nf(max h) from a neighborhood-function
+    series (standard 90%-effective-diameter readout)."""
+    if not nf_hops:
+        return 0
+    target = q * nf_hops[-1]
+    for h, v in enumerate(nf_hops):
+        if v >= target:
+            return h
+    return len(nf_hops) - 1

@@ -1932,3 +1932,55 @@ def test_graph_coloring_unbounded_palette_spill():
     cd = graph_coloring(sg, max_iter=128, fused=False).to_pandas()
     assert cf.sort_values("vid").reset_index(drop=True).equals(
         cd.sort_values("vid").reset_index(drop=True))
+
+
+def test_neighborhood_function_vs_exact_all_pairs_bfs():
+    """HyperANF nf(h) tracks the exact all-pairs-BFS neighborhood function
+    within a few percent (summing n per-vertex sketches concentrates far
+    below the single-sketch HLL error); hop 0 is exactly n; fused ==
+    distributed; runs to the diameter fixpoint."""
+    from collections import deque
+
+    from raylink.kernels import effective_diameter, neighborhood_function
+
+    rng = np.random.default_rng(11)
+    n = 150
+    pairs = set()
+    while len(pairs) < 450:
+        a, b = (int(x) for x in rng.integers(0, n, 2))
+        if a != b:
+            pairs.add((a, b))
+    pairs = sorted(pairs)
+    sg = G.build_graph(_int_edges_ds(pairs), P=P, symmetric=True)
+
+    adj: dict[int, set] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    outs = {}
+    for fused in (True, False):
+        outs[fused] = neighborhood_function(sg, p=7, fused=fused).to_pandas()
+    assert outs[True].equals(outs[False])
+    out = outs[True]
+
+    maxh = len(out) - 1
+    exact = np.zeros(maxh + 1)
+    for s in adj:
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        for d in dist.values():
+            exact[min(d, maxh):] += 1
+
+    assert out.nf.iloc[0] == float(sg.n)  # N(0) exact
+    rel = np.abs(out.nf.to_numpy() - exact) / exact
+    assert rel.max() < 0.05, rel
+    # monotone non-decreasing hops covered; effective diameter sane
+    ed = effective_diameter(list(out.nf))
+    assert 0 < ed <= maxh
