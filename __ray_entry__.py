@@ -1359,6 +1359,30 @@ def q_doc_dedup_clusters(sf_dir: str):
     return near_dup_components(pairs.map_batches(thr, batch_format="pyarrow"))
 
 
+def q_events_redact(sf_dir: str):
+    """PII-style scrubbing over the events props JSON: emails -> [EMAIL]
+    first, then digit runs -> [NUM]; byte-identical to the nested
+    regexp_replace SQL twin."""
+    from raylink.textops import redact
+
+    return redact(_read(sf_dir, "events", ["event_id", "props"]),
+                  id_col="event_id", text_col="props")
+
+
+def q_pages_host_graph(sf_dir: str):
+    """Graph coarsening: re-derive page edges from the HTML, exact-dedup
+    the pairs, contract to host level with distinct-pair weights — the
+    page-graph -> host-graph contraction every web-scale pipeline runs
+    before whole-graph analytics. Oracle: the generator's ground-truth
+    edge list contracted by regexp host extraction."""
+    from raylink.extract import docs_to_edges, host_edges, pages_to_docs
+    from raylink.tables import pages_dataset
+
+    pages = pages_dataset(PAGES_SPEC, parallelism=8)
+    docs = pages_to_docs(pages, batch_size=64, concurrency=2)
+    return host_edges(docs_to_edges(docs))
+
+
 def q_doc_tfidf(sf_dir: str):
     """Top-3 salient terms per document by tf-idf: tokenize combiner ->
     doc-frequency groupby -> co-partitioned term join -> per-doc top-k
@@ -1646,6 +1670,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash": q_doc_simhash,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_tfidf": q_doc_tfidf,
+        "events_redact": q_events_redact,
+        "pages_host_graph": q_pages_host_graph,
         "doc_corpus_split": q_doc_corpus_split,
         "events_stratified": q_events_stratified,
         "customers_semi_urgent": q_customers_semi_urgent,
@@ -2575,6 +2601,24 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN trim(text) = '' THEN 0 ELSE "
         "array_length(regexp_split_to_array(trim(text), '\\s+')) END AS tok "
         "FROM documents)"
+    )
+    _email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    sql["events_redact"] = (
+        "SELECT event_id, "
+        f"regexp_replace(regexp_replace(props, '{_email}', '[EMAIL]', 'g'), "
+        "'[0-9]+', '[NUM]', 'g') AS redacted, "
+        f"CAST(length(regexp_extract_all(props, '{_email}')) AS BIGINT) "
+        "AS n_emails, "
+        "CAST(length(regexp_extract_all(regexp_replace(props, "
+        f"'{_email}', '[EMAIL]', 'g'), '[0-9]+')) AS BIGINT) AS n_nums "
+        "FROM events"
+    )
+    sql["pages_host_graph"] = (
+        "WITH " + _pages_edge_values() + ", h AS ("
+        "SELECT regexp_extract(src, '^https?://([^/]+)', 1) AS src_host, "
+        "regexp_extract(dst, '^https?://([^/]+)', 1) AS dst_host FROM e) "
+        "SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links "
+        "FROM h GROUP BY 1, 2"
     )
     sql["doc_tfidf"] = (
         "WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), "

@@ -542,3 +542,38 @@ def test_stratified_sample_matches_sequential():
     a = out.sort_values(["g", "id"]).reset_index(drop=True)
     b = want.sort_values(["g", "id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_redact_emails_then_digit_runs():
+    from raylink.textops import redact
+
+    docs = ds_of({
+        "doc_id": [1, 2, 3],
+        "text": ["mail me at jo.doe+x@site-a.example.org or call 555 1234",
+                 "no pii here", "ids 007 and 42"],
+    })
+    out = redact(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.redacted.tolist() == [
+        "mail me at [EMAIL] or call [NUM] [NUM]",
+        "no pii here", "ids [NUM] and [NUM]"]
+    assert out.n_emails.tolist() == [1, 0, 0]
+    # digit runs counted AFTER email removal (the email's digits don't count)
+    assert out.n_nums.tolist() == [2, 0, 2]
+
+
+def test_host_edges_contracts_and_weights():
+    from raylink.extract import host_edges
+
+    edges = ds_of({
+        "src": ["http://a.x/1", "http://a.x/1", "http://a.x/2",
+                "http://a.x/2", "http://b.x/1", "http://b.x/1"],
+        "dst": ["http://b.x/1", "http://b.x/1", "http://b.x/2",
+                "http://a.x/1", "http://a.x/9", "http://b.x/1"],
+    })
+    out = host_edges(edges).to_pandas().sort_values(
+        ["src_host", "dst_host"]).reset_index(drop=True)
+    # duplicates collapse before counting; page self-loop b1->b1 dropped;
+    # same-host a2->a1 kept as intra-host mass
+    want = {("a.x", "a.x"): 1, ("a.x", "b.x"): 2, ("b.x", "a.x"): 1}
+    got = {(r.src_host, r.dst_host): r.n_links for r in out.itertuples()}
+    assert got == want
