@@ -640,6 +640,21 @@ def q_graph_components(sf_dir: str):
     return _rename(join_keys(comps, sg, "comp"), {"key": "user_id"})
 
 
+def q_graph_contract(sf_dir: str):
+    """Community-graph contraction: LP(1 round) labels the vertices, then
+    the quotient graph (src_label, dst_label, n_edges) is built by two
+    co-partitioned joins of the reconstructed edge table against the
+    label table — the coarsening step between community detection and
+    whole-graph analytics."""
+    from raylink.graph import build_graph, contract_by_label
+    from raylink.kernels import label_propagation
+
+    sg = build_graph(_user_edges(sf_dir), P=GRAPH_P, symmetric=True,
+                     already_deduped=True)
+    labels = label_propagation(sg, max_iter=1, init="key")
+    return contract_by_label(sg, labels)
+
+
 def q_graph_anf(sf_dir: str):
     """Approximate neighborhood function (HyperANF): per-vertex HLL
     sketches max-merged along edges each superstep; nf(h) ~ pairs within
@@ -1623,6 +1638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": q_graph_components,
         "graph_lp1": q_graph_lp1,
         "graph_anf": q_graph_anf,
+        "graph_contract": q_graph_contract,
         "graph_ppr": q_graph_ppr,
         "graph_bfs": q_graph_bfs,
         "graph_kcore": q_graph_kcore,
@@ -2473,6 +2489,22 @@ def oracle_sql() -> dict[str, str]:
         "w AS (SELECT v, lab, row_number() OVER (PARTITION BY v "
         "ORDER BY n DESC, lab) AS rn FROM c) "
         "SELECT v AS user_id, CAST(lab AS BIGINT) AS label FROM w WHERE rn = 1"
+    )
+    sql["graph_contract"] = (
+        f"WITH {_E_CTE}, "
+        "v AS (SELECT src AS v FROM e UNION SELECT dst FROM e), "
+        "und AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM e "
+        "UNION ALL SELECT dst, src FROM e)), "
+        "votes AS (SELECT b AS v, a AS lab FROM und "
+        "UNION ALL SELECT v, v FROM v), "
+        "c AS (SELECT v, lab, count(*) AS n FROM votes GROUP BY v, lab), "
+        "w AS (SELECT v, lab, row_number() OVER (PARTITION BY v "
+        "ORDER BY n DESC, lab) AS rn FROM c), "
+        "l AS (SELECT v, lab FROM w WHERE rn = 1) "
+        "SELECT CAST(la.lab AS BIGINT) AS src_label, "
+        "CAST(lb.lab AS BIGINT) AS dst_label, "
+        "CAST(count(*) AS BIGINT) AS n_edges FROM und "
+        "JOIN l la ON la.v = und.a JOIN l lb ON lb.v = und.b GROUP BY 1, 2"
     )
     sql["graph_bfs"] = (
         """WITH RECURSIVE " + _E_CTE + ", und AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e)), v AS (SELECT a AS v FROM und UNION SELECT b FROM und), b(v, d) AS (SELECT (SELECT min(v) FROM v), 0 UNION SELECT u.b, b.d + 1 FROM b JOIN und u ON u.a = b.v WHERE b.d < 200) SELECT v AS user_id, CAST(min(d) AS BIGINT) AS hops FROM b GROUP BY v"""

@@ -1449,3 +1449,55 @@ def edges_table(graph: Graph) -> rd.Dataset:
 
     return rd.from_items(items).map_batches(
         expand, batch_format="pyarrow", batch_size=1)
+
+
+def contract_by_label(graph: Graph, labels: rd.Dataset, *,
+                      label_col: str = "label",
+                      num_partitions: int = 8) -> rd.Dataset:
+    """Quotient (community / super-) graph of a labeling: rows
+    (src_label, dst_label, n_edges), one per ordered label pair, n_edges =
+    stored directed edges between the classes (a symmetric build counts
+    each undirected edge in both directions, exactly as stored).
+
+    Composition, all distributed: :func:`edges_table` (CSR payloads never
+    touch the driver) -> two co-partitioned hash joins against the
+    (vid, label) table -> grouped count with a per-batch partial combine.
+    The standard coarsening step between a community detection pass (LP /
+    CC) and whole-graph analytics over the contracted graph.
+
+    ``num_partitions`` is PER JOIN and the two joins run back to back:
+    each wants its own pool of aggregator actors, so keep the product
+    (2 x num_partitions) comfortably under the cluster's CPU count —
+    oversubscribed chained joins stall each other (measured: 2 x 32 on a
+    32-CPU node crawled; 2 x 8 ran in ~2 s on the same input)."""
+    from .ops import hash_join
+
+    lab = labels.select_columns(["vid", label_col])
+
+    def _side(side: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns([
+                f"{side}_vid" if c == "vid" else f"{side}_label"
+                for c in batch.column_names])
+        return f
+
+    e = edges_table(graph).select_columns(["src_vid", "dst_vid"])
+    e = hash_join(e, lab.map_batches(_side("src"), batch_format="pyarrow"),
+                  "src_vid", num_partitions=num_partitions)
+    e = hash_join(e, lab.map_batches(_side("dst"), batch_format="pyarrow"),
+                  "dst_vid", num_partitions=num_partitions)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.select(["src_label", "dst_label"]).group_by(
+            ["src_label", "dst_label"]).aggregate([([], "count_all")])
+
+    from ray.data.aggregate import Sum
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["n_edges" if c == "sum(count_all)" else c
+             for c in batch.column_names])
+
+    return (e.map_batches(partial, batch_format="pyarrow")
+            .groupby(["src_label", "dst_label"]).aggregate(Sum("count_all"))
+            .map_batches(finish, batch_format="pyarrow"))

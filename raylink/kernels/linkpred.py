@@ -72,6 +72,13 @@ def _weights_for(deg: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return aa_u[inv], ra_u[inv]
 
 
+@ray.remote
+def _count_deg_over(blk, cap: int) -> int:
+    """Distributed count of centers above the wedge cap (no degree array
+    ever reaches the driver)."""
+    return int((blk.deg.astype(np.int64) > cap).sum())
+
+
 def _pack_lists(bucket: np.ndarray, kind: int, codes: np.ndarray,
                 cnt: np.ndarray | None, aa: np.ndarray | None,
                 ra: np.ndarray | None) -> pa.Table:
@@ -100,12 +107,23 @@ def _pack_lists(bucket: np.ndarray, kind: int, codes: np.ndarray,
 
 def adamic_adar_candidates(graph: Graph, k: int = 50, *,
                            buckets: int | None = None,
-                           max_emit: int = 1 << 22) -> rd.Dataset:
+                           max_emit: int = 1 << 22,
+                           max_center_deg: int | None = None,
+                           metrics_out: list | None = None) -> rd.Dataset:
     """Candidate links over a SYMMETRIC build: rows (src_vid, dst_vid,
     n_common, aa_fp, ra_fp) for non-adjacent pairs (src_vid < dst_vid)
     with >= 1 common neighbor — a superset of the global top-k by aa_fp
     (per-bucket boundary-tie-preserving preselect; see module docstring).
-    Callers finish with sort([aa desc, tiebreak]).limit(k)."""
+    Callers finish with sort([aa desc, tiebreak]).limit(k).
+
+    ``max_center_deg``: the documented extreme-skew escape hatch — the
+    wedge volume is inherently sum(deg(w)^2)/2, so one degree-10^6 hub
+    alone emits 5*10^11 pairs. Setting a cap SKIPS wedge credits from
+    centers with deg > cap (each skipped credit is worth < 1/ln(cap), the
+    smallest of all AA weights, so top-k candidates dominated by
+    low-degree closures are usually unaffected). NOT silent: the number
+    of skipped centers is counted distributedly, logged loudly, and
+    appended to ``metrics_out`` when provided."""
     P = graph.P
     parts = graph.parts_with_edges()
     if not parts:
@@ -118,6 +136,22 @@ def adamic_adar_candidates(graph: Graph, k: int = 50, *,
     C = np.int64(max_vid + 1)
     refs = graph.blocks
     deg_refs = {p: _deg_of.remote(refs[p][0]) for p in parts}
+
+    if max_center_deg is not None:
+        skipped = sum(ray.get([
+            _count_deg_over.remote(refs[p][0], int(max_center_deg))
+            for p in parts]))
+        if skipped:
+            import logging
+
+            logging.getLogger("raylink").warning(
+                "adamic_adar_candidates: dropping wedge credits from %d "
+                "centers with deg > %d (documented approximation; each "
+                "dropped credit < 1/ln(%d))",
+                skipped, max_center_deg, max_center_deg)
+        if metrics_out is not None:
+            metrics_out.append({"skipped_centers": int(skipped),
+                                "max_center_deg": int(max_center_deg)})
 
     def emit(batch: pa.Table) -> pa.Table:
         import ray as _ray
@@ -143,6 +177,13 @@ def adamic_adar_candidates(graph: Graph, k: int = 50, *,
             if len(ecodes):
                 tabs.append(_pack_lists(_bucket_of(ecodes, B), 0, ecodes,
                                         None, None, None))
+            if max_center_deg is not None:
+                # drop hub centers AFTER the edge codes are out: edges must
+                # always be visible to the existing-pair filter
+                keepw = deg_u[(u // np.int64(P))] <= max_center_deg
+                u, v = u[keepw], v[keepw]
+                if len(u) == 0:
+                    continue
             # full-neighborhood wedges: sort slots by (center, neighbor)
             order = np.lexsort((v, u))
             su, sv = u[order], v[order]

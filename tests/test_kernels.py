@@ -1984,3 +1984,97 @@ def test_neighborhood_function_vs_exact_all_pairs_bfs():
     # monotone non-decreasing hops covered; effective diameter sane
     ed = effective_diameter(list(out.nf))
     assert 0 < ed <= maxh
+
+
+def test_adamic_adar_max_center_deg_cap():
+    """With max_center_deg, wedge credits from hub centers are dropped —
+    scores equal a brute force that excludes those centers, the skip
+    count is reported (not silent), and cap=maxdeg reproduces the
+    uncapped result exactly."""
+    from raylink.kernels import adamic_adar_candidates
+
+    pairs = overlay_pairs(seed=31, n=24, m=80) + clique_pairs(7, 3)
+    sg = G.build_graph(edges_ds(pairs), P=P, symmetric=True)
+
+    vert = {r["key"]: r["vid"] for b in sg.vertices.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()}
+    adj = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(vert[a], set()).add(vert[b])
+            adj.setdefault(vert[b], set()).add(vert[a])
+    maxdeg = max(len(v) for v in adj.values())
+    cap = sorted(len(v) for v in adj.values())[len(adj) // 2]  # median deg
+
+    def brute(capd):
+        expect = {}
+        for w, nbrs in adj.items():
+            d = len(nbrs)
+            if d < 2 or d > capd:
+                continue
+            aa = int(math.floor(1e9 / math.log(d) + 0.5))
+            ra = int(math.floor(1e9 / d + 0.5))
+            ns = sorted(nbrs)
+            for i in range(len(ns)):
+                for j in range(i + 1, len(ns)):
+                    key = (ns[i], ns[j])
+                    c, a_, r_ = expect.get(key, (0, 0, 0))
+                    expect[key] = (c + 1, a_ + aa, r_ + ra)
+        return {k: v for k, v in expect.items() if k[1] not in adj[k[0]]}
+
+    m = []
+    out = adamic_adar_candidates(sg, 10, max_center_deg=cap,
+                                 metrics_out=m).to_pandas()
+    got = {(r.src_vid, r.dst_vid): (r.n_common, r.aa_fp, r.ra_fp)
+           for r in out.itertuples()}
+    want = brute(cap)
+    assert all(got[k] == want[k] for k in got)
+    n_hubs = sum(1 for v in adj.values() if len(v) > cap)
+    assert m and m[0]["skipped_centers"] == n_hubs and n_hubs > 0
+
+    # cap >= maxdeg: identical to the uncapped run
+    a = adamic_adar_candidates(sg, 10).to_pandas().sort_values(
+        ["src_vid", "dst_vid"]).reset_index(drop=True)
+    b = adamic_adar_candidates(sg, 10, max_center_deg=maxdeg
+                               ).to_pandas().sort_values(
+        ["src_vid", "dst_vid"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_contract_by_label_quotient_graph():
+    """contract_by_label == brute-force label-pair counts over the stored
+    (symmetric) edge directions; labels from CC give a block-diagonal
+    quotient (only self-pairs for disjoint cliques)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raylink.graph import contract_by_label
+    from raylink.kernels import connected_components
+
+    pairs = ([(i, j) for i in range(4) for j in range(4) if i != j]
+             + [(i, j) for i in range(100, 103) for j in range(100, 103)
+                if i != j])
+    sg = G.build_graph(_int_edges_ds(pairs), P=P, symmetric=True)
+    labels = connected_components(sg, init="key")
+    out = contract_by_label(sg, labels, label_col="comp",
+                            num_partitions=4).to_pandas()
+    got = {(r.src_label, r.dst_label): r.n_edges for r in out.itertuples()}
+    # disjoint cliques: only (c, c) pairs; K4 stores 12 directed slots, K3 6
+    assert set(got) == {(k, k) for k in set(labels.to_pandas()["comp"])}
+    assert sorted(got.values()) == [6, 12]
+
+    # hand labeling across components: quotient counts match brute force
+    vert = {r["key"]: r["vid"] for b in sg.vertices.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()}
+    lab_of = {v: v % 2 for v in vert.values()}
+    lab_ds = rd.from_arrow(pa.table({
+        "vid": pa.array(sorted(lab_of), pa.int64()),
+        "label": pa.array([lab_of[v] for v in sorted(lab_of)], pa.int64()),
+    }))
+    out2 = contract_by_label(sg, lab_ds, num_partitions=4).to_pandas()
+    brute = {}
+    for a, b in pairs:  # pairs already hold both directions, each once
+        k = (lab_of[vert[a]], lab_of[vert[b]])
+        brute[k] = brute.get(k, 0) + 1
+    assert {(r.src_label, r.dst_label): r.n_edges
+            for r in out2.itertuples()} == brute
