@@ -1451,6 +1451,33 @@ def edges_table(graph: Graph) -> rd.Dataset:
         expand, batch_format="pyarrow", batch_size=1)
 
 
+def subgraph_same_vids(graph: Graph, edges_vids: rd.Dataset, *,
+                       chunk_edges: int = CHUNK_EDGES) -> Graph:
+    """SYMMETRIC subgraph over the SAME vid space and partition geometry
+    from canonical (src_vid, dst_vid) rows (src < dst, this graph's vids)
+    — e.g. the survivors of a peel round or any edge filter.
+
+    ONE pack + groupby shuffle: no dictionary encode, no key remap — the
+    vertex dictionary, n, n_per_part and P are reused verbatim (vertices
+    that lost all edges keep their vids with degree 0). This is what makes
+    iterated edge-peeling (k-truss) affordable: a full ``build_graph``
+    re-ranks keys and forces every downstream row back through a vid
+    join, this rebuild leaves ids stable."""
+    P, npp = graph.P, graph.n_per_part
+    enc = edges_vids.select_columns(["src_vid", "dst_vid"]).map_batches(
+        _pack_fn(P, (1,)), batch_format="pyarrow", zero_copy_batch=True)
+    block_rows = (
+        enc.groupby(["dir", "src_part"])
+        .map_groups(lambda g: _build_block_rows(g, P, npp, chunk_edges),
+                    batch_format="pyarrow")
+        .materialize()
+    )
+    blocks, m = _collect_blocks(block_rows)
+    return Graph(P=P, n=graph.n, m=m.get(1, 0), n_per_part=npp,
+                 blocks=blocks.get(1, {}), prep=graph.prep,
+                 key_type=graph.key_type)
+
+
 def contract_by_label(graph: Graph, labels: rd.Dataset, *,
                       label_col: str = "label",
                       num_partitions: int = 8) -> rd.Dataset:

@@ -9,14 +9,12 @@ reference's repeated threshold-and-reextract passes
 Round shape (all Dataset-level, no driver edge state): compute per-edge
 support with the bucketed center-carrying wedge join
 (:func:`..kernels.edge_support`), filter ``support >= k-2``, and — if any
-edge dropped — REBUILD the graph from the surviving canonical edge list
-(original-vid pairs fed back through ``build_graph`` with int vids as
-keys) for the next round. The driver carries only the per-round edge
-count. Per-round cost = one graph build (2 shuffles) + one wedge join
-(2 bucketed exchanges) + the vid join-back; a long-lived production
-variant would maintain a mutable adjacency index actor instead of
-rebuilding, but peeling converges in few rounds on web-shaped graphs and
-each round streams.
+edge dropped — rebuild via :func:`..graph.subgraph_same_vids` for the
+next round: the survivors keep their vids and partition geometry, so the
+rebuild is ONE pack+groupby shuffle with no dictionary encode and no
+remap join-back (round 2 of this repo cut the per-round cost from
+2-shuffle build + 2 key joins down to 1 shuffle + the wedge join's 2
+bucketed exchanges). The driver carries only the per-round edge count.
 
 ``max_rounds`` bounds rounds for fixed-unroll SQL-oracle parity: running
 exactly R rounds and stopping early at the fixpoint produce identical
@@ -31,7 +29,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from ..graph import Graph, build_graph
+from ..graph import Graph
 from .triangles import edge_support
 
 _TRUSS_SCHEMA = pa.schema([
@@ -39,35 +37,6 @@ _TRUSS_SCHEMA = pa.schema([
     pa.field("dst_vid", pa.int64()),
     pa.field("support", pa.int64()),
 ])
-
-
-def _support_in_original_vids(g: Graph, remap: bool) -> rd.Dataset:
-    """edge_support rows mapped back to ORIGINAL vid space. ``remap`` is
-    False for the round-0 graph (vids already original); True for rebuilt
-    graphs, whose vertex KEYS are the original vids."""
-    from ..pipelines.flagship import join_keys
-
-    sup = edge_support(g)
-    if not remap:
-        return sup
-    a = join_keys(sup.map_batches(
-        lambda b: b.rename_columns(["vid", "dst_vid", "support"]),
-        batch_format="pyarrow"), g, ["dst_vid", "support"])
-    ab = join_keys(a.map_batches(
-        lambda b: b.select(["dst_vid", "key", "support"]).rename_columns(
-            ["vid", "key_a", "support"]),
-        batch_format="pyarrow"), g, ["key_a", "support"])
-
-    def canon(b: pa.Table) -> pa.Table:
-        ka = pc.cast(b["key_a"], pa.int64())
-        kb = pc.cast(b["key"], pa.int64())
-        return pa.table({
-            "src_vid": pc.min_element_wise(ka, kb),
-            "dst_vid": pc.max_element_wise(ka, kb),
-            "support": b["support"],
-        }, schema=_TRUSS_SCHEMA)
-
-    return ab.map_batches(canon, batch_format="pyarrow")
 
 
 def k_truss(graph: Graph, k: int, *, max_rounds: int = 30,
@@ -79,15 +48,16 @@ def k_truss(graph: Graph, k: int, *, max_rounds: int = 30,
     ``k >= 3``; peeling drops edges with support < k-2 each round."""
     if k < 3:
         raise ValueError("k-truss requires k >= 3 (k=2 is every edge)")
+    from ..graph import subgraph_same_vids
+
     thr = k - 2
     g = graph
-    remap = False
     out = rd.from_arrow(_TRUSS_SCHEMA.empty_table())
     n_edges = graph.m // 2
     for rnd in range(max_rounds):
         if n_edges == 0:
             return rd.from_arrow(_TRUSS_SCHEMA.empty_table())
-        sup = _support_in_original_vids(g, remap)
+        sup = edge_support(g)  # vids are stable across rebuilds
 
         def keep(b: pa.Table) -> pa.Table:
             return b.filter(pc.greater_equal(b["support"], pa.scalar(thr)))
@@ -100,11 +70,5 @@ def k_truss(graph: Graph, k: int, *, max_rounds: int = 30,
         if survived == n_edges or survived == 0:
             break
         n_edges = survived
-        g = build_graph(
-            out.map_batches(
-                lambda b: b.select(["src_vid", "dst_vid"]).rename_columns(
-                    ["src", "dst"]),
-                batch_format="pyarrow"),
-            P=graph.P, symmetric=True, already_deduped=True)
-        remap = True
+        g = subgraph_same_vids(graph, out)
     return out

@@ -2078,3 +2078,43 @@ def test_contract_by_label_quotient_graph():
         brute[k] = brute.get(k, 0) + 1
     assert {(r.src_label, r.dst_label): r.n_edges
             for r in out2.itertuples()} == brute
+
+
+def test_subgraph_same_vids_identity_and_filter():
+    """Rebuilding from the full canonical edge list reproduces the graph
+    (PageRank bit-equal, same m/n/geometry); filtering edges yields the
+    correct subgraph without any re-encode (vids stable)."""
+    import pyarrow.compute as pc
+
+    from raylink.graph import edges_table, subgraph_same_vids
+    from raylink.kernels import pagerank, triangle_count
+
+    pairs = overlay_pairs(seed=41, n=40, m=160) + clique_pairs(5, 4)
+    sg = G.build_graph(edges_ds(pairs), P=P, symmetric=True)
+
+    def canon(b):
+        keep = pc.less(b["src_vid"], b["dst_vid"])
+        return b.filter(keep).select(["src_vid", "dst_vid"])
+
+    full = edges_table(sg).map_batches(canon, batch_format="pyarrow")
+    g2 = subgraph_same_vids(sg, full)
+    assert (g2.m, g2.n, g2.P) == (sg.m, sg.n, sg.P)
+    a = pagerank(sg, tol=0.0, max_iter=5).to_pandas().sort_values("vid")
+    b = pagerank(g2, tol=0.0, max_iter=5).to_pandas().sort_values("vid")
+    assert (a.score.to_numpy() == b.score.to_numpy()).all()
+
+    # drop every edge of one clique: its triangles vanish, vids unchanged
+    vert = {r["key"]: r["vid"] for bt in sg.vertices.iter_batches(
+        batch_format="pyarrow") for r in bt.to_pylist()}
+    c0 = {vert[f"c0_{i}"] for i in range(4)}
+
+    def drop_c0(b):
+        s = b["src_vid"].to_numpy(zero_copy_only=False)
+        d = b["dst_vid"].to_numpy(zero_copy_only=False)
+        keep = ~(np.isin(s, list(c0)) & np.isin(d, list(c0)))
+        return b.filter(pa.array(keep))
+
+    g3 = subgraph_same_vids(sg, full.map_batches(drop_c0,
+                                                 batch_format="pyarrow"))
+    assert g3.n == sg.n and g3.m == sg.m - 12
+    assert triangle_count(g3) == triangle_count(sg) - 4  # K4 has 4 triangles
