@@ -1508,23 +1508,28 @@ def contract_by_label(graph: Graph, labels: rd.Dataset, *,
                 for c in batch.column_names])
         return f
 
-    e = edges_table(graph).select_columns(["src_vid", "dst_vid"])
+    weighted = graph.weighted
+    cols = ["src_vid", "dst_vid"] + (["w"] if weighted else [])
+    e = edges_table(graph).select_columns(cols)
     e = hash_join(e, lab.map_batches(_side("src"), batch_format="pyarrow"),
                   "src_vid", num_partitions=num_partitions)
     e = hash_join(e, lab.map_batches(_side("dst"), batch_format="pyarrow"),
                   "dst_vid", num_partitions=num_partitions)
 
     def partial(batch: pa.Table) -> pa.Table:
-        return batch.select(["src_label", "dst_label"]).group_by(
-            ["src_label", "dst_label"]).aggregate([([], "count_all")])
+        keep = ["src_label", "dst_label"] + (["w"] if weighted else [])
+        aggs = [([], "count_all")] + ([("w", "sum")] if weighted else [])
+        return batch.select(keep).group_by(
+            ["src_label", "dst_label"]).aggregate(aggs)
 
     from ray.data.aggregate import Sum
 
     def finish(batch: pa.Table) -> pa.Table:
+        names = {"sum(count_all)": "n_edges", "sum(w_sum)": "sum_w"}
         return batch.rename_columns(
-            ["n_edges" if c == "sum(count_all)" else c
-             for c in batch.column_names])
+            [names.get(c, c) for c in batch.column_names])
 
+    aggs = [Sum("count_all")] + ([Sum("w_sum")] if weighted else [])
     return (e.map_batches(partial, batch_format="pyarrow")
-            .groupby(["src_label", "dst_label"]).aggregate(Sum("count_all"))
+            .groupby(["src_label", "dst_label"]).aggregate(*aggs)
             .map_batches(finish, batch_format="pyarrow"))

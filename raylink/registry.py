@@ -17,6 +17,7 @@ from .kernels import (
     hits,
     k_core,
     label_propagation,
+    neighborhood_function,
     pagerank,
     triangle_count,
 )
@@ -40,10 +41,12 @@ KERNELS: dict[str, Callable] = {
     "bfs": bfs_hops,
     "kcore": k_core,
     "hits": _hits_single_graph,
+    "anf": neighborhood_function,
 }
 
 # kernels that require a symmetric (undirected) graph build
-SYMMETRIC_KERNELS = frozenset({"cc", "labelprop", "triangles", "bfs", "kcore"})
+SYMMETRIC_KERNELS = frozenset({"cc", "labelprop", "triangles", "bfs", "kcore",
+                               "anf"})
 
 
 def register_kernel(name: str, fn: Callable, *, symmetric: bool = False) -> None:

@@ -2118,3 +2118,30 @@ def test_subgraph_same_vids_identity_and_filter():
                                                  batch_format="pyarrow"))
     assert g3.n == sg.n and g3.m == sg.m - 12
     assert triangle_count(g3) == triangle_count(sg) - 4  # K4 has 4 triangles
+
+
+def test_contract_by_label_weighted_sums_multiplicity():
+    """On a weighted build (duplicate pairs -> multiplicity weights) the
+    quotient carries sum_w = total multiplicity between the classes."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raylink.graph import contract_by_label
+
+    pairs = [(1, 2), (1, 2), (1, 2), (2, 3), (3, 4), (3, 4)]
+    sg = G.build_graph(_int_edges_ds(pairs), P=P, symmetric=True,
+                       weighted=True)
+    vert = {r["key"]: r["vid"] for b in sg.vertices.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()}
+    lab_of = {vert[k]: k % 2 for k in (1, 2, 3, 4)}
+    lab_ds = rd.from_arrow(pa.table({
+        "vid": pa.array(sorted(lab_of), pa.int64()),
+        "label": pa.array([lab_of[v] for v in sorted(lab_of)], pa.int64()),
+    }))
+    out = contract_by_label(sg, lab_ds, num_partitions=4).to_pandas()
+    got = {(r.src_label, r.dst_label): (r.n_edges, r.sum_w)
+           for r in out.itertuples()}
+    # stored directions: 1->2 w3, 2->1 w3, 2->3 w1, 3->2 w1, 3->4 w2,
+    # 4->3 w2; labels odd=1, even=0 -> every edge crosses the classes
+    want = {(1, 0): (3, 6), (0, 1): (3, 6)}
+    assert got == want
