@@ -1462,7 +1462,15 @@ def subgraph_same_vids(graph: Graph, edges_vids: rd.Dataset, *,
     that lost all edges keep their vids with degree 0). This is what makes
     iterated edge-peeling (k-truss) affordable: a full ``build_graph``
     re-ranks keys and forces every downstream row back through a vid
-    join, this rebuild leaves ids stable."""
+    join, this rebuild leaves ids stable.
+
+    Weighted graphs are refused (loudly): the subgraph would otherwise
+    come out silently unweighted. Carrying (src_vid, dst_vid, w) through
+    the pack is the natural extension when a weighted peel shows up."""
+    if graph.weighted:
+        raise ValueError(
+            "subgraph_same_vids does not carry edge weights yet; "
+            "rebuilding a weighted graph here would silently drop w")
     P, npp = graph.P, graph.n_per_part
     enc = edges_vids.select_columns(["src_vid", "dst_vid"]).map_batches(
         _pack_fn(P, (1,)), batch_format="pyarrow", zero_copy_batch=True)
@@ -1530,6 +1538,21 @@ def contract_by_label(graph: Graph, labels: rd.Dataset, *,
             [names.get(c, c) for c in batch.column_names])
 
     aggs = [Sum("count_all")] + ([Sum("w_sum")] if weighted else [])
-    return (e.map_batches(partial, batch_format="pyarrow")
-            .groupby(["src_label", "dst_label"]).aggregate(*aggs)
-            .map_batches(finish, batch_format="pyarrow"))
+    out = (e.map_batches(partial, batch_format="pyarrow")
+           .groupby(["src_label", "dst_label"]).aggregate(*aggs)
+           .map_batches(finish, batch_format="pyarrow")).materialize()
+    # the joins are INNER: an endpoint missing from the label table would
+    # silently drop its edges. Raise instead (same raise-on-partial-coverage
+    # discipline as bsp.vertex_table_to_state); the quotient is label^2-
+    # sized, so this total is cheap.
+    import pyarrow.compute as pc2
+
+    covered = 0
+    for b in out.select_columns(["n_edges"]).iter_batches(
+            batch_format="pyarrow"):
+        covered += int(pc2.sum(b["n_edges"]).as_py() or 0)
+    if covered != graph.m:
+        raise ValueError(
+            f"contract_by_label: labels cover only {covered} of {graph.m} "
+            "stored edges — the label table must assign every vertex")
+    return out

@@ -63,7 +63,6 @@ def _est_rows(regs: np.ndarray) -> np.ndarray:
 def _init_regs(graph: Graph, p: int):
     """Each vertex starts as the HLL of {its own vid}."""
     m = 1 << p
-    W = m // 8
     P = graph.P
 
     def init_of(part: int) -> np.ndarray:
@@ -87,7 +86,6 @@ def _anf_scatter(graph: Graph, p: int):
     refs = graph.blocks
     P = graph.P
     m = 1 << p
-    W = m // 8
 
     def scatter(batch: pa.Table) -> pa.Table:
         import ray as _ray
@@ -124,7 +122,6 @@ def _anf_scatter(graph: Graph, p: int):
 def _anf_combine(graph: Graph, p: int):
     n_per_part = graph.n_per_part
     m = 1 << p
-    W = m // 8
 
     def combine(group: pa.Table) -> pa.Table:
         kinds = group["kind"].to_numpy(zero_copy_only=False)

@@ -937,7 +937,11 @@ def hash_split(ds: rd.Dataset, key_col: str,
     for name, frac in fractions.items():
         cum += frac
         names.append(name)
-        bounds.append(format(min(int(np.floor(cum * 65536)), 65536), "04x"))
+        b = int(np.floor(cum * 65536))
+        # >= the full grid: close the range with a sentinel ABOVE every
+        # 4-char hex prefix (format(65536,'04x') is '10000', which sorts
+        # BELOW '2...' lexicographically and would misroute rows)
+        bounds.append("ffffffff" if b >= 65536 else format(b, "04x"))
     bounds[-1] = "ffffffff"  # top bucket closed regardless of fp rounding
 
     import hashlib
@@ -961,12 +965,13 @@ def stratified_sample(ds: rd.Dataset, group_col: str, id_col: str,
     """Deterministic stratified sample: the ``n`` rows per group with the
     smallest (md5(id), id) — a seed-free uniform draw that is reproducible
     across engines and cluster shapes (corpus subsampling per language /
-    source / event type). Partial+final combine: each batch keeps at most
-    ``n`` rows per group before the shuffle."""
+    source / event type). ALL columns of the sampled rows are kept.
+    Partial+final combine: each batch keeps at most ``n`` rows per group
+    before the shuffle."""
     import hashlib
 
     def rank_key(batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch[[group_col, id_col]].copy()
+        out = batch.copy()
         out["_h"] = [hashlib.md5(str(k).encode()).hexdigest()
                      for k in out[id_col]]
         return (out.sort_values(["_h", id_col], kind="mergesort")

@@ -144,8 +144,10 @@ def tfidf_topk(ds: rd.Dataset, id_col: str = "doc_id",
         tf["tf"] = tf["tf"].astype("int64")
         return tf
 
+    # materialized: both the df aggregation and the join consume it, and
+    # an unmaterialized lineage would re-run the tokenize pass twice
     doc_terms = ds.select_columns([id_col, text_col]).map_batches(
-        pairs, batch_format="pandas")
+        pairs, batch_format="pandas").materialize()
     def _as_df(batch: pa.Table) -> pa.Table:
         return batch.rename_columns(
             ["df" if c == "count()" else c for c in batch.column_names])

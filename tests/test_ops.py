@@ -577,3 +577,29 @@ def test_host_edges_contracts_and_weights():
     want = {("a.x", "a.x"): 1, ("a.x", "b.x"): 2, ("b.x", "a.x"): 1}
     got = {(r.src_host, r.dst_host): r.n_links for r in out.itertuples()}
     assert got == want
+
+
+def test_hash_split_zero_fraction_fold_gets_nothing():
+    """A fold requested at 0%% must receive 0 rows even when a cumulative
+    fraction hits 1.0 before the last fold (the '10000' hex-bound case)."""
+    from raylink.ops import hash_split
+
+    ds = ds_of({"doc_id": np.arange(2000)})
+    out = hash_split(ds, "doc_id",
+                     fractions={"train": 0.8, "val": 0.2, "test": 0.0}
+                     ).to_pandas()
+    counts = out["split"].value_counts().to_dict()
+    assert counts.get("test", 0) == 0
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    assert 0.15 < counts["val"] / 2000 < 0.25
+
+
+def test_stratified_sample_keeps_all_columns():
+    from raylink.ops import stratified_sample
+
+    ds = ds_of({"g": np.arange(100) % 4, "id": np.arange(100),
+                "payload": np.arange(100) * 2.5})
+    out = stratified_sample(ds, "g", "id", 3).to_pandas()
+    assert sorted(out.columns) == ["g", "id", "payload"]
+    assert len(out) == 12
+    assert (out["payload"] == out["id"] * 2.5).all()
