@@ -1466,6 +1466,40 @@ def q_customers_anti_urgent(sf_dir: str):
                      "c_custkey", right_on="o_custkey", bloom_bits=1 << 20)
 
 
+def q_doc_incremental_dedup(sf_dir: str):
+    """Crawl-increment dedup, composed from session primitives: the corpus
+    splits deterministically into a 'seen' fold (train) and an increment
+    (the rest); the increment keeps only docs whose content fingerprint
+    (md5) does not appear in the seen fold — a Bloom-prefiltered
+    distributed anti-join on the fingerprint, the standard
+    skip-already-processed step of an incremental ingestion pipeline."""
+    from raylink.ops import anti_join, hash_split
+    from raylink.textops import fingerprints
+
+    # fingerprint FIRST (drops the text payload), then split; materialized
+    # because both folds consume it (3 narrow columns, never the text)
+    fps = hash_split(
+        fingerprints(_read(sf_dir, "documents", ["doc_id", "text"])),
+        "doc_id").materialize()
+
+    def fold(want_seen: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            mask = pc.equal(batch["split"], "train")
+            if not want_seen:
+                mask = pc.invert(mask)
+            return batch.filter(mask).select(["doc_id", "fp"])
+        return f
+
+    # both folds materialized: Ray 2.49's hash join mis-plans when its two
+    # sides share one unmaterialized upstream lineage (Acero then sees an
+    # ambiguous key FieldRef); the folds are fingerprint-narrow, never text
+    seen_fp = fps.map_batches(fold(True), batch_format="pyarrow").materialize()
+    inc_fp = fps.map_batches(fold(False), batch_format="pyarrow").materialize()
+    out = anti_join(inc_fp, seen_fp, "fp", num_partitions=8,
+                    bloom_bits=1 << 18)
+    return out.select_columns(["doc_id", "fp"])
+
+
 def q_emb_knn(sf_dir: str):
     from raylink.similarity import cosine_topk
 
@@ -1692,6 +1726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stratified": q_events_stratified,
         "customers_semi_urgent": q_customers_semi_urgent,
         "customers_anti_urgent": q_customers_anti_urgent,
+        "doc_incremental_dedup": q_doc_incremental_dedup,
         "emb_knn": q_emb_knn,
         "emb_knn_lsh": q_emb_knn_lsh,
         "emb_knn_ivf": q_emb_knn_ivf,
@@ -2678,6 +2713,13 @@ def oracle_sql() -> dict[str, str]:
         "PARTITION BY event_type "
         "ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn "
         "FROM events) WHERE rn <= 5"
+    )
+    sql["doc_incremental_dedup"] = (
+        "WITH f AS (SELECT doc_id, md5(text) AS fp, "
+        "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' "
+        "THEN 'train' ELSE 'inc' END AS split FROM documents) "
+        "SELECT doc_id, fp FROM f i WHERE i.split <> 'train' AND NOT EXISTS "
+        "(SELECT 1 FROM f s WHERE s.split = 'train' AND s.fp = i.fp)"
     )
     sql["customers_semi_urgent"] = (
         "SELECT c_custkey, c_name, c_acctbal FROM customer c "

@@ -65,6 +65,18 @@ _HASH_SEED = 42
 _HASH_SEED2 = 777  # independent check hash for collision detection
 
 
+# Eager, COMPLETE polars init at module-import time: polars finishes its
+# lazy attribute wiring (pl.Series via polars._reexport) on first USE, and
+# that wiring is not thread-safe — two Ray-worker threads calling hash64
+# concurrently in a fresh process raced to "module 'polars._reexport' has
+# no attribute 'Series'" (observed flaky across whole processes). Module
+# import runs under the interpreter's per-module import lock, so forcing a
+# full from_arrow->hash round here makes every later call thread-safe.
+import polars as _pl_warm
+
+_pl_warm.from_arrow(pa.array([0], pa.int64())).hash(seed=1)
+
+
 def hash64(arr: pa.Array | pa.ChunkedArray, *, seed: int = _HASH_SEED) -> np.ndarray:
     """Vectorized seeded 64-bit key hash (deterministic across processes
     for a pinned polars version; the oracle calls through this too)."""

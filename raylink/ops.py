@@ -1009,6 +1009,67 @@ def _bloom_prefilter(left: rd.Dataset, right: rd.Dataset, on: str,
     return maybe, absent
 
 
+def _grouped_semi_anti(left: rd.Dataset, right: rd.Dataset, on: str,
+                       r_on: str, keep_matches: bool,
+                       num_partitions: int) -> rd.Dataset:
+    """Exact semi/anti core on the repo's bucketed-group pattern: both
+    sides tagged and bucketed by hash64(key) % B, ONE sort-based groupby
+    shuffle, per-bucket vectorized isin filter. Deliberately avoids
+    ``Dataset.join``: Ray 2.49's hash-join aggregator nondeterministically
+    mis-plans when the two sides interact with its internal schema-dedup
+    failure ("Failed to hash the schemas"), surfacing as an Acero
+    FieldRef error — observed flaky on identical inputs.
+
+    NULL semantics match SQL EXISTS/NOT EXISTS: a null left key never
+    matches (semi drops it, anti keeps it); null right keys match nothing.
+    """
+    from .graph import hash64
+
+    B = num_partitions
+    left_schema = left.schema().base_schema  # union needs aligned schemas
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
+            "__rkey", pc.cast(batch[on], pa.string()))
+        bkt = (hash64(batch[on]) % np.uint64(B)).astype(np.int64)
+        batch = batch.append_column("__bkt", pa.array(bkt, pa.int64()))
+        return batch.append_column(
+            "__side", pa.array(np.zeros(batch.num_rows, np.int8), pa.int8()))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        keys = batch[r_on]
+        keys = keys.combine_chunks() if isinstance(
+            keys, pa.ChunkedArray) else keys
+        keys = keys.filter(pc.is_valid(keys))
+        bkt = (hash64(keys) % np.uint64(B)).astype(np.int64)
+        n = len(keys)
+        cols = {f.name: pa.nulls(n, f.type) for f in left_schema}
+        cols["__rkey"] = pc.cast(keys, pa.string())
+        cols["__bkt"] = pa.array(bkt, pa.int64())
+        cols["__side"] = pa.array(np.ones(n, np.int8), pa.int8())
+        return pa.table(cols)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.select_columns([r_on]).map_batches(
+        tag_right, batch_format="pyarrow")
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        keys = g["__rkey"].to_numpy(zero_copy_only=False)
+        rset = np.unique(keys[side == 1])
+        lrows = g.filter(pa.array(side == 0))
+        lkeys = lrows["__rkey"].to_numpy(zero_copy_only=False)
+        lvalid = lrows[on]
+        lvalid = pc.is_valid(lvalid).to_numpy(zero_copy_only=False)
+        hit = np.isin(lkeys, rset) & lvalid  # null keys never match
+        mask = hit if keep_matches else ~hit
+        return lrows.filter(pa.array(mask)).drop_columns(
+            ["__rkey", "__bkt", "__side"])
+
+    return lt.union(rt).groupby("__bkt").map_groups(
+        per_bucket, batch_format="pyarrow")
+
+
 def semi_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
               right_on: str | None = None, num_partitions: int = 32,
               bloom_bits: int = 0, bloom_hashes: int = 5) -> rd.Dataset:
@@ -1019,14 +1080,12 @@ def semi_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
     ``bloom_bits > 0`` enables the scale path: a Bloom filter over the right
     keys drops definitely-absent left rows BEFORE the shuffle, so only
     plausible matches pay the exchange. The result stays exact — false
-    positives just ride through to the exact join."""
+    positives just ride through to the exact probe."""
     r_on = right_on or on
     if bloom_bits:
         left, _ = _bloom_prefilter(left, right, on, r_on,
                                    bloom_bits, bloom_hashes)
-    return left.join(right.select_columns([r_on]), join_type="left_semi",
-                     num_partitions=num_partitions, on=(on,),
-                     right_on=(r_on,) if r_on != on else None)
+    return _grouped_semi_anti(left, right, on, r_on, True, num_partitions)
 
 
 def anti_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
@@ -1038,17 +1097,13 @@ def anti_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
 
     With ``bloom_bits > 0``, left rows whose key misses the Bloom filter are
     emitted DIRECTLY (no false negatives -> provably unmatched, zero shuffle
-    cost); only the maybe-present remainder goes through the exact
-    anti-join. Exact either way."""
+    cost); only the maybe-present remainder goes through the exact probe.
+    Exact either way."""
     r_on = right_on or on
-    rkeys = right.select_columns([r_on])
     if bloom_bits:
         maybe, absent = _bloom_prefilter(left, right, on, r_on,
                                          bloom_bits, bloom_hashes)
-        joined = maybe.join(rkeys, join_type="left_anti",
-                            num_partitions=num_partitions, on=(on,),
-                            right_on=(r_on,) if r_on != on else None)
-        return absent.union(joined)
-    return left.join(rkeys, join_type="left_anti",
-                     num_partitions=num_partitions, on=(on,),
-                     right_on=(r_on,) if r_on != on else None)
+        probed = _grouped_semi_anti(maybe, right, on, r_on, False,
+                                    num_partitions)
+        return absent.union(probed)
+    return _grouped_semi_anti(left, right, on, r_on, False, num_partitions)
