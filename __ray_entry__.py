@@ -381,6 +381,24 @@ def q_quantity_transforms(sf_dir: str):
     return ds
 
 
+def q_price_histogram(sf_dir: str):
+    """Fixed-width histogram with per-batch bincount partials (§2.8
+    hist-stats family): only (bucket, n) rows ever shuffle."""
+    from raylink.ops import histogram
+
+    return histogram(_read(sf_dir, "lineitem", ["l_extendedprice"]),
+                     "l_extendedprice", 0.0, 120000.0, 24)
+
+
+def q_discount_summary(sf_dir: str):
+    """describe()-style single-row column summary from one mergeable
+    partial pass (n, nulls, min, max, integer-exact fixed-point mean)."""
+    from raylink.ops import column_summary
+
+    return column_summary(_read(sf_dir, "lineitem", ["l_discount"]),
+                          "l_discount")
+
+
 def q_circular_variance(sf_dir: str):
     """Custom mergeable aggregate: circular variance per group (§2.8)."""
     from raylink.ops import circular_variance
@@ -1663,6 +1681,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "impute_discount": q_impute_discount,
         "quantity_transforms": q_quantity_transforms,
         "circular_variance": q_circular_variance,
+        "price_histogram": q_price_histogram,
+        "discount_summary": q_discount_summary,
         "distinct_users": q_distinct_users,
         "approx_distinct_users": q_approx_distinct_users,
         "hourly_rollup": q_hourly_rollup,
@@ -2066,6 +2086,19 @@ def oracle_sql() -> dict[str, str]:
         "CAST(floor(sqrt(l_quantity)*10000 + 0.5) AS BIGINT) AS q_sqrt, "
         "CAST(floor((pow(l_quantity, 0.5) - 1.0)/0.5*10000 + 0.5) AS BIGINT) "
         "AS q_boxcox FROM lineitem"
+    )
+    sql["price_histogram"] = (
+        "SELECT CAST(least(greatest(floor(l_extendedprice / 5000.0), 0), 23) "
+        "AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n "
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1"
+    )
+    sql["discount_summary"] = (
+        "SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(count(*) - count(l_discount) AS BIGINT) AS n_null, "
+        "min(l_discount) AS min_v, max(l_discount) AS max_v, "
+        "CAST(floor(CAST(sum(CAST(floor(l_discount*1000000.0 + 0.5) "
+        "AS BIGINT)) AS DOUBLE) / count(l_discount) + 0.5) AS BIGINT) "
+        "AS mean_fp FROM lineitem"
     )
     sql["circular_variance"] = (
         "SELECT event_type, CAST(floor((1 - sqrt(power(sum(cos(value)),2) "

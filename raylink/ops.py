@@ -863,6 +863,84 @@ def grouped_vector_mean(ds: rd.Dataset, group_col: str, vec_col: str, *,
             .groupby(group_col).map_groups(combine, batch_format="pandas"))
 
 
+def histogram(ds: rd.Dataset, col: str, lo: float, hi: float,
+              nbins: int) -> rd.Dataset:
+    """Fixed-width histogram (bucket, n) over [lo, hi) — the reference's
+    num_features hist-stats analog (ml_anom.py:183-390). Each batch
+    bincounts locally (one nbins-long partial per batch); the shuffle
+    moves only (bucket, n) partials. Values at/above ``hi`` clamp into the
+    last bucket, below ``lo`` into bucket 0; nulls/NaN dropped — mirrored
+    exactly by the SQL twin's least/greatest expression."""
+    w = (hi - lo) / nbins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x[~np.isnan(x)]
+        b = np.clip(np.floor((x - lo) / w), 0, nbins - 1).astype(np.int64)
+        cnt = np.bincount(b, minlength=nbins)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "n": pa.array(cnt[nz], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["n" if c == "sum(n)" else c for c in batch.column_names])
+
+    return (ds.select_columns([col])
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("bucket").aggregate(Sum("n"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+def column_summary(ds: rd.Dataset, col: str, *,
+                   scale: float = 1e6) -> rd.Dataset:
+    """describe()-style one-row summary: (n, n_null, min_v, max_v, mean_fp)
+    from a single mergeable partial pass (pig_extract.py:2556-2770's
+    sum_stats analog). The mean is computed over PER-ROW fixed-point
+    values (floor(x*scale + 0.5), summed as exact int64 — no
+    engine-dependent float accumulation order), then one final rounded
+    divide mirrored by the SQL twin."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch[col]
+        n = len(c)
+        nn = int(pc.sum(pc.cast(pc.is_null(c), pa.int64())).as_py() or 0)
+        x = c.to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x[~np.isnan(x)]
+        fp = np.floor(x * scale + 0.5).astype(np.int64)
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "n_null": pa.array([nn], pa.int64()),
+            "n_valid": pa.array([len(x)], pa.int64()),  # non-null, non-NaN
+            "mn": pa.array([float(x.min()) if len(x) else np.inf]),
+            "mx": pa.array([float(x.max()) if len(x) else -np.inf]),
+            "s": pa.array([int(fp.sum())], pa.int64()),
+        })
+
+    rows = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    n = n_null = n_valid = s = 0
+    mn, mx = np.inf, -np.inf
+    for b in rows.iter_batches(batch_format="pyarrow"):
+        n += int(pc.sum(b["n"]).as_py() or 0)
+        n_null += int(pc.sum(b["n_null"]).as_py() or 0)
+        n_valid += int(pc.sum(b["n_valid"]).as_py() or 0)
+        if b.num_rows:
+            mn = min(mn, pc.min(b["mn"]).as_py())
+            mx = max(mx, pc.max(b["mx"]).as_py())
+            s += int(pc.sum(b["s"]).as_py() or 0)
+    mean_fp = int(np.floor(s / max(n_valid, 1) + 0.5))
+    return rd.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "n_null": pa.array([n_null], pa.int64()),
+        "min_v": pa.array([mn], pa.float64()),
+        "max_v": pa.array([mx], pa.float64()),
+        "mean_fp": pa.array([mean_fp], pa.int64()),
+    }))
+
+
 def pearson_corr(ds: rd.Dataset, x_col: str, y_col: str, *,
                  scale: float = 1e6) -> rd.Dataset:
     """Pearson correlation of two columns as ONE mergeable aggregate

@@ -603,3 +603,25 @@ def test_stratified_sample_keeps_all_columns():
     assert sorted(out.columns) == ["g", "id", "payload"]
     assert len(out) == 12
     assert (out["payload"] == out["id"] * 2.5).all()
+
+
+def test_histogram_and_column_summary():
+    from raylink.ops import column_summary, histogram
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0, 100, 5000)
+    x[::97] = np.nan  # null-ish
+    ds = ds_of({"v": x})
+    h = histogram(ds, "v", 0.0, 100.0, 10).to_pandas().set_index("bucket")
+    clean = x[~np.isnan(x)]
+    want = np.bincount(np.clip((clean // 10).astype(int), 0, 9), minlength=10)
+    assert [h.loc[b, "n"] if b in h.index else 0
+            for b in range(10)] == want.tolist()
+    assert h["n"].sum() == len(clean)
+
+    s = column_summary(ds, "v").to_pandas().iloc[0]
+    assert s.n == 5000 and s.n_null == 0  # NaN is not arrow-null here
+    assert s.min_v == clean.min() and s.max_v == clean.max()
+    # mean over non-NaN values only (denominator = n_valid, not n)
+    fp = np.floor(clean * 1e6 + 0.5).astype(np.int64).sum()
+    assert s.mean_fp == int(np.floor(fp / len(clean) + 0.5))
