@@ -265,9 +265,9 @@ def count_in_window_join(
     summed = partials.groupby(fact_key).aggregate(Sum("partial_n", alias_name=out_col))
     # attach counts back to ALL dim keys (zero counts kept) with a
     # co-partitioned left join — nothing dim-sized touches the driver
-    joined = dim.select_columns([dim_key]).join(
-        summed, join_type="left_outer", num_partitions=16,
-        on=(dim_key,), right_on=(fact_key,))
+    joined = hash_join(dim.select_columns([dim_key]), summed, dim_key,
+                       right_on=fact_key, how="left_outer",
+                       num_partitions=16)
 
     def fill(batch: pa.Table) -> pa.Table:
         n = pc.coalesce(batch[out_col], pa.scalar(0, pa.int64()))
@@ -984,16 +984,102 @@ def pearson_corr(ds: rd.Dataset, x_col: str, y_col: str, *,
 
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
               right_on: str | None = None, how: str = "inner",
-              num_partitions: int = 32) -> rd.Dataset:
+              num_partitions: int = 32,
+              right_suffix: str = "_r") -> rd.Dataset:
     """General distributed equi-join (SURVEY §2.7, the big-big path):
-    Ray Data's native hash join — both sides hash-partitioned into
-    ``num_partitions`` co-partitions, joined partition-wise. Use
-    :func:`broadcast_left_join` instead when one side is dimension-sized
-    (no shuffle); this one shuffles both sides once."""
-    return left.join(
-        right, join_type=how, num_partitions=num_partitions,
-        on=(on,), right_on=(right_on,) if right_on else None,
-    )
+    both sides tagged and bucketed by ``hash64(key) % num_partitions``,
+    ONE sort-based groupby shuffle, per-bucket Acero (``pa.Table.join``)
+    probe. Deliberately avoids ``Dataset.join``: Ray 2.49's hash-join
+    aggregator nondeterministically mis-plans when its internal
+    schema-dedup fails ("Failed to hash the schemas"), surfacing as an
+    Acero FieldRef error on identical inputs (same reason
+    :func:`semi_join` / :func:`anti_join` use this pattern).
+
+    ``how`` is ``inner`` or ``left_outer``. Right non-key columns that
+    collide with a left column name get ``right_suffix`` appended. NULL
+    join keys never match (SQL semantics); ``left_outer`` keeps unmatched
+    left rows with nulls. Use :func:`broadcast_left_join` instead when one
+    side is dimension-sized (no shuffle); this one shuffles both sides
+    once."""
+    from .graph import hash64
+
+    r_on = right_on or on
+    pa_how = {"inner": "inner", "left": "left outer",
+              "left_outer": "left outer"}[how]
+    B = num_partitions
+
+    def _arrow(ds: rd.Dataset):
+        # pandas-block-backed datasets report a PandasBlockSchema; force
+        # Arrow blocks so the shuffle schema is a real pa.Schema
+        base = ds.schema().base_schema
+        if isinstance(base, pa.Schema):
+            return ds, base
+        ds = ds.map_batches(lambda b: b, batch_format="pyarrow")
+        return ds, ds.schema().base_schema
+
+    left, l_schema = _arrow(left)
+    right, r_schema = _arrow(right)
+    l_names = [f.name for f in l_schema]
+    if r_on != on and r_on in l_names:
+        raise ValueError(
+            f"hash_join: right key {r_on!r} collides with a left column")
+    # right-side field layout in the unioned shuffle schema: the key rides
+    # in the LEFT key slot when names coincide; other collisions suffix
+    r_fields = []  # (orig_name, union_name, type)
+    for f in r_schema:
+        if f.name == r_on:
+            union_name = on if r_on == on else r_on
+        elif f.name in l_names:
+            union_name = f.name + right_suffix
+        else:
+            union_name = f.name
+        r_fields.append((f.name, union_name, f.type))
+    key_type = l_schema.field(on).type
+    union_fields = list(l_schema) + [
+        pa.field(un, t) for (orig, un, t) in r_fields
+        if not (un == on and r_on == on)]
+    union_names = [f.name for f in union_fields]
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {f.name: batch[f.name] for f in l_schema}
+        for f in union_fields[len(l_schema):]:
+            cols[f.name] = pa.nulls(batch.num_rows, f.type)
+        cols["__bkt"] = pa.array(
+            (hash64(batch[on]) % np.uint64(B)).astype(np.int64), pa.int64())
+        cols["__side"] = pa.array(
+            np.zeros(batch.num_rows, np.int8), pa.int8())
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {f.name: pa.nulls(n, f.type) for f in l_schema}
+        for orig, un, t in r_fields:
+            col = batch[orig]
+            cols[un] = pc.cast(col, key_type) if un == on else col
+        cols["__bkt"] = pa.array(
+            (hash64(batch[r_on]) % np.uint64(B)).astype(np.int64), pa.int64())
+        cols["__side"] = pa.array(np.ones(n, np.int8), pa.int8())
+        return pa.table({k: cols[k] for k in union_names
+                         + ["__bkt", "__side"]})
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+    # right-side column names as they appear in the union schema; the key
+    # slot is `on` when the names coincide, `r_on` otherwise
+    right_key_union = on if r_on == on else r_on
+    r_union_cols = [right_key_union] + [
+        un for (orig, un, t) in r_fields if un != right_key_union]
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        ltab = (g.filter(pa.array(side == 0))
+                .select([f.name for f in l_schema]))
+        rtab = g.filter(pa.array(side == 1)).select(r_union_cols)
+        return ltab.join(rtab, keys=[on], right_keys=[right_key_union],
+                         join_type=pa_how)
+
+    return lt.union(rt).groupby("__bkt").map_groups(
+        per_bucket, batch_format="pyarrow")
 
 
 def hash_split(ds: rd.Dataset, key_col: str,
