@@ -350,7 +350,8 @@ class Graph:
 
 
 def _build_block_rows(group: pa.Table, P: int, n_per_part: np.ndarray,
-                      chunk_edges: int, weighted: bool = False) -> pa.Table:
+                      chunk_edges: int, weighted: bool = False,
+                      w_dtype=None) -> pa.Table:
     part = int(group["src_part"][0].as_py())
     direction = int(group["dir"][0].as_py()) if "dir" in group.column_names else 0
     src = group["srcs"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
@@ -358,14 +359,15 @@ def _build_block_rows(group: pa.Table, P: int, n_per_part: np.ndarray,
     wvals = (group["ws"].combine_chunks().flatten().to_numpy(
         zero_copy_only=False) if "ws" in group.column_names else None)
     return _csr_rows_from_vids(part, direction, src, dst, P, n_per_part,
-                               chunk_edges, weighted, wvals)
+                               chunk_edges, weighted, wvals, w_dtype)
 
 
 def _csr_blocks_from_vids(part: int, src: np.ndarray, dst: np.ndarray,
                           P: int, n_per_part: np.ndarray,
                           chunk_edges: int,
                           weighted: bool = False,
-                          wvals: np.ndarray | None = None) -> list[CSRBlock]:
+                          wvals: np.ndarray | None = None,
+                          w_dtype=None) -> list[CSRBlock]:
     # global exact dedup happens HERE, for free: any given (src,dst) pair
     # always lands in this partition, so a local unique is a global one.
     # (Self-loops were dropped before the vertex build.) ``weighted``
@@ -374,9 +376,15 @@ def _csr_blocks_from_vids(part: int, src: np.ndarray, dst: np.ndarray,
     # — the same shuffle, one extra array either way.
     pair = np.stack([src, dst], axis=1)
     if wvals is not None:
+        # ``w_dtype`` restores the original weight lattice when the raw
+        # per-edge values rode a float64 list (e.g. a weighted subgraph
+        # rebuild of an int-multiplicity graph): multiplicity sums are
+        # exact in float64, so the round trip is lossless
         pair, inv = np.unique(pair, axis=0, return_inverse=True)
         w = np.zeros(len(pair), dtype=np.float64)
         np.add.at(w, inv, wvals.astype(np.float64))
+        if w_dtype is not None:
+            w = w.astype(w_dtype)
     elif weighted:
         pair, w = np.unique(pair, axis=0, return_counts=True)
         w = w.astype(np.int64)
@@ -421,9 +429,10 @@ def _csr_blocks_from_vids(part: int, src: np.ndarray, dst: np.ndarray,
 def _csr_rows_from_vids(part: int, direction: int, src: np.ndarray,
                         dst: np.ndarray, P: int, n_per_part: np.ndarray,
                         chunk_edges: int, weighted: bool = False,
-                        wvals: np.ndarray | None = None) -> pa.Table:
+                        wvals: np.ndarray | None = None,
+                        w_dtype=None) -> pa.Table:
     blocks = _csr_blocks_from_vids(part, src, dst, P, n_per_part, chunk_edges,
-                                   weighted, wvals)
+                                   weighted, wvals, w_dtype)
     return pa.table(
         {
             "dir": pa.array([direction] * len(blocks), pa.int64()),
@@ -1476,26 +1485,33 @@ def subgraph_same_vids(graph: Graph, edges_vids: rd.Dataset, *,
     re-ranks keys and forces every downstream row back through a vid
     join, this rebuild leaves ids stable.
 
-    Weighted graphs are refused (loudly): the subgraph would otherwise
-    come out silently unweighted. Carrying (src_vid, dst_vid, w) through
-    the pack is the natural extension when a weighted peel shows up."""
-    if graph.weighted:
-        raise ValueError(
-            "subgraph_same_vids does not carry edge weights yet; "
-            "rebuilding a weighted graph here would silently drop w")
+    Weighted graphs carry their ``w`` column through the pack (the rows
+    must include it — :func:`edges_table` emits it); duplicate pairs SUM,
+    and the rebuilt blocks keep the original weight lattice (int64
+    multiplicities stay int64 — exact through the float64 packed list —
+    float weight-col graphs stay float64)."""
     P, npp = graph.P, graph.n_per_part
-    enc = edges_vids.select_columns(["src_vid", "dst_vid"]).map_batches(
+    weighted = graph.weighted
+    cols = ["src_vid", "dst_vid"] + (["w"] if weighted else [])
+    sel = edges_vids.select_columns(cols)
+    w_dtype = None
+    if weighted:
+        sch = sel.schema()
+        wt = dict(zip(sch.names, sch.types))["w"]
+        w_dtype = np.int64 if pa.types.is_integer(wt) else np.float64
+    enc = sel.map_batches(
         _pack_fn(P, (1,)), batch_format="pyarrow", zero_copy_batch=True)
     block_rows = (
         enc.groupby(["dir", "src_part"])
-        .map_groups(lambda g: _build_block_rows(g, P, npp, chunk_edges),
+        .map_groups(lambda g: _build_block_rows(g, P, npp, chunk_edges,
+                                                w_dtype=w_dtype),
                     batch_format="pyarrow")
         .materialize()
     )
     blocks, m = _collect_blocks(block_rows)
     return Graph(P=P, n=graph.n, m=m.get(1, 0), n_per_part=npp,
                  blocks=blocks.get(1, {}), prep=graph.prep,
-                 key_type=graph.key_type)
+                 key_type=graph.key_type, weighted=weighted)
 
 
 def contract_by_label(graph: Graph, labels: rd.Dataset, *,

@@ -2120,6 +2120,47 @@ def test_subgraph_same_vids_identity_and_filter():
     assert triangle_count(g3) == triangle_count(sg) - 4  # K4 has 4 triangles
 
 
+def test_subgraph_same_vids_weighted_roundtrip():
+    """Weighted identity rebuild: same m/n, weighted PageRank bit-equal,
+    weight lattice preserved (int64 multiplicities stay int64)."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    from raylink.graph import edges_table, subgraph_same_vids
+    from raylink.kernels import pagerank
+
+    pairs = overlay_pairs(seed=43, n=30, m=120)
+    pairs = pairs + pairs[::3]  # duplicates -> multiplicity weights
+    sg = G.build_graph(edges_ds(pairs), P=P, symmetric=True, weighted=True,
+                       already_deduped=True)
+
+    def canon(b):
+        keep = pc.less(b["src_vid"], b["dst_vid"])
+        return b.filter(keep).select(["src_vid", "dst_vid", "w"])
+
+    full = edges_table(sg).map_batches(canon, batch_format="pyarrow")
+    g2 = subgraph_same_vids(sg, full)
+    assert g2.weighted and (g2.m, g2.n, g2.P) == (sg.m, sg.n, sg.P)
+    blk = ray.get(next(iter(g2.blocks.values()))[0])
+    assert blk.w is not None and blk.w.dtype == np.int64
+    a = pagerank(sg, tol=0.0, max_iter=5).to_pandas().sort_values("vid")
+    b = pagerank(g2, tol=0.0, max_iter=5).to_pandas().sort_values("vid")
+    assert (a.score.to_numpy() == b.score.to_numpy()).all()
+
+    # drop the heaviest-weight edges: total weight shrinks by exactly
+    # their weight, vids unchanged
+    wmax = max(r["w"] for bt in full.iter_batches(batch_format="pyarrow")
+               for r in bt.to_pylist())
+
+    def drop_heavy(b):
+        return b.filter(pc.less(b["w"], wmax))
+
+    g3 = subgraph_same_vids(sg, full.map_batches(drop_heavy,
+                                                 batch_format="pyarrow"))
+    assert g3.n == sg.n and g3.m < sg.m and g3.weighted
+
+
 def test_contract_by_label_weighted_sums_multiplicity():
     """On a weighted build (duplicate pairs -> multiplicity weights) the
     quotient carries sum_w = total multiplicity between the classes."""
