@@ -1446,6 +1446,61 @@ def q_events_stratified(sf_dir: str):
         "event_type", "event_id", 5)
 
 
+def q_orders_topk_by_priority(sf_dir: str):
+    """Top-3 orders PER priority class by (totalprice desc, orderkey) —
+    grouped top-k with per-batch partial preselect (at most k rows per
+    (group, batch) reach the shuffle)."""
+    from raylink.ops import grouped_topk
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return grouped_topk(orders, ["o_orderpriority"],
+                        [("o_totalprice", True), ("o_orderkey", False)], 3)
+
+
+def q_price_median_by_flag(sf_dir: str):
+    """Per-group discrete median (percentile_disc semantics: the element at
+    floor(0.5*(n-1)) — an actual column value, bit-reproducible): shuffle
+    carries only distinct (group, value) count pairs."""
+    from raylink.ops import grouped_quantile
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    return grouped_quantile(li, "l_returnflag", "l_extendedprice", 0.5,
+                            "med_price")
+
+
+def q_events_asof_purchase(sf_dir: str):
+    """As-of join: for each click event, the user's LATEST purchase event
+    at ts <= click ts (ties: max event_id). Bucketed one-shuffle exchange,
+    per-bucket vectorized composite-lattice searchsorted."""
+    from raylink.ops import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def typed(v: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch["event_type"], v)
+                                ).drop_columns(["event_type"])
+        return f
+
+    clicks = ev.map_batches(typed("click"), batch_format="pyarrow")
+    purchases = ev.map_batches(typed("purchase"), batch_format="pyarrow")
+    return asof_join(clicks, purchases, "user_id", left_ts="ts",
+                     right_ts="ts", tie_col="event_id",
+                     right_cols={"event_id": "matched_id",
+                                 "ts": "matched_ts"})
+
+
+def q_heavy_users(sf_dir: str):
+    """Exact frequent items (count >= ceil(0.0075 * N)): Misra-Gries
+    candidate pass + exact verification — the answer-sized-output path
+    for hot-key discovery over an unbounded key space."""
+    from raylink.sketches import heavy_hitters
+
+    return heavy_hitters(_read(sf_dir, "events", ["user_id"]),
+                         "user_id", phi=0.0075)
+
+
 def q_customers_semi_urgent(sf_dir: str):
     """Distributed semi-join (EXISTS) with a Bloom prefilter: customers
     with >=1 URGENT order. The Bloom bits (built by a distributed
@@ -1681,6 +1736,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "impute_discount": q_impute_discount,
         "quantity_transforms": q_quantity_transforms,
         "circular_variance": q_circular_variance,
+        "orders_topk_by_priority": q_orders_topk_by_priority,
+        "price_median_by_flag": q_price_median_by_flag,
+        "events_asof_purchase": q_events_asof_purchase,
+        "heavy_users": q_heavy_users,
         "price_histogram": q_price_histogram,
         "discount_summary": q_discount_summary,
         "distinct_users": q_distinct_users,
@@ -2010,6 +2069,36 @@ def oracle_sql() -> dict[str, str]:
     sql["orders_customer_join"] = (
         "SELECT o_orderkey, c_nationkey FROM orders "
         "JOIN customer ON o_custkey = c_custkey"
+    )
+    sql["orders_topk_by_priority"] = (
+        "SELECT o_orderkey, o_orderpriority, o_totalprice FROM "
+        "(SELECT o_orderkey, o_orderpriority, o_totalprice, "
+        "row_number() OVER (PARTITION BY o_orderpriority "
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) "
+        "WHERE rn <= 3"
+    )
+    sql["price_median_by_flag"] = (
+        "SELECT l_returnflag, CAST(floor(quantile_disc(l_extendedprice, 0.5)"
+        "*100 + 0.5) AS BIGINT) AS med_price FROM lineitem "
+        "GROUP BY l_returnflag"
+    )
+    sql["events_asof_purchase"] = (
+        "WITH c AS (SELECT event_id, ts, user_id FROM events "
+        "WHERE event_type = 'click'), "
+        "p AS (SELECT event_id, ts, user_id FROM events "
+        "WHERE event_type = 'purchase'), "
+        "j AS (SELECT c.event_id, c.ts, c.user_id, "
+        "p.event_id AS matched_id, p.ts AS matched_ts, "
+        "row_number() OVER (PARTITION BY c.event_id "
+        "ORDER BY p.ts DESC, p.event_id DESC) AS rn "
+        "FROM c JOIN p ON p.user_id = c.user_id AND p.ts <= c.ts) "
+        "SELECT event_id, ts, user_id, matched_id, matched_ts FROM j "
+        "WHERE rn = 1"
+    )
+    sql["heavy_users"] = (
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events "
+        "GROUP BY user_id HAVING count(*) >= "
+        "(SELECT CAST(ceil(0.0075*count(*)) AS BIGINT) FROM events)"
     )
     sql["mode_event_type"] = (
         "WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events "

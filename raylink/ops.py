@@ -1252,6 +1252,180 @@ def semi_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
     return _grouped_semi_anti(left, right, on, r_on, True, num_partitions)
 
 
+def grouped_topk(ds: rd.Dataset, group_cols: list[str],
+                 order_keys: Sequence[tuple[str, bool]], k: int) -> rd.Dataset:
+    """Top-k rows PER GROUP (the reference's per-section top-discord,
+    porcine/stumpy_discord.py:423-437, generalized from top-1). Two-level:
+    each batch preselects its own per-group head(k) (one C-speed sort +
+    groupby-head, so the shuffle carries at most k rows per (group, batch)),
+    then the grouped final pass re-sorts and truncates. ``order_keys`` =
+    [(col, descending), ...] and must totally order rows (include a
+    tiebreak column) for a deterministic result. SQL twin:
+    ``row_number() OVER (PARTITION BY g ORDER BY ...) <= k``."""
+    cols = [c for c, _ in order_keys]
+    ascending = [not d for _, d in order_keys]
+
+    def pre(batch: pd.DataFrame) -> pd.DataFrame:
+        return (batch.sort_values(cols, ascending=ascending, kind="mergesort")
+                .groupby(group_cols, sort=False).head(k))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(cols, ascending=ascending,
+                             kind="mergesort").head(k)
+
+    return (ds.map_batches(pre, batch_format="pandas")
+            .groupby(group_cols).map_groups(final, batch_format="pandas"))
+
+
+def grouped_quantile(ds: rd.Dataset, group_col: str, val_col: str, q: float,
+                     out_col: str, *, scale: float = 100.0) -> rd.Dataset:
+    """Per-group DISCRETE quantile (percentile_disc): the element at sorted
+    index ``floor(q*(n-1))`` of each group — an actual column value, so the
+    fixed-point output is bit-reproducible across engines (no interpolation
+    arithmetic to mismatch). Scale shape: each batch pre-aggregates
+    (group, value) -> count (the distinct-pairs combiner), the shuffle
+    moves only distinct pairs, and the final per-group pass selects by
+    cumulative weight — group cardinality never matters, only distinct
+    values per group. Nulls/NaN are the caller's to filter. SQL twin:
+    ``quantile_disc(val, q) GROUP BY g`` (DuckDB indexes floor(q*(n-1)),
+    verified)."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col, val_col]).group_by(
+            [group_col, val_col]).aggregate([([], "count_all")])
+        return t.rename_columns([group_col, val_col, "n"])
+
+    pre = ds.map_batches(pairs, batch_format="pyarrow")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(val_col, sort=True)["n"].sum()
+        cum = agg.cumsum().to_numpy()
+        n_tot = int(cum[-1])
+        idx = int(np.floor(q * (n_tot - 1)))
+        v = float(agg.index.to_numpy()[np.searchsorted(cum, idx + 1)])
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]],
+                             out_col: [int(np.floor(v * scale + 0.5))]})
+
+    return pre.groupby(group_col).map_groups(finish, batch_format="pandas")
+
+
+def asof_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
+              left_ts: str, right_ts: str, tie_col: str,
+              right_cols: dict[str, str],
+              num_partitions: int = 32) -> rd.Dataset:
+    """Distributed INNER as-of join (SURVEY §2.7's "join Ray Data lacks"
+    family): each left row matches the LATEST right row of the same key
+    with ``right_ts <= left_ts``; ties on ``right_ts`` break by max
+    ``tie_col``. Unmatched left rows are dropped. ``right_cols`` maps
+    right column -> output name (must not collide with left columns).
+
+    Physical plan: both sides tagged and bucketed by
+    ``hash64(key) % num_partitions`` (same one-shuffle bucketed-group
+    exchange as :func:`hash_join`); within a bucket the match is one
+    vectorized ``searchsorted`` over a composite (key-code, ts-rank) int64
+    lattice — no per-key Python loop. Partitioning assumption: one
+    bucket's rows stay below 2^31 (int32-safe composite codes); hot single
+    keys co-locate, the documented skew limit (salt the key upstream if a
+    single key dominates). SQL twin: row_number() OVER (PARTITION BY
+    left-row ORDER BY r.ts DESC, r.tie DESC) = 1 on the inequality join."""
+    from .graph import hash64
+
+    B = num_partitions
+
+    def _arrow(ds: rd.Dataset):
+        # pandas-block-backed datasets report a PandasBlockSchema; force
+        # Arrow blocks so the tagged shuffle schema is a real pa.Schema
+        base = ds.schema().base_schema
+        if isinstance(base, pa.Schema):
+            return ds, base
+        ds = ds.map_batches(lambda b: b, batch_format="pyarrow")
+        return ds, ds.schema().base_schema
+
+    left, l_schema = _arrow(left)
+    right, r_schema = _arrow(right)
+    l_names = [f.name for f in l_schema]
+    for out_name in right_cols.values():
+        if out_name in l_names:
+            raise ValueError(f"asof_join: output column {out_name!r} "
+                             "collides with a left column")
+    key_type = l_schema.field(on).type
+    out_fields = [(rc, out_name, r_schema.field(rc).type)
+                  for rc, out_name in right_cols.items()]
+
+    def _us(col) -> np.ndarray:
+        return (col.to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64))
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {f.name: batch[f.name] for f in l_schema}
+        for _, out_name, t in out_fields:
+            cols[out_name] = pa.nulls(batch.num_rows, t)
+        cols["__ts"] = pa.array(_us(batch[left_ts]), pa.int64())
+        cols["__tie"] = pa.nulls(batch.num_rows, pa.int64())
+        cols["__bkt"] = pa.array(
+            (hash64(batch[on]) % np.uint64(B)).astype(np.int64), pa.int64())
+        cols["__side"] = pa.array(np.zeros(batch.num_rows, np.int8), pa.int8())
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {f.name: pa.nulls(n, f.type) for f in l_schema}
+        cols[on] = pc.cast(batch[on], key_type)
+        for rc, out_name, _ in out_fields:
+            cols[out_name] = batch[rc]
+        cols["__ts"] = pa.array(_us(batch[right_ts]), pa.int64())
+        cols["__tie"] = pc.cast(batch[tie_col], pa.int64())
+        cols["__bkt"] = pa.array(
+            (hash64(batch[on]) % np.uint64(B)).astype(np.int64), pa.int64())
+        cols["__side"] = pa.array(np.ones(n, np.int8), pa.int8())
+        return pa.table(cols)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.select_columns(
+        list(dict.fromkeys([on, right_ts, tie_col] + list(right_cols)))
+    ).map_batches(tag_right, batch_format="pyarrow")
+    out_names = l_names + [out_name for _, out_name, _ in out_fields]
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        ltab = g.filter(pa.array(side == 0))
+        rtab = g.filter(pa.array(side == 1))
+        empty = ltab.select(l_names).slice(0, 0)
+        for _, out_name, t in out_fields:
+            empty = empty.append_column(out_name, pa.array([], t))
+        if ltab.num_rows == 0 or rtab.num_rows == 0:
+            return empty
+        lk = ltab[on].to_numpy(zero_copy_only=False)
+        rk = rtab[on].to_numpy(zero_copy_only=False)
+        lts = ltab["__ts"].to_numpy(zero_copy_only=False)
+        rts = rtab["__ts"].to_numpy(zero_copy_only=False)
+        tie = rtab["__tie"].to_numpy(zero_copy_only=False)
+        assert len(lk) + len(rk) < (1 << 31), "bucket too large; raise B"
+        # composite (key-code, ts-rank) lattice: codes from the union of
+        # keys, ranks from the union of timestamps -> one searchsorted
+        keys = np.unique(np.concatenate([lk, rk]))
+        lkc = np.searchsorted(keys, lk).astype(np.int64)
+        rkc = np.searchsorted(keys, rk).astype(np.int64)
+        ut = np.unique(np.concatenate([lts, rts]))
+        m = np.int64(len(ut) + 1)
+        lrank = np.searchsorted(ut, lts).astype(np.int64)
+        rrank = np.searchsorted(ut, rts).astype(np.int64)
+        order = np.lexsort((tie, rrank, rkc))  # ties end with max tie_col
+        comp_r = (rkc * m + rrank)[order]
+        pos = np.searchsorted(comp_r, lkc * m + lrank, side="right") - 1
+        safe = np.maximum(pos, 0)
+        hit = (pos >= 0) & (rkc[order][safe] == lkc)
+        out = ltab.select(l_names).filter(pa.array(hit))
+        take = pa.array(order[safe][hit].astype(np.int64))
+        for _, out_name, _ in out_fields:
+            out = out.append_column(
+                out_name, rtab[out_name].combine_chunks().take(take))
+        return out
+
+    return lt.union(rt).groupby("__bkt").map_groups(
+        per_bucket, batch_format="pyarrow")
+
+
 def anti_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
               right_on: str | None = None, num_partitions: int = 32,
               bloom_bits: int = 0, bloom_hashes: int = 5) -> rd.Dataset:

@@ -258,3 +258,83 @@ def approx_iqr_outliers(ds: rd.Dataset, col: str, k: float = 1.5,
         return out.select(keep_cols) if keep_cols else out
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def heavy_hitters(ds: rd.Dataset, col: str, *, phi: float,
+                  k: int | None = None) -> rd.Dataset:
+    """EXACT frequent items at threshold ``phi`` (count >= ceil(phi * N))
+    via a Misra-Gries candidate pass + an exact verification pass — the
+    two-pass pattern that makes "GROUP BY key HAVING count >= t" scale
+    when the key space is huge but the answer is small (hot users, hot
+    domains, hot n-grams).
+
+    Pass 1: each batch builds a size-``k`` MG summary (exact local counts,
+    decremented by the (k+1)-th largest and truncated — vectorized
+    np.unique, no Python loop); summing summaries per value underestimates
+    a true count by at most N/(k+1), so with ``k >= 2/phi`` (default
+    4/phi) every true heavy hitter survives as a candidate. Candidate ids
+    are a small driver-side set by construction (<= k per batch, deduped).
+
+    Pass 2: broadcast the candidate array, count ONLY candidate rows per
+    batch (np.searchsorted membership), one tiny grouped sum, filter by
+    the exact threshold. Output (value, n) is exact — the SQL twin is the
+    plain HAVING query."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    if not (0.0 < phi < 1.0):
+        raise ValueError("phi must be in (0, 1)")
+    k = k or max(8, int(np.ceil(4.0 / phi)))
+
+    def mg_summary(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        vals, cnt = np.unique(v, return_counts=True)
+        cnt = cnt.astype(np.int64)
+        if len(vals) > k:
+            # MG reduction to k survivors: subtract the (k+1)-th largest
+            # count, keep strictly positive remainders
+            kth = np.partition(cnt, len(cnt) - k - 1)[len(cnt) - k - 1]
+            keep = cnt > kth
+            vals, cnt = vals[keep], cnt[keep] - kth
+        return pa.table({col: pa.array(vals),
+                         "mg_n": pa.array(cnt, pa.int64()),
+                         "batch_n": pa.array(
+                             np.r_[np.int64(len(v)),
+                                   np.zeros(len(vals) - 1, np.int64)]
+                             if len(vals) else np.array([], np.int64))})
+
+    summaries = ds.select_columns([col]).map_batches(
+        mg_summary, batch_format="pyarrow", zero_copy_batch=True)
+    merged = summaries.groupby(col).aggregate(
+        Sum("mg_n", alias_name="est"), Sum("batch_n", alias_name="bn")
+    ).to_pandas()
+    if merged.empty:
+        return rd.from_arrow(pa.table({col: pa.array([], pa.int64()),
+                                       "n": pa.array([], pa.int64())}))
+    total = int(merged["bn"].sum())
+    threshold = int(np.ceil(phi * total))
+    slack = total // (k + 1)  # max undercount across merged summaries
+    cand = np.sort(merged.loc[merged["est"] + slack >= threshold,
+                              col].to_numpy())
+    cand_ref = ray.put(cand)
+
+    def count_cand(batch: pa.Table) -> pa.Table:
+        c = ray.get(cand_ref)
+        v = batch[col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(c, v)
+        ok = (pos < len(c)) & (c[np.minimum(pos, len(c) - 1)] == v)
+        vals, cnt = np.unique(v[ok], return_counts=True)
+        return pa.table({col: pa.array(vals),
+                         "pn": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    counted = (ds.select_columns([col])
+               .map_batches(count_cand, batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .groupby(col).aggregate(Sum("pn", alias_name="n")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = pa.array(
+            batch["n"].to_numpy(zero_copy_only=False) >= threshold)
+        return batch.filter(keep)
+
+    return counted.map_batches(finish, batch_format="pyarrow")

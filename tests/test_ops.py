@@ -625,3 +625,110 @@ def test_histogram_and_column_summary():
     # mean over non-NaN values only (denominator = n_valid, not n)
     fp = np.floor(clean * 1e6 + 0.5).astype(np.int64).sum()
     assert s.mean_fp == int(np.floor(fp / len(clean) + 0.5))
+
+
+def test_grouped_topk_matches_reference_with_ties():
+    rng = np.random.default_rng(7)
+    n = 500
+    df = pd.DataFrame({
+        "g": rng.integers(0, 5, n),
+        "v": rng.integers(0, 20, n).astype(float),  # many ties
+        "id": np.arange(n, dtype=np.int64),
+    })
+    from raylink.ops import grouped_topk
+
+    got = (grouped_topk(rd.from_pandas(df).repartition(7), ["g"],
+                        [("v", True), ("id", False)], 4)
+           .to_pandas().sort_values(["g", "v", "id"],
+                                    ascending=[True, False, True])
+           .reset_index(drop=True))
+    exp = (df.sort_values(["v", "id"], ascending=[False, True],
+                          kind="mergesort")
+           .groupby("g", sort=False).head(4)
+           .sort_values(["g", "v", "id"], ascending=[True, False, True])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_grouped_quantile_percentile_disc_semantics():
+    # even/odd group sizes; value must be an ACTUAL element at
+    # index floor(q*(n-1)) of the sorted group
+    df = pd.DataFrame({
+        "g": ["a"] * 4 + ["b"] * 5,
+        "v": [10.0, 1.0, 3.0, 2.0, 50.0, 10.0, 30.0, 20.0, 40.0],
+    })
+    from raylink.ops import grouped_quantile
+
+    got = (grouped_quantile(rd.from_pandas(df).repartition(3), "g", "v",
+                            0.5, "med", scale=1.0)
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    # a: sorted [1,2,3,10], idx floor(0.5*3)=1 -> 2; b: idx 2 -> 30
+    assert got["med"].tolist() == [2, 30]
+    got75 = (grouped_quantile(rd.from_pandas(df), "g", "v", 0.75, "q3",
+                              scale=1.0)
+             .to_pandas().sort_values("g").reset_index(drop=True))
+    # a: idx floor(0.75*3)=2 -> 3; b: idx 3 -> 40
+    assert got75["q3"].tolist() == [3, 40]
+
+
+def test_asof_join_matches_bruteforce():
+    rng = np.random.default_rng(11)
+    nl, nr = 300, 200
+    left = pd.DataFrame({
+        "k": rng.integers(0, 12, nl),
+        "lts": pd.to_datetime(rng.integers(0, 1000, nl), unit="s"),
+        "lid": np.arange(nl, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 14, nr),  # some keys have no left rows
+        "rts": pd.to_datetime(rng.integers(0, 1000, nr) // 7 * 7, unit="s"),
+        "rid": np.arange(1000, 1000 + nr, dtype=np.int64),
+        "payload": rng.normal(size=nr),
+    })
+    from raylink.ops import asof_join
+
+    got = asof_join(
+        rd.from_pandas(left).repartition(5),
+        rd.from_pandas(right).repartition(4),
+        "k", left_ts="lts", right_ts="rts", tie_col="rid",
+        right_cols={"rid": "m_rid", "payload": "m_payload"},
+        num_partitions=8,
+    ).to_pandas().sort_values("lid").reset_index(drop=True)
+
+    rows = []
+    for _, lr in left.iterrows():
+        cand = right[(right["k"] == lr["k"]) & (right["rts"] <= lr["lts"])]
+        if cand.empty:
+            continue  # inner join: unmatched dropped
+        best = cand.sort_values(["rts", "rid"],
+                                ascending=[False, False]).iloc[0]
+        rows.append({**lr, "m_rid": best["rid"], "m_payload": best["payload"]})
+    exp = pd.DataFrame(rows).sort_values("lid").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert got["m_rid"].tolist() == exp["m_rid"].tolist()
+    assert np.allclose(got["m_payload"], exp["m_payload"])
+    assert got["lid"].tolist() == exp["lid"].tolist()
+
+
+def test_heavy_hitters_exact_and_candidate_superset():
+    rng = np.random.default_rng(3)
+    # zipf-ish stream over a large key space: few hot keys, long tail
+    hot = np.repeat(np.arange(5, dtype=np.int64), [900, 700, 500, 300, 200])
+    tail = rng.integers(1000, 200000, 7400)
+    v = np.concatenate([hot, tail.astype(np.int64)])
+    rng.shuffle(v)
+    ds = rd.from_arrow(pa.table({"u": pa.array(v, pa.int64())})).repartition(9)
+    from raylink.sketches import heavy_hitters
+
+    phi = 0.02  # threshold = 200
+    got = (heavy_hitters(ds, "u", phi=phi).to_pandas()
+           .sort_values("u").reset_index(drop=True))
+    ser = pd.Series(v).value_counts()
+    thr = int(np.ceil(phi * len(v)))
+    exp = ser[ser >= thr].sort_index()
+    assert got["u"].tolist() == exp.index.tolist()
+    assert got["n"].tolist() == exp.values.tolist()
+    # tiny k still cannot LOSE a true heavy hitter (MG merge guarantee)
+    got_small_k = (heavy_hitters(ds, "u", phi=phi, k=int(np.ceil(2 / phi)))
+                   .to_pandas().sort_values("u").reset_index(drop=True))
+    assert got_small_k["u"].tolist() == exp.index.tolist()
