@@ -514,6 +514,25 @@ def q_graph_sssp(sf_dir: str):
     return _rename(join_keys(dist, sg, "dist"), {"key": "user_id"})
 
 
+def q_graph_sssp_delta(sf_dir: str):
+    """Delta-stepping SSSP to FIXPOINT over the same weighted transition
+    multigraph as graph_sssp: bucketed frontier (width 2) — far vertices
+    wait for their distance range to open instead of relaxing speculative
+    values. Same fixpoint as Bellman-Ford; oracle is the unroll taken to
+    convergence depth."""
+    from raylink.graph import build_graph
+    from raylink.kernels import sssp_delta
+    from raylink.ops import transition_edges
+    from raylink.pipelines.flagship import join_keys
+
+    ew = transition_edges(
+        _read(sf_dir, "events", ["event_id", "user_id"]), distinct=False)
+    sg = build_graph(ew, P=GRAPH_P, symmetric=True, weighted=True,
+                     already_deduped=True)
+    dist = sssp_delta(sg, _min_key_vid(sg), delta=2)
+    return _rename(join_keys(dist, sg, "dist"), {"key": "user_id"})
+
+
 def q_graph_lp1_weighted(sf_dir: str):
     """1-round WEIGHTED label propagation over the symmetric transition
     multigraph: neighbor votes count edge multiplicity (both directions
@@ -738,6 +757,7 @@ def q_graph_bfs(sf_dir: str):
 KCORE_ROUNDS = 8
 TRUSS_ROUNDS = 4
 SSSP_ROUNDS = 8
+SSSP_DELTA_ROUNDS = 16  # deep enough to be the fixpoint on this graph
 CORENESS_ROUNDS = 8
 MIS_ROUNDS = 8
 WALK_STEPS = 4
@@ -1772,6 +1792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_lp1_weighted": q_graph_lp1_weighted,
         "graph_pagerank_persisted": q_graph_pagerank_persisted,
         "graph_sssp": q_graph_sssp,
+        "graph_sssp_delta": q_graph_sssp_delta,
         "graph_mis": q_graph_mis,
         "graph_walks": q_graph_walks,
         "graph_walks_weighted": q_graph_walks_weighted,
@@ -2352,6 +2373,20 @@ def oracle_sql() -> dict[str, str]:
         "WITH " + ", ".join(_sssp_parts) +
         f" SELECT v AS user_id, CAST(dist AS BIGINT) AS dist "
         f"FROM d{SSSP_ROUNDS}"
+    )
+    # delta-stepping runs to FIXPOINT (bucket order, same fixpoint); the
+    # oracle is the same Bellman-Ford unroll taken deep enough to converge
+    # on this graph (verified: extra rounds past the fixpoint are no-ops)
+    for _k in range(SSSP_ROUNDS + 1, SSSP_DELTA_ROUNDS + 1):
+        _sssp_parts.append(
+            f"d{_k} AS MATERIALIZED (SELECT v, min(dist) AS dist FROM "
+            f"(SELECT v, dist FROM d{_k - 1} UNION ALL "
+            f"SELECT u.b, d{_k - 1}.dist + u.w FROM d{_k - 1} "
+            f"JOIN uw u ON u.a = d{_k - 1}.v) GROUP BY v)")
+    sql["graph_sssp_delta"] = (
+        "WITH " + ", ".join(_sssp_parts) +
+        f" SELECT v AS user_id, CAST(dist AS BIGINT) AS dist "
+        f"FROM d{SSSP_DELTA_ROUNDS}"
     )
     # Luby MIS unroll: single min-scatter per round — IN scatters 0,
     # undecided scatters combined(priority, key); see kernels/mis.py

@@ -43,7 +43,8 @@ _INF = np.int64(1 << 62)
 
 
 def _min_scatter(graph: Graph, *, plus_one: bool,
-                 use_weights: bool = False):
+                 use_weights: bool = False,
+                 bound: int | None = None):
     """``use_weights=True`` (weighted build): each slot relaxes by its
     edge weight instead of +1 — min-plus over edge lengths, i.e. the
     Bellman-Ford step. Falls back to +1 on unweighted blocks.
@@ -59,7 +60,12 @@ def _min_scatter(graph: Graph, *, plus_one: bool,
     (a vertex's contribution lands the round after its last improvement,
     exactly when the dense sweep first uses the improved value), so
     fixed-unroll SQL-oracle parity is preserved. ``plus_one=False``
-    (the MIS vote channel) keeps plain values."""
+    (the MIS vote channel) keeps plain values.
+
+    ``bound`` (delta-stepping): only fresh vertices with dist < bound
+    relax this round — the bucket-synchronous restriction; fresh
+    vertices at or past the bound keep waiting (their bit survives via
+    the matching ``_min_combine(bound=...)``)."""
     refs = graph.blocks
     P = graph.P
 
@@ -78,6 +84,8 @@ def _min_scatter(graph: Graph, *, plus_one: bool,
             blk = _ray.get(chunks[sub])
             if plus_one:
                 fresh = (vec < _INF) & ((vec & 1) == 1)
+                if bound is not None:
+                    fresh &= (vec >> 1) < bound
                 if not fresh.any():
                     continue
                 dist = np.where(fresh, vec >> 1, _INF)
@@ -111,11 +119,17 @@ def _min_scatter(graph: Graph, *, plus_one: bool,
     return scatter
 
 
-def _min_combine(graph: Graph):
+def _min_combine(graph: Graph, bound: int | None = None):
     """Fresh-bit-aware min reduction: incoming candidates are PLAIN
     distances; state rows carry enc = dist*2 + fresh (INF literal).
     Improved vertices re-arm their fresh bit, everyone else's clears —
-    the next scatter relaxes only the improved frontier."""
+    the next scatter relaxes only the improved frontier.
+
+    ``bound`` (delta-stepping): only vertices that actually scattered
+    this round (fresh AND dist < bound) clear their bit; fresh vertices
+    waiting past the bound keep it. The output then also carries a
+    per-part ``fresh_min`` (min dist over still-fresh vertices, INF if
+    none) so the driver can open the next non-empty bucket directly."""
     n_per_part = graph.n_per_part
 
     def combine(group: pa.Table) -> pa.Table:
@@ -138,15 +152,25 @@ def _min_combine(graph: Graph):
             lab = lab_flat[lab_offs[i]: lab_offs[i + 1]]
             np.minimum.at(inc, idx, lab)
         improved = inc < prev
-        new = np.where(improved, inc * 2 + 1,
-                       np.where(enc < _INF, (enc >> 1) * 2, enc))
+        if bound is None:
+            new = np.where(improved, inc * 2 + 1,
+                           np.where(enc < _INF, (enc >> 1) * 2, enc))
+        else:
+            scattered = (enc < _INF) & ((enc & 1) == 1) & ((enc >> 1) < bound)
+            new = np.where(improved, inc * 2 + 1,
+                           np.where(scattered, (enc >> 1) * 2, enc))
         changed = int(improved.sum())
         assert len(prev) == int(n_per_part[part])
-        return pa.table({
+        cols = {
             "part": pa.array([part], pa.int64()),
             "vec": pa.array([new], pa.list_(pa.int64())),
             "changed": pa.array([changed], pa.int64()),
-        })
+        }
+        if bound is not None:
+            fr = (new < _INF) & ((new & 1) == 1)
+            fm = int((new[fr] >> 1).min()) if fr.any() else int(_INF)
+            cols["fresh_min"] = pa.array([fm], pa.int64())
+        return pa.table(cols)
 
     return combine
 
@@ -254,6 +278,125 @@ def _min_plus_single(graph: Graph, source_vid: int, out_col: str,
             break
 
     out = state_to_vertex_table(state, graph, "vec", out_col)
+    return out.map_batches(decode_f, batch_format="pyarrow")
+
+
+@ray.remote
+def _fused_delta_loop(view, state_tab: pa.Table, max_iter: int,
+                      use_weights: bool, delta: int):
+    """Fused delta-stepping loop — one task, same bucket schedule."""
+    from .bsp import fused_superstep, table_scalar_sums
+
+    metrics = []
+    B = int(delta)
+    scatter = _min_scatter(view, plus_one=True, use_weights=use_weights,
+                           bound=B)
+    combine = _min_combine(view, bound=B)
+    for it in range(1, max_iter + 1):
+        t0 = time.perf_counter()
+        state_tab = fused_superstep(state_tab, scatter, combine)
+        changed = int(table_scalar_sums(state_tab, ["changed"])["changed"])
+        fm = int(state_tab["fresh_min"].to_numpy(zero_copy_only=False).min())
+        metrics.append({"iter": it, "changed": changed, "bound": B,
+                        "fused": True, "sec": time.perf_counter() - t0})
+        if changed == 0:
+            if fm >= _INF:
+                break
+            B = (fm // delta + 1) * delta
+            scatter = _min_scatter(view, plus_one=True,
+                                   use_weights=use_weights, bound=B)
+            combine = _min_combine(view, bound=B)
+    return state_tab.select(["part", "vec"]), metrics
+
+
+def sssp_delta(graph: Graph, source_vid: int, *, delta: int = 4,
+               max_iter: int = 10_000, metrics_out: list | None = None,
+               fused: bool | None = None) -> rd.Dataset:
+    """Delta-stepping SSSP (Meyer & Sanders): same min-plus supersteps as
+    :func:`sssp`, but each round only the fresh frontier BELOW the open
+    bucket bound ``B`` relaxes; when a bucket settles (no improvement),
+    ``B`` jumps to the edge of the next non-empty bucket (driver reads a
+    per-part ``fresh_min`` scalar — O(P) bytes). Far vertices thus wait
+    until their distance range opens instead of relaxing speculative
+    distances that later improve — on large-diameter weighted graphs this
+    trades a few extra (cheap, small-frontier) rounds for strictly less
+    re-relaxation work per round; with ``delta`` >= the max path weight it
+    degenerates to exactly :func:`sssp`'s schedule. The FIXPOINT is the
+    true shortest-path distance either way (bucket order only reorders
+    relaxations), verified against a Dijkstra oracle. No light/heavy edge
+    split: buckets alone give the work bound here because a superstep's
+    cost is dominated by touched-partition scans, not per-edge retries.
+    ``delta`` is in weight units (int lattice, same contract as sssp)."""
+    if graph.n == 0:
+        from .bsp import empty_vertex_result
+
+        return empty_vertex_result({"dist": pa.int64()})
+    if delta < 1:
+        raise ValueError("delta must be >= 1")
+    P = graph.P
+    s_part, s_local = int(source_vid) % P, int(source_vid) // P
+
+    def init_of(p: int) -> np.ndarray:
+        v = np.full(int(graph.n_per_part[p]), _INF, dtype=np.int64)
+        if p == s_part:
+            v[s_local] = 1  # enc = dist 0, fresh
+        return v
+
+    state = init_state(graph, init_of, dtype=pa.int64())
+
+    def decode_f(batch: pa.Table) -> pa.Table:
+        enc = batch["dist"].to_numpy(zero_copy_only=False)
+        keep = enc < _INF
+        return pa.table({
+            "vid": batch["vid"].filter(pa.array(keep)),
+            "dist": pa.array(enc[keep] >> 1, pa.int64()),
+        })
+
+    from .bsp import fused_eligible, graph_view, state_table
+
+    if fused_eligible(graph, fused):
+        final_tab, metrics = ray.get(_fused_delta_loop.remote(
+            graph_view(graph), state_table(state), max_iter,
+            graph.weighted, int(delta)))
+        if metrics_out is not None:
+            metrics_out.extend(metrics)
+        state = rd.from_arrow(final_tab)
+        out = state_to_vertex_table(state, graph, "vec", "dist")
+        return out.map_batches(decode_f, batch_format="pyarrow")
+
+    B = int(delta)
+    scatter = _min_scatter(graph, plus_one=True, use_weights=graph.weighted,
+                           bound=B)
+    combine = _min_combine(graph, bound=B)
+    for it in range(1, max_iter + 1):
+        t0 = time.perf_counter()
+        state = (
+            maybe_expand_chunks(state, graph)
+            .map_batches(scatter, batch_format="pyarrow", batch_size=1,
+                         zero_copy_batch=True)
+            .groupby("dst_part")
+            .map_groups(combine, batch_format="pyarrow")
+            .materialize()
+        )
+        changed = int(sum_columns(state, ["changed"])["changed"])
+        fm = _INF
+        for b in state.select_columns(["fresh_min"]).iter_batches(
+                batch_format="pyarrow"):
+            if b.num_rows:
+                fm = min(fm, int(b["fresh_min"].to_numpy(
+                    zero_copy_only=False).min()))
+        if metrics_out is not None:
+            metrics_out.append({"iter": it, "changed": changed, "bound": B,
+                                "sec": time.perf_counter() - t0})
+        if changed == 0:
+            if fm >= _INF:
+                break
+            B = (fm // delta + 1) * delta
+            scatter = _min_scatter(graph, plus_one=True,
+                                   use_weights=graph.weighted, bound=B)
+            combine = _min_combine(graph, bound=B)
+
+    out = state_to_vertex_table(state, graph, "vec", "dist")
     return out.map_batches(decode_f, batch_format="pyarrow")
 
 

@@ -2186,3 +2186,73 @@ def test_contract_by_label_weighted_sums_multiplicity():
     # 4->3 w2; labels odd=1, even=0 -> every edge crosses the classes
     want = {(1, 0): (3, 6), (0, 1): (3, 6)}
     assert got == want
+
+
+def test_sssp_delta_matches_dijkstra_and_plain_sssp():
+    """Delta-stepping SSSP: the bucketed relaxation schedule reaches the
+    SAME fixpoint as plain Bellman-Ford (and Dijkstra) for several bucket
+    widths, fused and distributed; a huge delta degenerates to sssp's
+    schedule; delta=1 on an unweighted build == bfs_hops distances."""
+    import heapq
+
+    from raylink.kernels import bfs_hops, sssp, sssp_delta
+
+    base = overlay_pairs(seed=91, n=26, m=64) + [("far1", "far2")]
+    pairs = base + base[::2] + base[::3] + base[::5]
+    sg = G.build_graph(edges_ds(pairs), P=P, symmetric=True, weighted=True,
+                       already_deduped=True)
+    kv = sorted((r["key"], r["vid"]) for b in sg.vertices.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist())
+    src_key, src_vid = kv[0]
+
+    from collections import Counter
+    w = Counter()
+    for a, b in pairs:
+        if a != b:
+            w[(a, b)] += 1
+            w[(b, a)] += 1
+    adj = {}
+    for (a, b), ww in w.items():
+        adj.setdefault(a, {})[b] = ww
+    dist = {src_key: 0}
+    pq = [(0, src_key)]
+    while pq:
+        d0, u = heapq.heappop(pq)
+        if d0 > dist.get(u, 1 << 62):
+            continue
+        for v, ww in adj.get(u, {}).items():
+            nd = d0 + ww
+            if nd < dist.get(v, 1 << 62):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    vid_of = dict(kv)
+    expect = {vid_of[k]: d for k, d in dist.items()}
+
+    plain = sssp(sg, src_vid).to_pandas().set_index("vid")["dist"]
+    assert dict(plain) == expect
+    for delta in (1, 2, 5, 1 << 40):
+        df = sssp_delta(sg, src_vid, delta=delta).to_pandas() \
+            .set_index("vid")["dist"]
+        assert dict(df) == expect, f"delta={delta}"
+    dd = sssp_delta(sg, src_vid, delta=2, fused=False).to_pandas() \
+        .set_index("vid")["dist"]
+    assert dict(dd) == expect
+
+    # the bucket schedule never does MORE improvement work than the
+    # unbounded sweep (its point: fewer speculative improvements that a
+    # later round overwrites), and it can't beat the lower bound of one
+    # improvement per reached vertex
+    m1, mp = [], []
+    sssp_delta(sg, src_vid, delta=1, metrics_out=m1)
+    sssp(sg, src_vid, metrics_out=mp)
+    changed_delta = sum(r["changed"] for r in m1)
+    changed_plain = sum(r["changed"] for r in mp)
+    assert len(expect) - 1 <= changed_delta <= changed_plain
+
+    # unweighted build, delta=1 == hop distance
+    g0 = G.build_graph(edges_ds(base), P=P, symmetric=True)
+    s_vid = sorted(r["vid"] for b in g0.vertices.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist())[0]
+    h = bfs_hops(g0, s_vid).to_pandas().set_index("vid")["hops"]
+    d1 = sssp_delta(g0, s_vid, delta=1).to_pandas().set_index("vid")["dist"]
+    assert h.sort_index().tolist() == d1.sort_index().tolist()
