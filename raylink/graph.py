@@ -481,8 +481,16 @@ _REQ_FIELDS = [
     ("part", pa.int64()), ("kind", pa.int8()), ("bid", pa.int64()),
     ("side", pa.int8()), ("idx", pa.list_(pa.int32())),
     ("hashes", pa.list_(pa.uint64())),
+    ("dvids", pa.list_(pa.int64())),  # explicit dictionary vids (merged
+    #                                   dictionaries only; empty = rank*P+part)
 ]
 _REQ_SCHEMA = pa.schema([pa.field(n, t) for n, t in _REQ_FIELDS])
+
+
+def _empty_list_col(k: int, value_type) -> pa.ListArray:
+    return pa.ListArray.from_arrays(
+        pa.array(np.zeros(k + 1, np.int32), pa.int32()),
+        pa.array([], value_type))
 
 
 def _encode_partitioned(edges: rd.Dataset, dict_rows: rd.Dataset,
@@ -501,7 +509,12 @@ def _encode_partitioned(edges: rd.Dataset, dict_rows: rd.Dataset,
          (src_vid, dst_vid) rows.
     Vid assignment is identical to the broadcast path (same dictionary);
     only edge-row ORDER differs, which every downstream consumer is
-    insensitive to (the CSR build sorts + dedups per partition)."""
+    insensitive to (the CSR build sorts + dedups per partition).
+
+    Dictionary rows may carry an explicit ``vids`` list column (merged
+    dictionaries, where appended vertices break the rank==sorted-index
+    identity); when present and non-empty, vid = vids[searchsorted(u, h)]
+    instead of rank*P+part."""
 
     def to_requests(batch: pa.Table) -> pa.Table:
         import uuid
@@ -529,26 +542,29 @@ def _encode_partitioned(edges: rd.Dataset, dict_rows: rd.Dataset,
                 "side": pa.array(np.full(k, side, np.int8), pa.int8()),
                 "idx": pa.ListArray.from_arrays(offsets, pa.array(idx, pa.int32())),
                 "hashes": pa.ListArray.from_arrays(offsets, pa.array(hs, pa.uint64())),
+                "dvids": _empty_list_col(k, pa.int64()),
             }, schema=_REQ_SCHEMA))
         return pa.concat_tables(tabs)
 
     def dict_to_rows(batch: pa.Table) -> pa.Table:
         k = batch.num_rows
-        empty_idx = pa.ListArray.from_arrays(
-            pa.array(np.zeros(k + 1, np.int32), pa.int32()),
-            pa.array([], pa.int32()))
         return pa.table({
             "part": batch["part"],
             "kind": pa.array(np.zeros(k, np.int8), pa.int8()),
             "bid": pa.array(np.full(k, -1), pa.int64()),
             "side": pa.array(np.full(k, -1, np.int8), pa.int8()),
-            "idx": empty_idx,
+            "idx": _empty_list_col(k, pa.int32()),
             "hashes": batch["hashes"],
+            "dvids": (batch["vids"] if "vids" in batch.column_names
+                      else _empty_list_col(k, pa.int64())),
         }, schema=_REQ_SCHEMA)
 
     reqs = edges.map_batches(to_requests, batch_format="pyarrow",
                              zero_copy_batch=True)
-    dicts = dict_rows.select_columns(["part", "hashes"]).map_batches(
+    dcols = ["part", "hashes"]
+    if "vids" in dict_rows.schema().names:
+        dcols.append("vids")
+    dicts = dict_rows.select_columns(dcols).map_batches(
         dict_to_rows, batch_format="pyarrow")
 
     def encode_group(g: pa.Table) -> pa.Table:
@@ -559,9 +575,14 @@ def _encode_partitioned(edges: rd.Dataset, dict_rows: rd.Dataset,
         h_flat = hl.flatten().to_numpy(zero_copy_only=False)
         h_offs = hl.offsets.to_numpy(zero_copy_only=False)
         u = h_flat[h_offs[di[0]]: h_offs[di[0] + 1]]  # asc-sorted dictionary
+        dl = g["dvids"].combine_chunks()
+        d_flat = dl.flatten().to_numpy(zero_copy_only=False)
+        d_offs = dl.offsets.to_numpy(zero_copy_only=False)
+        uv = d_flat[d_offs[di[0]]: d_offs[di[0] + 1]]  # explicit vids (merged)
         # one vectorized probe over the whole group's flattened hashes
         # (the dict row's own hashes harmlessly map to themselves)
-        vids_flat = (np.searchsorted(u, h_flat).astype(np.int64) * P + part)
+        ranks = np.searchsorted(u, h_flat).astype(np.int64)
+        vids_flat = uv[ranks] if len(uv) else ranks * P + part
         vid_list = pa.ListArray.from_arrays(
             pa.array(h_offs, pa.int32()), pa.array(vids_flat, pa.int64()))
         out = pa.table({
@@ -1233,6 +1254,198 @@ def _block_m(blk: CSRBlock) -> int:
     return blk.m
 
 
+def rank_rows_from_vertices(vertices: rd.Dataset, P: int) -> rd.Dataset:
+    """Reconstruct per-part dictionary rows (part, hashes asc, vids) from a
+    (key, vid, part) vertices table — all distributed (per-batch partial
+    lists, one grouped merge), no driver gather. Vids ride explicitly, so
+    the rows are valid for ANY vid assignment (fresh rank order or merged
+    appended ranks). Used by graphstore so loaded graphs keep the
+    partitioned-dictionary merge path."""
+
+    def lists(batch: pa.Table) -> pa.Table:
+        h = hash64(batch["key"])
+        vid = batch["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = batch["part"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((h, part))
+        hs, vs, ps = h[order], vid[order], part[order]
+        bounds = np.searchsorted(ps, np.arange(P + 1)).astype(np.int64)
+        present = np.flatnonzero(np.diff(bounds) > 0)
+        offsets = pa.array(
+            np.concatenate([[0], np.diff(bounds)[present].cumsum()]),
+            pa.int32())
+        return pa.table({
+            "part": pa.array(present.astype(np.int64), pa.int64()),
+            "hashes": pa.ListArray.from_arrays(offsets,
+                                               pa.array(hs, pa.uint64())),
+            "vids": pa.ListArray.from_arrays(offsets,
+                                             pa.array(vs, pa.int64())),
+        })
+
+    def combine(g: pa.Table) -> pa.Table:
+        p = int(g["part"][0].as_py())
+        hl = g["hashes"].combine_chunks()
+        vl = g["vids"].combine_chunks()
+        h = hl.flatten().to_numpy(zero_copy_only=False)
+        v = vl.flatten().to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        return pa.table({
+            "part": pa.array([p], pa.int64()),
+            "hashes": pa.array([h[order]], pa.list_(pa.uint64())),
+            "vids": pa.array([v[order]], pa.list_(pa.int64())),
+        })
+
+    return vertices.map_batches(lists, batch_format="pyarrow",
+                                zero_copy_batch=True).groupby(
+        "part").map_groups(combine, batch_format="pyarrow")
+
+
+def _unknown_keys_partitioned(new_edges: rd.Dataset, rank_rows: rd.Dataset,
+                              P: int, key_type) -> rd.Dataset:
+    """New-key discovery against a PARTITIONED dictionary: candidate
+    (key, h) pairs bucket to part = h % P and anti-join the part's sorted
+    hash list in one grouped pass — no broadcast dictionary, no driver
+    structure proportional to the accumulated vertex count. Output rows
+    (key, h) are already globally distinct (per-part dedup + hash-disjoint
+    parts)."""
+    cand_schema = pa.schema([
+        ("part", pa.int64()), ("kind", pa.int8()),
+        ("keys", pa.list_(key_type)), ("hs", pa.list_(pa.uint64()))])
+
+    def cands(batch: pa.Table) -> pa.Table:
+        keys = pa.concat_arrays([batch["src"].combine_chunks().cast(key_type),
+                                 batch["dst"].combine_chunks().cast(key_type)])
+        keys = pc.unique(keys)
+        if len(keys) == 0:
+            return cand_schema.empty_table()
+        h = hash64(keys)
+        part = (h % np.uint64(P)).astype(np.int64)
+        order = np.argsort(part, kind="stable")
+        sk = keys.take(pa.array(order))
+        sh, sp = h[order], part[order]
+        bounds = np.searchsorted(sp, np.arange(P + 1)).astype(np.int64)
+        present = np.flatnonzero(np.diff(bounds) > 0)
+        offsets = pa.array(
+            np.concatenate([[0], np.diff(bounds)[present].cumsum()]),
+            pa.int32())
+        k = len(present)
+        return pa.table({
+            "part": pa.array(present.astype(np.int64), pa.int64()),
+            "kind": pa.array(np.ones(k, np.int8), pa.int8()),
+            "keys": pa.ListArray.from_arrays(offsets, sk),
+            "hs": pa.ListArray.from_arrays(offsets, pa.array(sh, pa.uint64())),
+        }, schema=cand_schema)
+
+    def dict_rows(batch: pa.Table) -> pa.Table:
+        k = batch.num_rows
+        return pa.table({
+            "part": batch["part"],
+            "kind": pa.array(np.zeros(k, np.int8), pa.int8()),
+            "keys": _empty_list_col(k, key_type),
+            "hs": batch["hashes"],
+        }, schema=cand_schema)
+
+    cd = new_edges.map_batches(cands, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    dr = rank_rows.select_columns(["part", "hashes"]).map_batches(
+        dict_rows, batch_format="pyarrow")
+
+    def per_part(g: pa.Table) -> pa.Table:
+        kinds = g["kind"].to_numpy(zero_copy_only=False)
+        hl = g["hs"].combine_chunks()
+        h_flat = hl.flatten().to_numpy(zero_copy_only=False)
+        h_offs = hl.offsets.to_numpy(zero_copy_only=False)
+        di = np.flatnonzero(kinds == 0)
+        u = (h_flat[h_offs[di[0]]: h_offs[di[0] + 1]]
+             if len(di) else np.array([], np.uint64))
+        kl = g["keys"].combine_chunks()
+        k_offs = kl.offsets.to_numpy(zero_copy_only=False)
+        ci = np.flatnonzero(kinds == 1)
+        if len(ci) == 0:
+            return pa.table({"key": pa.array([], key_type),
+                             "h": pa.array([], pa.uint64())})
+        ch = np.concatenate([h_flat[h_offs[i]: h_offs[i + 1]] for i in ci])
+        ck = pa.concat_arrays([kl.values.slice(
+            int(k_offs[i]), int(k_offs[i + 1] - k_offs[i])) for i in ci])
+        # per-part global dedup (candidates repeat across batches)
+        _, first = np.unique(ch, return_index=True)
+        first = np.sort(first)
+        ch = ch[first]
+        ck = ck.take(pa.array(first.astype(np.int64)))
+        if len(u):
+            pos = np.searchsorted(u, ch)
+            safe = np.minimum(pos, len(u) - 1)
+            known = (pos < len(u)) & (u[safe] == ch)
+        else:
+            known = np.zeros(len(ch), bool)
+        return pa.table({"key": ck.filter(pa.array(~known)),
+                         "h": pa.array(ch[~known], pa.uint64())})
+
+    return cd.union(dr).groupby("part").map_groups(
+        per_part, batch_format="pyarrow")
+
+
+def _merged_rank_rows(rank_rows: rd.Dataset, P: int, parts_new: np.ndarray,
+                      nh: np.ndarray, new_vids: np.ndarray) -> rd.Dataset:
+    """Merged per-part dictionary rows (part, hashes asc, vids parallel):
+    old entries keep their vids (rank*P+part on first-generation rows,
+    the explicit ``vids`` column on already-merged rows), new (hash, vid)
+    pairs — a small driver-held set, broadcast once — interleave by hash.
+    Appended vids break the rank==sorted-index identity, hence the
+    explicit vids column consumed by ``_encode_partitioned``."""
+    new_ref = ray.put((parts_new, nh, new_vids))
+
+    def merge_row(batch: pa.Table) -> pa.Table:
+        pn, nhs, nvs = ray.get(new_ref)
+        hl = batch["hashes"].combine_chunks()
+        h_flat = hl.flatten().to_numpy(zero_copy_only=False)
+        h_offs = hl.offsets.to_numpy(zero_copy_only=False)
+        vl = (batch["vids"].combine_chunks()
+              if "vids" in batch.column_names else None)
+        if vl is not None:
+            v_flat = vl.flatten().to_numpy(zero_copy_only=False)
+            v_offs = vl.offsets.to_numpy(zero_copy_only=False)
+        parts_col = batch["part"].to_numpy(zero_copy_only=False)
+        out_p, out_h, out_v = [], [], []
+        for i, p in enumerate(parts_col):
+            u = h_flat[h_offs[i]: h_offs[i + 1]]
+            uv = (v_flat[v_offs[i]: v_offs[i + 1]] if vl is not None
+                  else np.arange(len(u), dtype=np.int64) * P + int(p))
+            sel = pn == int(p)
+            h_all = np.concatenate([u, nhs[sel]])
+            v_all = np.concatenate([uv, nvs[sel]])
+            order = np.argsort(h_all, kind="stable")
+            out_p.append(int(p))
+            out_h.append(h_all[order])
+            out_v.append(v_all[order])
+        return pa.table({
+            "part": pa.array(out_p, pa.int64()),
+            "hashes": pa.array(out_h, pa.list_(pa.uint64())),
+            "vids": pa.array(out_v, pa.list_(pa.int64())),
+        })
+
+    merged = rank_rows.map_batches(merge_row, batch_format="pyarrow")
+    # parts that gain their FIRST vertices have no old dictionary row
+    present: set[int] = set()
+    for b in rank_rows.select_columns(["part"]).iter_batches(
+            batch_format="pyarrow"):
+        present.update(b["part"].to_numpy(zero_copy_only=False).tolist())
+    missing = sorted(set(np.unique(parts_new).tolist()) - present)
+    if missing:
+        mp, mh, mv = [], [], []
+        for p in missing:
+            sel = np.flatnonzero(parts_new == p)
+            order = sel[np.argsort(nh[sel], kind="stable")]
+            mp.append(int(p))
+            mh.append(nh[order])
+            mv.append(new_vids[order])
+        merged = merged.union(rd.from_arrow(pa.table({
+            "part": pa.array(mp, pa.int64()),
+            "hashes": pa.array(mh, pa.list_(pa.uint64())),
+            "vids": pa.array(mv, pa.list_(pa.int64())),
+        })))
+    return merged.materialize()
+
+
 def merge_edges(graph: Graph, new_edges: rd.Dataset, *,
                 symmetric: bool = True,
                 chunk_edges: int = CHUNK_EDGES) -> Graph:
@@ -1252,23 +1465,38 @@ def merge_edges(graph: Graph, new_edges: rd.Dataset, *,
     by vertex key — vids of NEW vertices differ from a fresh build's).
 
     ``symmetric`` must match the direction of the original build (a
-    Graph handle does not record it). Requires the broadcast/small
-    encode (``prep.dict_ref``); the driver holds only the NEW vertex
-    set (hash, key) — increments are assumed vertex-sparse relative to
-    the accumulated graph, the usual crawl shape."""
+    Graph handle does not record it). Dictionary regimes:
+      - broadcast/small builds (``prep.dict_ref``): new-key discovery and
+        re-encode probe the broadcast (h, vid) arrays;
+      - partitioned/fused builds (``prep.rank_rows``, no dict_ref): the
+        10^12-vertex path — discovery is a hash-bucketed anti-join of
+        candidate keys against the per-part dictionary rows, the merged
+        dictionary is per-part (hashes, vids) rows (appended vids break
+        the rank==sorted-index identity, so vids ride explicitly), and
+        the new edges re-encode through the partitioned dictionary JOIN.
+        No structure proportional to the accumulated vertex count exists
+        anywhere on the driver;
+      - loaded (graphstore) graphs reload persisted rank rows and take
+        the partitioned path too; only PRE-has_ranks saves fall back to
+        a broadcast rebuild from the vertices table (<= 4M vertices,
+        else raises).
+    In every regime the driver holds only the NEW vertex set (hash, key)
+    — increments are assumed vertex-sparse relative to the accumulated
+    graph, the usual crawl shape."""
     if graph.weighted:
         raise NotImplementedError("merge_edges supports unweighted graphs")
     prep = graph.prep
-    if prep.dict_ref is None:
-        # loaded (graphstore) or fused-encode graphs carry no broadcast
-        # dictionary; rebuild it from the vertices table when the graph
-        # is inside the broadcast regime (same 4M-vertex bound as the
-        # broadcast encode — the load -> merge daily-increment path)
+    partitioned = prep.dict_ref is None and prep.rank_rows is not None
+    if prep.dict_ref is None and not partitioned:
+        # loaded (graphstore) graphs carry no dictionary at all; rebuild
+        # a broadcast one from the vertices table when the graph is
+        # inside the broadcast regime (the load -> merge daily-increment
+        # path)
         if graph.n > 4_000_000:
             raise NotImplementedError(
                 "merge_edges on a dictionary-less graph above the "
-                "broadcast bound would need a partitioned dictionary "
-                "merge (ROADMAP)")
+                "broadcast bound: save/load persists no rank rows — "
+                "rebuild them or merge before saving")
         hs_l, vid_l = [], []
         for b in graph.vertices.iter_batches(batch_format="pyarrow",
                                              batch_size=1 << 20):
@@ -1308,9 +1536,14 @@ def merge_edges(graph: Graph, new_edges: rd.Dataset, *,
         nk = keys.filter(pa.array(~known))
         return pa.table({"key": nk, "h": pa.array(h[~known], pa.uint64())})
 
+    if partitioned:
+        unknown_ds = _unknown_keys_partitioned(
+            new_edges, prep.rank_rows, P, key_type)
+    else:
+        unknown_ds = new_edges.map_batches(unknown, batch_format="pyarrow",
+                                           zero_copy_batch=True)
     new_rows = []
-    for b in new_edges.map_batches(unknown, batch_format="pyarrow",
-                                   zero_copy_batch=True).iter_batches(
+    for b in unknown_ds.iter_batches(
             batch_format="pyarrow", batch_size=1 << 20):
         new_rows.append(b)
     if new_rows:
@@ -1335,23 +1568,29 @@ def merge_edges(graph: Graph, new_edges: rd.Dataset, *,
         n_per_part[p] += len(sel)
     n_new = int(n_per_part.sum())
 
-    # 3. merged broadcast dictionary
-    hs_old, vids_old = ray.get(dict_ref)
-    h_all = np.concatenate([hs_old, nh])
-    v_all = np.concatenate([vids_old, new_vids])
-    order = np.argsort(h_all, kind="stable")
-    new_dict_ref = ray.put((h_all[order], v_all[order]))
+    # 3. merged dictionary + 4. re-encode of the new edges only
+    new_dict_ref = None
+    merged_rank_rows = None
+    if partitioned:
+        merged_rank_rows = _merged_rank_rows(
+            prep.rank_rows, P, parts, nh, new_vids)
+        enc = _encode_partitioned(new_edges, merged_rank_rows, P)
+    else:
+        hs_old, vids_old = ray.get(dict_ref)
+        h_all = np.concatenate([hs_old, nh])
+        v_all = np.concatenate([vids_old, new_vids])
+        order = np.argsort(h_all, kind="stable")
+        new_dict_ref = ray.put((h_all[order], v_all[order]))
 
-    # 4. encode + pack the new edges only
-    def encode_fn(batch: pa.Table) -> pa.Table:
-        hs, vs = ray.get(new_dict_ref)
-        sv = vs[np.searchsorted(hs, hash64(batch["src"]))]
-        dv = vs[np.searchsorted(hs, hash64(batch["dst"]))]
-        return pa.table({"src_vid": pa.array(sv, pa.int64()),
-                         "dst_vid": pa.array(dv, pa.int64())})
+        def encode_fn(batch: pa.Table) -> pa.Table:
+            hs, vs = ray.get(new_dict_ref)
+            sv = vs[np.searchsorted(hs, hash64(batch["src"]))]
+            dv = vs[np.searchsorted(hs, hash64(batch["dst"]))]
+            return pa.table({"src_vid": pa.array(sv, pa.int64()),
+                             "dst_vid": pa.array(dv, pa.int64())})
 
-    enc = new_edges.map_batches(encode_fn, batch_format="pyarrow",
-                                zero_copy_batch=True)
+        enc = new_edges.map_batches(encode_fn, batch_format="pyarrow",
+                                    zero_copy_batch=True)
     direction = int(symmetric)
     packed = enc.map_batches(_pack_fn(P, (direction,)),
                              batch_format="pyarrow", zero_copy_batch=True)
@@ -1418,8 +1657,9 @@ def merge_edges(graph: Graph, new_edges: rd.Dataset, *,
     prep2 = PreparedEdges(
         enc_edges=None, dict_ref=new_dict_ref, n=n_new,
         n_per_part=n_per_part, P=P, key_type=key_type, edges=None,
-        vertices_cache=merged_vertices, encode_mode="merged",
-        rank_rows=None)
+        vertices_cache=merged_vertices,
+        encode_mode="merged-partitioned" if partitioned else "merged",
+        rank_rows=merged_rank_rows)
     return Graph(P=P, n=n_new, m=m_total, n_per_part=n_per_part,
                  blocks=blocks, prep=prep2, key_type=key_type)
 

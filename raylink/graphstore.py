@@ -33,7 +33,7 @@ import ray.data as rd
 
 from .checkpoint import _fs_of
 from .graph import (_BLOCK_ROW_SCHEMA, Graph, PreparedEdges, _collect_blocks,
-                    _graph_of)
+                    _graph_of, rank_rows_from_vertices)
 
 _FORMAT_VERSION = 1
 
@@ -80,6 +80,12 @@ def save_graph(graph: Graph, root: str) -> dict:
     else:
         f.create_dir(path + "/blocks", recursive=True)
     graph.vertices.write_parquet(path + "/vertices", filesystem=f)
+    # per-part dictionary rows (hashes asc, explicit vids) so a LOADED
+    # graph keeps the partitioned-dictionary merge path at any scale
+    has_ranks = graph.n > 0
+    if has_ranks:
+        rank_rows_from_vertices(graph.vertices, graph.P).write_parquet(
+            path + "/ranks", filesystem=f)
     manifest = {
         "version": _FORMAT_VERSION,
         "P": graph.P,
@@ -88,6 +94,7 @@ def save_graph(graph: Graph, root: str) -> dict:
         "n_per_part": [int(x) for x in graph.n_per_part],
         "weighted": bool(graph.weighted),
         "has_blocks": bool(parts),
+        "has_ranks": has_ranks,
     }
     with f.open_output_stream(path + "/manifest.json") as out:
         out.write(json.dumps(manifest).encode())
@@ -118,10 +125,15 @@ def load_graph(root: str) -> Graph:
     if m0 != manifest["m"]:
         raise ValueError(
             f"{root}: block edge count {m0} != manifest {manifest['m']}")
+    rank_rows = None
+    if manifest.get("has_ranks"):
+        rank_rows = rd.read_parquet(path + "/ranks",
+                                    filesystem=f).materialize()
     prep = PreparedEdges(
         enc_edges=None, dict_ref=None, n=int(manifest["n"]),
         n_per_part=np.asarray(manifest["n_per_part"], dtype=np.int64),
         P=int(manifest["P"]), key_type=key_type,
         vertices_cache=vertices.materialize(), encode_mode="loaded",
+        rank_rows=rank_rows,
     )
     return _graph_of(prep, blocks0, m0, bool(manifest["weighted"]))

@@ -1832,7 +1832,11 @@ def test_merge_after_load_roundtrip(tmp_path):
     root = str(tmp_path / "gmerge")
     save_graph(g0, root)
     gl = load_graph(root)
+    # persisted rank rows keep the scale path on loaded graphs: the merge
+    # must go partitioned, never rebuild a broadcast dictionary
+    assert gl.prep.rank_rows is not None
     gm = merge_edges(gl, _int_edges_ds(inc), symmetric=True)
+    assert gm.prep.encode_mode == "merged-partitioned"
     gf = G.build_graph(_int_edges_ds(sorted(set(base) | set(inc))), P=P,
                        symmetric=True)
     assert (gm.n, gm.m) == (gf.n, gf.m)
@@ -1843,6 +1847,23 @@ def test_merge_after_load_roundtrip(tmp_path):
         pagerank(gf, tol=0.0, max_iter=5), gf, "score").iter_batches(
         batch_format="pyarrow") for r in b.to_pylist()}
     assert r_m == r_f
+
+    # pre-has_ranks saves (no ranks/ dir): broadcast-rebuild fallback
+    import json as _json
+    import shutil
+
+    shutil.rmtree(root + "/ranks")
+    mf = _json.loads(open(root + "/manifest.json").read())
+    mf["has_ranks"] = False
+    open(root + "/manifest.json", "w").write(_json.dumps(mf))
+    gl2 = load_graph(root)
+    assert gl2.prep.rank_rows is None
+    gm2 = merge_edges(gl2, _int_edges_ds(inc), symmetric=True)
+    assert gm2.prep.encode_mode == "merged"
+    r_m2 = {r["key"]: r["score"] for b in join_keys(
+        pagerank(gm2, tol=0.0, max_iter=5), gm2, "score").iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()}
+    assert r_m2 == r_f
 
 
 def test_weighted_neighborhood_sample_vs_bruteforce():
@@ -2256,3 +2277,65 @@ def test_sssp_delta_matches_dijkstra_and_plain_sssp():
     h = bfs_hops(g0, s_vid).to_pandas().set_index("vid")["hops"]
     d1 = sssp_delta(g0, s_vid, delta=1).to_pandas().set_index("vid")["dist"]
     assert h.sort_index().tolist() == d1.sort_index().tolist()
+
+
+def test_merge_edges_partitioned_dictionary():
+    """merge_edges on a PARTITIONED/fused-encode graph — no broadcast
+    dictionary anywhere: new-key discovery is the bucketed anti-join,
+    the merged dictionary rides as per-part (hashes, vids) rows, and the
+    increment re-encodes through the partitioned dictionary join. Kernel
+    results match a fresh build BY KEY (PageRank bit-equal); a second
+    increment merges the already-merged (explicit-vids) dictionary."""
+    from raylink.kernels import connected_components, triangle_count
+
+    rng = np.random.default_rng(97)
+    old = set()
+    while len(old) < 80:
+        a, b = (int(x) for x in rng.integers(0, 30, size=2))
+        if a != b:
+            old.add((a, b))
+    old = sorted(old)
+    inc1 = old[::6] + [(0, 200), (200, 201), (201, 202), (7, 203),
+                       (203, 1), (204, 205)]
+    inc2 = [(202, 206), (206, 0), (2, 207), (207, 208), (11, 13)]
+
+    def keyed(ds, g, col):
+        from raylink.pipelines.flagship import join_keys
+
+        return {r["key"]: r[col] for b in join_keys(ds, g, col)
+                .iter_batches(batch_format="pyarrow")
+                for r in b.to_pylist()}
+
+    def groups(c):
+        inv = {}
+        for k, v in c.items():
+            inv.setdefault(v, set()).add(k)
+        return sorted(map(frozenset, inv.values()), key=sorted)
+
+    prep = G.prepare_edges(_int_edges_ds(old), P=P,
+                           encode="partitioned-fused")
+    assert prep.dict_ref is None and prep.rank_rows is not None
+    g0 = G.build_graph_from_prepared(prep, symmetric=True)
+
+    gm = G.merge_edges(g0, _int_edges_ds(inc1), symmetric=True)
+    assert gm.prep.encode_mode == "merged-partitioned"
+    assert gm.prep.dict_ref is None  # still nothing broadcast
+    u1 = sorted(set(old) | set(inc1))
+    gf = G.build_graph(_int_edges_ds(u1), P=P, symmetric=True)
+    assert (gm.n, gm.m) == (gf.n, gf.m)
+    r_m = keyed(pagerank(gm, tol=0.0, max_iter=6), gm, "score")
+    r_f = keyed(pagerank(gf, tol=0.0, max_iter=6), gf, "score")
+    assert r_m == r_f  # bit-equal by key: same P, same arithmetic
+    assert groups(keyed(connected_components(gm), gm, "comp")) == \
+        groups(keyed(connected_components(gf), gf, "comp"))
+    assert triangle_count(gm) == triangle_count(gf)
+
+    # second increment: the merged dictionary (explicit vids) merges again
+    gm2 = G.merge_edges(gm, _int_edges_ds(inc2), symmetric=True)
+    u2 = sorted(set(u1) | set(inc2))
+    gf2 = G.build_graph(_int_edges_ds(u2), P=P, symmetric=True)
+    assert (gm2.n, gm2.m) == (gf2.n, gf2.m)
+    r_m2 = keyed(pagerank(gm2, tol=0.0, max_iter=6), gm2, "score")
+    r_f2 = keyed(pagerank(gf2, tol=0.0, max_iter=6), gf2, "score")
+    assert r_m2 == r_f2
+    assert triangle_count(gm2) == triangle_count(gf2)
