@@ -1511,6 +1511,29 @@ def q_events_asof_purchase(sf_dir: str):
                                  "ts": "matched_ts"})
 
 
+def q_events_type_pivot(sf_dir: str):
+    """Crosstab: per user, one count column per event type (fixed category
+    list = fixed streamable schema); per-batch (user, type) partial counts
+    are all that shuffles."""
+    from raylink.ops import pivot_count
+
+    return pivot_count(
+        _read(sf_dir, "events", ["user_id", "event_type"]), "user_id",
+        "event_type", ["click", "view", "purchase", "signup", "error"])
+
+
+def q_quantity_bins(sf_dir: str):
+    """Quantile binning of l_quantity into 4 classes: thresholds are the
+    DISCRETE quartiles from the histogram-bisection pass (O(bins) driver
+    bytes), assignment is a broadcast searchsorted; duplicate thresholds
+    collapse identically on both sides."""
+    from raylink.ops import quantile_bins
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity"])
+    return quantile_bins(li, "l_quantity", 4, "bin")
+
+
 def q_heavy_users(sf_dir: str):
     """Exact frequent items (count >= ceil(0.0075 * N)): Misra-Gries
     candidate pass + exact verification — the answer-sized-output path
@@ -1760,6 +1783,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_median_by_flag": q_price_median_by_flag,
         "events_asof_purchase": q_events_asof_purchase,
         "heavy_users": q_heavy_users,
+        "events_type_pivot": q_events_type_pivot,
+        "quantity_bins": q_quantity_bins,
         "price_histogram": q_price_histogram,
         "discount_summary": q_discount_summary,
         "distinct_users": q_distinct_users,
@@ -2115,6 +2140,23 @@ def oracle_sql() -> dict[str, str]:
         "FROM c JOIN p ON p.user_id = c.user_id AND p.ts <= c.ts) "
         "SELECT event_id, ts, user_id, matched_id, matched_ts FROM j "
         "WHERE rn = 1"
+    )
+    sql["events_type_pivot"] = (
+        "SELECT user_id, "
+        + ", ".join(
+            f"CAST(sum(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS n_{c}"
+            for c in ["click", "view", "purchase", "signup", "error"])
+        + " FROM events GROUP BY user_id"
+    )
+    sql["quantity_bins"] = (
+        "WITH th AS (SELECT DISTINCT q FROM ("
+        "SELECT quantile_disc(l_quantity, 0.25) AS q FROM lineitem "
+        "UNION SELECT quantile_disc(l_quantity, 0.5) FROM lineitem "
+        "UNION SELECT quantile_disc(l_quantity, 0.75) FROM lineitem)) "
+        "SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, "
+        "CAST((SELECT count(*) FROM th WHERE l.l_quantity >= th.q) "
+        "AS BIGINT) AS bin FROM lineitem l"
     )
     sql["heavy_users"] = (
         "SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events "

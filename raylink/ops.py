@@ -681,13 +681,17 @@ def hopping_rollup(events: rd.Dataset, ts_col: str, group_col: str,
 
 def exact_quantiles(ds: rd.Dataset, col: str, ps: list[float], *,
                     bins: int = 512, gather_limit: int = 1 << 16,
-                    max_passes: int = 6) -> list[float]:
+                    max_passes: int = 6, disc: bool = False) -> list[float]:
     """EXACT global quantiles (linear interpolation == percentile_cont)
     without ever gathering the column: iterative histogram bisection.
     Each pass is one distributed scan producing a ``bins``-bucket count
     per open bracket (O(bins) driver bytes); brackets narrow ~bins x per
     pass until <= ``gather_limit`` values remain, which are fetched and
-    order-selected exactly. 2-3 passes for any realistic column."""
+    order-selected exactly. 2-3 passes for any realistic column.
+
+    ``disc=True``: DISCRETE quantiles (percentile_disc) — the actual
+    element at sorted rank floor(p*(n-1)), no interpolation arithmetic,
+    bit-reproducible across engines (DuckDB quantile_disc semantics)."""
 
     def moments(batch: pa.Table) -> pa.Table:
         x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -717,6 +721,8 @@ def exact_quantiles(ds: rd.Dataset, col: str, ps: list[float], *,
     states = []
     for p in ps:
         r = p * (n - 1)
+        if disc:
+            r = float(np.floor(r))  # rank of an actual element
         states.append({"r": r, "k0": int(np.floor(r)), "k1": int(np.ceil(r)),
                        "lo": gmin, "hi": gmax, "below": 0, "inside": n})
 
@@ -1309,6 +1315,60 @@ def grouped_quantile(ds: rd.Dataset, group_col: str, val_col: str, q: float,
     return pre.groupby(group_col).map_groups(finish, batch_format="pandas")
 
 
+def pivot_count(ds: rd.Dataset, row_col: str, col_col: str,
+                categories: list[str]) -> rd.Dataset:
+    """Crosstab: one output row per ``row_col`` value with an int64 count
+    column per listed category (the corr-heatmap / confusion-matrix shape,
+    ml_anom.py:183-390 analog). ``categories`` is explicit — a fixed output
+    schema is what makes the op streamable (no schema discovery pass).
+    Per-batch partial: one vectorized (row, col) count; the shuffle moves
+    only per-(row, category) partial counts. Unlisted categories are
+    ignored. SQL twin: SUM(CASE WHEN col = c THEN 1 ELSE 0 END) per c."""
+    from ray.data.aggregate import Sum
+
+    cat_of = {c: i for i, c in enumerate(categories)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([row_col, col_col]).group_by(
+            [row_col, col_col]).aggregate([([], "count_all")])
+        t = t.rename_columns([row_col, col_col, "n"])
+        rows = {row_col: t[row_col]}
+        code = np.array([cat_of.get(v, -1)
+                         for v in t[col_col].to_pylist()], np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        for c, i in cat_of.items():
+            rows[f"n_{c}"] = pa.array(np.where(code == i, n, 0), pa.int64())
+        return pa.table(rows)
+
+    aggs = [Sum(f"n_{c}", alias_name=f"n_{c}") for c in categories]
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(row_col).aggregate(*aggs))
+
+
+def quantile_bins(ds: rd.Dataset, col: str, k: int, out_col: str,
+                  keep_cols: list[str] | None = None) -> rd.Dataset:
+    """Quantile binning (the reference's np.select range-class binning,
+    pig_extract.py:836-857, with data-driven thresholds): assign each row
+    bucket = #(thresholds <= x), thresholds being the k-1 DISCRETE
+    quantiles (actual column elements at floor(q*(n-1)) — bit-stable
+    across engines, unlike interpolated cuts). Fit pass =
+    :func:`exact_quantiles` histogram bisection (O(bins) driver bytes, no
+    column or distinct-value gather); transform pass is a broadcast
+    searchsorted. SQL twin: a sum of x >= quantile_disc(col, i/k)
+    comparisons. Duplicate thresholds (skewed data) collapse, so bucket
+    ids stay dense in occupancy order."""
+    thresholds = np.array(sorted(set(exact_quantiles(
+        ds, col, [i / k for i in range(1, k)], disc=True))))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        x = batch[col].to_numpy(zero_copy_only=False)
+        b = np.searchsorted(thresholds, x, side="right").astype(np.int64)
+        out = batch.select(keep_cols) if keep_cols else batch
+        return out.append_column(out_col, pa.array(b, pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def asof_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
               left_ts: str, right_ts: str, tie_col: str,
               right_cols: dict[str, str],
@@ -1326,8 +1386,11 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
     lattice — no per-key Python loop. Partitioning assumption: one
     bucket's rows stay below 2^31 (int32-safe composite codes); hot single
     keys co-locate, the documented skew limit (salt the key upstream if a
-    single key dominates). SQL twin: row_number() OVER (PARTITION BY
-    left-row ORDER BY r.ts DESC, r.tie DESC) = 1 on the inequality join."""
+    single key dominates). NULL join keys are the caller's to filter
+    (SQL never matches them; the numpy key-code path would coerce a
+    nullable int key to NaN and match NaN==NaN). SQL twin: row_number()
+    OVER (PARTITION BY left-row ORDER BY r.ts DESC, r.tie DESC) = 1 on
+    the inequality join."""
     from .graph import hash64
 
     B = num_partitions

@@ -732,3 +732,44 @@ def test_heavy_hitters_exact_and_candidate_superset():
     got_small_k = (heavy_hitters(ds, "u", phi=phi, k=int(np.ceil(2 / phi)))
                    .to_pandas().sort_values("u").reset_index(drop=True))
     assert got_small_k["u"].tolist() == exp.index.tolist()
+
+
+def test_pivot_count_matches_crosstab():
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 8, 400),
+        "c": rng.choice(["a", "b", "c", "zz"], 400),  # 'zz' not listed
+    })
+    from raylink.ops import pivot_count
+
+    got = (pivot_count(rd.from_pandas(df).repartition(5), "g", "c",
+                       ["a", "b", "c"])
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    ct = pd.crosstab(df["g"], df["c"])
+    for cat in ["a", "b", "c"]:
+        exp = ct[cat].reindex(got["g"]).fillna(0).astype(np.int64)
+        assert got[f"n_{cat}"].tolist() == exp.tolist()
+    assert "n_zz" not in got.columns  # unlisted categories ignored
+
+
+def test_quantile_bins_disc_thresholds_and_duplicates():
+    # skewed ints: the quartile thresholds coincide -> buckets collapse
+    x = np.array([1.0] * 50 + [2.0] * 5 + [9.0] * 5)
+    rng = np.random.default_rng(9)
+    rng.shuffle(x)
+    df = pd.DataFrame({"id": np.arange(len(x), dtype=np.int64), "v": x})
+    from raylink.ops import exact_quantiles, quantile_bins
+
+    got = (quantile_bins(rd.from_pandas(df).repartition(4), "v", 4, "bin")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    s = np.sort(x)
+    n = len(s)
+    th = sorted({float(s[int(np.floor(q * (n - 1)))])
+                 for q in (0.25, 0.5, 0.75)})
+    exp = np.searchsorted(th, df["v"].to_numpy(), side="right")
+    assert got["bin"].tolist() == exp.tolist()
+    # disc mode of the bisection returns ACTUAL elements at floor(q*(n-1))
+    qd = exact_quantiles(rd.from_pandas(df), "v", [0.25, 0.5, 0.75],
+                         disc=True)
+    assert qd == [float(s[int(np.floor(q * (n - 1)))])
+                  for q in (0.25, 0.5, 0.75)]
