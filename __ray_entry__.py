@@ -1370,6 +1370,12 @@ def q_doc_lang_id(sf_dir: str):
     return lang_id(_read(sf_dir, "documents"))
 
 
+def q_doc_repetition(sf_dir: str):
+    from raylink.textops import repetition_scores
+
+    return repetition_scores(_read(sf_dir, "documents"))
+
+
 def q_doc_minhash_pairs(sf_dir: str):
     from raylink.dedup import lsh_candidate_pairs, minhash_signatures, verify_jaccard
 
@@ -1840,6 +1846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": q_doc_token_counts,
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
+        "doc_repetition": q_doc_repetition,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_simhash": q_doc_simhash,
@@ -2867,6 +2874,26 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN trim(text) = '' THEN 0 ELSE "
         "array_length(regexp_split_to_array(trim(text), '\\s+')) END AS tok "
         "FROM documents)"
+    )
+    sql["doc_repetition"] = (
+        "WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN "
+        "CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(text), '\\s+') "
+        "END AS toks FROM documents), "
+        "u AS (SELECT doc_id, count(DISTINCT tok) AS nd FROM "
+        "(SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id), "
+        "bi AS (SELECT doc_id, max(cnt) AS maxbig FROM ("
+        "SELECT doc_id, bg, count(*) AS cnt FROM ("
+        "SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg FROM ("
+        "SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i "
+        "FROM t)) GROUP BY doc_id, bg) GROUP BY doc_id) "
+        "SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+        "CAST(floor(CASE WHEN len(toks)=0 THEN 0.0 ELSE "
+        "1.0 - CAST(coalesce(u.nd,0) AS DOUBLE)/len(toks) END "
+        "* 1000000 + 0.5) AS BIGINT) AS dup_token_ratio, "
+        "CAST(floor(CASE WHEN len(toks)<2 THEN 0.0 ELSE "
+        "CAST(coalesce(bi.maxbig,0) AS DOUBLE)/(len(toks)-1) END "
+        "* 1000000 + 0.5) AS BIGINT) AS top_bigram_ratio "
+        "FROM t LEFT JOIN u USING (doc_id) LEFT JOIN bi USING (doc_id)"
     )
     _email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     sql["events_redact"] = (

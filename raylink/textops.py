@@ -215,3 +215,62 @@ class LangId:
 def lang_id(ds: rd.Dataset, *, concurrency=2) -> rd.Dataset:
     return ds.map_batches(LangId, batch_format="pandas", batch_size=1024,
                           concurrency=concurrency)
+
+
+def repetition_scores(ds: rd.Dataset, id_col: str = "doc_id",
+                      text_col: str = "text") -> rd.Dataset:
+    """Gopher-style within-document repetition quality signals
+    (one row per doc; reference parity: the EDA gate family,
+    peak_detect_v4.py SQI gates — here re-targeted at webtext):
+
+    - ``n_tokens``        whitespace token count
+    - ``dup_token_ratio`` fixed6(1 - n_distinct_tokens / n_tokens)
+    - ``top_bigram_ratio``fixed6(max adjacent-bigram count / (n_tokens-1))
+
+    Purely per-document, so it is a single ``map_batches`` pass (no
+    shuffle at any scale). The batch kernel is exploded-array numpy /
+    pandas-groupby (C paths), not a per-doc Python loop: tokens of the
+    whole batch are concatenated once; bigrams are the (flat[j],
+    flat[j+1]) pairs whose two positions fall in the same document."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        txt = batch[text_col].fillna("")
+        toks = txt.str.findall(_WS_TOKEN)
+        n = toks.str.len().astype("int64").to_numpy()
+        ndoc = len(batch)
+        flat = (np.concatenate([np.asarray(t, dtype=object) for t in toks])
+                if int(n.sum()) else np.empty(0, dtype=object))
+        own = np.repeat(np.arange(ndoc, dtype=np.int64), n)
+
+        nd = np.zeros(ndoc, dtype=np.int64)
+        if len(flat):
+            uniq = pd.DataFrame({"i": own, "tok": flat}).groupby(
+                "i", sort=False)["tok"].nunique()
+            nd[uniq.index.to_numpy()] = uniq.to_numpy()
+
+        maxbig = np.zeros(ndoc, dtype=np.int64)
+        if len(flat) > 1:
+            same = own[:-1] == own[1:]
+            if same.any():
+                bg = pd.DataFrame({
+                    "i": own[:-1][same],
+                    "a": flat[:-1][same],
+                    "b": flat[1:][same],
+                })
+                top = bg.groupby(["i", "a", "b"], sort=False).size().groupby(
+                    level=0).max()
+                maxbig[top.index.to_numpy()] = top.to_numpy()
+
+        safe_n = np.where(n == 0, 1, n).astype(np.float64)
+        safe_b = np.where(n < 2, 1, n - 1).astype(np.float64)
+        dup = np.where(n == 0, 0.0, 1.0 - nd / safe_n)
+        big = np.where(n < 2, 0.0, maxbig / safe_b)
+        fixed6 = lambda x: np.floor(x * 1_000_000.0 + 0.5).astype("int64")  # noqa: E731
+        return pd.DataFrame({
+            id_col: batch[id_col],
+            "n_tokens": n,
+            "dup_token_ratio": fixed6(dup),
+            "top_bigram_ratio": fixed6(big),
+        })
+
+    return ds.map_batches(f, batch_format="pandas")

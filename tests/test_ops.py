@@ -773,3 +773,23 @@ def test_quantile_bins_disc_thresholds_and_duplicates():
                          disc=True)
     assert qd == [float(s[int(np.floor(q * (n - 1)))])
                   for q in (0.25, 0.5, 0.75)]
+
+
+def test_repetition_scores_hand_computed():
+    from raylink.textops import repetition_scores
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": [
+            "a a a b",        # n=4 nd=2 dup=.5; bigrams: (a,a)x2 (a,b)x1 -> 2/3
+            "x y z",          # all distinct, max bigram 1 -> 1/2
+            "",               # empty -> all zeros
+            "solo",           # single token: dup 0, bigram 0
+            "w w w w",        # n=4 nd=1 dup=.75; (w,w)x3 -> 3/3=1
+        ],
+    })
+    got = (repetition_scores(rd.from_pandas(df).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["n_tokens"].tolist() == [4, 3, 0, 1, 4]
+    assert got["dup_token_ratio"].tolist() == [500000, 0, 0, 0, 750000]
+    assert got["top_bigram_ratio"].tolist() == [666667, 500000, 0, 0, 1000000]
