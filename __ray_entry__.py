@@ -1376,6 +1376,17 @@ def q_doc_repetition(sf_dir: str):
     return repetition_scores(_read(sf_dir, "documents"))
 
 
+def q_doc_pack(sf_dir: str):
+    """Sequence packing: whitespace token counts -> global ordered prefix
+    scan -> 512-token training-block assignment."""
+    from raylink.ops import pack_sequences
+    from raylink.textops import token_counts
+
+    counts = token_counts(_read(sf_dir, "documents")).select_columns(
+        ["doc_id", "n_tokens"])
+    return pack_sequences(counts, "doc_id", "n_tokens", 512)
+
+
 def q_doc_minhash_pairs(sf_dir: str):
     from raylink.dedup import lsh_candidate_pairs, minhash_signatures, verify_jaccard
 
@@ -1847,6 +1858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
         "doc_repetition": q_doc_repetition,
+        "doc_pack": q_doc_pack,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_simhash": q_doc_simhash,
@@ -2874,6 +2886,16 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN trim(text) = '' THEN 0 ELSE "
         "array_length(regexp_split_to_array(trim(text), '\\s+')) END AS tok "
         "FROM documents)"
+    )
+    sql["doc_pack"] = (
+        "WITH t AS (SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 "
+        "ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END "
+        "AS BIGINT) AS n_tokens FROM documents), "
+        "c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER ("
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "AS cum FROM t) "
+        "SELECT doc_id, n_tokens, CAST(cum - n_tokens AS BIGINT) AS start_tok, "
+        "CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id FROM c"
     )
     sql["doc_repetition"] = (
         "WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN "

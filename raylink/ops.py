@@ -1508,3 +1508,80 @@ def anti_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
                                     num_partitions)
         return absent.union(probed)
     return _grouped_semi_anti(left, right, on, r_on, False, num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# global ordered prefix scan / sequence packing (LLM training-data op)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(ds: rd.Dataset, id_col: str, count_col: str,
+                   budget: int, *, num_buckets: int = 64) -> rd.Dataset:
+    """Concat-then-chunk sequence packing (GPT-style training-data prep):
+    documents are conceptually concatenated in ``id_col`` order and sliced
+    into ``budget``-token blocks; each row gets its global starting offset
+    and the block id that offset falls in.
+
+    Output columns: (id_col, count_col, ``start_tok``, ``seq_id``) with
+    ``start_tok`` = exclusive prefix sum of ``count_col`` over the global
+    ``id_col`` order and ``seq_id = start_tok // budget``.
+
+    Distributed-scan shape (no full sort, ONE shuffle):
+    1. per-batch (bucket, partial-sum) rows over order-preserving id
+       ranges — tiny: <= num_buckets rows per batch to the driver;
+    2. driver exclusive scan over the num_buckets totals (O(B) bytes);
+    3. ``groupby(bucket).map_groups``: sort within bucket, local cumsum +
+       broadcast bucket offset. Skewed ids only imbalance bucket sizes,
+       never correctness.
+    """
+    ds = ds.select_columns([id_col, count_col])
+
+    def mm(batch: pa.Table) -> pa.Table:
+        c = batch[id_col]
+        return pa.table({"lo": [pc.min(c).as_py()], "hi": [pc.max(c).as_py()]})
+
+    mm_rows = ds.map_batches(mm, batch_format="pyarrow").take_all()
+    if not mm_rows:
+        return ds.map_batches(
+            lambda b: pa.table({id_col: pa.array([], pa.int64()),
+                                count_col: pa.array([], pa.int64()),
+                                "start_tok": pa.array([], pa.int64()),
+                                "seq_id": pa.array([], pa.int64())}),
+            batch_format="pyarrow")
+    lo = min(r["lo"] for r in mm_rows)
+    hi = max(r["hi"] for r in mm_rows)
+    span = max(hi - lo + 1, 1)
+    nb = int(num_buckets)
+
+    def bucket_of(ids: np.ndarray) -> np.ndarray:
+        return ((ids.astype(np.int64) - lo) * nb // span).clip(0, nb - 1)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = bucket_of(batch[id_col].to_numpy(zero_copy_only=False))
+        return batch.append_column("__bkt", pa.array(b, pa.int64()))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch["__bkt"].to_numpy(zero_copy_only=False)
+        n = batch[count_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.bincount(b, weights=n.astype(np.float64), minlength=nb)
+        return pa.table({"b": pa.array(np.arange(nb, dtype=np.int64)),
+                         "s": pa.array(sums.astype(np.int64), pa.int64())})
+
+    totals = np.zeros(nb, dtype=np.int64)
+    for row in tagged.map_batches(partial, batch_format="pyarrow").take_all():
+        totals[row["b"]] += row["s"]
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]]).astype(np.int64)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort")
+        n = g[count_col].to_numpy().astype(np.int64)
+        start = int(offsets[int(g["__bkt"].iloc[0])]) + np.cumsum(n) - n
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            count_col: n,
+            "start_tok": start,
+            "seq_id": start // int(budget),
+        })
+
+    return tagged.groupby("__bkt").map_groups(scan, batch_format="pandas")

@@ -793,3 +793,21 @@ def test_repetition_scores_hand_computed():
     assert got["n_tokens"].tolist() == [4, 3, 0, 1, 4]
     assert got["dup_token_ratio"].tolist() == [500000, 0, 0, 0, 750000]
     assert got["top_bigram_ratio"].tolist() == [666667, 500000, 0, 0, 1000000]
+
+
+def test_pack_sequences_matches_sequential_scan():
+    from raylink.ops import pack_sequences
+
+    rng = np.random.default_rng(7)
+    # sparse, skewed ids: order must follow id, not partition layout
+    ids = np.unique(rng.integers(0, 10_000_000, size=400).astype(np.int64))
+    n = rng.integers(0, 900, size=len(ids)).astype(np.int64)
+    df = pd.DataFrame({"id": ids, "n": n})
+    shuffled = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    got = (pack_sequences(rd.from_pandas(shuffled).repartition(7),
+                          "id", "n", 512, num_buckets=5)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    start = np.cumsum(n) - n
+    assert got["id"].tolist() == ids.tolist()
+    assert got["start_tok"].tolist() == start.tolist()
+    assert got["seq_id"].tolist() == (start // 512).tolist()
