@@ -1376,6 +1376,12 @@ def q_doc_repetition(sf_dir: str):
     return repetition_scores(_read(sf_dir, "documents"))
 
 
+def q_doc_chunk_dedup(sf_dir: str):
+    from raylink.dedup import chunk_dup_stats
+
+    return chunk_dup_stats(_read(sf_dir, "documents"), width=8)
+
+
 def q_doc_pack(sf_dir: str):
     """Sequence packing: whitespace token counts -> global ordered prefix
     scan -> 512-token training-block assignment."""
@@ -1859,6 +1865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": q_doc_lang_id,
         "doc_repetition": q_doc_repetition,
         "doc_pack": q_doc_pack,
+        "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_simhash": q_doc_simhash,
@@ -2886,6 +2893,23 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN trim(text) = '' THEN 0 ELSE "
         "array_length(regexp_split_to_array(trim(text), '\\s+')) END AS tok "
         "FROM documents)"
+    )
+    sql["doc_chunk_dedup"] = (
+        "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') "
+        "AS toks FROM documents WHERE trim(text) <> ''), "
+        "ch AS (SELECT doc_id, md5(array_to_string("
+        "toks[(i-1)*8+1 : i*8], ' ')) AS fp FROM ("
+        "SELECT doc_id, toks, unnest(generate_series(1, len(toks)//8)) AS i "
+        "FROM t)), "
+        "cnt AS (SELECT fp, count(*) AS c FROM ch GROUP BY fp), "
+        "occ AS (SELECT doc_id, count(*) AS n_chunks, "
+        "sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup FROM ch "
+        "JOIN cnt USING (fp) GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(n_chunks, 0) AS BIGINT) AS n_chunks, "
+        "CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_chunks, "
+        "CAST(floor(CASE WHEN coalesce(n_chunks, 0) = 0 THEN 0.0 ELSE "
+        "CAST(n_dup AS DOUBLE) / n_chunks END * 1000000 + 0.5) AS BIGINT) "
+        "AS dup_chunk_ratio FROM documents d LEFT JOIN occ USING (doc_id)"
     )
     sql["doc_pack"] = (
         "WITH t AS (SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 "

@@ -33,7 +33,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Min, Sum
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -636,3 +636,87 @@ def embedding_near_dups_lsh(emb: rd.Dataset, *, threshold: float = 0.95,
     # distinct across tables (cos_sim identical wherever the pair appears)
     return cand.groupby(["a_id", "b_id"]).aggregate(
         Max("cos_sim", alias_name="cos_sim"))
+
+
+# ---------------------------------------------------------------------------
+# chunk-level exact dedup (exact-substring / paragraph dedup analog)
+# ---------------------------------------------------------------------------
+
+def chunk_dup_stats(docs: rd.Dataset, id_col: str = "doc_id",
+                    text_col: str = "text", *,
+                    width: int = 8) -> rd.Dataset:
+    """Cross-corpus exact CHUNK dedup stats (the RefinedWeb/CCNet
+    paragraph-dedup shape, over ``width``-token non-overlapping chunks
+    since the synthetic corpus has no newline paragraphs).
+
+    Output per doc: (id, ``n_chunks``, ``n_dup_chunks``,
+    ``dup_chunk_ratio``) where a chunk occurrence is duplicated when its
+    md5 appears more than once in the whole corpus (same doc included).
+
+    Scale shape: stage 1 shuffles only (16-byte fp, doc_id) pairs — the
+    text never leaves its read partition; stage 2 is one groupby(fp) and
+    one per-doc re-aggregation; zero-chunk docs come from a shuffle-free
+    side pass, so no outer join is needed.
+    """
+
+    def chunks(batch: pd.DataFrame) -> pd.DataFrame:
+        txt = batch[text_col].fillna("")
+        toks = txt.str.split()
+        n = toks.str.len().fillna(0).astype("int64").to_numpy()
+        if not int(n.sum()):
+            return pd.DataFrame({"fp": pd.Series([], dtype=object),
+                                 id_col: pd.Series([], dtype="int64")})
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks.to_numpy()])
+        own = np.repeat(np.arange(len(batch), dtype=np.int64), n)
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(n)[:-1]]), n)
+        cidx = pos // width
+        keep = cidx < (n[own] // width)
+        g = pd.DataFrame({"o": own[keep], "c": cidx[keep],
+                          "tok": flat[keep]})
+        joined = g.groupby(["o", "c"], sort=False)["tok"].agg(" ".join)
+        owners = joined.index.get_level_values(0).to_numpy()
+        ids = batch[id_col].to_numpy()
+        return pd.DataFrame({
+            "fp": [hashlib.md5(s.encode()).hexdigest()
+                   for s in joined.to_numpy()],
+            id_col: ids[owners],
+        })
+
+    pairs = docs.select_columns([id_col, text_col]).map_batches(
+        chunks, batch_format="pandas")
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        dup = np.int64(1 if len(g) > 1 else 0)
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             "dup": np.full(len(g), dup)})
+
+    occ = pairs.groupby("fp").map_groups(mark, batch_format="pandas")
+    agg = occ.groupby(id_col).aggregate(
+        Count(alias_name="n_chunks"), Sum("dup", alias_name="n_dup_chunks"))
+
+    def zeros(batch: pd.DataFrame) -> pd.DataFrame:
+        txt = batch[text_col].fillna("")
+        n = txt.str.count(r"\S+").astype("int64")
+        out = batch.loc[(n // width) == 0, [id_col]].copy()
+        out["n_chunks"] = np.int64(0)
+        out["n_dup_chunks"] = np.int64(0)
+        return out
+
+    empty = docs.select_columns([id_col, text_col]).map_batches(
+        zeros, batch_format="pandas")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nc = batch["n_chunks"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = batch["n_dup_chunks"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        safe = np.where(nc == 0, 1, nc).astype(np.float64)
+        ratio = np.floor(np.where(nc == 0, 0.0, nd / safe)
+                         * 1_000_000.0 + 0.5).astype(np.int64)
+        return pa.table({id_col: batch[id_col].cast(pa.int64()),
+                         "n_chunks": pa.array(nc, pa.int64()),
+                         "n_dup_chunks": pa.array(nd, pa.int64()),
+                         "dup_chunk_ratio": pa.array(ratio, pa.int64())})
+
+    return agg.union(empty).map_batches(finish, batch_format="pyarrow")

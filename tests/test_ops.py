@@ -811,3 +811,25 @@ def test_pack_sequences_matches_sequential_scan():
     assert got["id"].tolist() == ids.tolist()
     assert got["start_tok"].tolist() == start.tolist()
     assert got["seq_id"].tolist() == (start // 512).tolist()
+
+
+def test_chunk_dup_stats_cross_and_within_doc():
+    from raylink.dedup import chunk_dup_stats
+
+    c1 = "a b c d e f g h"            # one 8-token chunk
+    df = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": [
+            c1 + " i j k l m n o p",  # doc0: 2 chunks; chunk1 shared w/ doc1
+            c1 + " q r s t u v w x",  # doc1: 2 chunks; chunk1 shared w/ doc0
+            "z z z z z",              # doc2: 5 tokens -> 0 chunks
+            c1 + " " + c1,            # doc3: same chunk twice WITHIN the doc
+            "unique words only here eight tokens exactly now",  # doc4: 1 chunk
+        ],
+    })
+    got = (chunk_dup_stats(rd.from_pandas(df).repartition(3), width=8)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["n_chunks"].tolist() == [2, 2, 0, 2, 1]
+    # c1 appears 4x corpus-wide (docs 0,1 and twice in 3) -> dup everywhere
+    assert got["n_dup_chunks"].tolist() == [1, 1, 0, 2, 0]
+    assert got["dup_chunk_ratio"].tolist() == [500000, 500000, 0, 1000000, 0]
