@@ -1376,6 +1376,28 @@ def q_doc_repetition(sf_dir: str):
     return repetition_scores(_read(sf_dir, "documents"))
 
 
+def q_doc_decontam(sf_dir: str):
+    """Test-set decontamination: train docs (doc_id % 20 != 0) flagged by
+    3-gram overlap with the eval fold (doc_id % 20 == 0)."""
+    import pyarrow.compute as _pc
+
+    from raylink.dedup import decontaminate
+
+    def fold(want_eval: bool):
+        def f(batch):
+            mod = _pc.subtract(batch["doc_id"],
+                               _pc.multiply(_pc.divide(batch["doc_id"], 20),
+                                            20))
+            m = _pc.equal(mod, 0) if want_eval else _pc.not_equal(mod, 0)
+            return batch.filter(m)
+        return f
+
+    docs = _read(sf_dir, "documents")
+    train = docs.map_batches(fold(False), batch_format="pyarrow")
+    ev = docs.map_batches(fold(True), batch_format="pyarrow")
+    return decontaminate(train, ev, k=3)
+
+
 def q_doc_chunk_dedup(sf_dir: str):
     from raylink.dedup import chunk_dup_stats
 
@@ -1866,6 +1888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": q_doc_repetition,
         "doc_pack": q_doc_pack,
         "doc_chunk_dedup": q_doc_chunk_dedup,
+        "doc_decontam": q_doc_decontam,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_simhash": q_doc_simhash,
@@ -2893,6 +2916,22 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN trim(text) = '' THEN 0 ELSE "
         "array_length(regexp_split_to_array(trim(text), '\\s+')) END AS tok "
         "FROM documents)"
+    )
+    sql["doc_decontam"] = (
+        "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') "
+        "AS toks FROM documents WHERE trim(text) <> ''), "
+        "g AS (SELECT doc_id, array_to_string(toks[i : i+2], ' ') AS gram "
+        "FROM (SELECT doc_id, toks, "
+        "unnest(generate_series(1, len(toks)-2)) AS i FROM t)), "
+        "ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0), "
+        "tr AS (SELECT doc_id, count(*) AS n, sum(CASE WHEN gram IN "
+        "(SELECT gram FROM ev) THEN 1 ELSE 0 END) AS h FROM g "
+        "WHERE doc_id % 20 != 0 GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_ngrams, "
+        "CAST(coalesce(h, 0) AS BIGINT) AS n_contaminated, "
+        "CAST(CASE WHEN coalesce(h, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) "
+        "AS contaminated FROM documents d LEFT JOIN tr USING (doc_id) "
+        "WHERE d.doc_id % 20 != 0"
     )
     sql["doc_chunk_dedup"] = (
         "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') "

@@ -720,3 +720,77 @@ def chunk_dup_stats(docs: rd.Dataset, id_col: str = "doc_id",
                          "dup_chunk_ratio": pa.array(ratio, pa.int64())})
 
     return agg.union(empty).map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# test-set decontamination (eval n-gram overlap flagging)
+# ---------------------------------------------------------------------------
+
+def _gram_stream(h: np.ndarray, offs: np.ndarray,
+                 k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All k-gram polynomial hashes of a batch in one vectorized pass.
+    Returns (grams, owner_doc_index); docs shorter than k emit nothing
+    (positional grams, NOT the minhash whole-text fallback)."""
+    n = len(h)
+    ndocs = len(offs) - 1
+    if n < k:
+        return np.array([], np.uint64), np.array([], np.int64)
+    acc = np.zeros(n - k + 1, np.uint64)
+    for j in range(k):
+        acc = acc * _SH_A + h[j: n - k + 1 + j]
+    own_tok = np.repeat(np.arange(ndocs, dtype=np.int64), np.diff(offs))
+    starts = np.arange(n - k + 1, dtype=np.int64)
+    owner = own_tok[starts]
+    valid = starts + k <= offs[owner + 1]
+    return acc[valid], owner[valid]
+
+
+def decontaminate(train: rd.Dataset, eval_ds: rd.Dataset,
+                  id_col: str = "doc_id", text_col: str = "text", *,
+                  k: int = 3) -> rd.Dataset:
+    """Test-set decontamination: per train doc, count k-gram occurrences
+    that also appear in ANY eval document, and flag overlap.
+
+    Output: (id, ``n_ngrams``, ``n_contaminated``, ``contaminated``).
+
+    Scale shape: the eval side (assumed small — it is an eval set) is
+    reduced to a distinct sorted uint64 gram-hash array and broadcast once
+    via ``ray.put``; the train side is a SINGLE shuffle-free
+    ``map_batches`` pass (vectorized token hash + searchsorted probe).
+    Equality is on 64-bit polynomial hashes of polars-hashed tokens — a
+    hash collision could flag a clean gram; probability ~n_grams^2 / 2^65,
+    negligible and accepted (same determinism pin as graph.hash64)."""
+
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        h, offs = _token_hashes(batch[text_col])
+        g, _ = _gram_stream(h, offs, k)
+        return pa.table({"g": pa.array(np.unique(g).view(np.int64),
+                                       pa.int64())})
+
+    rows = eval_ds.select_columns([text_col]).map_batches(
+        eval_grams, batch_format="pyarrow").take_all()
+    ev = np.unique(np.array([r["g"] for r in rows], dtype=np.int64))
+    ev_ref = ray.put(ev)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        evs = ray.get(ev_ref)
+        h, offs = _token_hashes(batch[text_col])
+        g, owner = _gram_stream(h, offs, k)
+        ndocs = len(batch)
+        n_grams = np.bincount(owner, minlength=ndocs).astype(np.int64)
+        gi = g.view(np.int64)
+        pos = np.searchsorted(evs, gi)
+        hit = (pos < len(evs)) & (evs[np.clip(pos, 0, max(len(evs) - 1, 0))]
+                                  == gi) if len(evs) else np.zeros(
+            len(gi), dtype=bool)
+        n_hit = np.bincount(owner[hit], minlength=ndocs).astype(np.int64)
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            "n_ngrams": pa.array(n_grams, pa.int64()),
+            "n_contaminated": pa.array(n_hit, pa.int64()),
+            "contaminated": pa.array((n_hit > 0).astype(np.int64),
+                                     pa.int64()),
+        })
+
+    return train.select_columns([id_col, text_col]).map_batches(
+        probe, batch_format="pyarrow")

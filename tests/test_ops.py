@@ -833,3 +833,25 @@ def test_chunk_dup_stats_cross_and_within_doc():
     # c1 appears 4x corpus-wide (docs 0,1 and twice in 3) -> dup everywhere
     assert got["n_dup_chunks"].tolist() == [1, 1, 0, 2, 0]
     assert got["dup_chunk_ratio"].tolist() == [500000, 500000, 0, 1000000, 0]
+
+
+def test_decontaminate_flags_exact_ngram_overlap():
+    from raylink.dedup import decontaminate
+
+    ev = pd.DataFrame({"doc_id": np.array([100], dtype=np.int64),
+                       "text": ["the quick brown fox jumps"]})
+    tr = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            "a quick brown fox ran",   # shares "quick brown fox" -> 1 hit of 3
+            "totally clean document here",  # 0 hits of 2
+            "xx yy",                   # shorter than k -> 0 grams
+            "the quick brown fox jumps",    # full overlap: 3 of 3
+        ],
+    })
+    got = (decontaminate(rd.from_pandas(tr).repartition(2),
+                         rd.from_pandas(ev), k=3)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["n_ngrams"].tolist() == [3, 2, 0, 3]
+    assert got["n_contaminated"].tolist() == [1, 0, 0, 3]
+    assert got["contaminated"].tolist() == [1, 0, 0, 1]
