@@ -677,6 +677,20 @@ def q_graph_components(sf_dir: str):
     return _rename(join_keys(comps, sg, "comp"), {"key": "user_id"})
 
 
+def q_graph_scc(sf_dir: str):
+    """Strongly connected components (web bow-tie structure): FW-BW
+    min-label coloring over the fwd/rev CSR pair; label = min user_id in
+    the SCC (key-init, matching the directed-closure SQL oracle)."""
+    from raylink.graph import build_graph_fwd_rev, prepare_edges
+    from raylink.kernels import strongly_connected_components
+    from raylink.pipelines.flagship import join_keys
+
+    prep = prepare_edges(_user_edges(sf_dir), P=GRAPH_P, already_deduped=True)
+    gf, gr = build_graph_fwd_rev(prep)
+    out = strongly_connected_components(gf, gr, init="key")
+    return _rename(join_keys(out, gf, "scc"), {"key": "user_id"})
+
+
 def q_graph_contract(sf_dir: str):
     """Community-graph contraction: LP(1 round) labels the vertices, then
     the quotient graph (src_label, dst_label, n_edges) is built by two
@@ -1839,6 +1853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_degrees": q_graph_degrees,
         "graph_pagerank": q_graph_pagerank,
         "graph_components": q_graph_components,
+        "graph_scc": q_graph_scc,
         "graph_lp1": q_graph_lp1,
         "graph_anf": q_graph_anf,
         "graph_contract": q_graph_contract,
@@ -2760,6 +2775,17 @@ def oracle_sql() -> dict[str, str]:
         "UNION SELECT r.a, u.b FROM r JOIN und u ON r.b = u.a) "
         "SELECT a AS user_id, CAST(least(a, min(b)) AS BIGINT) AS comp "
         "FROM r GROUP BY a"
+    )
+    sql["graph_scc"] = (
+        f"WITH RECURSIVE {_E_CTE}, "
+        "r(a, b) AS (SELECT src, dst FROM e "
+        "UNION SELECT r.a, e.dst FROM r JOIN e ON r.b = e.src), "
+        "v AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e "
+        "UNION ALL SELECT dst FROM e)), "
+        "m AS (SELECT r1.a AS v, min(r1.b) AS mn FROM r r1 "
+        "JOIN r r2 ON r1.b = r2.a AND r2.b = r1.a GROUP BY r1.a) "
+        "SELECT v.v AS user_id, CAST(least(v.v, coalesce(m.mn, v.v)) "
+        "AS BIGINT) AS scc FROM v LEFT JOIN m ON m.v = v.v"
     )
     sql["graph_lp1"] = (
         f"WITH {_E_CTE}, "

@@ -33,6 +33,18 @@ def _hits_single_graph(graph, **kwargs):
                 **kwargs)
 
 
+def _scc_single_graph(graph, **kwargs):
+    """Registry adapter (uniform run_kernel contract): derive the transpose
+    from the graph's shared prep; call kernels.strongly_connected_components
+    with a build_graph_fwd_rev pair directly to share the pack pass."""
+    from .graph import build_graph_from_prepared
+    from .kernels import strongly_connected_components
+
+    return strongly_connected_components(
+        graph, build_graph_from_prepared(graph.prep, transpose=True),
+        **kwargs)
+
+
 KERNELS: dict[str, Callable] = {
     "pagerank": pagerank,
     "cc": connected_components,
@@ -42,6 +54,7 @@ KERNELS: dict[str, Callable] = {
     "kcore": k_core,
     "hits": _hits_single_graph,
     "anf": neighborhood_function,
+    "scc": _scc_single_graph,
 }
 
 # kernels that require a symmetric (undirected) graph build

@@ -2339,3 +2339,91 @@ def test_merge_edges_partitioned_dictionary():
     r_f2 = keyed(pagerank(gf2, tol=0.0, max_iter=6), gf2, "score")
     assert r_m2 == r_f2
     assert triangle_count(gm2) == triangle_count(gf2)
+
+
+def _tarjan_min_label(edges, nodes):
+    """Sequential Tarjan, iterative; returns {node: min node of its SCC}."""
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    index, low, onstack, stack, out, cnt = {}, {}, set(), [], {}, [0]
+
+    def strongconnect(root):
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = cnt[0]
+                cnt[0] += 1
+                stack.append(v)
+                onstack.add(v)
+            recurse = False
+            ns = adj.get(v, [])
+            for i in range(pi, len(ns)):
+                w = ns[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in onstack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    onstack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+
+    for v in nodes:
+        if v not in index:
+            strongconnect(v)
+    return out
+
+
+def test_scc_vs_tarjan():
+    """FW-BW coloring SCC == sequential Tarjan (min-key labels, exact) on
+    a cycle, a chain (all singletons, resolved by trim), bridged cycles,
+    and random directed graphs of two densities."""
+    from raylink.kernels import strongly_connected_components
+
+    rng = np.random.default_rng(0)
+    cases = [
+        [(i, (i + 1) % 6) for i in range(6)],
+        [(i, i + 1) for i in range(8)],
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)],
+    ]
+    for n, m in ((40, 130), (60, 90)):
+        e = set()
+        while len(e) < m:
+            a, b = rng.integers(0, n, 2)
+            if a != b:
+                e.add((int(a), int(b)))
+        cases.append(sorted(e))
+
+    for ci, edges in enumerate(cases):
+        nodes = sorted({x for p in edges for x in p})
+        prep = G.prepare_edges(_int_edges_ds(edges), P=4,
+                               already_deduped=True)
+        gf, gr = G.build_graph_fwd_rev(prep)
+        out = strongly_connected_components(gf, gr, init="key").to_pandas()
+        vk = gf.vertices.to_pandas()[["vid", "key"]]
+        mm = out.merge(vk, on="vid")
+        got = dict(zip(mm["key"], mm["scc"]))
+        assert got == _tarjan_min_label(edges, nodes)
+        if ci == 2:  # fused == distributed, bit-equal (integer kernel)
+            dist = strongly_connected_components(
+                gf, gr, init="key", fused=False).to_pandas()
+            dd = dist.merge(vk, on="vid")
+            assert dict(zip(dd["key"], dd["scc"])) == got
