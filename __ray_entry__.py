@@ -691,6 +691,20 @@ def q_graph_scc(sf_dir: str):
     return _rename(join_keys(out, gf, "scc"), {"key": "user_id"})
 
 
+def q_graph_bowtie(sf_dir: str):
+    """Bow-tie web-structure decomposition (Broder et al.): core = largest
+    SCC (tie to smallest label), in/out by directed reachability, other =
+    tendrils/tubes/disconnected."""
+    from raylink.graph import build_graph_fwd_rev, prepare_edges
+    from raylink.kernels import bowtie
+    from raylink.pipelines.flagship import join_keys
+
+    prep = prepare_edges(_user_edges(sf_dir), P=GRAPH_P, already_deduped=True)
+    gf, gr = build_graph_fwd_rev(prep)
+    out = bowtie(gf, gr, init="key")
+    return _rename(join_keys(out, gf, "cls"), {"key": "user_id"})
+
+
 def q_graph_contract(sf_dir: str):
     """Community-graph contraction: LP(1 round) labels the vertices, then
     the quotient graph (src_label, dst_label, n_edges) is built by two
@@ -1854,6 +1868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_components": q_graph_components,
         "graph_scc": q_graph_scc,
+        "graph_bowtie": q_graph_bowtie,
         "graph_lp1": q_graph_lp1,
         "graph_anf": q_graph_anf,
         "graph_contract": q_graph_contract,
@@ -2786,6 +2801,28 @@ def oracle_sql() -> dict[str, str]:
         "JOIN r r2 ON r1.b = r2.a AND r2.b = r1.a GROUP BY r1.a) "
         "SELECT v.v AS user_id, CAST(least(v.v, coalesce(m.mn, v.v)) "
         "AS BIGINT) AS scc FROM v LEFT JOIN m ON m.v = v.v"
+    )
+    sql["graph_bowtie"] = (
+        f"WITH RECURSIVE {_E_CTE}, "
+        "r(a, b) AS (SELECT src, dst FROM e "
+        "UNION SELECT r.a, e.dst FROM r JOIN e ON r.b = e.src), "
+        "v AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e "
+        "UNION ALL SELECT dst FROM e)), "
+        "m AS (SELECT r1.a AS v, min(r1.b) AS mn FROM r r1 "
+        "JOIN r r2 ON r1.b = r2.a AND r2.b = r1.a GROUP BY r1.a), "
+        "s AS (SELECT v.v AS v, least(v.v, coalesce(m.mn, v.v)) AS scc "
+        "FROM v LEFT JOIN m ON m.v = v.v), "
+        "core AS (SELECT scc FROM (SELECT scc, count(*) AS c FROM s "
+        "GROUP BY scc ORDER BY c DESC, scc LIMIT 1)), "
+        "ins AS (SELECT DISTINCT r.a AS v FROM r JOIN s su ON su.v = r.b "
+        "AND su.scc = (SELECT scc FROM core)), "
+        "outs AS (SELECT DISTINCT r.b AS v FROM r JOIN s su ON su.v = r.a "
+        "AND su.scc = (SELECT scc FROM core)) "
+        "SELECT s.v AS user_id, CASE "
+        "WHEN s.scc = (SELECT scc FROM core) THEN 'core' "
+        "WHEN s.v IN (SELECT v FROM ins) THEN 'in' "
+        "WHEN s.v IN (SELECT v FROM outs) THEN 'out' "
+        "ELSE 'other' END AS cls FROM s"
     )
     sql["graph_lp1"] = (
         f"WITH {_E_CTE}, "

@@ -32,7 +32,7 @@ from .mis import maximal_independent_set
 from .betweenness import betweenness
 from .coloring import graph_coloring
 from .anf import effective_diameter, neighborhood_function
-from .scc import strongly_connected_components
+from .scc import bowtie, strongly_connected_components
 
 __all__ = ["pagerank", "connected_components", "label_propagation",
            "triangle_count", "approx_triangle_count", "graph_summary",
@@ -42,4 +42,4 @@ __all__ = ["pagerank", "connected_components", "label_propagation",
            "k_core", "hits", "sssp", "sssp_delta", "coreness", "reciprocity",
            "maximal_independent_set", "betweenness", "graph_coloring",
            "neighborhood_function", "effective_diameter",
-           "strongly_connected_components"]
+           "strongly_connected_components", "bowtie"]

@@ -102,9 +102,10 @@ def _min_scatter(view):
     return scatter
 
 
-def _min_combine():
-    """F phase: new = min(prev, incoming) gated so finished vertices
-    (prev == SENT) stay SENT."""
+def _min_combine(gate_sent: bool = True):
+    """F phase: new = min(prev, incoming); with ``gate_sent`` finished
+    vertices (prev == SENT) stay SENT (SCC coloring), without it SENT is
+    an ordinary +inf (reachability flooding)."""
 
     def combine(group: pa.Table) -> pa.Table:
         kinds = group["kind"].to_numpy(zero_copy_only=False)
@@ -124,7 +125,8 @@ def _min_combine():
             idx = idx_flat[idx_offs[i]: idx_offs[i + 1]].astype(np.int64)
             lab = lab_flat[lab_offs[i]: lab_offs[i + 1]]
             np.minimum.at(new, idx, lab)
-        new[prev == SENT] = SENT  # finished vertices never re-enter
+        if gate_sent:
+            new[prev == SENT] = SENT  # finished vertices never re-enter
         changed = int((new != prev).sum())
         return pa.table({"part": pa.array([part], pa.int64()),
                          "vec": pa.array([new], pa.list_(pa.int64())),
@@ -575,3 +577,113 @@ def strongly_connected_components(
             raise RuntimeError("SCC made no progress (bug)")
 
     return state_to_vertex_table(scc, gf, "vec", "scc")
+
+
+# ---------------------------------------------------------------------------
+# bow-tie decomposition (Broder et al. web structure)
+# ---------------------------------------------------------------------------
+
+@ray.remote
+def _fused_reach(view, seed_tab: pa.Table, max_iter: int) -> pa.Table:
+    from .bsp import fused_superstep, table_scalar_sums
+
+    sc, cb = _min_scatter(view), _min_combine(gate_sent=False)
+    tab = seed_tab
+    for _ in range(max_iter):
+        tab = fused_superstep(tab, sc, cb)
+        if int(table_scalar_sums(tab, ["changed"])["changed"]) == 0:
+            break
+    return tab.select(["part", "vec"])
+
+
+def _reach(graph: Graph, seeds: rd.Dataset, *, max_iter: int = 10_000,
+           fused: bool | None = None) -> rd.Dataset:
+    """Min-flood reachability: state 0 at seeds / SENT elsewhere; after the
+    fixpoint, reached vertices hold 0."""
+    from .bsp import fused_eligible, graph_view, state_table
+
+    if fused_eligible(graph, fused):
+        tab = ray.get(_fused_reach.remote(graph_view(graph),
+                                          state_table(seeds), max_iter))
+        return rd.from_arrow(tab).materialize()
+    sc, cb = _min_scatter(graph), _min_combine(gate_sent=False)
+    state = seeds
+    for _ in range(max_iter):
+        state = (state.map_batches(sc, batch_format="pyarrow", batch_size=1,
+                                   zero_copy_batch=True)
+                 .groupby("dst_part").map_groups(cb, batch_format="pyarrow")
+                 .materialize())
+        if int(sum_columns(state, ["changed"])["changed"]) == 0:
+            break
+    return state
+
+
+def bowtie(gf: Graph, gr: Graph, *, init: str = "key",
+           fused: bool | None = None) -> rd.Dataset:
+    """Bow-tie web-structure classes per vertex (Broder et al.): ``core``
+    (the largest SCC, ties to the smallest label), ``in`` (reaches the
+    core), ``out`` (reached from the core), ``other`` (tendrils, tubes and
+    disconnected pieces).
+
+    Composition of the SCC kernel with two min-flood reachability passes
+    (forward over ``gf`` -> out-set, backward over ``gr`` -> in-set); the
+    only driver values are the (scc, count) top-1 pick and changed
+    scalars."""
+    if gf.n == 0:
+        return empty_vertex_result({"cls": pa.string()})
+    scc_vt = strongly_connected_components(gf, gr, init=init,
+                                           fused=fused).materialize()
+    counts = scc_vt.groupby("scc").count()
+    top = counts.sort(["count()", "scc"], descending=[True, False]).limit(1)
+    core_label = int(top.take_all()[0]["scc"])
+
+    def seed_col(batch: pa.Table) -> pa.Table:
+        s = batch["scc"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vid": batch["vid"],
+            "seed": pa.array(np.where(s == core_label, 0, SENT), pa.int64()),
+        })
+
+    from .bsp import vertex_table_to_state
+
+    seeds = vertex_table_to_state(
+        scc_vt.map_batches(seed_col, batch_format="pyarrow"), gf,
+        "seed").materialize()
+    fwd = _reach(gf, seeds, fused=fused)   # core reaches v  -> out
+    bwd = _reach(gr, seeds, fused=fused)   # v reaches core  -> in
+
+    def cls_fn(part, vecs):
+        s = vecs[(0, 0)]
+        f = vecs[(1, 0)]
+        b = vecs[(2, 0)]
+        code = np.full(len(s), 3, np.int64)          # other
+        code[f != SENT] = 2                          # out (core -> v)
+        code[b != SENT] = 1                          # in  (v -> core)
+        code[s == core_label] = 0                    # core
+        return {"code": code, "changed": 0}
+
+    # reuse the merged-state machinery over (scc, fwd, bwd)
+    scc_st = vertex_table_to_state(scc_vt, gf, "scc")
+
+    def rn(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["vec" if c == "scc" else c for c in batch.column_names])
+
+    scc_st = scc_st.map_batches(rn, batch_format="pyarrow")
+    codes = _merge_states([(0, scc_st, ["vec"]), (1, fwd, ["vec"]),
+                           (2, bwd, ["vec"])], cls_fn, ["code"])
+
+    def rn2(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["vec" if c == "code" else c for c in batch.column_names])
+
+    vt = state_to_vertex_table(codes.map_batches(rn2, batch_format="pyarrow"),
+                               gf, "vec", "code")
+    names = np.array(["core", "in", "out", "other"], dtype=object)
+
+    def to_cls(batch: pa.Table) -> pa.Table:
+        c = batch["code"].to_numpy(zero_copy_only=False)
+        return pa.table({"vid": batch["vid"],
+                         "cls": pa.array(names[c], pa.string())})
+
+    return vt.map_batches(to_cls, batch_format="pyarrow")

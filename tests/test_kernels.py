@@ -2427,3 +2427,23 @@ def test_scc_vs_tarjan():
                 gf, gr, init="key", fused=False).to_pandas()
             dd = dist.merge(vk, on="vid")
             assert dict(zip(dd["key"], dd["scc"])) == got
+
+
+def test_bowtie_classes_hand_built():
+    """Hand-built bow-tie: 3-cycle core, in-chain, out-chain, a tendril off
+    the in-chain, and a disconnected edge."""
+    from raylink.kernels import bowtie
+
+    edges = [(10, 11), (11, 12), (12, 10),       # core
+             (1, 2), (2, 10),                    # in-chain
+             (12, 20), (20, 21),                 # out-chain
+             (2, 30),                            # tendril off in-chain
+             (40, 41)]                           # disconnected
+    prep = G.prepare_edges(_int_edges_ds(edges), P=4, already_deduped=True)
+    gf, gr = G.build_graph_fwd_rev(prep)
+    out = bowtie(gf, gr, init="key").to_pandas()
+    vk = gf.vertices.to_pandas()[["vid", "key"]]
+    got = dict(zip(*(lambda m: (m["key"], m["cls"]))(out.merge(vk, on="vid"))))
+    assert got == {10: "core", 11: "core", 12: "core",
+                   1: "in", 2: "in", 20: "out", 21: "out",
+                   30: "other", 40: "other", 41: "other"}
