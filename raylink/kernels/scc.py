@@ -432,11 +432,16 @@ def _fused_scc(fview, rview, lab0_tab: pa.Table, max_rounds: int,
 def strongly_connected_components(
     gf: Graph, gr: Graph, *, init: str = "vid", max_rounds: int = 10_000,
     max_iter: int = 10_000, metrics_out: list | None = None,
-    fused: bool | None = None,
+    fused: bool | None = None, checkpoint_dir: str | None = None,
 ) -> rd.Dataset:
     """Per-vertex Dataset (vid, scc); label = min vid (``init='vid'``) or
     min int64 key (``init='key'``) of the strongly connected component.
-    ``gf``/``gr`` must be a :func:`build_graph_fwd_rev` pair."""
+    ``gf``/``gr`` must be a :func:`build_graph_fwd_rev` pair.
+
+    ``checkpoint_dir``: persist the per-partition scc assignment state
+    after every outer ROUND (the natural durability unit: trim + F + B +
+    assign); a re-run resumes from the latest committed round and skips
+    every vertex already assigned."""
     if gf.P != gr.P or gf.n != gr.n:
         raise ValueError("gf/gr must share the fwd_rev vertex dictionary")
     if gf.n == 0:
@@ -450,9 +455,21 @@ def strongly_connected_components(
                                     dtype=np.int64) * gf.P + p,
             dtype=pa.int64())
 
+    from ..checkpoint import CheckpointStore, graph_fingerprint
     from .bsp import fused_eligible, graph_view, state_table
 
-    if fused_eligible(gf, fused) and fused_eligible(gr, fused):
+    store = None
+    start_round = 0
+    resumed_scc = None
+    if checkpoint_dir:
+        store = CheckpointStore(checkpoint_dir, "scc",
+                                graph_fingerprint(gf), {"init": init})
+        resumed = store.latest()
+        if resumed is not None:
+            start_round, resumed_scc = resumed
+
+    if store is None and fused_eligible(gf, fused) and \
+            fused_eligible(gr, fused):
         final_tab, metrics = ray.get(_fused_scc.remote(
             graph_view(gf), graph_view(gr), state_table(lab0),
             max_rounds, max_iter))
@@ -460,8 +477,21 @@ def strongly_connected_components(
             metrics_out.extend(metrics)
         return state_to_vertex_table(rd.from_arrow(final_tab), gf, "vec",
                                      "scc")
-    scc = init_state(gf, lambda p: np.full(int(gf.n_per_part[p]), SENT,
-                                           np.int64), dtype=pa.int64())
+    if resumed_scc is not None:
+        scc = resumed_scc
+
+        def _unassigned(batch: pa.Table) -> pa.Table:
+            n = 0
+            for _, v in iter_state_rows(batch, "vec"):
+                n += int((np.asarray(v) == SENT).sum())
+            return pa.table({"n": pa.array([n], pa.int64())})
+
+        remaining0 = int(sum(r["n"] for r in scc.map_batches(
+            _unassigned, batch_format="pyarrow").take_all()))
+    else:
+        scc = init_state(gf, lambda p: np.full(int(gf.n_per_part[p]), SENT,
+                                               np.int64), dtype=pa.int64())
+        remaining0 = int(gf.n)
 
     fwd_deg_sc, rev_deg_sc = _deg_scatter(gf), _deg_scatter(gr)
     deg_cb = _deg_combine()
@@ -475,8 +505,10 @@ def strongly_connected_components(
                                                 batch_format="pyarrow")
                 .materialize())
 
-    remaining = int(gf.n)
-    for rnd in range(1, max_rounds + 1):
+    remaining = remaining0
+    if remaining <= 0:
+        return state_to_vertex_table(scc, gf, "vec", "scc")
+    for rnd in range(start_round + 1, max_rounds + 1):
         t0 = time.perf_counter()
         # --- trim loop -----------------------------------------------------
         trimmed_total = 0
@@ -566,11 +598,15 @@ def strongly_connected_components(
                                 {"scc": "vec"}).materialize()
         assigned = int(sum_columns(scc, ["changed"])["changed"])
         remaining -= assigned
+        round_metrics = {"round": rnd, "trimmed": trimmed_total,
+                         "f_steps": f_steps, "b_steps": b_steps,
+                         "assigned": assigned,
+                         "sec": time.perf_counter() - t0}
         if metrics_out is not None:
-            metrics_out.append({"round": rnd, "trimmed": trimmed_total,
-                                "f_steps": f_steps, "b_steps": b_steps,
-                                "assigned": assigned,
-                                "sec": time.perf_counter() - t0})
+            metrics_out.append(round_metrics)
+        if store is not None:
+            store.save(rnd, scc.select_columns(["part", "vec"]),
+                       round_metrics)
         if remaining <= 0:
             break
         if assigned == 0 and trimmed_total == 0:

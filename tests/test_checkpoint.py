@@ -139,3 +139,30 @@ def test_uri_root_checkpoint_and_resume(tmp_path):
     for k in via_uri:
         assert abs(via_uri[k] - via_path[k]) < 1e-12
     assert (tmp_path / "uri_ck" / "pagerank" / "manifest.json").exists()
+
+
+def test_scc_round_checkpoint_resume(tmp_path):
+    """SCC persists the per-partition assignment state per outer round: a
+    run truncated to 1 round leaves the first SCC committed; resuming
+    finishes from round 2 and matches a fresh uncheckpointed run."""
+    from raylink.kernels import strongly_connected_components
+
+    pairs = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    s, d = zip(*pairs)
+    import pyarrow as pa
+    import ray.data as rd
+    eds = rd.from_arrow(pa.table({"src": pa.array(s, pa.int64()),
+                                  "dst": pa.array(d, pa.int64())}))
+    prep = G.prepare_edges(eds, P=4, already_deduped=True)
+    gf, gr = G.build_graph_fwd_rev(prep)
+    ckpt = str(tmp_path / "ck")
+
+    torn = strongly_connected_components(
+        gf, gr, init="key", max_rounds=1, checkpoint_dir=ckpt).to_pandas()
+    assert (torn["scc"] == np.iinfo(np.int64).max).sum() == 3  # 3,4,5 open
+
+    resumed = strongly_connected_components(
+        gf, gr, init="key", checkpoint_dir=ckpt).to_pandas()
+    fresh = strongly_connected_components(gf, gr, init="key").to_pandas()
+    merged = resumed.merge(fresh, on="vid", suffixes=("_r", "_f"))
+    assert (merged["scc_r"] == merged["scc_f"]).all()
