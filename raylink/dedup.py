@@ -63,7 +63,10 @@ def exact_dedup_groups(docs: rd.Dataset, id_col: str = "doc_id",
 _MERSENNE = (1 << 61) - 1
 _SH_SEED = 17
 _SH_A = np.uint64(0x9E3779B97F4A7C15)  # odd mix constants for k-gram combine
-_SH_A2 = _SH_A * _SH_A
+# wraparound square, computed in Python ints to avoid a noisy numpy
+# overflow RuntimeWarning in every worker's import log
+_SH_A2 = np.uint64((0x9E3779B97F4A7C15 * 0x9E3779B97F4A7C15)
+                   & 0xFFFFFFFFFFFFFFFF)
 
 
 def _token_hashes(texts: pa.Array | pa.ChunkedArray):
@@ -678,21 +681,31 @@ def chunk_dup_stats(docs: rd.Dataset, id_col: str = "doc_id",
         joined = g.groupby(["o", "c"], sort=False)["tok"].agg(" ".join)
         owners = joined.index.get_level_values(0).to_numpy()
         ids = batch[id_col].to_numpy()
+        fps = [hashlib.md5(s.encode()).hexdigest()
+               for s in joined.to_numpy()]
         return pd.DataFrame({
-            "fp": [hashlib.md5(s.encode()).hexdigest()
-                   for s in joined.to_numpy()],
+            "fp": fps,
+            "__bkt": np.array([int(f[:8], 16) & 63 for f in fps],
+                              dtype=np.int64),
             id_col: ids[owners],
         })
 
     pairs = docs.select_columns([id_col, text_col]).map_batches(
         chunks, batch_format="pandas")
 
-    def mark(g: pd.DataFrame) -> pd.DataFrame:
-        dup = np.int64(1 if len(g) > 1 else 0)
-        return pd.DataFrame({id_col: g[id_col].to_numpy(),
-                             "dup": np.full(len(g), dup)})
+    # ONE shuffle for the corpus-wide dup decision: group by a 64-way fp
+    # PREFIX bucket (equal fps always co-bucket), then a vectorized
+    # within-bucket count — not groupby(fp).map_groups, which would make
+    # one Python call per (near-unique) fingerprint.
+    def mark_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g["fp"].map(g["fp"].value_counts())
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "dup": (cnt > 1).to_numpy().astype(np.int64),
+        })
 
-    occ = pairs.groupby("fp").map_groups(mark, batch_format="pandas")
+    occ = pairs.groupby("__bkt").map_groups(mark_bucket,
+                                            batch_format="pandas")
     agg = occ.groupby(id_col).aggregate(
         Count(alias_name="n_chunks"), Sum("dup", alias_name="n_dup_chunks"))
 
