@@ -35,6 +35,14 @@ segment — F ships per-dst min labels (<= P rows per hub), B ships DISTINCT
 (dst, color) pairs, trim ships per-dst active-degree counts. State is P
 dense rows; the only driver values are changed/trimmed/remaining scalars.
 
+Diameter assumption: F/B supersteps scale with the active subgraph's
+diameter, the standard regime for web graphs (small-world, ~tens of hops;
+measured: 100k-vertex/600k-edge random digraph = 1 round, 21 supersteps).
+A pathological high-diameter cycle (e.g. a 10^4-ring) degrades to O(n)
+supersteps — the pointer-jumping acceleration CC uses does not transfer
+directly because SCC labels must stay reachability-faithful per phase;
+a condensation-DAG hybrid is ROADMAP work.
+
 Reference parity: convergence-gated iteration with carried state per
 SURVEY §2.10/§7.6 (the reference's gated refit loops), redesigned
 order-independent.
