@@ -677,6 +677,20 @@ def q_graph_components(sf_dir: str):
     return _rename(join_keys(comps, sg, "comp"), {"key": "user_id"})
 
 
+def q_graph_katz(sf_dir: str):
+    """Katz centrality (alpha-damped path counting), PR_ITERS fixed
+    supersteps shared with the unrolled SQL oracle."""
+    from raylink.graph import build_graph
+    from raylink.kernels import katz
+    from raylink.ops import scale_columns
+    from raylink.pipelines.flagship import join_keys
+
+    g = build_graph(_user_edges(sf_dir), P=GRAPH_P, already_deduped=True)
+    scores = katz(g, alpha_inv=100, max_iter=PR_ITERS)
+    out = _rename(join_keys(scores, g, "katz"), {"key": "user_id"})
+    return scale_columns(out, {"katz": 1e9})
+
+
 def q_graph_scc(sf_dir: str):
     """Strongly connected components (web bow-tie structure): FW-BW
     min-label coloring over the fwd/rev CSR pair; label = min user_id in
@@ -1869,6 +1883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": q_graph_components,
         "graph_scc": q_graph_scc,
         "graph_bowtie": q_graph_bowtie,
+        "graph_katz": q_graph_katz,
         "graph_lp1": q_graph_lp1,
         "graph_anf": q_graph_anf,
         "graph_contract": q_graph_contract,
@@ -2376,6 +2391,28 @@ def oracle_sql() -> dict[str, str]:
                                                   "user_id", weighted=True)
     sql["graph_ppr"] = _ppr_sql_body(_E_CTE, PR_ITERS, "user_id")
     sql["graph_hits"] = _hits_sql_body(_E_CTE, PR_ITERS, "user_id")
+    # integer-lattice Katz (y_k = 100^k + sum of in-neighbor y_{k-1}; the
+    # single float op is the final y/100^K division, mirrored exactly)
+    _katz_parts = [
+        _E_CTE.replace(" AS (", " AS MATERIALIZED (", 1),
+        "v AS MATERIALIZED (SELECT DISTINCT v FROM ("
+        "SELECT src AS v FROM e UNION ALL SELECT dst FROM e))",
+        "x0 AS MATERIALIZED (SELECT v, CAST(1 AS BIGINT) AS s FROM v)",
+    ]
+    for _k in range(1, PR_ITERS + 1):
+        _katz_parts.append(
+            f"xr{_k} AS MATERIALIZED (SELECT e.dst AS v, sum(x.s) "
+            f"AS s FROM x{_k-1} x JOIN e ON x.v = e.src GROUP BY e.dst)")
+        _katz_parts.append(
+            f"x{_k} AS MATERIALIZED (SELECT v.v, CAST({100 ** _k} "
+            f"+ coalesce(xr.s, 0) AS BIGINT) AS s "
+            f"FROM v LEFT JOIN xr{_k} xr ON xr.v = v.v)")
+    sql["graph_katz"] = (
+        "WITH " + ", ".join(_katz_parts) +
+        f" SELECT v.v AS user_id, CAST(floor(CAST(x.s AS DOUBLE)"
+        f"/{100 ** PR_ITERS}*1000000000 + 0.5) "
+        f"AS BIGINT) AS katz FROM v JOIN x{PR_ITERS} x ON x.v = v.v"
+    )
     sql["graph_summary"] = (
         f"WITH {_E_CTE}, "
         "und AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM e "

@@ -2447,3 +2447,29 @@ def test_bowtie_classes_hand_built():
     assert got == {10: "core", 11: "core", 12: "core",
                    1: "in", 2: "in", 20: "out", 21: "out",
                    30: "other", 40: "other", 41: "other"}
+
+
+def test_katz_integer_lattice_vs_bruteforce():
+    """Integer-lattice Katz == the sequential recurrence bit-for-bit
+    (y_k = A^k + sum in-neighbor y_{k-1}; katz = y_K/A^K), fused and
+    distributed paths equal."""
+    from raylink.kernels import katz
+
+    rng = np.random.default_rng(3)
+    n = 30
+    edges = sorted({(int(a), int(b)) for a, b in
+                    rng.integers(0, n, (150, 2)) if a != b})
+    A, K = 100, 4
+    g = G.build_graph(_int_edges_ds(edges), P=4, already_deduped=True)
+    for fused in (None, False):
+        out = katz(g, alpha_inv=A, max_iter=K, fused=fused).to_pandas()
+        vk = g.vertices.to_pandas()[["vid", "key"]]
+        got = dict(zip(*(lambda m: (m["key"], m["katz"]))(
+            out.merge(vk, on="vid"))))
+        nodes = sorted({x for p in edges for x in p})
+        y = {v: 1 for v in nodes}
+        for k in range(1, K + 1):
+            y = {v: A ** k + sum(y[u] for u, w in edges if w == v)
+                 for v in nodes}
+        exp = {v: y[v] / A ** K for v in nodes}
+        assert got == exp  # exact float equality: one identical division
