@@ -719,6 +719,19 @@ def q_graph_bowtie(sf_dir: str):
     return _rename(join_keys(out, gf, "cls"), {"key": "user_id"})
 
 
+def q_graph_condensation(sf_dir: str):
+    """Condensation DAG: contract the directed graph by its SCC labels
+    (quotient rows (src_label, dst_label, n_edges), self-pairs = intra-SCC
+    edge counts) — the bow-tie family's structural summary."""
+    from raylink.graph import build_graph_fwd_rev, contract_by_label, prepare_edges
+    from raylink.kernels import strongly_connected_components
+
+    prep = prepare_edges(_user_edges(sf_dir), P=GRAPH_P, already_deduped=True)
+    gf, gr = build_graph_fwd_rev(prep)
+    labels = strongly_connected_components(gf, gr, init="key")
+    return contract_by_label(gf, labels, label_col="scc")
+
+
 def q_graph_contract(sf_dir: str):
     """Community-graph contraction: LP(1 round) labels the vertices, then
     the quotient graph (src_label, dst_label, n_edges) is built by two
@@ -1418,6 +1431,14 @@ def q_doc_repetition(sf_dir: str):
     return repetition_scores(_read(sf_dir, "documents"))
 
 
+def q_doc_lm_score(sf_dir: str):
+    """Unigram LM surprisal quality score (corpus-frequency fit, int64
+    fixed-point per-token surprisal summed per doc)."""
+    from raylink.textops import lm_surprisal
+
+    return lm_surprisal(_read(sf_dir, "documents"))
+
+
 def q_doc_decontam(sf_dir: str):
     """Test-set decontamination: train docs (doc_id % 20 != 0) flagged by
     3-gram overlap with the eval fold (doc_id % 20 == 0)."""
@@ -1884,6 +1905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_scc": q_graph_scc,
         "graph_bowtie": q_graph_bowtie,
         "graph_katz": q_graph_katz,
+        "graph_condensation": q_graph_condensation,
         "graph_lp1": q_graph_lp1,
         "graph_anf": q_graph_anf,
         "graph_contract": q_graph_contract,
@@ -1934,6 +1956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack": q_doc_pack,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_decontam": q_doc_decontam,
+        "doc_lm_score": q_doc_lm_score,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_simhash": q_doc_simhash,
@@ -2839,6 +2862,20 @@ def oracle_sql() -> dict[str, str]:
         "SELECT v.v AS user_id, CAST(least(v.v, coalesce(m.mn, v.v)) "
         "AS BIGINT) AS scc FROM v LEFT JOIN m ON m.v = v.v"
     )
+    sql["graph_condensation"] = (
+        f"WITH RECURSIVE {_E_CTE}, "
+        "r(a, b) AS (SELECT src, dst FROM e "
+        "UNION SELECT r.a, e.dst FROM r JOIN e ON r.b = e.src), "
+        "v AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e "
+        "UNION ALL SELECT dst FROM e)), "
+        "m AS (SELECT r1.a AS v, min(r1.b) AS mn FROM r r1 "
+        "JOIN r r2 ON r1.b = r2.a AND r2.b = r1.a GROUP BY r1.a), "
+        "s AS (SELECT v.v AS v, CAST(least(v.v, coalesce(m.mn, v.v)) "
+        "AS BIGINT) AS scc FROM v LEFT JOIN m ON m.v = v.v) "
+        "SELECT la.scc AS src_label, lb.scc AS dst_label, "
+        "CAST(count(*) AS BIGINT) AS n_edges FROM e "
+        "JOIN s la ON la.v = e.src JOIN s lb ON lb.v = e.dst GROUP BY 1, 2"
+    )
     sql["graph_bowtie"] = (
         f"WITH RECURSIVE {_E_CTE}, "
         "r(a, b) AS (SELECT src, dst FROM e "
@@ -3016,6 +3053,18 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN trim(text) = '' THEN 0 ELSE "
         "array_length(regexp_split_to_array(trim(text), '\\s+')) END AS tok "
         "FROM documents)"
+    )
+    sql["doc_lm_score"] = (
+        "WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+        "'[a-z0-9]+')) AS term FROM documents), "
+        "tot AS (SELECT term, count(*) AS cnt FROM t GROUP BY term), "
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS n_tok FROM t), "
+        "sc AS (SELECT t.doc_id, count(*) AS n_terms, "
+        "sum(CAST(floor(ln(n.n_tok / tot.cnt) * 1000000 + 0.5) AS BIGINT)) "
+        "AS s FROM t JOIN tot USING (term) CROSS JOIN n GROUP BY t.doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(sc.n_terms, 0) AS BIGINT) AS "
+        "n_terms, CAST(coalesce(sc.s, 0) AS BIGINT) AS surprisal_fp "
+        "FROM documents d LEFT JOIN sc USING (doc_id)"
     )
     sql["doc_decontam"] = (
         "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') "

@@ -15,6 +15,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -274,3 +275,81 @@ def repetition_scores(ds: rd.Dataset, id_col: str = "doc_id",
         })
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def lm_surprisal(ds: rd.Dataset, id_col: str = "doc_id",
+                 text_col: str = "text", *,
+                 num_partitions: int = 32) -> rd.Dataset:
+    """Unigram language-model surprisal per document (the KenLM-style
+    quality-scoring shape at unigram order): fit = corpus term frequencies,
+    score(doc) = sum over token occurrences of -log p(term)
+               = sum_t tf_t * floor(ln(N_tok / cnt_t) * 1e6 + 0.5)   (int64)
+
+    High surprisal/token = rare-word-heavy (gibberish or OCR noise), very
+    low = boilerplate — the classic webtext quality gate.
+
+    Fully distributed, same shape as :func:`tfidf_topk`: per-batch
+    tokenize combiner -> (doc, term, tf) rows; corpus totals = one term
+    groupby; co-partitioned term join (vocabulary never broadcast or
+    driver-resident); per-doc int64 sum (order-free, oracle-exact modulo
+    the ln() libm, shared with the tf-idf precedent). Zero-token docs come
+    from a shuffle-free side pass. Output: (id, ``n_terms``,
+    ``surprisal_fp``)."""
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        txt = batch[text_col].fillna("").str.lower()
+        toks = txt.str.findall(_TERM_RE)
+        out = pd.DataFrame({id_col: batch[id_col], "term": toks}).explode("term")
+        out = out.dropna(subset=["term"])
+        tf = out.groupby([id_col, "term"], sort=False).size()
+        tf = tf.rename("tf").reset_index()
+        tf["tf"] = tf["tf"].astype("int64")
+        return tf
+
+    doc_terms = ds.select_columns([id_col, text_col]).map_batches(
+        pairs, batch_format="pandas").materialize()
+
+    from ray.data.aggregate import Sum
+
+    totals = doc_terms.groupby("term").aggregate(Sum("tf", alias_name="cnt"))
+    n_tok = 0
+    for row in totals.map_batches(
+            lambda b: pa.table({"s": [pc.sum(b["cnt"]).as_py() or 0]}),
+            batch_format="pyarrow").take_all():
+        n_tok += int(row["s"])
+
+    from .ops import hash_join
+
+    joined = hash_join(doc_terms, totals, "term",
+                       num_partitions=num_partitions)
+    nf = float(n_tok)
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        unit = np.floor(np.log(nf / cnt) * 1e6 + 0.5).astype(np.int64)
+        return pa.table({id_col: batch[id_col].cast(pa.int64()),
+                         "n": pa.array(tf, pa.int64()),
+                         "s": pa.array(tf * unit, pa.int64())})
+
+    agg = joined.map_batches(score, batch_format="pyarrow").groupby(
+        id_col).aggregate(Sum("n", alias_name="n_terms"),
+                          Sum("s", alias_name="surprisal_fp"))
+
+    def zeros(batch: pd.DataFrame) -> pd.DataFrame:
+        txt = batch[text_col].fillna("").str.lower()
+        n = txt.str.count(_TERM_RE).astype("int64")
+        out = batch.loc[n == 0, [id_col]].copy()
+        out["n_terms"] = np.int64(0)
+        out["surprisal_fp"] = np.int64(0)
+        return out
+
+    empty = ds.select_columns([id_col, text_col]).map_batches(
+        zeros, batch_format="pandas")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch[id_col].cast(pa.int64()),
+                         "n_terms": batch["n_terms"].cast(pa.int64()),
+                         "surprisal_fp": batch["surprisal_fp"].cast(
+                             pa.int64())})
+
+    return agg.union(empty).map_batches(fin, batch_format="pyarrow")

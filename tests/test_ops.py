@@ -855,3 +855,20 @@ def test_decontaminate_flags_exact_ngram_overlap():
     assert got["n_ngrams"].tolist() == [3, 2, 0, 3]
     assert got["n_contaminated"].tolist() == [1, 0, 0, 3]
     assert got["contaminated"].tolist() == [1, 0, 0, 1]
+
+
+def test_lm_surprisal_hand_computed():
+    from raylink.textops import lm_surprisal
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["a a b", "a rare", ""],  # corpus: a x3, b x1, rare x1
+    })
+    got = (lm_surprisal(rd.from_pandas(df).repartition(2))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    n_tok = 5.0
+    u = {t: int(np.floor(np.log(n_tok / c) * 1e6 + 0.5))
+         for t, c in (("a", 3), ("b", 1), ("rare", 1))}
+    assert got["n_terms"].tolist() == [3, 2, 0]
+    assert got["surprisal_fp"].tolist() == [
+        2 * u["a"] + u["b"], u["a"] + u["rare"], 0]
