@@ -1348,6 +1348,28 @@ def q_pages_pagerank(sf_dir: str):
     return scale_columns(out, {"score": 1e9})
 
 
+def q_pages_scc(sf_dir: str):
+    """SCC over the extracted page graph (end-to-end: html extract ->
+    edge table -> fwd/rev CSR -> FW-BW coloring), label = min url."""
+    from raylink.extract import docs_to_edges, pages_to_docs
+    from raylink.graph import build_graph_fwd_rev, prepare_edges
+    from raylink.kernels import strongly_connected_components
+    from raylink.pipelines.flagship import join_keys
+    from raylink.tables import pages_dataset
+
+    pages = pages_dataset(PAGES_SPEC, parallelism=8)
+    docs = pages_to_docs(pages, batch_size=64, concurrency=2)
+    prep = prepare_edges(docs_to_edges(docs), P=GRAPH_P)
+    gf, gr = build_graph_fwd_rev(prep)
+    vt = strongly_connected_components(gf, gr)  # min-vid labels
+    keyed = join_keys(vt, gf, "scc")
+
+    def canon(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"url": g["key"], "scc": g["key"].min()})
+
+    return keyed.groupby("scc").map_groups(canon, batch_format="pandas")
+
+
 def q_pages_components(sf_dir: str):
     """CC over the extracted page graph, canonical label = min url."""
     from raylink.kernels import connected_components
@@ -1946,6 +1968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_docs": q_pages_docs,
         "pages_pagerank": q_pages_pagerank,
         "pages_components": q_pages_components,
+        "pages_scc": q_pages_scc,
         "pages_triangles": q_pages_triangles,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -2977,6 +3000,17 @@ def oracle_sql() -> dict[str, str]:
     # pages_* oracles run over the generator's ground-truth edge list
     pages_e = _pages_edge_values()
     sql["pages_pagerank"] = _pr_sql_body(pages_e, PR_ITERS, "url")
+    sql["pages_scc"] = (
+        f"WITH RECURSIVE {pages_e}, "
+        "r(a, b) AS (SELECT src, dst FROM e "
+        "UNION SELECT r.a, e.dst FROM r JOIN e ON r.b = e.src), "
+        "v AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e "
+        "UNION ALL SELECT dst FROM e)), "
+        "m AS (SELECT r1.a AS v, min(r1.b) AS mn FROM r r1 "
+        "JOIN r r2 ON r1.b = r2.a AND r2.b = r1.a GROUP BY r1.a) "
+        "SELECT v.v AS url, least(v.v, coalesce(m.mn, v.v)) AS scc "
+        "FROM v LEFT JOIN m ON m.v = v.v"
+    )
     sql["pages_components"] = (
         f"WITH RECURSIVE {pages_e}, "
         "und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e), "
