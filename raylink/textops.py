@@ -317,24 +317,6 @@ def lm_surprisal(ds: rd.Dataset, id_col: str = "doc_id",
             batch_format="pyarrow").take_all():
         n_tok += int(row["s"])
 
-    from .ops import hash_join
-
-    joined = hash_join(doc_terms, totals, "term",
-                       num_partitions=num_partitions)
-    nf = float(n_tok)
-
-    def score(batch: pa.Table) -> pa.Table:
-        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cnt = batch["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
-        unit = np.floor(np.log(nf / cnt) * 1e6 + 0.5).astype(np.int64)
-        return pa.table({id_col: batch[id_col].cast(pa.int64()),
-                         "n": pa.array(tf, pa.int64()),
-                         "s": pa.array(tf * unit, pa.int64())})
-
-    agg = joined.map_batches(score, batch_format="pyarrow").groupby(
-        id_col).aggregate(Sum("n", alias_name="n_terms"),
-                          Sum("s", alias_name="surprisal_fp"))
-
     def zeros(batch: pd.DataFrame) -> pd.DataFrame:
         txt = batch[text_col].fillna("").str.lower()
         n = txt.str.count(_TERM_RE).astype("int64")
@@ -352,4 +334,24 @@ def lm_surprisal(ds: rd.Dataset, id_col: str = "doc_id",
                          "surprisal_fp": batch["surprisal_fp"].cast(
                              pa.int64())})
 
+    if n_tok == 0:  # tokenless corpus: the join side is empty
+        return empty.map_batches(fin, batch_format="pyarrow")
+
+    from .ops import hash_join
+
+    joined = hash_join(doc_terms, totals, "term",
+                       num_partitions=num_partitions)
+    nf = float(n_tok)
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        unit = np.floor(np.log(nf / cnt) * 1e6 + 0.5).astype(np.int64)
+        return pa.table({id_col: batch[id_col].cast(pa.int64()),
+                         "n": pa.array(tf, pa.int64()),
+                         "s": pa.array(tf * unit, pa.int64())})
+
+    agg = joined.map_batches(score, batch_format="pyarrow").groupby(
+        id_col).aggregate(Sum("n", alias_name="n_terms"),
+                          Sum("s", alias_name="surprisal_fp"))
     return agg.union(empty).map_batches(fin, batch_format="pyarrow")

@@ -872,3 +872,39 @@ def test_lm_surprisal_hand_computed():
     assert got["n_terms"].tolist() == [3, 2, 0]
     assert got["surprisal_fp"].tolist() == [
         2 * u["a"] + u["b"], u["a"] + u["rare"], 0]
+
+
+def test_new_text_ops_degenerate_inputs():
+    """Empty eval set, all-empty corpus, and single-doc inputs do not
+    crash or mislabel the continuation-session text ops."""
+    from raylink.dedup import chunk_dup_stats, decontaminate
+    from raylink.ops import pack_sequences
+    from raylink.textops import lm_surprisal, repetition_scores
+
+    empty_txt = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                              "text": ["", "   ", ""]})
+    ds = rd.from_pandas(empty_txt)
+
+    rep = repetition_scores(ds).to_pandas()
+    assert (rep[["n_tokens", "dup_token_ratio",
+                 "top_bigram_ratio"]] == 0).all().all()
+
+    cd = chunk_dup_stats(ds).to_pandas()
+    assert (cd[["n_chunks", "n_dup_chunks", "dup_chunk_ratio"]] == 0)\
+        .all().all() and len(cd) == 3
+
+    lm = lm_surprisal(ds).to_pandas()
+    assert (lm[["n_terms", "surprisal_fp"]] == 0).all().all()
+
+    # empty eval set -> nothing contaminated
+    train = pd.DataFrame({"doc_id": np.array([0], dtype=np.int64),
+                          "text": ["some real tokens here"]})
+    out = decontaminate(rd.from_pandas(train), ds, k=3).to_pandas()
+    assert out["contaminated"].tolist() == [0]
+    assert out["n_ngrams"].tolist() == [2]
+
+    # zero-row pack keeps the typed schema
+    none = rd.from_pandas(pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                                        "n": pd.Series([], dtype="int64")}))
+    packed = pack_sequences(none, "id", "n", 512)
+    assert packed.count() == 0
