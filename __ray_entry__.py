@@ -1453,6 +1453,16 @@ def q_doc_repetition(sf_dir: str):
     return repetition_scores(_read(sf_dir, "documents"))
 
 
+def q_order_price_rank(sf_dir: str):
+    """Exact global rank of orders by total price (distributed-scan rank,
+    no all-to-all sort; ties broken by o_orderkey)."""
+    from raylink.ops import global_rank
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return global_rank(orders, "o_totalprice", "o_orderkey",
+                       out_col="price_rank")
+
+
 def q_doc_lm_score(sf_dir: str):
     """Unigram LM surprisal quality score (corpus-frequency fit, int64
     fixed-point per-token surprisal summed per doc)."""
@@ -1980,6 +1990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_decontam": q_doc_decontam,
         "doc_lm_score": q_doc_lm_score,
+        "order_price_rank": q_order_price_rank,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_simhash": q_doc_simhash,
@@ -3087,6 +3098,11 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN trim(text) = '' THEN 0 ELSE "
         "array_length(regexp_split_to_array(trim(text), '\\s+')) END AS tok "
         "FROM documents)"
+    )
+    sql["order_price_rank"] = (
+        "SELECT o_orderkey, o_totalprice, "
+        "CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey) "
+        "AS BIGINT) AS price_rank FROM orders"
     )
     sql["doc_lm_score"] = (
         "WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "

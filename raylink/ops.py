@@ -1585,3 +1585,69 @@ def pack_sequences(ds: rd.Dataset, id_col: str, count_col: str,
         })
 
     return tagged.groupby("__bkt").map_groups(scan, batch_format="pandas")
+
+
+def global_rank(ds: rd.Dataset, value_col: str, id_col: str, *,
+                num_buckets: int = 64, out_col: str = "rank") -> rd.Dataset:
+    """Exact global rank (1-based ``row_number() OVER (ORDER BY value,
+    id)``) without a full sort: the same distributed-scan shape as
+    :func:`pack_sequences` —
+
+    1. order-preserving uniform VALUE buckets (equal values co-bucket, so
+       the (value, id) tie-break stays local);
+    2. per-bucket counts -> O(B) driver exclusive scan;
+    3. one bucket shuffle, per-bucket vectorized lexsort + offset.
+
+    Skewed value distributions imbalance bucket sizes (perf), never
+    correctness. Feature-engineering use: percentile/rank transforms over
+    a corpus-sized column with no all-to-all sort."""
+    ds = ds.select_columns([id_col, value_col])
+
+    def mm(batch: pa.Table) -> pa.Table:
+        c = batch[value_col]
+        return pa.table({"lo": [pc.min(c).as_py()],
+                         "hi": [pc.max(c).as_py()]})
+
+    mm_rows = ds.map_batches(mm, batch_format="pyarrow").take_all()
+    if not mm_rows:
+        return ds.map_batches(
+            lambda b: pa.table({id_col: pa.array([], pa.int64()),
+                                value_col: pa.array([], pa.float64()),
+                                out_col: pa.array([], pa.int64())}),
+            batch_format="pyarrow")
+    lo = min(float(r["lo"]) for r in mm_rows)
+    hi = max(float(r["hi"]) for r in mm_rows)
+    span = (hi - lo) or 1.0
+    nb = int(num_buckets)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        b = np.clip(((v - lo) / span * nb).astype(np.int64), 0, nb - 1)
+        return batch.append_column("__bkt", pa.array(b, pa.int64()))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch["__bkt"].to_numpy(zero_copy_only=False)
+        return pa.table({"b": pa.array(np.arange(nb, dtype=np.int64)),
+                         "c": pa.array(np.bincount(b, minlength=nb)
+                                       .astype(np.int64), pa.int64())})
+
+    counts = np.zeros(nb, dtype=np.int64)
+    for row in tagged.map_batches(partial, batch_format="pyarrow").take_all():
+        counts[row["b"]] += row["c"]
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g[id_col].to_numpy(), g[value_col].to_numpy()))
+        g = g.iloc[order]
+        base = int(offsets[int(g["__bkt"].iloc[0])])
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            value_col: g[value_col].to_numpy(),
+            out_col: base + 1 + np.arange(len(g), dtype=np.int64),
+        })
+
+    return tagged.groupby("__bkt").map_groups(rank_bucket,
+                                              batch_format="pandas")

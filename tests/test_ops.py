@@ -908,3 +908,21 @@ def test_new_text_ops_degenerate_inputs():
                                         "n": pd.Series([], dtype="int64")}))
     packed = pack_sequences(none, "id", "n", 512)
     assert packed.count() == 0
+
+
+def test_global_rank_matches_lexsort():
+    from raylink.ops import global_rank
+
+    rng = np.random.default_rng(11)
+    vals = np.round(rng.normal(100, 20, 500), 1)
+    vals[::7] = 100.0  # heavy ties, same bucket by construction
+    ids = rng.permutation(500).astype(np.int64)
+    df = pd.DataFrame({"id": ids, "v": vals})
+    got = (global_rank(rd.from_pandas(df).repartition(6), "v", "id",
+                       num_buckets=8)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    order = np.lexsort((df["id"].to_numpy(), df["v"].to_numpy()))
+    exp = np.empty(500, dtype=np.int64)
+    exp[order] = np.arange(1, 501)
+    expdf = df.assign(rank=exp).sort_values("id").reset_index(drop=True)
+    assert got["rank"].tolist() == expdf["rank"].tolist()
