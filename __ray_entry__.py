@@ -1453,6 +1453,18 @@ def q_doc_repetition(sf_dir: str):
     return repetition_scores(_read(sf_dir, "documents"))
 
 
+def q_emb_pca(sf_dir: str):
+    """Distributed PCA over the embedding table: one covariance-partials
+    pass (O(d^2) driver bytes), driver eigh, broadcast projection to 8
+    dims. Eigendecomposition has no ANSI-SQL twin -> rows-only check; the
+    pytest oracle matches numpy full-data PCA exactly."""
+    from raylink.similarity import pca_fit, pca_transform
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    mean, comps = pca_fit(emb, 8)
+    return pca_transform(emb, mean, comps)  # rows-only compare
+
+
 def q_order_price_rank(sf_dir: str):
     """Exact global rank of orders by total price (distributed-scan rank,
     no all-to-all sort; ties broken by o_orderkey)."""
@@ -1991,6 +2003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontam": q_doc_decontam,
         "doc_lm_score": q_doc_lm_score,
         "order_price_rank": q_order_price_rank,
+        "emb_pca": q_emb_pca,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_simhash": q_doc_simhash,

@@ -456,3 +456,72 @@ def cosine_topk_multi(emb: rd.Dataset, queries: np.ndarray, k: int = 10, *,
         return group.take(pa.array(order, pa.int64()))
 
     return cands.groupby("query_id").map_groups(head, batch_format="pyarrow")
+
+
+def pca_fit(emb: rd.Dataset, k: int, *, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> tuple[np.ndarray, np.ndarray]:
+    """Distributed PCA fit: ONE pass of per-batch (n, sum_x, X^T X)
+    partials (each a (d+1) x d float block — d is the embedding width, so
+    the driver reduction is O(d^2) regardless of corpus size), then a
+    d x d eigendecomposition on the driver.
+
+    Returns (mean, components) with components of shape (k, d), rows =
+    top-k eigenvectors of the covariance, deterministically sign-fixed
+    (largest-|coordinate| entry positive; ties to the earlier index)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, mat = _unwrap(batch, id_col, vec_col)
+        if len(ids) == 0:
+            return pa.table({"blob": pa.array([], pa.binary())})
+        import pickle
+
+        n = len(ids)
+        s = mat.sum(axis=0)
+        g = mat.T @ mat
+        return pa.table({"blob": pa.array(
+            [pickle.dumps((n, s, g))], pa.binary())})
+
+    import pickle
+
+    n_tot, s_tot, g_tot = 0, None, None
+    for row in emb.select_columns([id_col, vec_col]).map_batches(
+            partial, batch_format="pyarrow").take_all():
+        n, s, g = pickle.loads(row["blob"])
+        n_tot += n
+        s_tot = s if s_tot is None else s_tot + s
+        g_tot = g if g_tot is None else g_tot + g
+    if n_tot == 0:
+        raise ValueError("PCA fit over an empty embedding table")
+    mean = s_tot / n_tot
+    cov = g_tot / n_tot - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)            # ascending eigenvalues
+    comps = v[:, ::-1][:, :k].T           # (k, d), descending
+    for i in range(comps.shape[0]):       # deterministic sign
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps
+
+
+def pca_transform(emb: rd.Dataset, mean: np.ndarray,
+                  components: np.ndarray, *, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  out_col: str = "proj") -> rd.Dataset:
+    """Project each embedding onto the fitted components (broadcast once
+    via ``ray.put``; per-batch float64 matmul)."""
+    ref = ray.put((np.asarray(mean, np.float64),
+                   np.asarray(components, np.float64)))
+
+    def f(batch: pa.Table) -> pa.Table:
+        m, c = ray.get(ref)
+        ids, mat = _unwrap(batch, id_col, vec_col)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             out_col: pa.array([], pa.list_(pa.float64()))})
+        proj = (mat - m) @ c.T
+        return pa.table({id_col: batch[id_col],
+                         out_col: pa.array(list(proj),
+                                           pa.list_(pa.float64()))})
+
+    return emb.select_columns([id_col, vec_col]).map_batches(
+        f, batch_format="pyarrow")

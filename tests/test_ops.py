@@ -926,3 +926,36 @@ def test_global_rank_matches_lexsort():
     exp[order] = np.arange(1, 501)
     expdf = df.assign(rank=exp).sort_values("id").reset_index(drop=True)
     assert got["rank"].tolist() == expdf["rank"].tolist()
+
+
+def test_pca_matches_numpy_full_data():
+    from raylink.similarity import pca_fit, pca_transform
+
+    rng = np.random.default_rng(5)
+    d, n, k = 8, 400, 3
+    base = rng.normal(size=(n, d)) @ np.diag([5, 3, 2, 1, .5, .3, .2, .1])
+    tab = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([r.astype(np.float32).tolist() for r in base],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tab).repartition(5)
+    mean, comps = pca_fit(ds, k)
+    X = base.astype(np.float32).astype(np.float64)
+    m = X.mean(axis=0)
+    cov = (X.T @ X) / n - np.outer(m, m)
+    w, v = np.linalg.eigh(cov)
+    exp = v[:, ::-1][:, :k].T
+    for i in range(k):
+        j = int(np.argmax(np.abs(exp[i])))
+        if exp[i, j] < 0:
+            exp[i] = -exp[i]
+    assert np.allclose(mean, m, atol=1e-9)
+    assert np.allclose(comps, exp, atol=1e-7)
+    got = (pca_transform(ds, mean, comps).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    proj = np.stack(got["proj"].to_numpy())
+    assert np.allclose(proj, (X - m) @ exp.T, atol=1e-7)
+    # projected variance is (near-)diagonal with descending magnitudes
+    pv = proj.var(axis=0)
+    assert pv[0] > pv[1] > pv[2]
