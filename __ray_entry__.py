@@ -1453,6 +1453,16 @@ def q_doc_repetition(sf_dir: str):
     return repetition_scores(_read(sf_dir, "documents"))
 
 
+def q_doc_resample(sf_dir: str):
+    """Weighted corpus mixing: src0 at 2.5x, src1 at 0.25x, rest 1x —
+    deterministic md5-grid repetition/subsampling per doc."""
+    from raylink.ops import weighted_resample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    return weighted_resample(docs, "doc_id", "source",
+                             {"src0": 2.5, "src1": 0.25})
+
+
 def q_emb_pca(sf_dir: str):
     """Distributed PCA over the embedding table: one covariance-partials
     pass (O(d^2) driver bytes), driver eigh, broadcast projection to 8
@@ -2004,6 +2014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_score": q_doc_lm_score,
         "order_price_rank": q_order_price_rank,
         "emb_pca": q_emb_pca,
+        "doc_resample": q_doc_resample,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_simhash": q_doc_simhash,
@@ -3111,6 +3122,18 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN trim(text) = '' THEN 0 ELSE "
         "array_length(regexp_split_to_array(trim(text), '\\s+')) END AS tok "
         "FROM documents)"
+    )
+    sql["doc_resample"] = (
+        "WITH t AS (SELECT doc_id, source, "
+        "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h FROM documents), "
+        "c AS (SELECT doc_id, source, "
+        "CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END "
+        "+ CASE WHEN h < (CASE source WHEN 'src0' THEN '8000' "
+        "WHEN 'src1' THEN '4000' ELSE '0000' END) THEN 1 ELSE 0 END AS n "
+        "FROM t) "
+        "SELECT doc_id, source, CAST(u AS BIGINT) AS copy FROM ("
+        "SELECT doc_id, source, unnest(generate_series(0, n - 1)) AS u "
+        "FROM c WHERE n > 0)"
     )
     sql["order_price_rank"] = (
         "SELECT o_orderkey, o_totalprice, "

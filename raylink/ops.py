@@ -1651,3 +1651,40 @@ def global_rank(ds: rd.Dataset, value_col: str, id_col: str, *,
 
     return tagged.groupby("__bkt").map_groups(rank_bucket,
                                               batch_format="pandas")
+
+
+def weighted_resample(ds: rd.Dataset, key_col: str, group_col: str,
+                      weights: dict[str, float], *, default: float = 1.0,
+                      out_col: str = "copy") -> rd.Dataset:
+    """Deterministic weighted corpus resampling (training-mix shape: "use
+    source A at 2.5x, source B at 0.25x"): every row is emitted
+    floor(w) times plus one more when md5(key)'s first 4 hex digits fall
+    below frac(w) of the 65536-grid — a pure function of (key, group), so
+    any partitioning/cluster reproduces the same multiset (same md5 grid
+    discipline as :func:`hash_split`). Shuffle-free: one map_batches.
+
+    Output = input columns + ``out_col`` (0-based copy index)."""
+    import hashlib
+
+    bases = {g: int(np.floor(w)) for g, w in weights.items()}
+    thrs = {g: format(int(np.floor((w - np.floor(w)) * 65536)), "04x")
+            for g, w in weights.items()}
+    dbase = int(np.floor(default))
+    dthr = format(int(np.floor((default - np.floor(default)) * 65536)),
+                  "04x")
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        grps = batch[group_col].to_pylist()
+        n = np.empty(len(keys), dtype=np.int64)
+        for i, (k, g) in enumerate(zip(keys, grps)):
+            h = hashlib.md5(str(k).encode()).hexdigest()[:4]
+            n[i] = (bases.get(g, dbase)
+                    + (1 if h < thrs.get(g, dthr) else 0))
+        take = np.repeat(np.arange(len(keys), dtype=np.int64), n)
+        out = batch.take(pa.array(take, pa.int64()))
+        starts = np.repeat(np.cumsum(n) - n, n)
+        copy = np.arange(len(take), dtype=np.int64) - starts
+        return out.append_column(out_col, pa.array(copy, pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -959,3 +959,32 @@ def test_pca_matches_numpy_full_data():
     # projected variance is (near-)diagonal with descending magnitudes
     pv = proj.var(axis=0)
     assert pv[0] > pv[1] > pv[2]
+
+
+def test_weighted_resample_deterministic_multiset():
+    import hashlib
+
+    from raylink.ops import weighted_resample
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(200, dtype=np.int64),
+        "source": ["a" if i % 2 == 0 else "b" for i in range(200)],
+    })
+    got = (weighted_resample(rd.from_pandas(df).repartition(4), "doc_id",
+                             "source", {"a": 2.5, "b": 0.25})
+           .to_pandas().sort_values(["doc_id", "copy"])
+           .reset_index(drop=True))
+
+    def n_copies(k, w):
+        h = hashlib.md5(str(k).encode()).hexdigest()[:4]
+        frac = w - int(w)
+        return int(w) + (1 if h < format(int(frac * 65536), "04x") else 0)
+
+    exp = {int(r.doc_id): n_copies(r.doc_id, 2.5 if r.source == "a"
+                                   else 0.25) for r in df.itertuples()}
+    counts = got.groupby("doc_id").size().to_dict()
+    assert all(counts.get(k, 0) == v for k, v in exp.items())
+    # 'a' rows appear 2 or 3 times, 'b' rows 0 or 1; copy is 0..n-1
+    assert set(got[got["source"] == "a"]["copy"]) <= {0, 1, 2}
+    per = got.groupby("doc_id")["copy"].agg(["min", "max", "size"])
+    assert (per["min"] == 0).all() and (per["max"] == per["size"] - 1).all()
