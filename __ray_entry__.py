@@ -1557,6 +1557,16 @@ def q_doc_simhash(sf_dir: str):
     return simhash_table(_read(sf_dir, "documents"))
 
 
+def q_doc_simhash_pairs(sf_dir: str):
+    """Exact Hamming<=3 SimHash near-dup pairs via pigeonhole banding
+    (signatures are polars-hash-pinned -> no ANSI-SQL twin; rows-only,
+    pytest oracle is all-pairs brute force)."""
+    from raylink.dedup import simhash_pairs, simhash_table
+
+    return simhash_pairs(simhash_table(_read(sf_dir, "documents")),
+                         radius=3)
+
+
 def q_doc_dedup_clusters(sf_dir: str):
     """Near-dup clustering end-to-end: exact word-set Jaccard pairs
     (banded candidate join) thresholded at 0.5, then the DISTRIBUTED CC
@@ -2015,6 +2025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_rank": q_order_price_rank,
         "emb_pca": q_emb_pca,
         "doc_resample": q_doc_resample,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_simhash": q_doc_simhash,

@@ -807,3 +807,72 @@ def decontaminate(train: rd.Dataset, eval_ds: rd.Dataset,
 
     return train.select_columns([id_col, text_col]).map_batches(
         probe, batch_format="pyarrow")
+
+
+def simhash_pairs(sigs: rd.Dataset, *, radius: int = 3,
+                  id_col: str = "doc_id",
+                  sim_col: str = "simhash") -> rd.Dataset:
+    """All (a < b) pairs within SimHash Hamming distance <= ``radius``,
+    EXACT via pigeonhole banding: the 64-bit signature splits into
+    ``radius + 1`` bands, so any pair within the radius agrees on at
+    least one whole band (<= radius bits differ but there are radius+1
+    bands). Candidates = per-(band, band-value) buckets — ONE groupby of
+    (band, bucket, id, sig) rows, everything else vectorized:
+
+    - per bucket: C(g, 2) pairs with both signatures inline (no second
+      lookup join), XOR popcount verify, emit survivors;
+    - cross-band duplicates collapse in a final (a, b) keep-first.
+
+    Bucket volume: docs sharing a 16-bit band value; a degenerate corpus
+    (all-identical signatures) makes one bucket quadratic — the same
+    documented blowup cap situation as LSH (here: exact op, no cap)."""
+    nb = int(radius) + 1
+    # floor-width bands: any trailing uncovered bits only REMOVE covered
+    # differences, so the at-least-one-clean-band guarantee still holds
+    width = 64 // nb
+    masks = [(b, b * width, (1 << width) - 1) for b in range(nb)]
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sig = batch[sim_col].to_numpy(zero_copy_only=False).view(np.uint64)
+        outs = []
+        for b, shift, mask in masks:
+            outs.append(pa.table({
+                "band": pa.array(np.full(len(ids), b, np.int64)),
+                "bucket": pa.array(((sig >> np.uint64(shift))
+                                    & np.uint64(mask)).astype(np.int64)),
+                id_col: pa.array(ids),
+                "sig": pa.array(sig.view(np.int64)),
+            }))
+        return pa.concat_tables(outs)
+
+    rows = sigs.select_columns([id_col, sim_col]).map_batches(
+        to_buckets, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        ids = g[id_col].to_numpy()
+        sig = g["sig"].to_numpy().view(np.uint64)
+        order = np.argsort(ids, kind="mergesort")
+        ids, sig = ids[order], sig[order]
+        iu, ju = np.triu_indices(len(ids), k=1)
+        x = sig[iu] ^ sig[ju]
+        ham = np.zeros(len(x), np.int64)
+        while True:
+            nzm = x != 0
+            if not nzm.any():
+                break
+            ham[nzm] += 1
+            x = x & (x - np.uint64(1))
+        keep = ham <= radius
+        return pd.DataFrame({"a": ids[iu[keep]], "b": ids[ju[keep]],
+                             "hamming": ham[keep]})
+
+    pairs = rows.groupby(["band", "bucket"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    from .ops import keep_first
+
+    return keep_first(pairs, ["a", "b"], ["hamming"])

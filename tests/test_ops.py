@@ -988,3 +988,35 @@ def test_weighted_resample_deterministic_multiset():
     assert set(got[got["source"] == "a"]["copy"]) <= {0, 1, 2}
     per = got.groupby("doc_id")["copy"].agg(["min", "max", "size"])
     assert (per["min"] == 0).all() and (per["max"] == per["size"] - 1).all()
+
+
+def test_simhash_pairs_exact_within_radius():
+    """Pigeonhole-banded Hamming pair mining == brute force over all
+    pairs, at two radii, on a corpus engineered to have near-dups."""
+    from raylink.dedup import SimHasher, simhash_pairs, simhash_table
+
+    words = [f"tok{i}" for i in range(40)]
+    texts = [" ".join(words)]
+    for i in range(12):  # perturbations at varying distances
+        t = list(words)
+        for j in range(i):
+            t[3 * j % 40] = f"chg{i}_{j}"
+        texts.append(" ".join(t))
+    texts += ["utterly different content here"] * 2
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    sigs = simhash_table(rd.from_pandas(df).repartition(3)).materialize()
+    sh = SimHasher()
+    sims = {int(r.doc_id): sh.simhash(r.text) for r in df.itertuples()}
+
+    def ham(x, y):
+        return bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    for radius in (2, 3):
+        got = simhash_pairs(sigs, radius=radius).to_pandas()
+        got_pairs = {(int(a), int(b)): int(h) for a, b, h in
+                     zip(got["a"], got["b"], got["hamming"])}
+        exp = {(a, b): ham(sims[a], sims[b])
+               for a in sims for b in sims if a < b
+               and ham(sims[a], sims[b]) <= radius}
+        assert got_pairs == exp and len(exp) > 0
