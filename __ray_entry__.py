@@ -677,6 +677,21 @@ def q_graph_components(sf_dir: str):
     return _rename(join_keys(comps, sg, "comp"), {"key": "user_id"})
 
 
+def q_graph_trustrank(sf_dir: str):
+    """TrustRank: PageRank with teleport + dangling restart split
+    uniformly over a trusted seed SET (the 4 min-key vertices)."""
+    from raylink.graph import build_graph
+    from raylink.kernels import pagerank
+    from raylink.ops import scale_columns
+    from raylink.pipelines.flagship import join_keys
+
+    g = build_graph(_user_edges(sf_dir), P=GRAPH_P, already_deduped=True)
+    ranks = pagerank(g, damping=DAMPING, tol=0.0, max_iter=PR_ITERS,
+                     personalize_vids=_min_key_vids(g, 4))
+    out = _rename(join_keys(ranks, g, "score"), {"key": "user_id"})
+    return scale_columns(out, {"score": 1e9})
+
+
 def q_graph_katz(sf_dir: str):
     """Katz centrality (alpha-damped path counting), PR_ITERS fixed
     supersteps shared with the unrolled SQL oracle."""
@@ -779,6 +794,14 @@ def _min_key_vid(sg):
     keys = vert["key"].to_numpy(zero_copy_only=False)
     vids = vert["vid"].to_numpy(zero_copy_only=False)
     return int(vids[int(np.argmin(keys))])
+
+
+def _min_key_vids(sg, k: int) -> list[int]:
+    vert = pa.concat_tables(list(
+        sg.vertices.iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    keys = vert["key"].to_numpy(zero_copy_only=False)
+    vids = vert["vid"].to_numpy(zero_copy_only=False)
+    return [int(v) for v in vids[np.argsort(keys, kind="mergesort")[:k]]]
 
 
 def q_graph_ppr(sf_dir: str):
@@ -1969,6 +1992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_scc": q_graph_scc,
         "graph_bowtie": q_graph_bowtie,
         "graph_katz": q_graph_katz,
+        "graph_trustrank": q_graph_trustrank,
         "graph_condensation": q_graph_condensation,
         "graph_lp1": q_graph_lp1,
         "graph_anf": q_graph_anf,
@@ -2212,6 +2236,41 @@ def _ppr_sql_body(edge_cte: str, iters: int, out_key: str) -> str:
     return ("WITH " + ",\n".join(parts) +
             f"\nSELECT v AS {out_key}, CAST(floor(s*1000000000 + 0.5) AS BIGINT) "
             f"AS score FROM s{iters}")
+
+
+def _trustrank_sql_body(edge_cte: str, iters: int, out_key: str,
+                        n_seeds: int) -> str:
+    """Seed-SET personalized PageRank (TrustRank): teleport + dangling
+    restart split 1/n_seeds over the n_seeds min-key vertices; float
+    sequence mirrors the seed-dict combine (d*contrib + ((1-d)+d*dm)*w)."""
+    d = DAMPING
+    w = f"(1.0/{n_seeds})"
+    parts = [
+        edge_cte,
+        "v AS (SELECT src AS v FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e "
+        "GROUP BY src)",
+        f"sd AS (SELECT v FROM v ORDER BY v LIMIT {n_seeds})",
+        f"s0 AS (SELECT v.v, CASE WHEN v.v IN (SELECT v FROM sd) "
+        f"THEN {w} ELSE 0.0 END AS s FROM v)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"dm{k} AS (SELECT coalesce(sum(p.s), 0) AS dm FROM s{k-1} p "
+            f"LEFT JOIN deg ON p.v = deg.src WHERE deg.src IS NULL)")
+        parts.append(
+            f"c{k} AS (SELECT e.dst AS v, sum(p.s/deg.d) AS contrib "
+            f"FROM s{k-1} p JOIN e ON p.v = e.src JOIN deg ON deg.src = "
+            f"e.src GROUP BY e.dst)")
+        parts.append(
+            f"s{k} AS (SELECT v.v, CASE WHEN v.v IN (SELECT v FROM sd) "
+            f"THEN {d}*coalesce(c{k}.contrib,0) + ((1.0-{d}) + "
+            f"{d}*dm{k}.dm)*{w} "
+            f"ELSE {d}*coalesce(c{k}.contrib,0) END AS s "
+            f"FROM v CROSS JOIN dm{k} LEFT JOIN c{k} ON c{k}.v = v.v)")
+    return ("WITH " + ",\n".join(parts) +
+            f"\nSELECT v AS {out_key}, CAST(floor(s*1000000000 + 0.5) "
+            f"AS BIGINT) AS score FROM s{iters}")
 
 
 def _pages_edge_values() -> str:
@@ -2482,6 +2541,8 @@ def oracle_sql() -> dict[str, str]:
     sql["graph_pagerank_weighted"] = _pr_sql_body(_EW_CTE, PR_ITERS,
                                                   "user_id", weighted=True)
     sql["graph_ppr"] = _ppr_sql_body(_E_CTE, PR_ITERS, "user_id")
+    sql["graph_trustrank"] = _trustrank_sql_body(_E_CTE, PR_ITERS,
+                                                 "user_id", 4)
     sql["graph_hits"] = _hits_sql_body(_E_CTE, PR_ITERS, "user_id")
     # integer-lattice Katz (y_k = 100^k + sum of in-neighbor y_{k-1}; the
     # single float op is the final y/100^K division, mirrored exactly)

@@ -142,6 +142,16 @@ def _make_combine(graph: Graph, damping: float, dangling_mass: float,
             np.add.at(acc, idx, val)
         if seed is None:
             new = (1.0 - damping) / n + damping * (acc + dangling_mass / n)
+        elif isinstance(seed, dict):
+            # seed SET (TrustRank shape): teleport + dangling mass split
+            # over the seeds by weight; float sequence mirrored by the
+            # seeded-set SQL oracle (d*contrib + ((1-d) + d*dm)*w)
+            new = damping * acc
+            if part in seed:
+                idxs, ws = seed[part]
+                new[idxs] = (damping * acc[idxs]
+                             + ((1.0 - damping)
+                                + damping * dangling_mass) * ws)
         else:
             new = damping * acc
             if part == seed[0]:
@@ -222,6 +232,7 @@ def pagerank(
     tol: float = 1e-6,
     max_iter: int = 200,
     personalize_vid: int | None = None,
+    personalize_vids: "list[int] | None" = None,
     checkpoint_dir: str | None = None,
     metrics_out: list | None = None,
     fused: bool | None = None,
@@ -231,6 +242,10 @@ def pagerank(
     ``personalize_vid``: personalized PageRank — teleport and dangling
     mass flow to that single vertex (scores = stationary distribution of
     the random walk with restarts at the seed).
+
+    ``personalize_vids``: seed SET with uniform weights (the TrustRank
+    shape — restart at a trusted-page set); mutually exclusive with
+    ``personalize_vid``.
 
     With ``checkpoint_dir``, every superstep writes per-partition state +
     manifest; a rerun resumes from the newest complete iteration.
@@ -242,7 +257,30 @@ def pagerank(
     store = None
     start_iter = 0
     seed = None
-    if personalize_vid is not None:
+    if personalize_vid is not None and personalize_vids is not None:
+        raise ValueError("pass personalize_vid OR personalize_vids")
+    if personalize_vids is not None:
+        vids = sorted(int(v) for v in personalize_vids)
+        if not vids:
+            raise ValueError("personalize_vids must be non-empty")
+        w = 1.0 / len(vids)
+        seed = {}
+        for v in vids:
+            p, loc = v % graph.P, v // graph.P
+            seed.setdefault(p, ([], []))
+            seed[p][0].append(loc)
+            seed[p][1].append(w)
+        seed = {p: (np.asarray(i, np.int64), np.asarray(ws, np.float64))
+                for p, (i, ws) in seed.items()}
+
+        def init_of(p: int) -> np.ndarray:
+            v = np.zeros(int(graph.n_per_part[p]))
+            if p in seed:
+                v[seed[p][0]] = seed[p][1]
+            return v
+
+        state = init_state(graph, init_of)
+    elif personalize_vid is not None:
         seed = (int(personalize_vid) % graph.P, int(personalize_vid) // graph.P)
 
         def init_of(p: int) -> np.ndarray:
@@ -259,6 +297,9 @@ def pagerank(
         if personalize_vid is not None:
             # only stamped when set: classic-PR manifests stay resumable
             params["personalize_vid"] = int(personalize_vid)
+        if personalize_vids is not None:
+            params["personalize_vids"] = sorted(
+                int(v) for v in personalize_vids)
         store = CheckpointStore(
             checkpoint_dir, "pagerank", graph_fingerprint(graph), params,
         )

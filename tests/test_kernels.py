@@ -2473,3 +2473,41 @@ def test_katz_integer_lattice_vs_bruteforce():
                  for v in nodes}
         exp = {v: y[v] / A ** K for v in nodes}
         assert got == exp  # exact float equality: one identical division
+
+
+def test_trustrank_seed_set_matches_bruteforce():
+    """pagerank(personalize_vids=) == a sequential seeded power iteration
+    replicating the seed-dict float sequence (d*contrib + ((1-d)+d*dm)*w)."""
+    from raylink.kernels import pagerank
+
+    rng = np.random.default_rng(2)
+    n = 25
+    edges = sorted({(int(a), int(b)) for a, b in
+                    rng.integers(0, n, (90, 2)) if a != b})
+    g = G.build_graph(_int_edges_ds(edges), P=4, already_deduped=True)
+    vk = g.vertices.to_pandas()[["vid", "key"]]
+    key_of = dict(zip(vk["vid"], vk["key"]))
+    vid_of = dict(zip(vk["key"], vk["vid"]))
+    nodes = sorted({x for p in edges for x in p})
+    seeds_keys = nodes[:3]
+    seeds_vids = [vid_of[k] for k in seeds_keys]
+
+    out = pagerank(g, damping=0.85, tol=0.0, max_iter=6,
+                   personalize_vids=seeds_vids).to_pandas()
+    got = {key_of[v]: s for v, s in zip(out["vid"], out["score"])}
+
+    w = 1.0 / len(seeds_keys)
+    outdeg = {v: 0 for v in nodes}
+    for s, _ in edges:
+        outdeg[s] += 1
+    x = {v: (w if v in seeds_keys else 0.0) for v in nodes}
+    for _ in range(6):
+        dm = sum(x[v] for v in nodes if outdeg[v] == 0)
+        contrib = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            contrib[t] += x[s] / outdeg[s]
+        x = {v: (0.85 * contrib[v] + ((1.0 - 0.85) + 0.85 * dm) * w
+                 if v in seeds_keys else 0.85 * contrib[v])
+             for v in nodes}
+    for v in nodes:
+        assert abs(got[v] - x[v]) < 1e-9
