@@ -677,6 +677,22 @@ def q_graph_components(sf_dir: str):
     return _rename(join_keys(comps, sg, "comp"), {"key": "user_id"})
 
 
+def q_graph_salsa(sf_dir: str):
+    """SALSA hubs & authorities (degree-normalized alternating walk over
+    the fwd/rev pair, fixed supersteps shared with the unrolled oracle)."""
+    from raylink.graph import build_graph_fwd_rev, prepare_edges
+    from raylink.kernels import salsa
+    from raylink.ops import scale_columns
+    from raylink.pipelines.flagship import join_keys
+
+    prep = prepare_edges(_user_edges(sf_dir), P=GRAPH_P, already_deduped=True)
+    gf, gr = build_graph_fwd_rev(prep)
+    scores = salsa(gf, gr, max_iter=PR_ITERS)
+    out = _rename(join_keys(scores, gf, ["hub", "auth"]),
+                  {"key": "user_id"})
+    return scale_columns(out, {"hub": 1e9, "auth": 1e9})
+
+
 def q_graph_trustrank(sf_dir: str):
     """TrustRank: PageRank with teleport + dangling restart split
     uniformly over a trusted seed SET (the 4 min-key vertices)."""
@@ -1993,6 +2009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_bowtie": q_graph_bowtie,
         "graph_katz": q_graph_katz,
         "graph_trustrank": q_graph_trustrank,
+        "graph_salsa": q_graph_salsa,
         "graph_condensation": q_graph_condensation,
         "graph_lp1": q_graph_lp1,
         "graph_anf": q_graph_anf,
@@ -2236,6 +2253,46 @@ def _ppr_sql_body(edge_cte: str, iters: int, out_key: str) -> str:
     return ("WITH " + ",\n".join(parts) +
             f"\nSELECT v AS {out_key}, CAST(floor(s*1000000000 + 0.5) AS BIGINT) "
             f"AS score FROM s{iters}")
+
+
+def _salsa_sql_body(edge_cte: str, iters: int, out_key: str) -> str:
+    """Unrolled SALSA: a_k = sum in-neighbor h_{k-1}/outdeg, h_k = sum
+    out-neighbor a_k/indeg; h_0 = 1/n; mass entering degree-0 endpoints
+    drops (inner joins) — the float sequence of the kernel's half-steps.
+    MATERIALIZED per level (DuckDB inlines plain CTEs per reference)."""
+    parts = [
+        edge_cte.replace(" AS (", " AS MATERIALIZED (", 1),
+        "v AS MATERIALIZED (SELECT DISTINCT v FROM ("
+        "SELECT src AS v FROM e UNION ALL SELECT dst FROM e))",
+        "odeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e "
+        "GROUP BY src)",
+        "ideg AS (SELECT dst, CAST(count(*) AS DOUBLE) AS d FROM e "
+        "GROUP BY dst)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v)",
+        "h0 AS MATERIALIZED (SELECT v.v, 1.0/nn.n AS s "
+        "FROM v CROSS JOIN nn)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"ar{k} AS MATERIALIZED (SELECT e.dst AS v, sum(h.s/odeg.d) "
+            f"AS s FROM h{k-1} h JOIN e ON h.v = e.src "
+            f"JOIN odeg ON odeg.src = e.src GROUP BY e.dst)")
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT v.v, coalesce(ar.s, 0) AS s "
+            f"FROM v LEFT JOIN ar{k} ar ON ar.v = v.v)")
+        parts.append(
+            f"hr{k} AS MATERIALIZED (SELECT e.src AS v, sum(a.s/ideg.d) "
+            f"AS s FROM a{k} a JOIN e ON a.v = e.dst "
+            f"JOIN ideg ON ideg.dst = e.dst GROUP BY e.src)")
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT v.v, coalesce(hr.s, 0) AS s "
+            f"FROM v LEFT JOIN hr{k} hr ON hr.v = v.v)")
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT v.v AS {out_key}, "
+            f"CAST(floor(h{iters}.s*1000000000 + 0.5) AS BIGINT) AS hub, "
+            f"CAST(floor(a{iters}.s*1000000000 + 0.5) AS BIGINT) AS auth "
+            f"FROM v JOIN h{iters} ON h{iters}.v = v.v "
+            f"JOIN a{iters} ON a{iters}.v = v.v")
 
 
 def _trustrank_sql_body(edge_cte: str, iters: int, out_key: str,
@@ -2543,6 +2600,7 @@ def oracle_sql() -> dict[str, str]:
     sql["graph_ppr"] = _ppr_sql_body(_E_CTE, PR_ITERS, "user_id")
     sql["graph_trustrank"] = _trustrank_sql_body(_E_CTE, PR_ITERS,
                                                  "user_id", 4)
+    sql["graph_salsa"] = _salsa_sql_body(_E_CTE, PR_ITERS, "user_id")
     sql["graph_hits"] = _hits_sql_body(_E_CTE, PR_ITERS, "user_id")
     # integer-lattice Katz (y_k = 100^k + sum of in-neighbor y_{k-1}; the
     # single float op is the final y/100^K division, mirrored exactly)

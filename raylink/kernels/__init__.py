@@ -33,6 +33,7 @@ from .betweenness import betweenness
 from .coloring import graph_coloring
 from .anf import effective_diameter, neighborhood_function
 from .katz import katz
+from .salsa import salsa
 from .scc import bowtie, strongly_connected_components
 
 __all__ = ["pagerank", "connected_components", "label_propagation",
@@ -43,4 +44,4 @@ __all__ = ["pagerank", "connected_components", "label_propagation",
            "k_core", "hits", "sssp", "sssp_delta", "coreness", "reciprocity",
            "maximal_independent_set", "betweenness", "graph_coloring",
            "neighborhood_function", "effective_diameter",
-           "strongly_connected_components", "bowtie", "katz"]
+           "strongly_connected_components", "bowtie", "katz", "salsa"]

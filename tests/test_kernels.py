@@ -2511,3 +2511,40 @@ def test_trustrank_seed_set_matches_bruteforce():
              for v in nodes}
     for v in nodes:
         assert abs(got[v] - x[v]) < 1e-9
+
+
+def test_salsa_matches_bruteforce_and_fused():
+    from raylink.kernels import salsa
+
+    rng = np.random.default_rng(4)
+    n = 22
+    edges = sorted({(int(a), int(b)) for a, b in
+                    rng.integers(0, n, (70, 2)) if a != b})
+    prep = G.prepare_edges(_int_edges_ds(edges), P=4, already_deduped=True)
+    gf, gr = G.build_graph_fwd_rev(prep)
+    vk = gf.vertices.to_pandas()[["vid", "key"]]
+    key_of = dict(zip(vk["vid"], vk["key"]))
+
+    nodes = sorted({x for p in edges for x in p})
+    od = {v: 0 for v in nodes}
+    idg = {v: 0 for v in nodes}
+    for s, t in edges:
+        od[s] += 1
+        idg[t] += 1
+    h = {v: 1.0 / len(nodes) for v in nodes}
+    a = None
+    for _ in range(4):
+        a = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            a[t] += h[s] / od[s]
+        h = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            h[s] += a[t] / idg[t]
+
+    for fused in (None, False):
+        out = salsa(gf, gr, max_iter=4, fused=fused).to_pandas()
+        got_h = {key_of[v]: x for v, x in zip(out["vid"], out["hub"])}
+        got_a = {key_of[v]: x for v, x in zip(out["vid"], out["auth"])}
+        for v in nodes:
+            assert abs(got_h[v] - h[v]) < 1e-12
+            assert abs(got_a[v] - a[v]) < 1e-12
