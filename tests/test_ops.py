@@ -1020,3 +1020,48 @@ def test_simhash_pairs_exact_within_radius():
                for a in sims for b in sims if a < b
                and ham(sims[a], sims[b]) <= radius}
         assert got_pairs == exp and len(exp) > 0
+
+
+def test_scan_ops_property_random_shapes():
+    """Property check (hypothesis): pack_sequences and global_rank match
+    their sequential definitions for arbitrary id gaps, duplicate values,
+    and partition counts."""
+    from hypothesis import given, settings, strategies as st
+
+    from raylink.ops import global_rank, pack_sequences
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.data())
+    def inner(data):
+        k = data.draw(st.integers(3, 60))
+        ids = data.draw(st.lists(st.integers(0, 10_000), min_size=k,
+                                 max_size=k, unique=True))
+        counts = data.draw(st.lists(st.integers(0, 700), min_size=k,
+                                    max_size=k))
+        nparts = data.draw(st.integers(1, 5))
+        df = pd.DataFrame({"id": np.array(ids, np.int64),
+                           "n": np.array(counts, np.int64)})
+        ds = rd.from_pandas(df.sample(frac=1.0, random_state=1)) \
+            .repartition(nparts)
+
+        got = (pack_sequences(ds, "id", "n", 128, num_buckets=4)
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        sorted_df = df.sort_values("id").reset_index(drop=True)
+        start = sorted_df["n"].cumsum() - sorted_df["n"]
+        assert got["start_tok"].tolist() == start.tolist()
+        assert got["seq_id"].tolist() == (start // 128).tolist()
+
+        vals = data.draw(st.lists(st.integers(-50, 50), min_size=k,
+                                  max_size=k))
+        df2 = pd.DataFrame({"id": np.array(ids, np.int64),
+                            "v": np.array(vals, np.float64)})
+        got2 = (global_rank(rd.from_pandas(df2).repartition(nparts), "v",
+                            "id", num_buckets=4)
+                .to_pandas().sort_values("id").reset_index(drop=True))
+        order = np.lexsort((df2["id"].to_numpy(), df2["v"].to_numpy()))
+        exp = np.empty(k, dtype=np.int64)
+        exp[order] = np.arange(1, k + 1)
+        expdf = df2.assign(r=exp).sort_values("id").reset_index(drop=True)
+        assert got2["rank"].tolist() == expdf["r"].tolist()
+
+    inner()
