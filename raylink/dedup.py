@@ -760,16 +760,23 @@ def _gram_stream(h: np.ndarray, offs: np.ndarray,
 
 def decontaminate(train: rd.Dataset, eval_ds: rd.Dataset,
                   id_col: str = "doc_id", text_col: str = "text", *,
-                  k: int = 3) -> rd.Dataset:
+                  k: int = 3, broadcast: bool = True) -> rd.Dataset:
     """Test-set decontamination: per train doc, count k-gram occurrences
     that also appear in ANY eval document, and flag overlap.
 
     Output: (id, ``n_ngrams``, ``n_contaminated``, ``contaminated``).
 
-    Scale shape: the eval side (assumed small — it is an eval set) is
-    reduced to a distinct sorted uint64 gram-hash array and broadcast once
-    via ``ray.put``; the train side is a SINGLE shuffle-free
+    Scale shape, ``broadcast=True`` (default — an eval set is small): the
+    eval side is reduced to a distinct sorted uint64 gram-hash array and
+    broadcast once via ``ray.put``; the train side is a SINGLE shuffle-free
     ``map_batches`` pass (vectorized token hash + searchsorted probe).
+
+    ``broadcast=False`` is the huge-eval-set twin: nothing driver- or
+    broadcast-resident — the train gram stream semi-joins the distinct
+    eval gram set on the 64-bit hash (Bloom-prefiltered, co-partitioned),
+    hits reduce per doc, and the per-doc gram totals come from the same
+    shuffle-free base pass. Identical output by construction.
+
     Equality is on 64-bit polynomial hashes of polars-hashed tokens — a
     hash collision could flag a clean gram; probability ~n_grams^2 / 2^65,
     negligible and accepted (same determinism pin as graph.hash64)."""
@@ -779,6 +786,10 @@ def decontaminate(train: rd.Dataset, eval_ds: rd.Dataset,
         g, _ = _gram_stream(h, offs, k)
         return pa.table({"g": pa.array(np.unique(g).view(np.int64),
                                        pa.int64())})
+
+    if not broadcast:
+        return _decontaminate_join(train, eval_ds, id_col, text_col, k,
+                                   eval_grams)
 
     rows = eval_ds.select_columns([text_col]).map_batches(
         eval_grams, batch_format="pyarrow").take_all()
@@ -807,6 +818,64 @@ def decontaminate(train: rd.Dataset, eval_ds: rd.Dataset,
 
     return train.select_columns([id_col, text_col]).map_batches(
         probe, batch_format="pyarrow")
+
+
+def _decontaminate_join(train: rd.Dataset, eval_ds: rd.Dataset,
+                        id_col: str, text_col: str, k: int,
+                        eval_grams) -> rd.Dataset:
+    """Join-based decontamination twin (see :func:`decontaminate`)."""
+    from .ops import semi_join
+
+    ev = eval_ds.select_columns([text_col]).map_batches(
+        eval_grams, batch_format="pyarrow")
+
+    def train_grams(batch: pa.Table) -> pa.Table:
+        h, offs = _token_hashes(batch[text_col])
+        g, owner = _gram_stream(h, offs, k)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"g": pa.array(g.view(np.int64), pa.int64()),
+                         id_col: pa.array(ids[owner], pa.int64())})
+
+    tg = train.select_columns([id_col, text_col]).map_batches(
+        train_grams, batch_format="pyarrow")
+    hits = semi_join(tg, ev, "g", bloom_bits=1 << 20)
+    n_hit = hits.groupby(id_col).count()
+
+    def base(batch: pa.Table) -> pa.Table:
+        h, offs = _token_hashes(batch[text_col])
+        _, owner = _gram_stream(h, offs, k)
+        n_grams = np.bincount(owner, minlength=len(batch)).astype(np.int64)
+        return pa.table({id_col: batch[id_col].cast(pa.int64()),
+                         "n_ngrams": pa.array(n_grams, pa.int64())})
+
+    totals = train.select_columns([id_col, text_col]).map_batches(
+        base, batch_format="pyarrow")
+    # n_hit is bounded by the number of CONTAMINATED docs (usually tiny
+    # next to the corpus); attach it with the bucketed hash join so the
+    # path stays shuffle-bounded even when it is not
+    from .ops import hash_join
+
+    def _cnt(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["n_hits" if c == "count()" else c for c in batch.column_names])
+
+    n_hit = n_hit.map_batches(_cnt, batch_format="pyarrow")
+    joined = hash_join(totals, n_hit, id_col, how="left")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        nh = pc.fill_null(batch["n_hits"].cast(pa.int64()), 0)
+        nhv = nh.to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            "n_ngrams": batch["n_ngrams"].cast(pa.int64()),
+            "n_contaminated": nh,
+            "contaminated": pa.array((nhv > 0).astype(np.int64),
+                                     pa.int64()),
+        })
+
+    return joined.map_batches(fin, batch_format="pyarrow")
 
 
 def simhash_pairs(sigs: rd.Dataset, *, radius: int = 3,

@@ -1065,3 +1065,24 @@ def test_scan_ops_property_random_shapes():
         assert got2["rank"].tolist() == expdf["r"].tolist()
 
     inner()
+
+
+def test_decontaminate_join_path_equals_broadcast():
+    from raylink.dedup import decontaminate
+
+    rng = np.random.default_rng(6)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(2, 25)))
+             for _ in range(60)]
+    ev = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                       "text": texts[:5]})
+    tr = pd.DataFrame({"doc_id": np.arange(100, 155, dtype=np.int64),
+                       "text": texts[5:]})
+    a = (decontaminate(rd.from_pandas(tr).repartition(3),
+                       rd.from_pandas(ev), k=3)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (decontaminate(rd.from_pandas(tr).repartition(3),
+                       rd.from_pandas(ev), k=3, broadcast=False)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    assert a["contaminated"].sum() > 0  # the fixture does overlap
