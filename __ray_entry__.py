@@ -677,6 +677,23 @@ def q_graph_components(sf_dir: str):
     return _rename(join_keys(comps, sg, "comp"), {"key": "user_id"})
 
 
+def q_graph_katz_weighted(sf_dir: str):
+    """Weighted Katz over the transition multigraph: duplicate pairs
+    collapse to integer multiplicity weights, the lattice stays exact
+    (y_k = A^k + sum w * y_{k-1})."""
+    from raylink.graph import build_graph
+    from raylink.kernels import katz
+    from raylink.ops import scale_columns, transition_edges
+    from raylink.pipelines.flagship import join_keys
+
+    edges = transition_edges(
+        _read(sf_dir, "events", ["event_id", "user_id"]), distinct=False)
+    g = build_graph(edges, P=GRAPH_P, weighted=True, already_deduped=True)
+    scores = katz(g, alpha_inv=100, max_iter=PR_ITERS)
+    out = _rename(join_keys(scores, g, "katz"), {"key": "user_id"})
+    return scale_columns(out, {"katz": 1e9})
+
+
 def q_graph_salsa(sf_dir: str):
     """SALSA hubs & authorities (degree-normalized alternating walk over
     the fwd/rev pair, fixed supersteps shared with the unrolled oracle)."""
@@ -1409,6 +1426,23 @@ def q_pages_scc(sf_dir: str):
     return keyed.groupby("scc").map_groups(canon, batch_format="pandas")
 
 
+def q_pages_bowtie(sf_dir: str):
+    """Bow-tie decomposition of the extracted page graph (core = the ring
+    SCC, in/out by reachability, tendrils/dangling = other)."""
+    from raylink.extract import docs_to_edges, pages_to_docs
+    from raylink.graph import build_graph_fwd_rev, prepare_edges
+    from raylink.kernels import bowtie
+    from raylink.pipelines.flagship import join_keys
+    from raylink.tables import pages_dataset
+
+    pages = pages_dataset(PAGES_SPEC, parallelism=8)
+    docs = pages_to_docs(pages, batch_size=64, concurrency=2)
+    prep = prepare_edges(docs_to_edges(docs), P=GRAPH_P)
+    gf, gr = build_graph_fwd_rev(prep)
+    out = bowtie(gf, gr, init="vid")
+    return _rename(join_keys(out, gf, "cls"), {"key": "url"})
+
+
 def q_pages_components(sf_dir: str):
     """CC over the extracted page graph, canonical label = min url."""
     from raylink.kernels import connected_components
@@ -2010,6 +2044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_katz": q_graph_katz,
         "graph_trustrank": q_graph_trustrank,
         "graph_salsa": q_graph_salsa,
+        "graph_katz_weighted": q_graph_katz_weighted,
         "graph_condensation": q_graph_condensation,
         "graph_lp1": q_graph_lp1,
         "graph_anf": q_graph_anf,
@@ -2052,6 +2087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_pagerank": q_pages_pagerank,
         "pages_components": q_pages_components,
         "pages_scc": q_pages_scc,
+        "pages_bowtie": q_pages_bowtie,
         "pages_triangles": q_pages_triangles,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -2601,6 +2637,27 @@ def oracle_sql() -> dict[str, str]:
     sql["graph_trustrank"] = _trustrank_sql_body(_E_CTE, PR_ITERS,
                                                  "user_id", 4)
     sql["graph_salsa"] = _salsa_sql_body(_E_CTE, PR_ITERS, "user_id")
+    _katzw_parts = [
+        _EW_CTE.replace(" AS (", " AS MATERIALIZED (", 1),
+        "v AS MATERIALIZED (SELECT DISTINCT v FROM ("
+        "SELECT src AS v FROM e UNION ALL SELECT dst FROM e))",
+        "x0 AS MATERIALIZED (SELECT v, CAST(1 AS BIGINT) AS s FROM v)",
+    ]
+    for _k in range(1, PR_ITERS + 1):
+        _katzw_parts.append(
+            f"xr{_k} AS MATERIALIZED (SELECT e.dst AS v, "
+            f"sum(x.s * CAST(e.w AS BIGINT)) AS s FROM x{_k-1} x "
+            f"JOIN e ON x.v = e.src GROUP BY e.dst)")
+        _katzw_parts.append(
+            f"x{_k} AS MATERIALIZED (SELECT v.v, CAST({100 ** _k} "
+            f"+ coalesce(xr.s, 0) AS BIGINT) AS s "
+            f"FROM v LEFT JOIN xr{_k} xr ON xr.v = v.v)")
+    sql["graph_katz_weighted"] = (
+        "WITH " + ", ".join(_katzw_parts) +
+        f" SELECT v.v AS user_id, CAST(floor(CAST(x.s AS DOUBLE)"
+        f"/{100 ** PR_ITERS}*1000000000 + 0.5) "
+        f"AS BIGINT) AS katz FROM v JOIN x{PR_ITERS} x ON x.v = v.v"
+    )
     sql["graph_hits"] = _hits_sql_body(_E_CTE, PR_ITERS, "user_id")
     # integer-lattice Katz (y_k = 100^k + sum of in-neighbor y_{k-1}; the
     # single float op is the final y/100^K division, mirrored exactly)
@@ -3175,6 +3232,30 @@ def oracle_sql() -> dict[str, str]:
         "JOIN r r2 ON r1.b = r2.a AND r2.b = r1.a GROUP BY r1.a) "
         "SELECT v.v AS url, least(v.v, coalesce(m.mn, v.v)) AS scc "
         "FROM v LEFT JOIN m ON m.v = v.v"
+    )
+    sql["pages_bowtie"] = (
+        f"WITH RECURSIVE {pages_e}, "
+        "r(a, b) AS (SELECT src, dst FROM e "
+        "UNION SELECT r.a, e.dst FROM r JOIN e ON r.b = e.src), "
+        "v AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e "
+        "UNION ALL SELECT dst FROM e)), "
+        "m AS (SELECT r1.a AS v, min(r1.b) AS mn FROM r r1 "
+        "JOIN r r2 ON r1.b = r2.a AND r2.b = r1.a GROUP BY r1.a), "
+        "s AS (SELECT v.v AS v, least(v.v, coalesce(m.mn, v.v)) AS scc "
+        "FROM v LEFT JOIN m ON m.v = v.v), "
+        # the page corpus's largest SCC (the ring) is uniquely largest, so
+        # the engine's min-vid and this min-url tie-break agree
+        "core AS (SELECT scc FROM (SELECT scc, count(*) AS c FROM s "
+        "GROUP BY scc ORDER BY c DESC, scc LIMIT 1)), "
+        "ins AS (SELECT DISTINCT r.a AS v FROM r JOIN s su ON su.v = r.b "
+        "AND su.scc = (SELECT scc FROM core)), "
+        "outs AS (SELECT DISTINCT r.b AS v FROM r JOIN s su ON su.v = r.a "
+        "AND su.scc = (SELECT scc FROM core)) "
+        "SELECT s.v AS url, CASE "
+        "WHEN s.scc = (SELECT scc FROM core) THEN 'core' "
+        "WHEN s.v IN (SELECT v FROM ins) THEN 'in' "
+        "WHEN s.v IN (SELECT v FROM outs) THEN 'out' "
+        "ELSE 'other' END AS cls FROM s"
     )
     sql["pages_components"] = (
         f"WITH RECURSIVE {pages_e}, "

@@ -56,7 +56,17 @@ def _int_sum_scatter(view):
             rows.append(partial_row(part, -1, -1, 1, lab=y))
             for sub, ref in enumerate(refs.get(part, [])):
                 blk = _ray.get(ref)
-                vals = y[blk.src_local]
+                if blk.w is not None:
+                    # multiplicity weights stay on the integer lattice;
+                    # float weight_col builds would break exactness
+                    if not np.issubdtype(blk.w.dtype, np.integer):
+                        raise TypeError(
+                            "katz requires integer edge weights "
+                            "(multiplicity builds); float weight_col "
+                            "graphs are not supported")
+                    vals = y[blk.src_local] * blk.w
+                else:
+                    vals = y[blk.src_local]
                 for q in range(P):
                     lo, hi = blk.bounds[q], blk.bounds[q + 1]
                     if hi <= lo:

@@ -2548,3 +2548,30 @@ def test_salsa_matches_bruteforce_and_fused():
         for v in nodes:
             assert abs(got_h[v] - h[v]) < 1e-12
             assert abs(got_a[v] - a[v]) < 1e-12
+
+
+def test_katz_weighted_multiplicity_and_float_refusal():
+    from raylink.kernels import katz
+
+    pairs = [(0, 1), (0, 1), (0, 1), (1, 2), (2, 0)]  # (0,1) weight 3
+    g = G.build_graph(_int_edges_ds(pairs), P=4, weighted=True,
+                      already_deduped=True)
+    out = katz(g, alpha_inv=10, max_iter=3).to_pandas()
+    vk = g.vertices.to_pandas()[["vid", "key"]]
+    got = dict(zip(*(lambda m: (m["key"], m["katz"]))(
+        out.merge(vk, on="vid"))))
+    A, K = 10, 3
+    w = {(0, 1): 3, (1, 2): 1, (2, 0): 1}
+    y = {v: 1 for v in (0, 1, 2)}
+    for k in range(1, K + 1):
+        y = {v: A ** k + sum(c * y[u] for (u, t), c in w.items() if t == v)
+             for v in (0, 1, 2)}
+    assert got == {v: y[v] / A ** K for v in (0, 1, 2)}
+
+    ones = pa.table({"src": pa.array([0, 1], pa.int64()),
+                     "dst": pa.array([1, 2], pa.int64()),
+                     "wt": pa.array([0.5, 1.5], pa.float64())})
+    gfl = G.build_graph(rd.from_arrow(ones), P=4, weight_col="wt",
+                        already_deduped=True)
+    with pytest.raises(Exception):
+        katz(gfl, alpha_inv=10, max_iter=2, fused=False).to_pandas()
