@@ -1526,6 +1526,37 @@ def q_doc_repetition(sf_dir: str):
     return repetition_scores(_read(sf_dir, "documents"))
 
 
+def q_user_funnel(sf_dir: str):
+    """Sequential funnel view -> click -> purchase per user (greedy
+    earliest-match ordered subsequence depth)."""
+    from raylink.ops import funnel
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel(ev, "user_id", "ts", "event_type",
+                  ["view", "click", "purchase"])
+
+
+def q_graph_degree_dist(sf_dir: str):
+    """Degree distribution of the user transition graph (power-law probe:
+    one count-groupby over the degree table)."""
+    from raylink.ops import degree_table
+
+    deg = degree_table(_user_edges(sf_dir))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return pa.table({"out_deg": batch["out_deg"].cast(pa.int64())})
+
+    d = deg.map_batches(pick, batch_format="pyarrow")
+    counts = d.groupby("out_deg").count()
+
+    def rn(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["n_vertices" if c == "count()" else c
+             for c in batch.column_names])
+
+    return counts.map_batches(rn, batch_format="pyarrow")
+
+
 def q_doc_resample(sf_dir: str):
     """Weighted corpus mixing: src0 at 2.5x, src1 at 0.25x, rest 1x —
     deterministic md5-grid repetition/subsampling per doc."""
@@ -2103,6 +2134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_pca": q_emb_pca,
         "doc_resample": q_doc_resample,
         "doc_simhash_pairs": q_doc_simhash_pairs,
+        "user_funnel": q_user_funnel,
+        "graph_degree_dist": q_graph_degree_dist,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_simhash": q_doc_simhash,
@@ -3333,6 +3366,32 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN trim(text) = '' THEN 0 ELSE "
         "array_length(regexp_split_to_array(trim(text), '\\s+')) END AS tok "
         "FROM documents)"
+    )
+    sql["user_funnel"] = (
+        "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "
+        "WHERE event_type = 'view' GROUP BY user_id), "
+        "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+        "JOIN s1 USING (user_id) WHERE e.event_type = 'click' "
+        "AND e.ts > s1.t GROUP BY e.user_id), "
+        "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+        "JOIN s2 USING (user_id) WHERE e.event_type = 'purchase' "
+        "AND e.ts > s2.t GROUP BY e.user_id), "
+        "u AS (SELECT DISTINCT user_id FROM events) "
+        "SELECT u.user_id, CAST(CASE "
+        "WHEN s3.user_id IS NOT NULL THEN 3 "
+        "WHEN s2.user_id IS NOT NULL THEN 2 "
+        "WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth "
+        "FROM u LEFT JOIN s1 ON s1.user_id = u.user_id "
+        "LEFT JOIN s2 ON s2.user_id = u.user_id "
+        "LEFT JOIN s3 ON s3.user_id = u.user_id"
+    )
+    sql["graph_degree_dist"] = (
+        f"WITH {_E_CTE}, "
+        "v AS (SELECT src AS v FROM e UNION SELECT dst FROM e), "
+        "d AS (SELECT src, count(*) AS c FROM e GROUP BY src) "
+        "SELECT CAST(coalesce(d.c, 0) AS BIGINT) AS out_deg, "
+        "CAST(count(*) AS BIGINT) AS n_vertices "
+        "FROM v LEFT JOIN d ON d.src = v.v GROUP BY 1"
     )
     sql["doc_resample"] = (
         "WITH t AS (SELECT doc_id, source, "

@@ -1688,3 +1688,63 @@ def weighted_resample(ds: rd.Dataset, key_col: str, group_col: str,
         return out.append_column(out_col, pa.array(copy, pa.int64()))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def funnel(events: rd.Dataset, user_col: str, ts_col: str, type_col: str,
+           steps: Sequence[str]) -> rd.Dataset:
+    """Sequential funnel depth per user (ordered pattern matching, the
+    product-analytics / session-mining shape): depth = length of the
+    longest prefix of ``steps`` completable with strictly increasing
+    timestamps. Greedy earliest-match per step is provably optimal for
+    subsequence existence, so the result is exact and deterministic.
+
+    Scale shape: rows are pre-filtered to the step types BEFORE the one
+    groupby(user) shuffle (map-side combiner keeps only per-(user, step)
+    candidate timestamps); per-group work is a vectorized searchsorted
+    chain. Every user keeps a row (depth 0 included)."""
+    step_list = list(steps)
+    step_set = set(step_list)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[type_col],
+                        value_set=pa.array(sorted(step_set)))
+        kept = batch.filter(mask)
+        return pa.table({
+            user_col: kept[user_col].cast(pa.int64()),
+            "t": kept[ts_col],
+            "s": kept[type_col],
+        })
+
+    # all users (depth-0 rows come from here, no outer join needed)
+    def users(batch: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        u = np.unique(batch[user_col].to_numpy(zero_copy_only=False))
+        return pa.table({user_col: pa.array(u.astype(np.int64)),
+                         "t": pa.nulls(len(u), batch[ts_col].type),
+                         "s": pa.array(["\0marker"] * len(u), pa.string())})
+
+    rows = events.select_columns([user_col, ts_col, type_col]).map_batches(
+        prefilter, batch_format="pyarrow")
+    marks = events.select_columns([user_col, ts_col, type_col]).map_batches(
+        users, batch_format="pyarrow")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        uid = np.int64(g[user_col].iloc[0])
+        real = g[g["s"] != "\0marker"]
+        by_step = {s: np.sort(real.loc[real["s"] == s, "t"].to_numpy())
+                   for s in step_list}
+        t = None
+        depth = 0
+        for s in step_list:
+            arr = by_step[s]
+            pos = 0 if t is None else int(np.searchsorted(arr, t, "right"))
+            if pos >= len(arr):
+                break
+            t = arr[pos]
+            depth += 1
+        return pd.DataFrame({user_col: [uid],
+                             "depth": np.array([depth], np.int64)})
+
+    return rows.union(marks).groupby(user_col).map_groups(
+        per_user, batch_format="pandas")

@@ -1086,3 +1086,28 @@ def test_decontaminate_join_path_equals_broadcast():
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b[a.columns])
     assert a["contaminated"].sum() > 0  # the fixture does overlap
+
+
+def test_funnel_depths_hand_built():
+    from raylink.ops import funnel
+
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+
+    def ts(m):
+        return base + np.timedelta64(m, "m")
+
+    rows = [
+        # u1 completes A,B,C in order
+        (1, ts(0), "A"), (1, ts(1), "B"), (1, ts(2), "C"),
+        # u2: B before A -> depth 1 (A found, no later B)
+        (2, ts(0), "B"), (2, ts(1), "A"),
+        # u3: A, C, B, C -> greedy A(0) B(2) C(3) = 3
+        (3, ts(0), "A"), (3, ts(1), "C"), (3, ts(2), "B"), (3, ts(3), "C"),
+        # u4: only noise -> 0
+        (4, ts(0), "Z"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    got = (funnel(rd.from_pandas(df).repartition(3), "user_id", "ts",
+                  "event_type", ["A", "B", "C"])
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert got["depth"].tolist() == [3, 1, 3, 0]
