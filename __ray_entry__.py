@@ -767,6 +767,74 @@ def q_graph_bowtie(sf_dir: str):
     return _rename(join_keys(out, gf, "cls"), {"key": "user_id"})
 
 
+def q_graph_communities(sf_dir: str):
+    """Multilevel community detection (Louvain-shaped composition of
+    verified parts): LP sweep on the user graph -> weighted quotient
+    contraction -> LP on the community graph -> labels mapped back.
+    Deterministic end to end (red/black LP + min-key labels); the
+    composition itself has no tractable SQL twin -> rows-only, with the
+    pytest asserting refinement/determinism invariants."""
+    from raylink.graph import build_graph, contract_by_label
+    from raylink.kernels import label_propagation
+    from raylink.ops import hash_join
+    from raylink.pipelines.flagship import join_keys
+
+    sg = build_graph(_user_edges(sf_dir), P=GRAPH_P, symmetric=True,
+                     already_deduped=True)
+    l1 = label_propagation(sg, max_iter=1, method="redblack",
+                           init="key").materialize()
+    q = contract_by_label(sg, l1)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        keep = _pc.not_equal(batch["src_label"], batch["dst_label"])
+        kept = batch.filter(keep)
+        return pa.table({"src": kept["src_label"],
+                         "dst": kept["dst_label"]})
+
+    qe = q.map_batches(to_edges, batch_format="pyarrow").materialize()
+    if qe.count() == 0:
+        # a single community already: level-1 labels ARE the answer
+        def solo(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "user_id": batch["key"].cast(pa.int64()),
+                "community": batch["label"].cast(pa.int64())})
+
+        return join_keys(l1, sg, "label").map_batches(
+            solo, batch_format="pyarrow")
+
+    g2 = build_graph(qe, P=GRAPH_P, symmetric=True)
+    l2 = label_propagation(g2, max_iter=3, method="redblack", init="key")
+    lab2 = join_keys(l2, g2, "label")  # (key = level-1 label, label)
+
+    def rn2(batch: pa.Table) -> pa.Table:
+        return pa.table({"l1": batch["key"].cast(pa.int64()),
+                         "community": batch["label"].cast(pa.int64())})
+
+    lab2 = lab2.map_batches(rn2, batch_format="pyarrow")
+    l1_keyed = join_keys(l1, sg, "label")  # (key = user_id, label)
+
+    def rn1(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": batch["key"].cast(pa.int64()),
+                         "l1": batch["label"].cast(pa.int64())})
+
+    # LEFT join: a level-1 community with no inter-community edges never
+    # enters the quotient graph and keeps its own label
+    joined = hash_join(l1_keyed.map_batches(rn1, batch_format="pyarrow"),
+                       lab2, "l1", how="left")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        comm = _pc.coalesce(batch["community"].cast(pa.int64()),
+                            batch["l1"].cast(pa.int64()))
+        return pa.table({"user_id": batch["user_id"].cast(pa.int64()),
+                         "community": comm})
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
 def q_graph_condensation(sf_dir: str):
     """Condensation DAG: contract the directed graph by its SCC labels
     (quotient rows (src_label, dst_label, n_edges), self-pairs = intra-SCC
@@ -2077,6 +2145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_salsa": q_graph_salsa,
         "graph_katz_weighted": q_graph_katz_weighted,
         "graph_condensation": q_graph_condensation,
+        "graph_communities": q_graph_communities,
         "graph_lp1": q_graph_lp1,
         "graph_anf": q_graph_anf,
         "graph_contract": q_graph_contract,
