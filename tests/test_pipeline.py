@@ -86,3 +86,41 @@ def test_write_table_atomic(tmp_path):
     assert not write_table(ds, p)  # resume skip
     back = rd.read_parquet(p).to_pandas()
     assert sorted(back["a"].tolist()) == [1, 2, 3]
+
+
+def test_rows_only_queries_deterministic():
+    """The driver's no-oracle queries get only a row-count check there;
+    here each runs TWICE at sf0.001 and must reproduce exactly (sorted
+    canonical frames) — catching nondeterminism the rows-only gate
+    cannot."""
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    picks = ["doc_simhash", "doc_simhash_pairs", "emb_knn_lsh",
+             "emb_knn_ivf", "emb_pca", "graph_communities"]
+    qs = E.queries()
+    sf = "/root/testdata/sf0.001"
+
+    def canon(res) -> pd.DataFrame:
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        if isinstance(res, rd.Dataset):
+            df = res.to_pandas()
+        elif isinstance(res, pa.Table):
+            df = res.to_pandas()
+        else:
+            df = res
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].astype(str)
+        return df.sort_values(list(df.columns), kind="mergesort") \
+                 .reset_index(drop=True)
+
+    for name in picks:
+        a = canon(qs[name](sf))
+        b = canon(qs[name](sf))
+        pd.testing.assert_frame_equal(a, b), name
