@@ -694,6 +694,28 @@ def q_graph_katz_weighted(sf_dir: str):
     return scale_columns(out, {"katz": 1e9})
 
 
+def q_graph_eigencentrality(sf_dir: str):
+    """Eigenvector centrality of the UNDIRECTED user graph: L1-normalized
+    power iteration = HITS on a symmetric build (the transpose of a
+    symmetric graph is itself, so hub == auth == the centrality)."""
+    from raylink.graph import build_graph
+    from raylink.kernels import hits
+    from raylink.ops import scale_columns
+    from raylink.pipelines.flagship import join_keys
+
+    sg = build_graph(_user_edges(sf_dir), P=GRAPH_P, symmetric=True,
+                     already_deduped=True)
+    scores = hits(sg, sg, max_iter=PR_ITERS)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return pa.table({"vid": batch["vid"], "cent": batch["auth"]})
+
+    out = _rename(join_keys(scores.map_batches(pick,
+                                               batch_format="pyarrow"),
+                            sg, "cent"), {"key": "user_id"})
+    return scale_columns(out, {"cent": 1e9})
+
+
 def q_graph_salsa(sf_dir: str):
     """SALSA hubs & authorities (degree-normalized alternating walk over
     the fwd/rev pair, fixed supersteps shared with the unrolled oracle)."""
@@ -1665,6 +1687,14 @@ def q_doc_lm_score(sf_dir: str):
     return lm_surprisal(_read(sf_dir, "documents"))
 
 
+def q_doc_lm2_score(sf_dir: str):
+    """Bigram conditional surprisal quality score (second-order LM fit on
+    the corpus itself; int64 fixed-point per position)."""
+    from raylink.textops import lm_surprisal2
+
+    return lm_surprisal2(_read(sf_dir, "documents"))
+
+
 def q_doc_decontam(sf_dir: str):
     """Test-set decontamination: train docs (doc_id % 20 != 0) flagged by
     3-gram overlap with the eval fold (doc_id % 20 == 0)."""
@@ -2144,6 +2174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_trustrank": q_graph_trustrank,
         "graph_salsa": q_graph_salsa,
         "graph_katz_weighted": q_graph_katz_weighted,
+        "graph_eigencentrality": q_graph_eigencentrality,
         "graph_condensation": q_graph_condensation,
         "graph_communities": q_graph_communities,
         "graph_lp1": q_graph_lp1,
@@ -2199,6 +2230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_decontam": q_doc_decontam,
         "doc_lm_score": q_doc_lm_score,
+        "doc_lm2_score": q_doc_lm2_score,
         "order_price_rank": q_order_price_rank,
         "emb_pca": q_emb_pca,
         "doc_resample": q_doc_resample,
@@ -2739,6 +2771,19 @@ def oracle_sql() -> dict[str, str]:
     sql["graph_trustrank"] = _trustrank_sql_body(_E_CTE, PR_ITERS,
                                                  "user_id", 4)
     sql["graph_salsa"] = _salsa_sql_body(_E_CTE, PR_ITERS, "user_id")
+    _EU_CTE = (
+        "e AS (SELECT DISTINCT src, dst FROM ("
+        "SELECT a.user_id AS src, b.user_id AS dst FROM events a "
+        "JOIN events b ON b.event_id = a.event_id + 1 "
+        "WHERE a.user_id <> b.user_id "
+        "UNION ALL SELECT b.user_id, a.user_id FROM events a "
+        "JOIN events b ON b.event_id = a.event_id + 1 "
+        "WHERE a.user_id <> b.user_id))"
+    )
+    sql["graph_eigencentrality"] = (
+        f"SELECT user_id, auth AS cent FROM ("
+        f"{_hits_sql_body(_EU_CTE, PR_ITERS, 'user_id')})"
+    )
     _katzw_parts = [
         _EW_CTE.replace(" AS (", " AS MATERIALIZED (", 1),
         "v AS MATERIALIZED (SELECT DISTINCT v FROM ("
@@ -3489,6 +3534,23 @@ def oracle_sql() -> dict[str, str]:
         "AS s FROM t JOIN tot USING (term) CROSS JOIN n GROUP BY t.doc_id) "
         "SELECT d.doc_id, CAST(coalesce(sc.n_terms, 0) AS BIGINT) AS "
         "n_terms, CAST(coalesce(sc.s, 0) AS BIGINT) AS surprisal_fp "
+        "FROM documents d LEFT JOIN sc USING (doc_id)"
+    )
+    sql["doc_lm2_score"] = (
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), "
+        "'[a-z0-9]+') AS toks FROM documents), "
+        "b AS (SELECT doc_id, toks[i] AS w1, "
+        "toks[i] || ' ' || toks[i+1] AS bg FROM ("
+        "SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i "
+        "FROM t)), "
+        "c2 AS (SELECT bg, count(*) AS cnt2 FROM b GROUP BY bg), "
+        "c1 AS (SELECT w1, count(*) AS cnt1 FROM b GROUP BY w1), "
+        "sc AS (SELECT b.doc_id, count(*) AS n, "
+        "sum(CAST(floor(ln(CAST(c1.cnt1 AS DOUBLE)/c2.cnt2)*1000000 + 0.5) "
+        "AS BIGINT)) AS s FROM b JOIN c2 USING (bg) JOIN c1 USING (w1) "
+        "GROUP BY b.doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_bigrams, "
+        "CAST(coalesce(s, 0) AS BIGINT) AS surprisal2_fp "
         "FROM documents d LEFT JOIN sc USING (doc_id)"
     )
     sql["doc_decontam"] = (

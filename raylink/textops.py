@@ -355,3 +355,103 @@ def lm_surprisal(ds: rd.Dataset, id_col: str = "doc_id",
         id_col).aggregate(Sum("n", alias_name="n_terms"),
                           Sum("s", alias_name="surprisal_fp"))
     return agg.union(empty).map_batches(fin, batch_format="pyarrow")
+
+
+def lm_surprisal2(ds: rd.Dataset, id_col: str = "doc_id",
+                  text_col: str = "text", *,
+                  num_partitions: int = 32) -> rd.Dataset:
+    """Bigram conditional surprisal per document (second-order LM quality
+    gate): score = sum over adjacent positions of
+    -ln P(w2 | w1) = ln(cnt1(w1) / cnt2(w1, w2)), per-term int64
+    fixed-point (floor(x*1e6 + 0.5)) so the per-doc sum is order-free.
+    cnt1(w1) counts w1 in NON-FINAL positions (= sum over w2 of cnt2), so
+    the conditional distribution is proper. Within-corpus fit: every
+    scored bigram was observed, no backoff branch.
+
+    Same distributed shape as :func:`lm_surprisal`: per-batch bigram
+    combiner -> two tiny groupbys (bigram + left-unigram totals) -> two
+    co-partitioned joins -> per-doc integer sum; zero-pair docs from a
+    shuffle-free side pass. Output: (id, ``n_bigrams``,
+    ``surprisal2_fp``)."""
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        txt = batch[text_col].fillna("").str.lower()
+        toks = txt.str.findall(_TERM_RE)
+        n = toks.str.len().astype("int64").to_numpy()
+        if not int(n.sum()):
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "bg": pd.Series([], dtype=object),
+                                 "w1": pd.Series([], dtype=object),
+                                 "k": pd.Series([], dtype="int64")})
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks.to_numpy()])
+        own = np.repeat(np.arange(len(batch), dtype=np.int64), n)
+        same = own[:-1] == own[1:] if len(flat) > 1 else np.array([], bool)
+        ids = batch[id_col].to_numpy()
+        g = pd.DataFrame({
+            id_col: ids[own[:-1][same]],
+            "w1": flat[:-1][same],
+            "bg": flat[:-1][same] + " " + flat[1:][same],
+        })
+        out = g.groupby([id_col, "bg"], sort=False).agg(
+            w1=("w1", "first"), k=("w1", "size")).reset_index()
+        out["k"] = out["k"].astype("int64")
+        return out
+
+    doc_bg = ds.select_columns([id_col, text_col]).map_batches(
+        pairs, batch_format="pandas")
+
+    from ray.data.aggregate import Sum
+
+    # bucketed-group attach (NOT per-key map_groups or a generic hash
+    # join): equal keys co-bucket, counts attach via a vectorized
+    # within-bucket transform — one shuffle per count table
+    def tag(col: str, out: str):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch[out] = (pd.util.hash_array(
+                batch[col].to_numpy(dtype=object)) % 64).astype("int64")
+            return batch
+        return f
+
+    def attach2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["cnt2"] = g.groupby("bg")["k"].transform("sum").astype("int64")
+        return g.drop(columns=["__b2"])
+
+    with2 = (doc_bg.map_batches(tag("bg", "__b2"), batch_format="pandas")
+             .groupby("__b2").map_groups(attach2, batch_format="pandas"))
+
+    def attach1(g: pd.DataFrame) -> pd.DataFrame:
+        cnt1 = g.groupby("w1")["k"].transform("sum").astype("int64")
+        unit = np.floor(np.log(cnt1.to_numpy().astype(np.float64)
+                               / g["cnt2"].to_numpy().astype(np.float64))
+                        * 1e6 + 0.5).astype(np.int64)
+        k = g["k"].to_numpy()
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             "n": k, "s": k * unit})
+
+    scored = (with2.map_batches(tag("w1", "__b1"), batch_format="pandas")
+              .groupby("__b1").map_groups(attach1, batch_format="pandas"))
+
+    def zeros(batch: pd.DataFrame) -> pd.DataFrame:
+        txt = batch[text_col].fillna("").str.lower()
+        n = txt.str.count(_TERM_RE).astype("int64")
+        out = batch.loc[n < 2, [id_col]].copy()
+        out["n_bigrams"] = np.int64(0)
+        out["surprisal2_fp"] = np.int64(0)
+        return out
+
+    empty = ds.select_columns([id_col, text_col]).map_batches(
+        zeros, batch_format="pandas")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch[id_col].cast(pa.int64()),
+                         "n_bigrams": batch["n_bigrams"].cast(pa.int64()),
+                         "surprisal2_fp": batch["surprisal2_fp"].cast(
+                             pa.int64())})
+
+    agg = scored.groupby(id_col).aggregate(
+        Sum("n", alias_name="n_bigrams"),
+        Sum("s", alias_name="surprisal2_fp"))
+    return agg.union(empty).map_batches(fin, batch_format="pyarrow")

@@ -1111,3 +1111,19 @@ def test_funnel_depths_hand_built():
                   "event_type", ["A", "B", "C"])
            .to_pandas().sort_values("user_id").reset_index(drop=True))
     assert got["depth"].tolist() == [3, 1, 3, 0]
+
+
+def test_lm_surprisal2_hand_computed():
+    from raylink.textops import lm_surprisal2
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["a b a b", "a c", "x"],  # bigrams: ab, ba, ab | ac | none
+    })
+    got = (lm_surprisal2(rd.from_pandas(df).repartition(2))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # cnt2: ab=2 ba=1 ac=1 ; cnt1 (non-final pos): a=3 (ab,ab,ac) b=1 (ba)
+    u = lambda c1, c2: int(np.floor(np.log(c1 / c2) * 1e6 + 0.5))  # noqa
+    assert got["n_bigrams"].tolist() == [3, 1, 0]
+    assert got["surprisal2_fp"].tolist() == [
+        2 * u(3.0, 2.0) + u(1.0, 1.0), u(3.0, 1.0), 0]
