@@ -1723,6 +1723,14 @@ def q_doc_chunk_dedup(sf_dir: str):
     return chunk_dup_stats(_read(sf_dir, "documents"), width=8)
 
 
+def q_doc_chunk_dedup_overlap(sf_dir: str):
+    """Overlapping-window (stride 4, width 8) exact chunk dedup — the
+    exact-substring-dedup shape."""
+    from raylink.dedup import chunk_dup_stats
+
+    return chunk_dup_stats(_read(sf_dir, "documents"), width=8, stride=4)
+
+
 def q_doc_pack(sf_dir: str):
     """Sequence packing: whitespace token counts -> global ordered prefix
     scan -> 512-token training-block assignment."""
@@ -2228,6 +2236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": q_doc_repetition,
         "doc_pack": q_doc_pack,
         "doc_chunk_dedup": q_doc_chunk_dedup,
+        "doc_chunk_dedup_overlap": q_doc_chunk_dedup_overlap,
         "doc_decontam": q_doc_decontam,
         "doc_lm_score": q_doc_lm_score,
         "doc_lm2_score": q_doc_lm2_score,
@@ -3576,6 +3585,23 @@ def oracle_sql() -> dict[str, str]:
         "toks[(i-1)*8+1 : i*8], ' ')) AS fp FROM ("
         "SELECT doc_id, toks, unnest(generate_series(1, len(toks)//8)) AS i "
         "FROM t)), "
+        "cnt AS (SELECT fp, count(*) AS c FROM ch GROUP BY fp), "
+        "occ AS (SELECT doc_id, count(*) AS n_chunks, "
+        "sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup FROM ch "
+        "JOIN cnt USING (fp) GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(n_chunks, 0) AS BIGINT) AS n_chunks, "
+        "CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_chunks, "
+        "CAST(floor(CASE WHEN coalesce(n_chunks, 0) = 0 THEN 0.0 ELSE "
+        "CAST(n_dup AS DOUBLE) / n_chunks END * 1000000 + 0.5) AS BIGINT) "
+        "AS dup_chunk_ratio FROM documents d LEFT JOIN occ USING (doc_id)"
+    )
+    sql["doc_chunk_dedup_overlap"] = (
+        "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') "
+        "AS toks FROM documents WHERE trim(text) <> ''), "
+        "ch AS (SELECT doc_id, md5(array_to_string("
+        "toks[i : i+7], ' ')) AS fp FROM ("
+        "SELECT doc_id, toks, unnest(generate_series(1, len(toks)-7, 4)) "
+        "AS i FROM t)), "
         "cnt AS (SELECT fp, count(*) AS c FROM ch GROUP BY fp), "
         "occ AS (SELECT doc_id, count(*) AS n_chunks, "
         "sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup FROM ch "

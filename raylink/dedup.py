@@ -647,10 +647,14 @@ def embedding_near_dups_lsh(emb: rd.Dataset, *, threshold: float = 0.95,
 
 def chunk_dup_stats(docs: rd.Dataset, id_col: str = "doc_id",
                     text_col: str = "text", *,
-                    width: int = 8) -> rd.Dataset:
+                    width: int = 8,
+                    stride: int | None = None) -> rd.Dataset:
     """Cross-corpus exact CHUNK dedup stats (the RefinedWeb/CCNet
-    paragraph-dedup shape, over ``width``-token non-overlapping chunks
-    since the synthetic corpus has no newline paragraphs).
+    paragraph-dedup shape, over ``width``-token chunks since the
+    synthetic corpus has no newline paragraphs). ``stride`` defaults to
+    ``width`` (non-overlapping); ``stride < width`` gives overlapping
+    windows — the exact-substring-dedup shape (stride 1 = every
+    ``width``-gram).
 
     Output per doc: (id, ``n_chunks``, ``n_dup_chunks``,
     ``dup_chunk_ratio``) where a chunk occurrence is duplicated when its
@@ -662,32 +666,39 @@ def chunk_dup_stats(docs: rd.Dataset, id_col: str = "doc_id",
     side pass, so no outer join is needed.
     """
 
+    step = int(stride) if stride is not None else int(width)
+    if step < 1:
+        raise ValueError("stride must be >= 1")
+
     def chunks(batch: pd.DataFrame) -> pd.DataFrame:
         txt = batch[text_col].fillna("")
         toks = txt.str.split()
         n = toks.str.len().fillna(0).astype("int64").to_numpy()
-        if not int(n.sum()):
+        nch = np.maximum(0, (n - width) // step + 1)
+        if not int(nch.sum()):
             return pd.DataFrame({"fp": pd.Series([], dtype=object),
+                                 "__bkt": pd.Series([], dtype="int64"),
                                  id_col: pd.Series([], dtype="int64")})
         flat = np.concatenate(
             [np.asarray(t, dtype=object) for t in toks.to_numpy()])
-        own = np.repeat(np.arange(len(batch), dtype=np.int64), n)
-        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(
-            np.concatenate([[0], np.cumsum(n)[:-1]]), n)
-        cidx = pos // width
-        keep = cidx < (n[own] // width)
-        g = pd.DataFrame({"o": own[keep], "c": cidx[keep],
-                          "tok": flat[keep]})
-        joined = g.groupby(["o", "c"], sort=False)["tok"].agg(" ".join)
-        owners = joined.index.get_level_values(0).to_numpy()
+        doc_off = np.concatenate([[0], np.cumsum(n)[:-1]])
+        chunk_own = np.repeat(np.arange(len(batch), dtype=np.int64), nch)
+        # per-chunk index within its doc: global arange minus each doc's
+        # first-chunk position
+        coff = np.concatenate([[0], np.cumsum(nch)[:-1]])
+        cwithin = (np.arange(int(nch.sum()), dtype=np.int64)
+                   - np.repeat(coff, nch))
+        starts = doc_off[chunk_own] + cwithin * step
+        gather = starts[:, None] + np.arange(width, dtype=np.int64)[None, :]
+        mat = flat[gather]
         ids = batch[id_col].to_numpy()
-        fps = [hashlib.md5(s.encode()).hexdigest()
-               for s in joined.to_numpy()]
+        fps = [hashlib.md5(" ".join(row).encode()).hexdigest()
+               for row in mat]
         return pd.DataFrame({
             "fp": fps,
             "__bkt": np.array([int(f[:8], 16) & 63 for f in fps],
                               dtype=np.int64),
-            id_col: ids[owners],
+            id_col: ids[chunk_own],
         })
 
     pairs = docs.select_columns([id_col, text_col]).map_batches(
@@ -712,7 +723,7 @@ def chunk_dup_stats(docs: rd.Dataset, id_col: str = "doc_id",
     def zeros(batch: pd.DataFrame) -> pd.DataFrame:
         txt = batch[text_col].fillna("")
         n = txt.str.count(r"\S+").astype("int64")
-        out = batch.loc[(n // width) == 0, [id_col]].copy()
+        out = batch.loc[n < width, [id_col]].copy()
         out["n_chunks"] = np.int64(0)
         out["n_dup_chunks"] = np.int64(0)
         return out

@@ -1127,3 +1127,17 @@ def test_lm_surprisal2_hand_computed():
     assert got["n_bigrams"].tolist() == [3, 1, 0]
     assert got["surprisal2_fp"].tolist() == [
         2 * u(3.0, 2.0) + u(1.0, 1.0), u(3.0, 1.0), 0]
+
+
+def test_chunk_dup_stats_overlapping_stride():
+    from raylink.dedup import chunk_dup_stats
+
+    # 12 tokens, width 8 stride 2 -> starts 0,2,4: 3 chunks per doc
+    words = " ".join(f"t{i}" for i in range(12))
+    df = pd.DataFrame({"doc_id": np.array([0, 1], dtype=np.int64),
+                       "text": [words, words]})
+    got = (chunk_dup_stats(rd.from_pandas(df), width=8, stride=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["n_chunks"].tolist() == [3, 3]
+    assert got["n_dup_chunks"].tolist() == [3, 3]  # twin docs: all dup
+    assert got["dup_chunk_ratio"].tolist() == [1000000, 1000000]
