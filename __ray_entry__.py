@@ -1626,6 +1626,30 @@ def q_user_funnel(sf_dir: str):
                   ["view", "click", "purchase"])
 
 
+def q_graph_comp_sizes(sf_dir: str):
+    """Connected-component size distribution (count of components per
+    size — the giant-component / fragmentation probe)."""
+    from raylink.graph import build_graph
+    from raylink.kernels import connected_components
+
+    sg = build_graph(_user_edges(sf_dir), P=GRAPH_P, symmetric=True,
+                     already_deduped=True)
+    comps = connected_components(sg, init="key")
+    sizes = comps.groupby("comp").count()
+
+    def rn(batch: pa.Table) -> pa.Table:
+        return pa.table({"size": batch["count()"].cast(pa.int64())})
+
+    dist = sizes.map_batches(rn, batch_format="pyarrow").groupby(
+        "size").count()
+
+    def rn2(batch: pa.Table) -> pa.Table:
+        return pa.table({"size": batch["size"].cast(pa.int64()),
+                         "n_components": batch["count()"].cast(pa.int64())})
+
+    return dist.map_batches(rn2, batch_format="pyarrow")
+
+
 def q_graph_degree_dist(sf_dir: str):
     """Degree distribution of the user transition graph (power-law probe:
     one count-groupby over the degree table)."""
@@ -2246,6 +2270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "user_funnel": q_user_funnel,
         "graph_degree_dist": q_graph_degree_dist,
+        "graph_comp_sizes": q_graph_comp_sizes,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_simhash": q_doc_simhash,
@@ -3507,6 +3532,17 @@ def oracle_sql() -> dict[str, str]:
         "FROM u LEFT JOIN s1 ON s1.user_id = u.user_id "
         "LEFT JOIN s2 ON s2.user_id = u.user_id "
         "LEFT JOIN s3 ON s3.user_id = u.user_id"
+    )
+    sql["graph_comp_sizes"] = (
+        f"WITH RECURSIVE {_E_CTE}, "
+        "und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src "
+        "FROM e), "
+        "r(a, b) AS (SELECT a, b FROM und "
+        "UNION SELECT r.a, u.b FROM r JOIN und u ON r.b = u.a), "
+        "s AS (SELECT a, least(a, min(b)) AS comp FROM r GROUP BY a), "
+        "cs AS (SELECT comp, count(*) AS sz FROM s GROUP BY comp) "
+        "SELECT CAST(sz AS BIGINT) AS size, "
+        "CAST(count(*) AS BIGINT) AS n_components FROM cs GROUP BY sz"
     )
     sql["graph_degree_dist"] = (
         f"WITH {_E_CTE}, "
