@@ -961,6 +961,7 @@ SSSP_ROUNDS = 8
 SSSP_DELTA_ROUNDS = 16  # deep enough to be the fixpoint on this graph
 CORENESS_ROUNDS = 8
 MIS_ROUNDS = 8
+MATCH_ROUNDS = 8
 WALK_STEPS = 4
 SAMPLE_HOPS = 3
 SAMPLE_FANOUT = 3
@@ -1118,6 +1119,22 @@ def q_graph_mis(sf_dir: str):
                      already_deduped=True)
     mis = maximal_independent_set(sg, max_iter=MIS_ROUNDS)
     return _rename(join_keys(mis, sg, "in_mis"), {"key": "user_id"})
+
+
+def q_graph_matching(sf_dir: str):
+    """Maximal matching (deterministic handshake: mutual min-priority
+    pointers pair up, >=1 edge per round) over the symmetric transition
+    graph — fixed unroll depth MATCH_ROUNDS shared with the SQL oracle's
+    arg_min/pointer formulation; partner = matched neighbor's user id or
+    -1."""
+    from raylink.graph import build_graph
+    from raylink.kernels import maximal_matching
+    from raylink.pipelines.flagship import join_keys
+
+    sg = build_graph(_user_edges(sf_dir), P=GRAPH_P, symmetric=True,
+                     already_deduped=True)
+    mm = maximal_matching(sg, max_iter=MATCH_ROUNDS)
+    return _rename(join_keys(mm, sg, "partner"), {"key": "user_id"})
 
 
 def q_graph_walks(sf_dir: str):
@@ -2234,6 +2251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_sssp": q_graph_sssp,
         "graph_sssp_delta": q_graph_sssp_delta,
         "graph_mis": q_graph_mis,
+        "graph_matching": q_graph_matching,
         "graph_walks": q_graph_walks,
         "graph_walks_weighted": q_graph_walks_weighted,
         "graph_sample": q_graph_sample,
@@ -3022,6 +3040,38 @@ def oracle_sql() -> dict[str, str]:
         "WITH " + ", ".join(_mis_parts) +
         f" SELECT v AS user_id, CAST(s = 1 AS BIGINT) AS in_mis "
         f"FROM st{MIS_ROUNDS}"
+    )
+    # handshake-matching unroll: per round, every live vertex points at
+    # its min-priority live neighbor (arg_min; pi injective so the argmin
+    # is unique); mutual pointers (ptr(ptr(v)) = v) match and record the
+    # partner; live vertices with no live neighbor finalize unmatched
+    _pi_sql = "((({k})*48271 + 12345) % 2147483647)"
+    _mm_parts = [
+        _E_CTE,
+        "es AS MATERIALIZED (SELECT src, dst FROM e "
+        "UNION SELECT dst, src FROM e)",
+        "mv AS (SELECT DISTINCT src AS v FROM es)",
+        "mm0 AS (SELECT v, CAST(NULL AS BIGINT) AS s FROM mv)",
+    ]
+    for _k in range(1, MATCH_ROUNDS + 1):
+        _mm_parts.append(
+            f"mp{_k} AS MATERIALIZED (SELECT es.dst AS v, "
+            f"arg_min(es.src, {_pi_sql.format(k='es.src')}) AS ptr "
+            f"FROM es JOIN mm{_k - 1} a ON a.v = es.src AND a.s IS NULL "
+            f"JOIN mm{_k - 1} b ON b.v = es.dst AND b.s IS NULL "
+            f"GROUP BY es.dst)")
+        _mm_parts.append(
+            f"mm{_k} AS MATERIALIZED (SELECT st.v, CASE "
+            f"WHEN st.s IS NOT NULL THEN st.s "
+            f"WHEN p1.v IS NULL THEN -1 "
+            f"WHEN p2.ptr = st.v THEN p1.ptr "
+            f"ELSE NULL END AS s "
+            f"FROM mm{_k - 1} st LEFT JOIN mp{_k} p1 ON p1.v = st.v "
+            f"LEFT JOIN mp{_k} p2 ON p2.v = p1.ptr)")
+    sql["graph_matching"] = (
+        "WITH " + ", ".join(_mm_parts) +
+        f" SELECT v AS user_id, CAST(coalesce(s, -1) AS BIGINT) AS partner "
+        f"FROM mm{MATCH_ROUNDS}"
     )
     # Jones-Plassmann unroll: per round, min of uncolored neighbors'
     # combined priorities (blocking channel) + bit-OR of colored

@@ -29,6 +29,7 @@ from .truss import k_truss
 from .modularity import modularity
 from .hits import hits
 from .mis import maximal_independent_set
+from .matching import maximal_matching
 from .betweenness import betweenness
 from .coloring import graph_coloring
 from .anf import effective_diameter, neighborhood_function
@@ -42,6 +43,7 @@ __all__ = ["pagerank", "connected_components", "label_propagation",
            "modularity",
            "local_clustering", "edge_support", "bfs_hops", "bfs_hops_multi",
            "k_core", "hits", "sssp", "sssp_delta", "coreness", "reciprocity",
-           "maximal_independent_set", "betweenness", "graph_coloring",
+           "maximal_independent_set", "maximal_matching",
+           "betweenness", "graph_coloring",
            "neighborhood_function", "effective_diameter",
            "strongly_connected_components", "bowtie", "katz", "salsa"]

@@ -1328,6 +1328,75 @@ def test_mis_vs_bruteforce():
         maximal_independent_set(gs)
 
 
+def _match_pi(key: int) -> int:
+    return (key * 48271 + 12345) % 2147483647
+
+
+def test_matching_vs_bruteforce():
+    """maximal_matching == the synchronous pointer brute force (every
+    live vertex points at its min-pi live neighbor; mutual pointers
+    match; no live neighbor -> unmatched) after K rounds for K = 1..4
+    and at the fixpoint; the fixpoint is a VALID MAXIMAL matching;
+    fused == distributed; string keys refused."""
+    from raylink.kernels import maximal_matching
+
+    rng = np.random.default_rng(71)
+    pairs = set()
+    while len(pairs) < 80:
+        a, b = (int(x) for x in rng.integers(0, 30, size=2))
+        if a != b:
+            pairs.add((a * 17 + 3, b * 17 + 3))  # non-dense int keys
+    pairs = sorted(pairs)
+    sg = G.build_graph(_int_edges_ds(pairs), P=P, symmetric=True)
+    kv = {r["vid"]: r["key"] for b in sg.vertices.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()}
+
+    adj: dict[int, set] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def brute(rounds):
+        s: dict[int, int | None] = {v: None for v in adj}
+        for _ in range(rounds):
+            live = {v for v, x in s.items() if x is None}
+            ptr = {v: min((u for u in adj[v] if u in live), key=_match_pi,
+                          default=None)
+                   for v in live}
+            ns = dict(s)
+            for v in live:
+                if ptr[v] is None:
+                    ns[v] = -1
+                elif ptr[ptr[v]] == v:
+                    ns[v] = ptr[v]
+            s = ns
+        return {v: (-1 if x is None else x) for v, x in s.items()}
+
+    for rounds in (1, 2, 3, 4, 32):
+        got = {kv[r["vid"]]: r["partner"] for b in maximal_matching(
+            sg, max_iter=rounds).iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()}
+        assert got == brute(rounds), rounds
+
+    # fixpoint: valid (symmetric, edges exist) and maximal
+    final = brute(64)
+    eset = {(a, b) for a, b in pairs} | {(b, a) for a, b in pairs}
+    for v, p in final.items():
+        if p != -1:
+            assert final[p] == v and (v, p) in eset
+    for a, b in pairs:
+        assert final[a] != -1 or final[b] != -1  # maximal
+
+    mm_f = maximal_matching(sg, max_iter=8, fused=True).to_pandas()
+    mm_d = maximal_matching(sg, max_iter=8, fused=False).to_pandas()
+    assert (mm_f.sort_values("vid").reset_index(drop=True)
+            .equals(mm_d.sort_values("vid").reset_index(drop=True)))
+
+    gs = G.build_graph(edges_ds(clique_pairs(1, 4)), P=P, symmetric=True)
+    with pytest.raises(TypeError):
+        maximal_matching(gs)
+
+
 def test_random_walks_vs_bruteforce():
     """random_walks == a sequential replay of the shared mix arithmetic
     over dst-ascending adjacency; walks die at sinks; custom starts work;
