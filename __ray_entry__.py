@@ -870,6 +870,48 @@ def q_graph_condensation(sf_dir: str):
     return contract_by_label(gf, labels, label_col="scc")
 
 
+def q_graph_dag_levels(sf_dir: str):
+    """Longest-path (topological-depth) layering of the ORIENTED user
+    graph: keep transition edges agreeing with key order (src < dst) —
+    a guaranteed DAG — and run dag_levels (max-plus layering as negated
+    min-plus supersteps). Vertices with no incoming oriented edge sit at
+    level 0; vertices the orientation drops entirely are restored at
+    level 0 by a left join against the full vertex set. Rows
+    (user_id, level). The SCC-condensation composition (quotient graph
+    -> dag_levels) is exercised in tests/test_traversal.py against a
+    multi-SCC fixture."""
+    import pyarrow.compute as pc
+
+    from raylink.graph import build_graph
+    from raylink.kernels import dag_levels
+    from raylink.ops import degree_table, hash_join
+    from raylink.pipelines.flagship import join_keys
+
+    te = _user_edges(sf_dir)
+
+    def orient(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["src"], batch["dst"]))
+
+    g = build_graph(te.map_batches(orient, batch_format="pyarrow"),
+                    P=GRAPH_P, already_deduped=True)
+    lv = _rename(join_keys(dag_levels(g), g, "level"), {"key": "user_id"})
+
+    # full vertex set of the UN-oriented graph (orientation can drop
+    # vertices whose every edge runs against key order)
+    all_v = degree_table(te).select_columns(["v"])
+    all_v = _rename(all_v, {"v": "user_id"})
+
+    def fill(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "level": pc.coalesce(batch["level"], pa.scalar(0, pa.int64())),
+        })
+
+    return hash_join(all_v, lv, on="user_id", how="left_outer",
+                     num_partitions=8).map_batches(
+        fill, batch_format="pyarrow")
+
+
 def q_graph_contract(sf_dir: str):
     """Community-graph contraction: LP(1 round) labels the vertices, then
     the quotient graph (src_label, dst_label, n_edges) is built by two
@@ -2252,6 +2294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_sssp_delta": q_graph_sssp_delta,
         "graph_mis": q_graph_mis,
         "graph_matching": q_graph_matching,
+        "graph_dag_levels": q_graph_dag_levels,
         "graph_walks": q_graph_walks,
         "graph_walks_weighted": q_graph_walks_weighted,
         "graph_sample": q_graph_sample,
@@ -3373,6 +3416,19 @@ def oracle_sql() -> dict[str, str]:
         "WHEN s.v IN (SELECT v FROM ins) THEN 'in' "
         "WHEN s.v IN (SELECT v FROM outs) THEN 'out' "
         "ELSE 'other' END AS cls FROM s"
+    )
+    # oriented-DAG longest-path layering: recursive (v, len) pairs
+    # (UNION dedups, so rows are bounded by V x depth, not path count);
+    # level = max len — terminates because src < dst edges are acyclic
+    sql["graph_dag_levels"] = (
+        f"WITH RECURSIVE {_E_CTE}, "
+        "e2 AS (SELECT src, dst FROM e WHERE src < dst), "
+        "v AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e "
+        "UNION ALL SELECT dst FROM e)), "
+        "p(v, l) AS (SELECT v, 0 FROM v "
+        "UNION SELECT e2.dst, p.l + 1 FROM p JOIN e2 ON e2.src = p.v) "
+        "SELECT v AS user_id, CAST(max(l) AS BIGINT) AS level "
+        "FROM p GROUP BY v"
     )
     sql["graph_lp1"] = (
         f"WITH {_E_CTE}, "

@@ -44,7 +44,8 @@ _INF = np.int64(1 << 62)
 
 def _min_scatter(graph: Graph, *, plus_one: bool,
                  use_weights: bool = False,
-                 bound: int | None = None):
+                 bound: int | None = None,
+                 step: int = 1):
     """``use_weights=True`` (weighted build): each slot relaxes by its
     edge weight instead of +1 — min-plus over edge lengths, i.e. the
     Bellman-Ford step. Falls back to +1 on unweighted blocks.
@@ -96,10 +97,10 @@ def _min_scatter(graph: Graph, *, plus_one: bool,
                             "sssp requires integer edge weights (int64 "
                             "min-plus state); float-weight SSSP would "
                             "need a float distance lattice")
-                    step = blk.w
+                    stp = blk.w
                 else:
-                    step = np.int64(1)
-                vals = np.where(vals >= _INF, _INF, vals + step)
+                    stp = np.int64(step)
+                vals = np.where(vals >= _INF, _INF, vals + stp)
             else:
                 vals = vec[blk.src_local]
             for q in range(P):
@@ -177,11 +178,12 @@ def _min_combine(graph: Graph, bound: int | None = None):
 
 @ray.remote
 def _fused_min_loop(view, state_tab: pa.Table, max_iter: int,
-                    use_weights: bool = False):
+                    use_weights: bool = False, step: int = 1):
     """Fused min-plus propagation (BFS/SSSP) — one task, bit-equal."""
     from .bsp import fused_superstep, table_scalar_sums
 
-    scatter = _min_scatter(view, plus_one=True, use_weights=use_weights)
+    scatter = _min_scatter(view, plus_one=True, use_weights=use_weights,
+                           step=step)
     combine = _min_combine(view)
     metrics = []
     for it in range(1, max_iter + 1):
@@ -278,6 +280,78 @@ def _min_plus_single(graph: Graph, source_vid: int, out_col: str,
             break
 
     out = state_to_vertex_table(state, graph, "vec", out_col)
+    return out.map_batches(decode_f, batch_format="pyarrow")
+
+
+def dag_levels(graph: Graph, *, max_iter: int = 1024,
+               metrics_out: list | None = None,
+               fused: bool | None = None) -> rd.Dataset:
+    """(vid, level) longest-path layering of a DAG: level(v) = 0 for
+    sources, else 1 + max over in-neighbors — the topological depth used
+    to schedule/visualize a condensation DAG.
+
+    Max-plus propagation run as NEGATED min-plus over the existing
+    fresh-bit machinery (every vertex starts dist 0 fresh; each directed
+    edge relaxes dist - 1; fixpoint dist = -level), so the shuffle shape,
+    frontier pruning and fused path are shared with BFS/SSSP verbatim.
+    Converges in (longest path length) rounds on a DAG. On a graph with a
+    directed CYCLE levels diverge — the loop raises if ``max_iter`` rounds
+    pass without a fixpoint rather than return a wrong layering."""
+    if graph.n == 0:
+        from .bsp import empty_vertex_result
+
+        return empty_vertex_result({"level": pa.int64()})
+
+    def init_of(p: int) -> np.ndarray:
+        return np.ones(int(graph.n_per_part[p]), dtype=np.int64)
+
+    state = init_state(graph, init_of, dtype=pa.int64())
+
+    def decode_f(batch: pa.Table) -> pa.Table:
+        enc = batch["level"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vid": batch["vid"],
+            "level": pa.array(-(enc >> 1), pa.int64()),
+        })
+
+    from .bsp import fused_eligible, graph_view, state_table
+
+    converged = False
+    if fused_eligible(graph, fused):
+        final_tab, metrics = ray.get(_fused_min_loop.remote(
+            graph_view(graph), state_table(state), max_iter, False, -1))
+        if metrics_out is not None:
+            metrics_out.extend(metrics)
+        converged = bool(metrics) and metrics[-1]["changed"] == 0
+        state = rd.from_arrow(final_tab)
+    else:
+        scatter = _min_scatter(graph, plus_one=True, step=-1)
+        combine = _min_combine(graph)
+        for it in range(1, max_iter + 1):
+            t0 = time.perf_counter()
+            state = (
+                maybe_expand_chunks(state, graph)
+                .map_batches(scatter, batch_format="pyarrow", batch_size=1,
+                             zero_copy_batch=True)
+                .groupby("dst_part")
+                .map_groups(combine, batch_format="pyarrow")
+                .materialize()
+            )
+            changed = int(sum_columns(state, ["changed"])["changed"])
+            if metrics_out is not None:
+                metrics_out.append({"iter": it, "changed": changed,
+                                    "sec": time.perf_counter() - t0})
+            if changed == 0:
+                converged = True
+                break
+        state = state.select_columns(["part", "vec"])
+    if not converged:
+        raise ValueError(
+            f"dag_levels did not reach a fixpoint in {max_iter} rounds — "
+            "the graph has a directed cycle (levels diverge) or the DAG "
+            "is deeper than max_iter")
+
+    out = state_to_vertex_table(state, graph, "vec", "level")
     return out.map_batches(decode_f, batch_format="pyarrow")
 
 

@@ -2692,3 +2692,110 @@ def test_multilevel_communities_refine_and_determinize():
     am = dict(zip(a["user_id"], a["community"]))
     bm = dict(zip(b["user_id"], b["community"]))
     assert am == bm and len(am) > 0
+
+
+def _longest_path_levels(edges, nodes):
+    """Brute-force topological DP: level(v) = 0 for sources, else
+    1 + max over in-neighbors. Raises on a cycle (no topo order)."""
+    import collections
+
+    indeg = collections.Counter()
+    adj = collections.defaultdict(list)
+    for a, b in edges:
+        indeg[b] += 1
+        adj[a].append(b)
+    lvl = {v: 0 for v in nodes}
+    ready = [v for v in nodes if indeg[v] == 0]
+    seen = 0
+    while ready:
+        v = ready.pop()
+        seen += 1
+        for w in adj[v]:
+            lvl[w] = max(lvl[w], lvl[v] + 1)
+            indeg[w] -= 1
+            if indeg[w] == 0:
+                ready.append(w)
+    assert seen == len(nodes), "cycle in fixture"
+    return lvl
+
+
+def test_dag_levels_vs_topological_dp():
+    """dag_levels == sequential longest-path DP on a chain, a diamond
+    with a side source, and random src<dst-oriented DAGs; fused ==
+    distributed bit-equal; a directed cycle raises instead of returning
+    a wrong layering."""
+    import pytest
+
+    from raylink.kernels import dag_levels
+
+    rng = np.random.default_rng(7)
+    cases = [
+        [(i, i + 1) for i in range(9)],                       # chain
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (9, 4)],     # diamond+src
+    ]
+    for n, m in ((30, 90), (50, 70)):
+        e = set()
+        while len(e) < m:
+            a, b = sorted(rng.integers(0, n, 2))
+            if a != b:
+                e.add((int(a), int(b)))              # a < b: acyclic
+        cases.append(sorted(e))
+
+    for ci, edges in enumerate(cases):
+        nodes = sorted({x for p in edges for x in p})
+        g = G.build_graph(_int_edges_ds(edges), P=4, already_deduped=True)
+        out = dag_levels(g).to_pandas()
+        vk = g.vertices.to_pandas()[["vid", "key"]]
+        got = dict(zip(*(lambda m: (m["key"], m["level"]))(
+            out.merge(vk, on="vid"))))
+        assert got == _longest_path_levels(edges, nodes)
+        if ci == 1:  # fused == distributed (integer kernel, bit-equal)
+            dist = dag_levels(g, fused=False).to_pandas()
+            dd = dist.merge(vk, on="vid")
+            assert dict(zip(dd["key"], dd["level"])) == got
+
+    cyc = G.build_graph(_int_edges_ds([(0, 1), (1, 2), (2, 0)]), P=4,
+                        already_deduped=True)
+    with pytest.raises(ValueError, match="cycle|fixpoint"):
+        dag_levels(cyc, max_iter=32)
+
+
+def test_dag_levels_condensation_composition():
+    """SCC labels -> quotient graph (self-pairs dropped) -> dag_levels:
+    the condensation of any directed graph is a DAG, and its layering
+    matches the sequential DP over the brute-force quotient."""
+    import pyarrow.compute as pc
+
+    from raylink.graph import contract_by_label
+    from raylink.kernels import dag_levels, strongly_connected_components
+
+    # two 3-cycles chained into a 2-cycle-free quotient, plus a tail and
+    # an isolated pair of singleton SCCs
+    edges = [(0, 1), (1, 2), (2, 0),            # SCC A
+             (2, 10), (10, 11), (11, 12), (12, 10),   # A -> SCC B
+             (12, 20), (20, 21),                # B -> chain
+             (30, 31)]                          # disconnected
+    nodes = sorted({x for p in edges for x in p})
+    prep = G.prepare_edges(_int_edges_ds(edges), P=4, already_deduped=True)
+    gf, gr = G.build_graph_fwd_rev(prep)
+    labels = strongly_connected_components(gf, gr, init="key")
+    quot = contract_by_label(gf, labels, label_col="scc")
+
+    def non_self(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.not_equal(batch["src_label"],
+                                      batch["dst_label"]))
+        return pa.table({"src": b["src_label"], "dst": b["dst_label"]})
+
+    qg = G.build_graph(quot.map_batches(non_self, batch_format="pyarrow"),
+                       P=4, already_deduped=True)
+    out = dag_levels(qg).to_pandas()
+    vk = qg.vertices.to_pandas()[["vid", "key"]]
+    got = dict(zip(*(lambda m: (m["key"], m["level"]))(
+        out.merge(vk, on="vid"))))
+
+    # brute-force quotient from Tarjan labels
+    lbl = _tarjan_min_label(edges, nodes)
+    qedges = sorted({(lbl[a], lbl[b]) for a, b in edges
+                     if lbl[a] != lbl[b]})
+    qnodes = sorted({x for p in qedges for x in p})
+    assert got == _longest_path_levels(qedges, qnodes)
