@@ -2198,6 +2198,80 @@ def _media_frame_values() -> str:
     return ", ".join(rows)
 
 
+FUZZY_CANDIDATES = ["ECONOMIC", "GRANDE", "MEDIAN", "PROMOTION", "PETITE",
+                    "STANDARD ISSUE"]
+
+
+def q_rollup_revenue(sf_dir: str):
+    """GROUPING-SETS subtotal aggregate (§2.8): revenue cents at
+    (region, nation), (region) and grand-total ROLLUP levels — one shuffle
+    over orders, subtotals re-aggregated from the finest result."""
+    from raylink.ops import broadcast_left_join, rollup_sum
+
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey").merge(
+        reg, left_on="n_regionkey", right_on="r_regionkey"
+    )[["c_custkey", "r_name", "n_name"]].rename(
+        columns={"c_custkey": "o_custkey"})
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_left_join(orders, dim, "o_custkey",
+                                 ["r_name", "n_name"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(batch["o_totalprice"],
+                                                pa.scalar(100.0)),
+                                    pa.scalar(0.5))), pa.int64())
+        return pa.table({"r_name": batch["r_name"],
+                         "n_name": batch["n_name"], "cents": c})
+
+    return rollup_sum(joined.map_batches(cents, batch_format="pyarrow"),
+                      ["r_name", "n_name"], "cents", "revenue")
+
+
+def q_part_type_fuzzy(sf_dir: str):
+    """Broadcast fuzzy (Levenshtein) lookup of part types against a tiny
+    canonical list (§2.7 channel fuzzy-resolution analog)."""
+    from raylink.ops import fuzzy_lookup
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    out = fuzzy_lookup(parts, "p_type", FUZZY_CANDIDATES)
+    return out.select_columns(["p_partkey", "p_type", "best_match", "dist"])
+
+
+def q_running_revenue(sf_dir: str):
+    """Per-customer running revenue total in order-date order (§2.10
+    ordered window aggregate; exact int64 cents cumsum)."""
+    from raylink.ops import running_total
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(batch["o_totalprice"],
+                                                pa.scalar(100.0)),
+                                    pa.scalar(0.5))), pa.int64())
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "o_custkey": batch["o_custkey"],
+                         "o_orderdate": batch["o_orderdate"],
+                         "cents": c})
+
+    out = running_total(orders.map_batches(cents, batch_format="pyarrow"),
+                        "o_custkey", ["o_orderdate", "o_orderkey"],
+                        "cents", "run_cents")
+    return out.select_columns(["o_orderkey", "o_custkey", "run_cents"])
+
+
+def q_doc_regex_extract(sf_dir: str):
+    """First-match regex field extraction per document (§2.5 extraction
+    kernel; '' on no match, byte-identical to DuckDB regexp_extract)."""
+    from raylink.textops import regex_extract
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return regex_extract(docs, pattern=r"[a-z]{8,}")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2353,6 +2427,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
         "media_frame_sample": q_media_frame_sample,
         "media_features": q_media_features,
+        "rollup_revenue": q_rollup_revenue,
+        "part_type_fuzzy": q_part_type_fuzzy,
+        "running_revenue": q_running_revenue,
+        "doc_regex_extract": q_doc_regex_extract,
     }
 
 
@@ -3877,6 +3955,36 @@ def oracle_sql() -> dict[str, str]:
     sql["media_frame_sample"] = (
         "SELECT * FROM (VALUES " + _media_frame_values() +
         ") AS t(media_id, kind, frame_idx)"
+    )
+    sql["rollup_revenue"] = (
+        "SELECT r_name, n_name, CAST(sum(cents) AS BIGINT) AS revenue FROM ("
+        "SELECT r.r_name, n.n_name, "
+        "CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) AS cents "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey) "
+        "GROUP BY ROLLUP(r_name, n_name)"
+    )
+    _cands_values = ", ".join(f"('{c}')" for c in FUZZY_CANDIDATES)
+    sql["part_type_fuzzy"] = (
+        "SELECT p_partkey, p_type, best_match, dist FROM ("
+        "SELECT p.p_partkey, p.p_type, t.c AS best_match, "
+        "CAST(levenshtein(p.p_type, t.c) AS BIGINT) AS dist, "
+        "row_number() OVER (PARTITION BY p.p_partkey "
+        "ORDER BY levenshtein(p.p_type, t.c), t.c) AS rn "
+        "FROM part p CROSS JOIN (VALUES " + _cands_values + ") t(c)"
+        ") WHERE rn = 1"
+    )
+    sql["running_revenue"] = (
+        "SELECT o_orderkey, o_custkey, "
+        "CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) "
+        "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents "
+        "FROM orders"
+    )
+    sql["doc_regex_extract"] = (
+        "SELECT doc_id, regexp_extract(text, '[a-z]{8,}') AS extracted "
+        "FROM documents"
     )
     # doc_lang_id, doc_minhash_pairs, doc_simhash, emb_knn_lsh, emb_knn_ivf,
     # emb_near_dups_lsh, media_features, approx_*: model/sketch/stub ops

@@ -1748,3 +1748,195 @@ def funnel(events: rd.Dataset, user_col: str, ts_col: str, type_col: str,
 
     return rows.union(marks).groupby(user_col).map_groups(
         per_user, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# grouping-sets / ROLLUP aggregate (§2.8 grouped stats, subtotal family)
+# ---------------------------------------------------------------------------
+
+def rollup_sum(ds: rd.Dataset, group_cols: list[str], value_col: str,
+               out_col: str = "total") -> rd.Dataset:
+    """SUM at every ROLLUP level of ``group_cols``: the finest level plus
+    each prefix with trailing keys nulled, plus the grand total — the SQL
+    ``GROUP BY ROLLUP(a, b, ...)`` shape (reference parity: the per-section
+    grouped stats re-aggregated to per-record and global summaries,
+    peak_detect_v4.py:1571-1659 -> support.py:328-329).
+
+    Scale shape: exactly ONE shuffle over the raw data — a per-batch
+    partial pre-aggregation on the finest key set feeds one distributed
+    ``groupby(group_cols)``; every coarser level is derived by
+    re-aggregating the (already tiny, one row per distinct key combo)
+    finest aggregate, so subtotals never touch the raw table again.
+    ``value_col`` must be integer (int64 fixed-point upstream) so sums are
+    exact and order-free at any parallelism."""
+    from ray.data.aggregate import Sum
+
+    if not group_cols:
+        raise ValueError("rollup_sum needs at least one group column")
+
+    # capture the group-key arrow types for typed nulls in coarser levels
+    key_types = {f.name: f.type for f in ds.schema().base_schema
+                 if f.name in group_cols}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({c: batch[c].to_pandas() for c in group_cols})
+        df[out_col] = batch[value_col].to_numpy(zero_copy_only=False)
+        agg = df.groupby(group_cols, sort=False, dropna=False)[
+            out_col].sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    finest = (ds.select_columns(group_cols + [value_col])
+              .map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby(group_cols)
+              .aggregate(Sum(out_col, alias_name=out_col))
+              .materialize())
+
+    levels = [finest]
+    for j in range(len(group_cols) - 1, -1, -1):
+        keep = group_cols[:j]
+        nulled = group_cols[j:]
+
+        def add_nulls(batch: pa.Table, nulled=tuple(nulled)) -> pa.Table:
+            cols = {}
+            for c in group_cols:
+                if c in nulled:
+                    cols[c] = pa.nulls(len(batch), key_types[c])
+                else:
+                    cols[c] = batch[c]
+            cols[out_col] = batch[out_col]
+            return pa.table(cols)
+
+        if keep:
+            lvl = finest.groupby(keep).aggregate(
+                Sum(out_col, alias_name=out_col))
+        else:
+            total = 0
+            for b in finest.select_columns([out_col]).iter_batches(
+                    batch_format="pyarrow"):
+                total += int(pc.sum(b[out_col]).as_py() or 0)
+            lvl = rd.from_arrow(pa.table({out_col: pa.array([total],
+                                                            pa.int64())}))
+        levels.append(lvl.map_batches(add_nulls, batch_format="pyarrow"))
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# fuzzy broadcast lookup (§2.7 channel fuzzy lookup analog)
+# ---------------------------------------------------------------------------
+
+def _levenshtein_matrix(values: np.ndarray, lengths: np.ndarray,
+                        cand: str) -> np.ndarray:
+    """Edit distance from every row of a padded uint8 char matrix to one
+    candidate string, vectorized across rows (DP loops run over the two
+    *string lengths* only — N-row work is numpy)."""
+    n, width = values.shape
+    m = len(cand)
+    cb = np.frombuffer(cand.encode("utf-8"), dtype=np.uint8)
+    if len(cb) != m:  # non-ascii candidate: fall back to code points
+        cb = np.array([ord(ch) for ch in cand], dtype=np.uint32)
+    prev = np.tile(np.arange(width + 1, dtype=np.int64), (n, 1))
+    cur = np.empty_like(prev)
+    for i in range(1, m + 1):
+        cur[:, 0] = i
+        ci = cb[i - 1]
+        sub_cost = (values != ci).astype(np.int64)  # (n, width)
+        for j in range(1, width + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + sub_cost[:, j - 1])
+        prev, cur = cur, prev
+    return prev[np.arange(n), lengths]
+
+
+def fuzzy_lookup(ds: rd.Dataset, col: str, candidates: list[str],
+                 *, match_col: str = "best_match",
+                 dist_col: str = "dist") -> rd.Dataset:
+    """Nearest-candidate Levenshtein lookup against a tiny broadcast list
+    (reference parity: fuzzy channel-name resolution,
+    porcine/pig_extract.py:1425-1532). Ties break on the lexicographically
+    smallest candidate, matching a ``row_number() OVER (ORDER BY dist, c)``
+    SQL twin.
+
+    Scale shape: the candidate list rides the task closure (broadcast
+    small side, §2.7); per batch the DP is vectorized across rows and only
+    computed once per *distinct* value (dictionary-encode first), so the
+    hot loop is O(|cand| x len^2) numpy passes, not per-row Python."""
+    cands = sorted(candidates)
+    if not cands:
+        raise ValueError("fuzzy_lookup needs at least one candidate")
+
+    def f(batch: pa.Table) -> pa.Table:
+        col_arr = batch[col].combine_chunks()
+        enc = pc.dictionary_encode(col_arr)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        uniq = enc.dictionary.to_pylist()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        if len(uniq) == 0:
+            out = batch.append_column(match_col, pa.array([], pa.string()))
+            return out.append_column(dist_col, pa.array([], pa.int64()))
+        bs = [(u or "").encode("utf-8") for u in uniq]
+        # non-ascii values: fall back to code-point arrays for exactness
+        if any(len(b) != len(u or "") for b, u in zip(bs, uniq)):
+            lens = np.array([len(u or "") for u in uniq], np.int64)
+            width = max(1, int(lens.max()))
+            mat = np.zeros((len(uniq), width), np.uint32)
+            for r, u in enumerate(uniq):
+                for q, ch in enumerate(u or ""):
+                    mat[r, q] = ord(ch)
+        else:
+            lens = np.array([len(b) for b in bs], np.int64)
+            width = max(1, int(lens.max()))
+            mat = np.zeros((len(bs), width), np.uint8)
+            for r, b in enumerate(bs):
+                mat[r, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        best_d = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        best_i = np.zeros(len(uniq), np.int64)
+        for idx, cand in enumerate(cands):
+            d = _levenshtein_matrix(mat, lens, cand)
+            better = d < best_d  # cands sorted asc -> first win = tie rule
+            best_d = np.where(better, d, best_d)
+            best_i = np.where(better, idx, best_i)
+        cand_arr = np.array(cands, dtype=object)
+        out = batch.append_column(
+            match_col, pa.array(cand_arr[best_i[codes]], pa.string()))
+        return out.append_column(
+            dist_col, pa.array(best_d[codes], pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# per-group running total (ordered window aggregate, §2.10)
+# ---------------------------------------------------------------------------
+
+def running_total(ds: rd.Dataset, part_col: str, order_cols: list[str],
+                  value_col: str, out_col: str = "running") -> rd.Dataset:
+    """Cumulative SUM per partition in ``order_cols`` order — the SQL
+    ``SUM(v) OVER (PARTITION BY p ORDER BY o ROWS UNBOUNDED PRECEDING)``
+    window shape (reference parity: the carried per-section accumulators of
+    the ordered extraction loop, peak_detect_v4.py:1664-1671, re-expressed
+    as an order-explicit grouped scan).
+
+    ``value_col`` must be integer (fixed-point upstream): int64 cumsum is
+    exact and independent of partition placement. One groupby shuffle;
+    per-group work is a vectorized sort + cumsum (groups = one key's rows,
+    the same partitioning assumption as sessionize/lag)."""
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort")
+        vals = g[value_col].to_numpy()
+        if not np.issubdtype(vals.dtype, np.integer):
+            raise TypeError(
+                f"running_total needs an integer value column, got "
+                f"{vals.dtype}: convert to fixed-point first")
+        g = g.copy()
+        g[out_col] = np.cumsum(vals.astype(np.int64))
+        return g
+
+    return ds.groupby(part_col).map_groups(f, batch_format="pandas")

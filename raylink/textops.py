@@ -455,3 +455,24 @@ def lm_surprisal2(ds: rd.Dataset, id_col: str = "doc_id",
         Sum("n", alias_name="n_bigrams"),
         Sum("s", alias_name="surprisal2_fp"))
     return agg.union(empty).map_batches(fin, batch_format="pyarrow")
+
+
+def regex_extract(ds: rd.Dataset, id_col: str = "doc_id",
+                  text_col: str = "text", *,
+                  pattern: str = r"[a-z]{8,}",
+                  out_col: str = "extracted") -> rd.Dataset:
+    """First-match regex field extraction per document (the structured-
+    field pull of a web-text pipeline; reference parity: the regex header
+    parse of the .rri reader, lib_ebm/correct_rpeak.py:8-48). No match ->
+    empty string, matching DuckDB ``regexp_extract``'s convention so the
+    SQL twin is byte-identical. Vectorized pandas-str (C loop) kernel;
+    keep ``pattern`` RE2-compatible (no backrefs/lookaround) for oracle
+    parity."""
+    grouped = f"({pattern})"
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        txt = batch[text_col].fillna("")
+        out = txt.str.extract(grouped, expand=False).fillna("")
+        return pd.DataFrame({id_col: batch[id_col], out_col: out})
+
+    return ds.map_batches(f, batch_format="pandas")

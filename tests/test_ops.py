@@ -1141,3 +1141,65 @@ def test_chunk_dup_stats_overlapping_stride():
     assert got["n_chunks"].tolist() == [3, 3]
     assert got["n_dup_chunks"].tolist() == [3, 3]  # twin docs: all dup
     assert got["dup_chunk_ratio"].tolist() == [1000000, 1000000]
+
+
+def test_rollup_sum_levels_hand_built():
+    from raylink.ops import rollup_sum
+
+    ds = ds_of({"a": ["x", "x", "y", "y", "y"],
+                "b": ["p", "q", "p", "p", "q"],
+                "v": [1, 2, 4, 8, 16]})
+    out = rollup_sum(ds, ["a", "b"], "v", "t").to_pandas()
+    got = {(r["a"], r["b"]): r["t"] for _, r in out.iterrows()}
+    # pandas None/NaN normalization
+    got = {(a if isinstance(a, str) else None,
+            b if isinstance(b, str) else None): int(t)
+           for (a, b), t in got.items()}
+    assert got == {
+        ("x", "p"): 1, ("x", "q"): 2, ("y", "p"): 12, ("y", "q"): 16,
+        ("x", None): 3, ("y", None): 28, (None, None): 31,
+    }
+    assert len(out) == 7
+
+
+def test_fuzzy_lookup_distances_and_tiebreak():
+    from raylink.ops import fuzzy_lookup
+
+    ds = ds_of({"s": ["kitten", "abc", "zzz", ""]})
+    out = fuzzy_lookup(ds, "s", ["sitting", "abd", "abe"]).to_pandas()
+    by = out.set_index("s")
+    assert by.loc["kitten", "dist"] == 3  # classic
+    # "abc" ties abd/abe at 1 -> lexicographically smallest candidate
+    assert by.loc["abc", "best_match"] == "abd"
+    assert by.loc["abc", "dist"] == 1
+    assert by.loc["zzz", "dist"] == 3
+    assert by.loc["", "best_match"] == "abd"  # "" -> insertions only
+    assert by.loc["", "dist"] == 3
+
+
+def test_running_total_order_and_exactness():
+    from raylink.ops import running_total
+
+    ds = ds_of({"k": [1, 1, 1, 2], "o": [3, 1, 2, 9],
+                "v": np.array([10, 1, 100, 7], dtype=np.int64)})
+    out = running_total(ds, "k", ["o"], "v", "run").to_pandas()
+    out = out.sort_values(["k", "o"])
+    assert out["run"].tolist() == [1, 101, 111, 7]
+
+
+def test_running_total_rejects_floats():
+    from raylink.ops import running_total
+
+    ds = ds_of({"k": [1], "o": [1], "v": [1.5]})
+    with pytest.raises(Exception):
+        running_total(ds, "k", ["o"], "v").to_pandas()
+
+
+def test_regex_extract_first_match_and_empty():
+    from raylink.textops import regex_extract
+
+    ds = ds_of({"doc_id": [1, 2, 3],
+                "text": ["xx abcdefgh then zzzzzzzzz", "short words", None]})
+    out = regex_extract(ds, pattern=r"[a-z]{8,}").to_pandas()
+    out = out.sort_values("doc_id")
+    assert out["extracted"].tolist() == ["abcdefgh", "", ""]
