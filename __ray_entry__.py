@@ -2230,6 +2230,26 @@ def q_rollup_revenue(sf_dir: str):
                       ["r_name", "n_name"], "cents", "revenue")
 
 
+def q_cube_revenue(sf_dir: str):
+    """CUBE subtotal aggregate (§2.8): revenue cents at every subset of
+    (status, priority) — 2^k levels from one shuffle."""
+    from raylink.ops import cube_sum
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(batch["o_totalprice"],
+                                                pa.scalar(100.0)),
+                                    pa.scalar(0.5))), pa.int64())
+        return pa.table({"o_orderstatus": batch["o_orderstatus"],
+                         "o_orderpriority": batch["o_orderpriority"],
+                         "cents": c})
+
+    return cube_sum(orders.map_batches(cents, batch_format="pyarrow"),
+                    ["o_orderstatus", "o_orderpriority"], "cents", "revenue")
+
+
 def q_part_type_fuzzy(sf_dir: str):
     """Broadcast fuzzy (Levenshtein) lookup of part types against a tiny
     canonical list (§2.7 channel fuzzy-resolution analog)."""
@@ -2428,6 +2448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_sample": q_media_frame_sample,
         "media_features": q_media_features,
         "rollup_revenue": q_rollup_revenue,
+        "cube_revenue": q_cube_revenue,
         "part_type_fuzzy": q_part_type_fuzzy,
         "running_revenue": q_running_revenue,
         "doc_regex_extract": q_doc_regex_extract,
@@ -3964,6 +3985,12 @@ def oracle_sql() -> dict[str, str]:
         "JOIN nation n ON c.c_nationkey = n.n_nationkey "
         "JOIN region r ON n.n_regionkey = r.r_regionkey) "
         "GROUP BY ROLLUP(r_name, n_name)"
+    )
+    sql["cube_revenue"] = (
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS revenue FROM orders "
+        "GROUP BY CUBE(o_orderstatus, o_orderpriority)"
     )
     _cands_values = ", ".join(f"('{c}')" for c in FUZZY_CANDIDATES)
     sql["part_type_fuzzy"] = (

@@ -1754,17 +1754,19 @@ def funnel(events: rd.Dataset, user_col: str, ts_col: str, type_col: str,
 # grouping-sets / ROLLUP aggregate (§2.8 grouped stats, subtotal family)
 # ---------------------------------------------------------------------------
 
-def rollup_sum(ds: rd.Dataset, group_cols: list[str], value_col: str,
-               out_col: str = "total") -> rd.Dataset:
-    """SUM at every ROLLUP level of ``group_cols``: the finest level plus
-    each prefix with trailing keys nulled, plus the grand total — the SQL
-    ``GROUP BY ROLLUP(a, b, ...)`` shape (reference parity: the per-section
-    grouped stats re-aggregated to per-record and global summaries,
-    peak_detect_v4.py:1571-1659 -> support.py:328-329).
+def grouping_sets_sum(ds: rd.Dataset, group_cols: list[str],
+                      sets: list[tuple[str, ...]], value_col: str,
+                      out_col: str = "total") -> rd.Dataset:
+    """SUM at arbitrary GROUPING SETS over ``group_cols`` — the SQL
+    ``GROUP BY GROUPING SETS ((a,b), (a), ())`` shape (reference parity:
+    the per-section grouped stats re-aggregated to per-record and global
+    summaries, peak_detect_v4.py:1571-1659 -> support.py:328-329).
+    ROLLUP and CUBE are the prefix / power-set instances (see
+    :func:`rollup_sum` / :func:`cube_sum`).
 
     Scale shape: exactly ONE shuffle over the raw data — a per-batch
     partial pre-aggregation on the finest key set feeds one distributed
-    ``groupby(group_cols)``; every coarser level is derived by
+    ``groupby(group_cols)``; every requested set is derived by
     re-aggregating the (already tiny, one row per distinct key combo)
     finest aggregate, so subtotals never touch the raw table again.
     ``value_col`` must be integer (int64 fixed-point upstream) so sums are
@@ -1772,7 +1774,15 @@ def rollup_sum(ds: rd.Dataset, group_cols: list[str], value_col: str,
     from ray.data.aggregate import Sum
 
     if not group_cols:
-        raise ValueError("rollup_sum needs at least one group column")
+        raise ValueError("grouping_sets_sum needs at least one group column")
+    norm_sets = []
+    for s in sets:
+        s = tuple(s)
+        if any(c not in group_cols for c in s):
+            raise ValueError(f"grouping set {s} not within {group_cols}")
+        norm_sets.append(s)
+    if not norm_sets:
+        raise ValueError("grouping_sets_sum needs at least one set")
 
     # capture the group-key arrow types for typed nulls in coarser levels
     key_types = {f.name: f.type for f in ds.schema().base_schema
@@ -1792,12 +1802,12 @@ def rollup_sum(ds: rd.Dataset, group_cols: list[str], value_col: str,
               .aggregate(Sum(out_col, alias_name=out_col))
               .materialize())
 
-    levels = [finest]
-    for j in range(len(group_cols) - 1, -1, -1):
-        keep = group_cols[:j]
-        nulled = group_cols[j:]
+    levels = []
+    for s in norm_sets:
+        keep = [c for c in group_cols if c in s]  # canonical column order
+        nulled = tuple(c for c in group_cols if c not in s)
 
-        def add_nulls(batch: pa.Table, nulled=tuple(nulled)) -> pa.Table:
+        def add_nulls(batch: pa.Table, nulled=nulled) -> pa.Table:
             cols = {}
             for c in group_cols:
                 if c in nulled:
@@ -1807,6 +1817,9 @@ def rollup_sum(ds: rd.Dataset, group_cols: list[str], value_col: str,
             cols[out_col] = batch[out_col]
             return pa.table(cols)
 
+        if len(keep) == len(group_cols):
+            levels.append(finest)
+            continue
         if keep:
             lvl = finest.groupby(keep).aggregate(
                 Sum(out_col, alias_name=out_col))
@@ -1823,6 +1836,27 @@ def rollup_sum(ds: rd.Dataset, group_cols: list[str], value_col: str,
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def rollup_sum(ds: rd.Dataset, group_cols: list[str], value_col: str,
+               out_col: str = "total") -> rd.Dataset:
+    """``GROUP BY ROLLUP(a, b, ...)``: every key prefix plus the grand
+    total. One raw-data shuffle (see :func:`grouping_sets_sum`)."""
+    sets = [tuple(group_cols[:j]) for j in range(len(group_cols), -1, -1)]
+    return grouping_sets_sum(ds, group_cols, sets, value_col, out_col)
+
+
+def cube_sum(ds: rd.Dataset, group_cols: list[str], value_col: str,
+             out_col: str = "total") -> rd.Dataset:
+    """``GROUP BY CUBE(a, b, ...)``: every subset of the keys. One
+    raw-data shuffle (see :func:`grouping_sets_sum`); 2^k derived levels,
+    each re-aggregated from the finest result."""
+    from itertools import combinations
+
+    sets: list[tuple[str, ...]] = []
+    for r in range(len(group_cols), -1, -1):
+        sets.extend(combinations(group_cols, r))
+    return grouping_sets_sum(ds, group_cols, sets, value_col, out_col)
 
 
 # ---------------------------------------------------------------------------

@@ -1203,3 +1203,21 @@ def test_regex_extract_first_match_and_empty():
     out = regex_extract(ds, pattern=r"[a-z]{8,}").to_pandas()
     out = out.sort_values("doc_id")
     assert out["extracted"].tolist() == ["abcdefgh", "", ""]
+
+
+def test_cube_sum_all_subsets():
+    from raylink.ops import cube_sum
+
+    ds = ds_of({"a": ["x", "x", "y"], "b": ["p", "q", "p"],
+                "v": [1, 2, 4]})
+    out = cube_sum(ds, ["a", "b"], "v", "t").to_pandas()
+    norm = {(r["a"] if isinstance(r["a"], str) else None,
+             r["b"] if isinstance(r["b"], str) else None): int(r["t"])
+            for _, r in out.iterrows()}
+    assert norm == {
+        ("x", "p"): 1, ("x", "q"): 2, ("y", "p"): 4,
+        ("x", None): 3, ("y", None): 4,
+        (None, "p"): 5, (None, "q"): 2,
+        (None, None): 7,
+    }
+    assert len(out) == 8
