@@ -1527,6 +1527,20 @@ def q_graph_triangles(sf_dir: str):
     return pa.table({"n_triangles": pa.array([triangle_count(sg)], pa.int64())})
 
 
+def q_graph_triangles_dense(sf_dir: str):
+    """Same exact count via the high-degree-core fallback: wedges only
+    from non-core centers + dense bitset popcount over the core-induced
+    oriented subgraph (the extreme-skew path). Low threshold on purpose so
+    the dense stage carries real load at sf0.01."""
+    from raylink.graph import build_graph
+    from raylink.kernels import triangle_count
+
+    sg = build_graph(_user_edges(sf_dir), P=GRAPH_P, symmetric=True,
+                     already_deduped=True)
+    n = triangle_count(sg, dense_core_deg=8)
+    return pa.table({"n_triangles": pa.array([n], pa.int64())})
+
+
 # ---------------------------------------------------------------------------
 # flagship pages pipeline (synthetic corpus; SQL oracle over the known
 # true edge list — the Ray side must re-derive it from raw HTML)
@@ -2401,6 +2415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_local_clustering": q_graph_local_clustering,
         "graph_truss_support": q_graph_truss_support,
         "graph_triangles": q_graph_triangles,
+        "graph_triangles_dense": q_graph_triangles_dense,
         "pages_docs": q_pages_docs,
         "pages_pagerank": q_pages_pagerank,
         "pages_components": q_pages_components,
@@ -3576,6 +3591,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM u2 e1 "
         "JOIN u2 e2 ON e2.a = e1.b JOIN u2 e3 ON e3.a = e1.a AND e3.b = e2.b"
     )
+    sql["graph_triangles_dense"] = sql["graph_triangles"]
     sql["graph_truss_support"] = (
         f"WITH {_E_CTE}, "
         "u2 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "

@@ -90,13 +90,51 @@ def _pack_rows(bucket: np.ndarray, codes: np.ndarray, kind: int,
     }, schema=_PAIR_SCHEMA)
 
 
+def _part_edges(chunks, p: int, P: int, deg_refs: dict):
+    """One partition's directed edge list as global-vid arrays plus both
+    endpoint degrees: (u, v, deg_u, deg_v). Fetches only the per-partition
+    degree arrays this partition references (O(n/P) each)."""
+    import ray as _ray
+
+    deg_own = chunks[0].deg.astype(np.int64)
+    us, vs, dvs = [], [], []
+    need_q = set()
+    for blk in chunks:
+        for q in range(P):
+            if blk.bounds[q + 1] > blk.bounds[q]:
+                need_q.add(q)
+    deg_q = {q: np.asarray(_ray.get(deg_refs[q]), dtype=np.int64)
+             for q in need_q if q in deg_refs}
+    for blk in chunks:
+        for q in range(P):
+            lo, hi = blk.bounds[q], blk.bounds[q + 1]
+            if hi <= lo:
+                continue
+            sl = blk.src_local[lo:hi].astype(np.int64)
+            dl = blk.dst_local[lo:hi].astype(np.int64)
+            us.append(sl * P + p)
+            vs.append(dl * P + q)
+            dvs.append(deg_q[q][dl])
+    if not us:
+        z = np.array([], np.int64)
+        return z, z, z, z
+    u = np.concatenate(us)
+    v = np.concatenate(vs)
+    return u, v, deg_own[(u // P)], np.concatenate(dvs)
+
+
 def _make_emit(graph: Graph, B: int, C: np.int64, max_emit: int,
-               deg_refs: dict, *, with_centers: bool = False):
+               deg_refs: dict, *, with_centers: bool = False,
+               core_deg: int | None = None):
     """Oriented-edge + wedge emitter over a parts dataset (one task per
     partition). ``with_centers=True`` additionally packs each wedge's
     center vid alongside its pair code (doubles wedge shuffle bytes) so a
     closed wedge can be attributed to all three triangle corners — the
-    local-clustering path; the exact-count path skips it."""
+    local-clustering path; the exact-count path skips it. ``core_deg``:
+    suppress wedge expansion for centers with degree >= core_deg (their
+    triangles are counted by the dense-core stage instead); oriented
+    EDGES are still emitted for every vertex — a non-core-centered wedge
+    may close through a core-core edge."""
     P = graph.P
     refs = graph.blocks
 
@@ -106,40 +144,18 @@ def _make_emit(graph: Graph, B: int, C: np.int64, max_emit: int,
         tabs = [_PAIR_SCHEMA.empty_table()]
         for p in batch["part"].to_pylist():
             chunks = [_ray.get(r) for r in refs[p]]
-            deg_u = chunks[0].deg.astype(np.int64)
-            # gather this partition's full edge list as global-vid arrays
-            us, vs, dvs = [], [], []
-            need_q = set()
-            for blk in chunks:
-                for q in range(P):
-                    lo, hi = blk.bounds[q], blk.bounds[q + 1]
-                    if hi > lo:
-                        need_q.add(q)
-            deg_q = {q: np.asarray(_ray.get(deg_refs[q]), dtype=np.int64)
-                     for q in need_q if q in deg_refs}
-            for blk in chunks:
-                for q in range(P):
-                    lo, hi = blk.bounds[q], blk.bounds[q + 1]
-                    if hi <= lo:
-                        continue
-                    sl = blk.src_local[lo:hi].astype(np.int64)
-                    dl = blk.dst_local[lo:hi].astype(np.int64)
-                    us.append(sl * P + p)
-                    vs.append(dl * P + q)
-                    dvs.append(deg_q[q][dl])
-            u = np.concatenate(us)
-            v = np.concatenate(vs)
-            du = deg_u[(u // P)]
-            dv = np.concatenate(dvs)
+            u, v, du, dv = _part_edges(chunks, p, P, deg_refs)
             # orient: keep (u,v) with (deg,vid)-rank(u) < rank(v)
             keep = (du < dv) | ((du == dv) & (u < v))
             ou, ov, odv = u[keep], v[keep], dv[keep]
+            odu = du[keep]
             if len(ou) == 0:
                 continue
             # sort by (u, (deg_v, vid_v)) so each N+(u) is code-ordered
             cv = odv * C + ov  # (deg, vid) code of the target
             order = np.lexsort((cv, ou))
             ou, ov, cv = ou[order], ov[order], cv[order]
+            odu = odu[order]
             # oriented edges, pair code (vid_u, vid_v). Bucket by the hash
             # of the FULL pair code (not the first endpoint): a wedge (v,w)
             # closes iff the oriented edge (v,w) exists, so pair-code
@@ -148,6 +164,12 @@ def _make_emit(graph: Graph, B: int, C: np.int64, max_emit: int,
             # needed, bucket sizes are ~#wedges/B regardless of skew.
             ecodes = ou * C + ov
             tabs.append(_pack_rows(_bucket_of(ecodes, B), ecodes, 0))
+            if core_deg is not None:
+                # core centers are handled by the dense stage
+                w_mask = odu < core_deg
+                ou, ov, cv = ou[w_mask], ov[w_mask], cv[w_mask]
+                if len(ou) == 0:
+                    continue
             # wedges from each N+(u): all ordered pairs of targets; sliced
             seg = np.flatnonzero(np.r_[True, ou[1:] != ou[:-1], True])
             starts, ends = seg[:-1], seg[1:]
@@ -184,9 +206,75 @@ def _make_emit(graph: Graph, B: int, C: np.int64, max_emit: int,
     return emit
 
 
+# byte-popcount lookup (numpy<2 has no bitwise_count)
+_POP_LUT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+
+@ray.remote
+def _core_vids_of(blk, D: int, p: int, P: int) -> np.ndarray:
+    deg = blk.deg.astype(np.int64)
+    return np.flatnonzero(deg >= D).astype(np.int64) * P + p
+
+
+@ray.remote(num_returns=2)
+def _core_extract(refs_list, p: int, P: int, D: int,
+                  core_vids: np.ndarray, deg_refs: dict):
+    """Per-partition dense-core inputs: (row indices, bitset rows) for the
+    core vertices owned by this partition, and the oriented core-core edge
+    list (as core-index pairs) sourced here. Rows are bitsets over core
+    indices of the oriented out-neighborhood — every rank-above neighbor
+    of a core vertex is itself core, so the restriction is lossless."""
+    import ray as _ray
+
+    chunks = [_ray.get(r) for r in refs_list]
+    u, v, du, dv = _part_edges(chunks, p, P, deg_refs)
+    keep = ((du < dv) | ((du == dv) & (u < v))) & (du >= D) & (dv >= D)
+    u, v = u[keep], v[keep]
+    ui = np.searchsorted(core_vids, u)
+    vi = np.searchsorted(core_vids, v)
+    words = (len(core_vids) + 63) // 64
+    if len(ui) == 0:
+        return ((np.array([], np.int64), np.zeros((0, words), np.uint64)),
+                np.zeros((2, 0), np.int64))
+    rows_idx = np.unique(ui)
+    mat = np.zeros((len(rows_idx), words), np.uint64)
+    r = np.searchsorted(rows_idx, ui)
+    np.bitwise_or.at(mat, (r, vi >> 6),
+                     np.uint64(1) << (vi & 63).astype(np.uint64))
+    return (rows_idx, mat), np.stack([ui, vi])
+
+
+@ray.remote
+def _core_count(M: np.ndarray, edges: np.ndarray) -> int:
+    """popcount(sum) of N+(u) ∩ N+(v) over one partition's oriented
+    core-core edges, against the assembled dense core bitset matrix
+    (rows for out-edge-less core vertices are zero — empty intersection)."""
+    ui, vi = edges
+    tot = 0
+    step = 1 << 18
+    for s in range(0, len(ui), step):
+        acc = M[ui[s:s + step]] & M[vi[s:s + step]]
+        tot += int(_POP_LUT[acc.view(np.uint8)].sum())
+    return tot
+
+
 def triangle_count(graph: Graph, *, buckets: int | None = None,
-                   max_emit: int = 1 << 22) -> int:
-    """Exact global triangle count. ``graph`` must be a symmetric build."""
+                   max_emit: int = 1 << 22,
+                   dense_core_deg: int | str | None = None) -> int:
+    """Exact global triangle count. ``graph`` must be a symmetric build.
+
+    ``dense_core_deg``: optional high-degree-core fallback for extreme
+    skew. Vertices with degree >= D form the core; a triangle's minimum
+    (deg, vid)-rank corner is core iff ALL THREE corners are core, so the
+    count splits exactly: wedges are emitted only from non-core centers
+    (bounding per-center fan-out at C(D, 2) and total non-core wedge
+    volume at m*D/2), while all-core triangles are counted by a dense
+    bitset popcount over the core-induced oriented subgraph — the core
+    has <= 2m/D vertices by degree counting, so with D ~ a*sqrt(m) the
+    broadcast matrix is (2m/D)^2/8 = m/(2a^2) bytes: bounded, and the
+    heaviest wedge mass becomes local memory-bandwidth popcounts with
+    ZERO shuffle. ``"auto"`` picks D = max(64, ceil(2*sqrt(m))). Any D
+    gives the same exact count (pytest-verified)."""
     P = graph.P
     parts = graph.parts_with_edges()
     if not parts:
@@ -198,7 +286,32 @@ def triangle_count(graph: Graph, *, buckets: int | None = None,
             "int64 pair codes require n < ~3e9; widen to 2-column probes")
     C = np.int64(max_vid + 1)
     deg_refs = {p: _deg_of.remote(graph.blocks[p][0]) for p in parts}
-    emit = _make_emit(graph, B, C, max_emit, deg_refs)
+
+    core_deg: int | None = None
+    dense_tri = 0
+    if dense_core_deg is not None:
+        m_und = graph.m // 2
+        D = (max(64, int(np.ceil(2.0 * np.sqrt(max(m_und, 1)))))
+             if dense_core_deg == "auto" else int(dense_core_deg))
+        core_vids = np.sort(np.concatenate(ray.get(
+            [_core_vids_of.remote(graph.blocks[p][0], D, p, P)
+             for p in parts])))
+        if len(core_vids):
+            core_deg = D
+            cv_ref = ray.put(core_vids)
+            out_pairs = [_core_extract.remote(list(graph.blocks[p]), p, P, D,
+                                              cv_ref, deg_refs)
+                         for p in parts]
+            rows = ray.get([o[0] for o in out_pairs])
+            words = (len(core_vids) + 63) // 64
+            M = np.zeros((len(core_vids), words), np.uint64)
+            for rows_idx, mat in rows:
+                M[rows_idx] = mat  # each core vertex owned by ONE partition
+            m_ref = ray.put(M)
+            dense_tri = sum(ray.get(
+                [_core_count.remote(m_ref, o[1]) for o in out_pairs]))
+
+    emit = _make_emit(graph, B, C, max_emit, deg_refs, core_deg=core_deg)
 
     parts_ds = rd.from_arrow(
         pa.table({"part": pa.array(parts, pa.int64())})
@@ -228,7 +341,7 @@ def triangle_count(graph: Graph, *, buckets: int | None = None,
         .groupby("bucket")
         .map_groups(probe, batch_format="pyarrow")
     )
-    return int(out.sum("tri") or 0)
+    return int(out.sum("tri") or 0) + dense_tri
 
 
 @ray.remote

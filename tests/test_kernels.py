@@ -2799,3 +2799,30 @@ def test_dag_levels_condensation_composition():
                      if lbl[a] != lbl[b]})
     qnodes = sorted({x for p in qedges for x in p})
     assert got == _longest_path_levels(qedges, qnodes)
+
+
+def test_triangles_dense_core_fallback_exact():
+    """The high-degree-core dense fallback equals the pure wedge join and
+    the sequential oracle at EVERY threshold: all-core (D small), no-core
+    (D huge), and the split regimes either side of the planted clique."""
+    import ray.data as rd
+
+    from raylink.graph import build_graph
+    from raylink.kernels.triangles import triangle_count
+    from raylink.oracle import build_oracle_graph
+    from raylink.oracle import triangle_count as oracle_tri
+
+    rng = np.random.default_rng(17)
+    n = 300
+    er = rng.integers(0, n, size=(900, 2))
+    er = er[er[:, 0] != er[:, 1]]
+    cl = np.array([(a, b) for a in range(20) for b in range(20) if a != b])
+    arr = np.vstack([er, cl])
+    pairs = sorted({(f"v{a}", f"v{b}") for a, b in arr})
+    ds = rd.from_arrow(pa.table({"src": [p[0] for p in pairs],
+                                 "dst": [p[1] for p in pairs]}))
+    g = build_graph(ds, P=8, symmetric=True)
+    expect = oracle_tri(build_oracle_graph(pairs, P=8))
+    assert triangle_count(g) == expect
+    for D in (2, 6, 19, 21, 10_000, "auto"):
+        assert triangle_count(g, dense_core_deg=D) == expect
