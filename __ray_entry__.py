@@ -514,6 +514,23 @@ def q_graph_sssp(sf_dir: str):
     return _rename(join_keys(dist, sg, "dist"), {"key": "user_id"})
 
 
+def q_graph_widest_path(sf_dir: str):
+    """Bottleneck (maximin) path capacity from the min-key user over the
+    weighted symmetric transition multigraph — the max-min semiring twin
+    of graph_sssp; same fixed unroll depth as the SQL oracle."""
+    from raylink.graph import build_graph
+    from raylink.kernels import widest_path
+    from raylink.ops import transition_edges
+    from raylink.pipelines.flagship import join_keys
+
+    ew = transition_edges(
+        _read(sf_dir, "events", ["event_id", "user_id"]), distinct=False)
+    sg = build_graph(ew, P=GRAPH_P, symmetric=True, weighted=True,
+                     already_deduped=True)
+    wd = widest_path(sg, _min_key_vid(sg), max_iter=SSSP_ROUNDS)
+    return _rename(join_keys(wd, sg, "width"), {"key": "user_id"})
+
+
 def q_graph_sssp_delta(sf_dir: str):
     """Delta-stepping SSSP to FIXPOINT over the same weighted transition
     multigraph as graph_sssp: bucketed frontier (width 2) — far vertices
@@ -2400,6 +2417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank_persisted": q_graph_pagerank_persisted,
         "graph_sssp": q_graph_sssp,
         "graph_sssp_delta": q_graph_sssp_delta,
+        "graph_widest_path": q_graph_widest_path,
         "graph_mis": q_graph_mis,
         "graph_matching": q_graph_matching,
         "graph_dag_levels": q_graph_dag_levels,
@@ -3169,6 +3187,23 @@ def oracle_sql() -> dict[str, str]:
         "WITH " + ", ".join(_sssp_parts) +
         f" SELECT v AS user_id, CAST(dist AS BIGINT) AS dist "
         f"FROM d{SSSP_DELTA_ROUNDS}"
+    )
+    # widest (maximin) path: same uw weighted edge CTE, max-min unroll;
+    # source excluded (its capacity is the unbounded sentinel)
+    _wp_parts = _sssp_parts[:2] + [
+        "w0 AS MATERIALIZED (SELECT (SELECT min(a) FROM uw) AS v, "
+        f"CAST({1 << 40} AS BIGINT) AS wd)",
+    ]
+    for _k in range(1, SSSP_ROUNDS + 1):
+        _wp_parts.append(
+            f"w{_k} AS MATERIALIZED (SELECT v, max(wd) AS wd FROM "
+            f"(SELECT v, wd FROM w{_k - 1} UNION ALL "
+            f"SELECT u.b, least(w{_k - 1}.wd, u.w) FROM w{_k - 1} "
+            f"JOIN uw u ON u.a = w{_k - 1}.v) GROUP BY v)")
+    sql["graph_widest_path"] = (
+        "WITH " + ", ".join(_wp_parts) +
+        f" SELECT v AS user_id, CAST(wd AS BIGINT) AS width "
+        f"FROM w{SSSP_ROUNDS} WHERE v <> (SELECT min(a) FROM uw)"
     )
     # Luby MIS unroll: single min-scatter per round — IN scatters 0,
     # undecided scatters combined(priority, key); see kernels/mis.py

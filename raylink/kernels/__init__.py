@@ -23,7 +23,7 @@ from .triangles import (approx_triangle_count, degree_assortativity,
                         edge_support, graph_summary, local_clustering,
                         reciprocity, triangle_count)
 from .traversal import (bfs_hops, bfs_hops_multi, coreness, dag_levels,
-                        k_core, sssp, sssp_delta)
+                        k_core, sssp, sssp_delta, widest_path)
 from .linkpred import adamic_adar_candidates
 from .truss import k_truss
 from .modularity import modularity
@@ -42,7 +42,7 @@ __all__ = ["pagerank", "connected_components", "label_propagation",
            "degree_assortativity", "adamic_adar_candidates", "k_truss",
            "modularity",
            "local_clustering", "edge_support", "bfs_hops", "bfs_hops_multi",
-           "k_core", "hits", "sssp", "sssp_delta", "coreness", "dag_levels",
+           "k_core", "hits", "sssp", "sssp_delta", "widest_path", "coreness", "dag_levels",
            "reciprocity",
            "maximal_independent_set", "maximal_matching",
            "betweenness", "graph_coloring",

@@ -941,3 +941,188 @@ def coreness(graph: Graph, *, max_iter: int = 10_000,
         if changed == 0:
             break
     return state_to_vertex_table(state, graph, "vec", "core")
+
+
+# ---------------------------------------------------------------------------
+# widest (maximin / bottleneck) path — the max-min semiring twin of sssp
+# ---------------------------------------------------------------------------
+
+_W0 = np.int64(1) << 40  # source capacity sentinel (> any multiplicity sum)
+
+
+def _widest_scatter(graph: Graph):
+    """Max-min relaxation step: a fresh vertex offers min(width(u), w(u,v))
+    to each out-neighbor. Same fresh-bit frontier sparsification and
+    per-(src_part -> dst_part) max pre-aggregation as the min-plus scatter
+    (hub fan-in bounded by P partial rows). Unreached sentinel is enc=0, so
+    zero-capacity offers never ship."""
+    refs = graph.blocks
+    P = graph.P
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        rows = []
+        for part, sub, vec in iter_chunk_rows(batch, "vec"):
+            vec = vec.astype(np.int64, copy=False)
+            if sub < 0:
+                rows.append(partial_row(part, -1, -1, 1, lab=vec))
+                continue
+            chunks = refs.get(part, [])
+            if sub >= len(chunks):
+                continue
+            blk = _ray.get(chunks[sub])
+            fresh = (vec > 0) & ((vec & 1) == 1)
+            if not fresh.any():
+                continue
+            width = np.where(fresh, vec >> 1, 0)
+            vals = width[blk.src_local]
+            if blk.w is not None:
+                if not np.issubdtype(blk.w.dtype, np.integer):
+                    raise TypeError(
+                        "widest_path requires integer edge weights (int64 "
+                        "max-min state)")
+                vals = np.minimum(vals, blk.w.astype(np.int64))
+            else:
+                vals = np.minimum(vals, np.int64(1))
+            for q in range(P):
+                lo, hi = blk.bounds[q], blk.bounds[q + 1]
+                if hi <= lo:
+                    continue
+                seg_dst = blk.dst_local[lo:hi]
+                acc = np.zeros(int(seg_dst.max()) + 1, dtype=np.int64)
+                np.maximum.at(acc, seg_dst, vals[lo:hi])
+                nz = np.flatnonzero(acc > 0)
+                if len(nz):
+                    rows.append(partial_row(q, part, sub, 0,
+                                            idx=nz.astype(np.int32),
+                                            lab=acc[nz]))
+        return partials_table(rows)
+
+    return scatter
+
+
+def _widest_combine(graph: Graph):
+    """Fresh-bit-aware MAX reduction (enc = width*2 + fresh, 0 = unreached):
+    improved vertices re-arm their fresh bit, everyone else's clears."""
+    n_per_part = graph.n_per_part
+
+    def combine(group: pa.Table) -> pa.Table:
+        kinds = group["kind"].to_numpy(zero_copy_only=False)
+        prev_i = int(np.flatnonzero(kinds == 1)[0])
+        part = int(group["dst_part"][prev_i].as_py())
+        idx_col = group["idx"].combine_chunks()
+        lab_col = group["lab"].combine_chunks()
+        idx_flat = idx_col.flatten().to_numpy(zero_copy_only=False)
+        idx_offs = idx_col.offsets.to_numpy(zero_copy_only=False)
+        lab_flat = lab_col.flatten().to_numpy(zero_copy_only=False)
+        lab_offs = lab_col.offsets.to_numpy(zero_copy_only=False)
+        enc = lab_flat[lab_offs[prev_i]: lab_offs[prev_i + 1]].astype(np.int64)
+        prev = np.where(enc > 0, enc >> 1, 0)
+        inc = np.zeros(len(prev), dtype=np.int64)
+        for i in range(group.num_rows):
+            if kinds[i] != 0:
+                continue
+            idx = idx_flat[idx_offs[i]: idx_offs[i + 1]].astype(np.int64)
+            lab = lab_flat[lab_offs[i]: lab_offs[i + 1]]
+            np.maximum.at(inc, idx, lab)
+        improved = inc > prev
+        new = np.where(improved, inc * 2 + 1,
+                       np.where(enc > 0, (enc >> 1) * 2, 0))
+        assert len(prev) == int(n_per_part[part])
+        return pa.table({
+            "part": pa.array([part], pa.int64()),
+            "vec": pa.array([new], pa.list_(pa.int64())),
+            "changed": pa.array([int(improved.sum())], pa.int64()),
+        })
+
+    return combine
+
+
+@ray.remote
+def _fused_widest_loop(view, state_tab: pa.Table, max_iter: int):
+    """Fused max-min propagation — one task, bit-equal to the distributed
+    superstep loop."""
+    from .bsp import fused_superstep, table_scalar_sums
+
+    scatter = _widest_scatter(view)
+    combine = _widest_combine(view)
+    metrics = []
+    for it in range(1, max_iter + 1):
+        t0 = time.perf_counter()
+        state_tab = fused_superstep(state_tab, scatter, combine)
+        changed = int(table_scalar_sums(state_tab, ["changed"])["changed"])
+        metrics.append({"iter": it, "changed": changed, "fused": True,
+                        "sec": time.perf_counter() - t0})
+        if changed == 0:
+            break
+    return state_tab.select(["part", "vec"]), metrics
+
+
+def widest_path(graph: Graph, source_vid: int, *, max_iter: int = 10_000,
+                metrics_out: list | None = None,
+                fused: bool | None = None) -> rd.Dataset:
+    """Bottleneck / maximin path capacity from ``source_vid``: (vid, width)
+    where width(v) = max over paths of the minimum edge weight along the
+    path — the max-min semiring twin of :func:`sssp` on a WEIGHTED build
+    (the network-capacity / strongest-association signal). The source
+    itself is excluded from the output (its capacity is unbounded); per-
+    round widths are identical to the dense sweep, so a fixed ``max_iter``
+    unroll matches the SQL oracle round-for-round. Unweighted builds
+    degrade to reachability (width 1)."""
+    if graph.n == 0:
+        from .bsp import empty_vertex_result
+
+        return empty_vertex_result({"width": pa.int64()})
+    P = graph.P
+    s_part, s_local = int(source_vid) % P, int(source_vid) // P
+
+    def init_of(p: int) -> np.ndarray:
+        v = np.zeros(int(graph.n_per_part[p]), dtype=np.int64)
+        if p == s_part:
+            v[s_local] = _W0 * 2 + 1  # fresh, capacity sentinel
+        return v
+
+    state = init_state(graph, init_of, dtype=pa.int64())
+
+    def decode_f(batch: pa.Table) -> pa.Table:
+        enc = batch["width"].to_numpy(zero_copy_only=False)
+        vid = batch["vid"].to_numpy(zero_copy_only=False)
+        keep = (enc > 0) & (vid != int(source_vid))
+        return pa.table({
+            "vid": pa.array(vid[keep], pa.int64()),
+            "width": pa.array(enc[keep] >> 1, pa.int64()),
+        })
+
+    from .bsp import fused_eligible, graph_view, state_table
+
+    if fused_eligible(graph, fused):
+        final_tab, metrics = ray.get(_fused_widest_loop.remote(
+            graph_view(graph), state_table(state), max_iter))
+        if metrics_out is not None:
+            metrics_out.extend(metrics)
+        state = rd.from_arrow(final_tab)
+        out = state_to_vertex_table(state, graph, "vec", "width")
+        return out.map_batches(decode_f, batch_format="pyarrow")
+
+    scatter = _widest_scatter(graph)
+    combine = _widest_combine(graph)
+    for it in range(1, max_iter + 1):
+        t0 = time.perf_counter()
+        state = (
+            maybe_expand_chunks(state, graph)
+            .map_batches(scatter, batch_format="pyarrow", batch_size=1,
+                         zero_copy_batch=True)
+            .groupby("dst_part")
+            .map_groups(combine, batch_format="pyarrow")
+            .materialize()
+        )
+        changed = int(sum_columns(state, ["changed"])["changed"])
+        if metrics_out is not None:
+            metrics_out.append({"iter": it, "changed": changed,
+                                "sec": time.perf_counter() - t0})
+        if changed == 0:
+            break
+
+    out = state_to_vertex_table(state, graph, "vec", "width")
+    return out.map_batches(decode_f, batch_format="pyarrow")

@@ -2826,3 +2826,50 @@ def test_triangles_dense_core_fallback_exact():
     assert triangle_count(g) == expect
     for D in (2, 6, 19, 21, 10_000, "auto"):
         assert triangle_count(g, dense_core_deg=D) == expect
+
+
+def test_widest_path_vs_bruteforce():
+    """widest_path over a weighted symmetric build == max-min Dijkstra
+    over multiplicity weights; source excluded; unreachable absent; fused
+    and distributed paths bit-equal."""
+    import heapq
+
+    from raylink.kernels import widest_path
+
+    base = overlay_pairs(seed=91, n=24, m=60) + [("iso1", "iso2")]
+    pairs = base + base[::2] + base[::4]
+    sg = G.build_graph(edges_ds(pairs), P=P, symmetric=True, weighted=True,
+                       already_deduped=True)
+    kv = sorted((r["key"], r["vid"]) for b in sg.vertices.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist())
+    src_key, src_vid = kv[0]
+    out_f = widest_path(sg, src_vid).to_pandas().set_index("vid")["width"]
+    out_d = widest_path(sg, src_vid, fused=False).to_pandas(
+    ).set_index("vid")["width"]
+    assert out_f.sort_index().equals(out_d.sort_index())
+    assert src_vid not in out_f.index
+
+    from collections import Counter
+    w = Counter()
+    for a, b in pairs:
+        if a != b:
+            w[(a, b)] += 1
+            w[(b, a)] += 1
+    adj = {}
+    for (a, b), ww in w.items():
+        adj.setdefault(a, {})[b] = ww
+    BIG = 1 << 40
+    width = {src_key: BIG}
+    pq = [(-BIG, src_key)]
+    while pq:
+        neg, u = heapq.heappop(pq)
+        if -neg < width.get(u, 0):
+            continue
+        for v, ww in adj.get(u, {}).items():
+            cand = min(-neg, ww)
+            if cand > width.get(v, 0):
+                width[v] = cand
+                heapq.heappush(pq, (-cand, v))
+    vid_of = dict(kv)
+    expect = {vid_of[k]: wd for k, wd in width.items() if k != src_key}
+    assert dict(out_f) == expect
