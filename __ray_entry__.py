@@ -2314,6 +2314,18 @@ def q_running_revenue(sf_dir: str):
     return out.select_columns(["o_orderkey", "o_custkey", "run_cents"])
 
 
+def q_customer_order_rank(sf_dir: str):
+    """Per-customer RANK of order price (ties -> min rank, gaps): the
+    partitioned window-rank family next to global_rank's whole-table scan."""
+    from raylink.ops import grouped_rank
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    out = grouped_rank(orders, "o_custkey", "o_totalprice",
+                       descending=True, out_col="price_rank")
+    return out.select_columns(["o_orderkey", "o_custkey", "price_rank"])
+
+
 def q_doc_regex_extract(sf_dir: str):
     """First-match regex field extraction per document (§2.5 extraction
     kernel; '' on no match, byte-identical to DuckDB regexp_extract)."""
@@ -2484,6 +2496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_revenue": q_cube_revenue,
         "part_type_fuzzy": q_part_type_fuzzy,
         "running_revenue": q_running_revenue,
+        "customer_order_rank": q_customer_order_rank,
         "doc_regex_extract": q_doc_regex_extract,
     }
 
@@ -4058,6 +4071,12 @@ def oracle_sql() -> dict[str, str]:
         "CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) "
         "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
         "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents "
+        "FROM orders"
+    )
+    sql["customer_order_rank"] = (
+        "SELECT o_orderkey, o_custkey, "
+        "CAST(rank() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC) AS BIGINT) AS price_rank "
         "FROM orders"
     )
     sql["doc_regex_extract"] = (

@@ -1974,3 +1974,19 @@ def running_total(ds: rd.Dataset, part_col: str, order_cols: list[str],
         return g
 
     return ds.groupby(part_col).map_groups(f, batch_format="pandas")
+
+
+def grouped_rank(ds: rd.Dataset, group_col: str, value_col: str, *,
+                 descending: bool = True, out_col: str = "rank") -> rd.Dataset:
+    """SQL ``RANK() OVER (PARTITION BY g ORDER BY v [DESC])``: ties share
+    the min rank, gaps follow (pandas method="min"). Complements
+    ``global_rank`` (whole-table value-bucket scan) with the per-partition
+    window shape; one groupby shuffle, vectorized per-group rank."""
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g[out_col] = g[value_col].rank(
+            method="min", ascending=not descending).astype(np.int64)
+        return g
+
+    return ds.groupby(group_col).map_groups(f, batch_format="pandas")

@@ -1221,3 +1221,14 @@ def test_cube_sum_all_subsets():
         (None, None): 7,
     }
     assert len(out) == 8
+
+
+def test_grouped_rank_ties_and_gaps():
+    from raylink.ops import grouped_rank
+
+    ds = ds_of({"g": [1, 1, 1, 1, 2], "v": [9.0, 9.0, 5.0, 7.0, 3.0]})
+    out = grouped_rank(ds, "g", "v").to_pandas().sort_values(["g", "v"],
+                                                             ascending=False)
+    # g=1 desc: 9,9 -> rank 1,1; 7 -> 3 (gap); 5 -> 4. g=2: 3 -> 1
+    assert out[out["g"] == 1]["rank"].tolist() == [1, 1, 3, 4]
+    assert out[out["g"] == 2]["rank"].tolist() == [1]
