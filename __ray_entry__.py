@@ -2314,6 +2314,14 @@ def q_running_revenue(sf_dir: str):
     return out.select_columns(["o_orderkey", "o_custkey", "run_cents"])
 
 
+def q_doc_top_terms(sf_dir: str):
+    """Corpus top-20 vocabulary terms (map-side combined token counts ->
+    one term-groupby -> global sort+limit with full tiebreak)."""
+    from raylink.textops import top_terms
+
+    return top_terms(_read(sf_dir, "documents", ["text"]), k=20)
+
+
 def q_customer_order_rank(sf_dir: str):
     """Per-customer RANK of order price (ties -> min rank, gaps): the
     partitioned window-rank family next to global_rank's whole-table scan."""
@@ -2497,6 +2505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_fuzzy": q_part_type_fuzzy,
         "running_revenue": q_running_revenue,
         "customer_order_rank": q_customer_order_rank,
+        "doc_top_terms": q_doc_top_terms,
         "doc_regex_extract": q_doc_regex_extract,
     }
 
@@ -4072,6 +4081,13 @@ def oracle_sql() -> dict[str, str]:
         "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
         "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents "
         "FROM orders"
+    )
+    sql["doc_top_terms"] = (
+        "SELECT term, n FROM ("
+        "SELECT t AS term, CAST(count(*) AS BIGINT) AS n FROM ("
+        "SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t "
+        "FROM documents) WHERE t <> '' GROUP BY t) "
+        "ORDER BY n DESC, term LIMIT 20"
     )
     sql["customer_order_rank"] = (
         "SELECT o_orderkey, o_custkey, "

@@ -476,3 +476,28 @@ def regex_extract(ds: rd.Dataset, id_col: str = "doc_id",
         return pd.DataFrame({id_col: batch[id_col], out_col: out})
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def top_terms(ds: rd.Dataset, *, k: int = 20,
+              text_col: str = "text") -> rd.Dataset:
+    """Corpus-level top-k vocabulary terms by total occurrence count (the
+    Zipf-head / vocab-coverage signal of a training-data mix). Per-batch
+    tokenize + count is the map-side combiner — the shuffle carries one
+    (term, n) row per distinct term per batch, never token occurrences —
+    then one ``groupby(term)`` sum and a global sort+limit with (count
+    desc, term) full tiebreak."""
+    from ray.data.aggregate import Sum
+
+    from .ops import top_k
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        txt = batch[text_col].fillna("").str.lower()
+        toks = txt.str.findall(_TERM_RE).explode().dropna()
+        vc = toks.value_counts()
+        return pd.DataFrame({"term": vc.index.astype(str),
+                             "n": vc.to_numpy().astype(np.int64)})
+
+    agg = (ds.select_columns([text_col])
+           .map_batches(counts, batch_format="pandas")
+           .groupby("term").aggregate(Sum("n", alias_name="n")))
+    return top_k(agg, [("n", True), ("term", False)], k)

@@ -1232,3 +1232,13 @@ def test_grouped_rank_ties_and_gaps():
     # g=1 desc: 9,9 -> rank 1,1; 7 -> 3 (gap); 5 -> 4. g=2: 3 -> 1
     assert out[out["g"] == 1]["rank"].tolist() == [1, 1, 3, 4]
     assert out[out["g"] == 2]["rank"].tolist() == [1]
+
+
+def test_top_terms_counts_and_tiebreak():
+    from raylink.textops import top_terms
+
+    ds = ds_of({"text": ["aa bb aa", "bb cc. AA!", None, "dd dd dd"]})
+    out = top_terms(ds, k=3).to_pandas()
+    # counts: aa=3, bb=2, dd=3, cc=1 -> top3 by (n desc, term asc)
+    assert list(zip(out["term"], out["n"])) == [("aa", 3), ("dd", 3),
+                                                ("bb", 2)]
