@@ -260,11 +260,12 @@ def _core_count(M: np.ndarray, edges: np.ndarray) -> int:
 
 def triangle_count(graph: Graph, *, buckets: int | None = None,
                    max_emit: int = 1 << 22,
-                   dense_core_deg: int | str | None = None) -> int:
+                   dense_core_deg: int | str | None = "auto") -> int:
     """Exact global triangle count. ``graph`` must be a symmetric build.
 
-    ``dense_core_deg``: optional high-degree-core fallback for extreme
-    skew. Vertices with degree >= D form the core; a triangle's minimum
+    ``dense_core_deg``: high-degree-core fallback for extreme skew, ON
+    by default (``None`` forces the pure wedge join — every threshold
+    returns the same exact count). Vertices with degree >= D form the core; a triangle's minimum
     (deg, vid)-rank corner is core iff ALL THREE corners are core, so the
     count splits exactly: wedges are emitted only from non-core centers
     (bounding per-center fan-out at C(D, 2) and total non-core wedge

@@ -2823,7 +2823,8 @@ def test_triangles_dense_core_fallback_exact():
                                  "dst": [p[1] for p in pairs]}))
     g = build_graph(ds, P=8, symmetric=True)
     expect = oracle_tri(build_oracle_graph(pairs, P=8))
-    assert triangle_count(g) == expect
+    assert triangle_count(g) == expect  # default = "auto"
+    assert triangle_count(g, dense_core_deg=None) == expect  # pure wedge
     for D in (2, 6, 19, 21, 10_000, "auto"):
         assert triangle_count(g, dense_core_deg=D) == expect
 
