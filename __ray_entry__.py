@@ -2314,6 +2314,16 @@ def q_running_revenue(sf_dir: str):
     return out.select_columns(["o_orderkey", "o_custkey", "run_cents"])
 
 
+def q_user_type_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution (category
+    diversity, §2.8 custom aggregate): per-term integer lattice, only the
+    final two-scalar formula in floats on both sides."""
+    from raylink.ops import grouped_entropy
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return grouped_entropy(ev, "user_id", "event_type")
+
+
 def q_doc_top_terms(sf_dir: str):
     """Corpus top-20 vocabulary terms (map-side combined token counts ->
     one term-groupby -> global sort+limit with full tiebreak)."""
@@ -2506,6 +2516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_revenue": q_running_revenue,
         "customer_order_rank": q_customer_order_rank,
         "doc_top_terms": q_doc_top_terms,
+        "user_type_entropy": q_user_type_entropy,
         "doc_regex_extract": q_doc_regex_extract,
     }
 
@@ -4081,6 +4092,16 @@ def oracle_sql() -> dict[str, str]:
         "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
         "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents "
         "FROM orders"
+    )
+    sql["user_type_entropy"] = (
+        "WITH c AS (SELECT user_id, event_type, count(*) AS c "
+        "FROM events GROUP BY 1, 2), "
+        "n AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n, "
+        "sum(CAST(floor(c*ln(c)*1000000000 + 0.5) AS BIGINT)) AS s "
+        "FROM c GROUP BY 1) "
+        "SELECT user_id, n AS n_rows, "
+        "CAST(floor((ln(n) - (s/1000000000.0)/n)*1000000 + 0.5) AS BIGINT) "
+        "AS entropy_fp FROM n"
     )
     sql["doc_top_terms"] = (
         "SELECT term, n FROM ("

@@ -1990,3 +1990,55 @@ def grouped_rank(ds: rd.Dataset, group_col: str, value_col: str, *,
         return g
 
     return ds.groupby(group_col).map_groups(f, batch_format="pandas")
+
+
+def grouped_entropy(ds: rd.Dataset, group_col: str, value_col: str, *,
+                    out_col: str = "entropy_fp") -> rd.Dataset:
+    """Shannon entropy of each group's value distribution, in 1e-6
+    fixed-point nats: H = ln(n) - (sum c_i*ln(c_i))/n over the value
+    counts c_i (the category-diversity / data-mix-balance signal).
+
+    Scale shape: per-batch (group, value) pre-count is the map-side
+    combiner; one ``groupby([group, value])`` reduces to distinct pair
+    counts; the per-group combine sums floor(c*ln(c)*1e9 + 0.5) as int64
+    — per-term fixed point, so the reduction is order-free and the SQL
+    twin (same expression) matches exactly; only the final two-scalar
+    formula runs in floats, from identical integer inputs on both sides."""
+    from ray.data.aggregate import Sum
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({group_col: batch[group_col].to_pandas(),
+                           value_col: batch[value_col].to_pandas()})
+        agg = df.groupby([group_col, value_col], sort=False,
+                         dropna=False).size().rename("c").reset_index()
+        agg["c"] = agg["c"].astype("int64")
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    pairs = (ds.select_columns([group_col, value_col])
+             .map_batches(pair_counts, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby([group_col, value_col])
+             .aggregate(Sum("c", alias_name="c")))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.floor(c * np.log(c) * 1e9 + 0.5).astype(np.int64)
+        return pa.table({group_col: batch[group_col],
+                         "n": batch["c"],
+                         "s": pa.array(s, pa.int64())})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = batch["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = np.log(n) - (s / 1e9) / n
+        return pa.table({
+            group_col: batch[group_col],
+            "n_rows": batch["n"].cast(pa.int64()),
+            out_col: pa.array(np.floor(h * 1e6 + 0.5).astype(np.int64),
+                              pa.int64()),
+        })
+
+    agg = (pairs.map_batches(partial, batch_format="pyarrow")
+           .groupby(group_col)
+           .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s")))
+    return agg.map_batches(finish, batch_format="pyarrow")

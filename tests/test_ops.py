@@ -1242,3 +1242,14 @@ def test_top_terms_counts_and_tiebreak():
     # counts: aa=3, bb=2, dd=3, cc=1 -> top3 by (n desc, term asc)
     assert list(zip(out["term"], out["n"])) == [("aa", 3), ("dd", 3),
                                                 ("bb", 2)]
+
+
+def test_grouped_entropy_hand_computed():
+    from raylink.ops import grouped_entropy
+
+    # g=1: counts {a:2, b:2} -> H = ln 2; g=2: single value -> H = 0
+    ds = ds_of({"g": [1, 1, 1, 1, 2, 2], "v": ["a", "a", "b", "b", "x", "x"]})
+    out = grouped_entropy(ds, "g", "v").to_pandas().sort_values("g")
+    assert out["n_rows"].tolist() == [4, 2]
+    assert out["entropy_fp"].tolist() == [
+        int(np.floor(np.log(2) * 1e6 + 0.5)), 0]
