@@ -174,7 +174,8 @@ def main() -> None:
     extras = {}
     qs = entry.queries()
     for name in ("doc_pack", "doc_decontam", "doc_chunk_dedup",
-                 "graph_scc", "graph_bowtie"):
+                 "graph_scc", "graph_bowtie", "graph_widest_path",
+                 "rollup_revenue", "doc_top_terms"):
         t0 = time.perf_counter()
         res = qs[name](SF_DIR)
         if isinstance(res, rd.Dataset):
