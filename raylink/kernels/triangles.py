@@ -244,6 +244,33 @@ def _core_extract(refs_list, p: int, P: int, D: int,
     return (rows_idx, mat), np.stack([ui, vi])
 
 
+def _auto_core_deg(m_und: int) -> int:
+    """Smallest degree threshold capping the core at 32768 vertices (a
+    128 MB bitset matrix) via the degree-counting bound core <= 2m/D."""
+    return max(64, -(-2 * m_und // 32768))
+
+
+def _dense_core_setup(graph: Graph, parts, D: int, deg_refs: dict):
+    """Shared dense-core preparation: global core vid array, assembled
+    bitset matrix ref, and per-partition oriented core-core edge refs.
+    Returns None when no vertex reaches the threshold."""
+    P = graph.P
+    core_vids = np.sort(np.concatenate(ray.get(
+        [_core_vids_of.remote(graph.blocks[p][0], D, p, P)
+         for p in parts])))
+    if len(core_vids) == 0:
+        return None
+    cv_ref = ray.put(core_vids)
+    out_pairs = [_core_extract.remote(list(graph.blocks[p]), p, P, D,
+                                      cv_ref, deg_refs) for p in parts]
+    rows = ray.get([o[0] for o in out_pairs])
+    words = (len(core_vids) + 63) // 64
+    M = np.zeros((len(core_vids), words), np.uint64)
+    for rows_idx, mat in rows:
+        M[rows_idx] = mat  # each core vertex owned by ONE partition
+    return core_vids, ray.put(M), [o[1] for o in out_pairs]
+
+
 @ray.remote
 def _core_count(M: np.ndarray, edges: np.ndarray) -> int:
     """popcount(sum) of N+(u) ∩ N+(v) over one partition's oriented
@@ -256,6 +283,46 @@ def _core_count(M: np.ndarray, edges: np.ndarray) -> int:
         acc = M[ui[s:s + step]] & M[vi[s:s + step]]
         tot += int(_POP_LUT[acc.view(np.uint8)].sum())
     return tot
+
+
+@ray.remote
+def _core_credit(M: np.ndarray, edges: np.ndarray, core_vids: np.ndarray,
+                 P: int) -> pa.Table:
+    """Per-vertex triangle credits from one partition's oriented core-core
+    edges: each edge (u, v) with intersection X = N+(u) & N+(v) credits u
+    and v with popcount(X) and every set bit w with 1 — all three corners
+    of an all-core triangle are core, so credits stay in core-index space
+    (bounded by the core cap). Returns sparse (dst_part, idx, cnt) partial
+    rows, the same shape the wedge-join credit shuffle emits."""
+    from .bsp import partial_row, partials_table
+
+    ui, vi = edges
+    cred = np.zeros(len(core_vids), dtype=np.int64)
+    step = 2048
+    for s in range(0, len(ui), step):
+        u, v = ui[s:s + step], vi[s:s + step]
+        X = M[u] & M[v]
+        xb = X.view(np.uint8)
+        t = _POP_LUT[xb].reshape(len(u), -1).sum(axis=1).astype(np.int64)
+        np.add.at(cred, u, t)
+        np.add.at(cred, v, t)
+        bits = np.unpackbits(xb, bitorder="little").reshape(len(u), -1)
+        _, w = np.nonzero(bits)  # bit positions past ncore are always 0
+        np.add.at(cred, w, 1)
+    nz = np.flatnonzero(cred)
+    if len(nz) == 0:
+        return partials_table([])
+    vids = core_vids[nz]
+    vals = cred[nz]
+    vpart = vids % P
+    vloc = vids // P
+    rows = []
+    for q in np.unique(vpart):
+        m = vpart == q
+        rows.append(partial_row(int(q), -1, -1, 0,
+                                idx=vloc[m].astype(np.int32),
+                                cnt=vals[m]))
+    return partials_table(rows)
 
 
 def triangle_count(graph: Graph, *, buckets: int | None = None,
@@ -294,26 +361,14 @@ def triangle_count(graph: Graph, *, buckets: int | None = None,
     core_deg: int | None = None
     dense_tri = 0
     if dense_core_deg is not None:
-        m_und = graph.m // 2
-        D = (max(64, -(-2 * m_und // 32768))
+        D = (_auto_core_deg(graph.m // 2)
              if dense_core_deg == "auto" else int(dense_core_deg))
-        core_vids = np.sort(np.concatenate(ray.get(
-            [_core_vids_of.remote(graph.blocks[p][0], D, p, P)
-             for p in parts])))
-        if len(core_vids):
+        setup = _dense_core_setup(graph, parts, D, deg_refs)
+        if setup is not None:
             core_deg = D
-            cv_ref = ray.put(core_vids)
-            out_pairs = [_core_extract.remote(list(graph.blocks[p]), p, P, D,
-                                              cv_ref, deg_refs)
-                         for p in parts]
-            rows = ray.get([o[0] for o in out_pairs])
-            words = (len(core_vids) + 63) // 64
-            M = np.zeros((len(core_vids), words), np.uint64)
-            for rows_idx, mat in rows:
-                M[rows_idx] = mat  # each core vertex owned by ONE partition
-            m_ref = ray.put(M)
+            _core_vids, m_ref, edge_refs = setup
             dense_tri = sum(ray.get(
-                [_core_count.remote(m_ref, o[1]) for o in out_pairs]))
+                [_core_count.remote(m_ref, er) for er in edge_refs]))
 
     emit = _make_emit(graph, B, C, max_emit, deg_refs, core_deg=core_deg)
 
@@ -383,7 +438,8 @@ def graph_summary(graph: Graph) -> "pa.Table":
 
 
 def local_clustering(graph: Graph, *, buckets: int | None = None,
-                     max_emit: int = 1 << 22) -> rd.Dataset:
+                     max_emit: int = 1 << 22,
+                     dense_core_deg: int | str | None = "auto") -> rd.Dataset:
     """Per-vertex triangle counts + local clustering coefficient over a
     SYMMETRIC build: rows (vid, n_tri, clustering_fp) for every vertex,
     clustering_fp = floor(2*t_v/(deg_v*(deg_v-1)) * 1e9 + 0.5) (0 when
@@ -391,7 +447,10 @@ def local_clustering(graph: Graph, *, buckets: int | None = None,
 
     Same partitioned wedge join as :func:`triangle_count`, with each wedge
     additionally carrying its center vid (2x wedge shuffle bytes); a closed
-    wedge (v,w) centered at u credits the triangle to u, v and w. Per-bucket
+    wedge (v,w) centered at u credits the triangle to u, v and w. The
+    high-degree-core dense fallback applies here too (default-on): all-core
+    triangles credit their three corners via local bitset popcount /
+    set-bit extraction instead of the wedge shuffle, exact. Per-bucket
     credits are pre-aggregated to sparse (dst_part, idx, cnt) partial rows
     (<= P rows per bucket however skewed the hits), then one
     ``groupby("dst_part")`` builds the dense per-partition count vector and
@@ -492,7 +551,21 @@ def local_clustering(graph: Graph, *, buckets: int | None = None,
     if not parts:
         credits = carriers
     else:
-        emit = _make_emit(graph, B, C, max_emit, deg_refs, with_centers=True)
+        core_deg = None
+        core_tabs: list = []
+        if dense_core_deg is not None:
+            D = (_auto_core_deg(graph.m // 2)
+                 if dense_core_deg == "auto" else int(dense_core_deg))
+            setup = _dense_core_setup(graph, parts, D, deg_refs)
+            if setup is not None:
+                core_deg = D
+                core_vids, m_ref, edge_refs = setup
+                cv_ref = ray.put(core_vids)
+                core_tabs = [t for t in ray.get(
+                    [_core_credit.remote(m_ref, er, cv_ref, P)
+                     for er in edge_refs]) if t.num_rows]
+        emit = _make_emit(graph, B, C, max_emit, deg_refs, with_centers=True,
+                          core_deg=core_deg)
         parts_ds = rd.from_arrow(
             pa.table({"part": pa.array(parts, pa.int64())})
         ).repartition(len(parts))
@@ -503,6 +576,8 @@ def local_clustering(graph: Graph, *, buckets: int | None = None,
             .map_groups(probe_credit, batch_format="pyarrow")
             .union(carriers)
         )
+        if core_tabs:
+            credits = credits.union(rd.from_arrow(pa.concat_tables(core_tabs)))
     return credits.groupby("dst_part").map_groups(
         finish, batch_format="pyarrow")
 

@@ -2874,3 +2874,30 @@ def test_widest_path_vs_bruteforce():
     vid_of = dict(kv)
     expect = {vid_of[k]: wd for k, wd in width.items() if k != src_key}
     assert dict(out_f) == expect
+
+
+def test_local_clustering_dense_core_matches_plain():
+    """Per-vertex triangle credits through the dense-core path equal the
+    pure wedge join at every threshold (clique fully core / split / no
+    core), on a planted-clique + random graph."""
+    import ray.data as rd
+
+    from raylink.kernels.triangles import local_clustering
+
+    rng = np.random.default_rng(23)
+    n = 250
+    er = rng.integers(0, n, size=(700, 2))
+    er = er[er[:, 0] != er[:, 1]]
+    cl = np.array([(a, b) for a in range(18) for b in range(18) if a != b])
+    arr = np.vstack([er, cl])
+    pairs = sorted({(f"v{a}", f"v{b}") for a, b in arr})
+    ds = rd.from_arrow(pa.table({"src": [p[0] for p in pairs],
+                                 "dst": [p[1] for p in pairs]}))
+    g = G.build_graph(ds, P=P, symmetric=True)
+    base = local_clustering(g, dense_core_deg=None).to_pandas(
+    ).sort_values("vid").reset_index(drop=True)
+    assert int(base["n_tri"].sum()) > 0
+    for D in (2, 8, 17, 19, 10_000, "auto"):
+        got = local_clustering(g, dense_core_deg=D).to_pandas(
+        ).sort_values("vid").reset_index(drop=True)
+        assert got.equals(base), f"dense_core_deg={D} diverged"
