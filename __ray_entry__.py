@@ -2314,6 +2314,15 @@ def q_running_revenue(sf_dir: str):
     return out.select_columns(["o_orderkey", "o_custkey", "run_cents"])
 
 
+def q_event_type_cooccurrence(sf_dir: str):
+    """Unordered event-type pair co-occurrence across users (market-basket
+    / association-mining shape; §2.7 pairwise join family)."""
+    from raylink.ops import cooccurrence
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return cooccurrence(ev, "user_id", "event_type")
+
+
 def q_user_type_entropy(sf_dir: str):
     """Per-user Shannon entropy of the event-type distribution (category
     diversity, §2.8 custom aggregate): per-term integer lattice, only the
@@ -2517,6 +2526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_rank": q_customer_order_rank,
         "doc_top_terms": q_doc_top_terms,
         "user_type_entropy": q_user_type_entropy,
+        "event_type_cooccurrence": q_event_type_cooccurrence,
         "doc_regex_extract": q_doc_regex_extract,
     }
 
@@ -4092,6 +4102,13 @@ def oracle_sql() -> dict[str, str]:
         "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
         "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents "
         "FROM orders"
+    )
+    sql["event_type_cooccurrence"] = (
+        "WITH d AS (SELECT DISTINCT user_id, event_type FROM events) "
+        "SELECT a.event_type AS a, b.event_type AS b, "
+        "CAST(count(*) AS BIGINT) AS n FROM d a "
+        "JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type "
+        "GROUP BY 1, 2"
     )
     sql["user_type_entropy"] = (
         "WITH c AS (SELECT user_id, event_type, count(*) AS c "

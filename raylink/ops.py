@@ -2042,3 +2042,48 @@ def grouped_entropy(ds: rd.Dataset, group_col: str, value_col: str, *,
            .groupby(group_col)
            .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s")))
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def cooccurrence(ds: rd.Dataset, group_col: str, item_col: str, *,
+                 min_count: int = 1) -> rd.Dataset:
+    """Pairwise item co-occurrence counts: for every unordered item pair
+    (a < b), in how many groups do both appear — the market-basket /
+    association-mining shape (and the PMI numerator of corpus statistics).
+
+    Scale shape: per-batch distinct (group, item) is the map-side
+    combiner; one ``groupby(group)`` co-locates each group's distinct
+    items (bounded by the item-vocabulary size, NOT the group's row
+    count); per-group pair expansion is a vectorized triangular index;
+    the final pair count is a second groupby over (a, b) rows whose
+    volume is sum C(k_g, 2) <= groups * C(|vocab|, 2)."""
+    from ray.data.aggregate import Sum
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({group_col: batch[group_col].to_pandas(),
+                           item_col: batch[item_col].to_pandas()})
+        df = df.drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    per_group = (ds.select_columns([group_col, item_col])
+                 .map_batches(distinct_pairs, batch_format="pyarrow",
+                              zero_copy_batch=True)
+                 .groupby(group_col))
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        items = np.unique(g[item_col].to_numpy())
+        k = len(items)
+        if k < 2:
+            return pd.DataFrame({"a": items[:0], "b": items[:0],
+                                 "n": np.array([], np.int64)})
+        iu = np.triu_indices(k, 1)
+        return pd.DataFrame({"a": items[iu[0]], "b": items[iu[1]],
+                             "n": np.ones(len(iu[0]), np.int64)})
+
+    pairs = per_group.map_groups(expand, batch_format="pandas")
+    agg = pairs.groupby(["a", "b"]).aggregate(Sum("n", alias_name="n"))
+    if min_count > 1:
+        agg = agg.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["n"],
+                                                pa.scalar(min_count))),
+            batch_format="pyarrow")
+    return agg

@@ -1253,3 +1253,16 @@ def test_grouped_entropy_hand_computed():
     assert out["n_rows"].tolist() == [4, 2]
     assert out["entropy_fp"].tolist() == [
         int(np.floor(np.log(2) * 1e6 + 0.5)), 0]
+
+
+def test_cooccurrence_hand_built():
+    from raylink.ops import cooccurrence
+
+    ds = ds_of({"g": [1, 1, 1, 1, 2, 2, 3],
+                "i": ["x", "y", "y", "z", "x", "y", "x"]})
+    out = cooccurrence(ds, "g", "i").to_pandas()
+    got = {(r["a"], r["b"]): int(r["n"]) for _, r in out.iterrows()}
+    # g1: {x,y,z} -> xy, xz, yz; g2: {x,y} -> xy; g3: {x} -> none
+    assert got == {("x", "y"): 2, ("x", "z"): 1, ("y", "z"): 1}
+    out2 = cooccurrence(ds, "g", "i", min_count=2).to_pandas()
+    assert {(r["a"], r["b"]) for _, r in out2.iterrows()} == {("x", "y")}
