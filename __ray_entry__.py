@@ -2323,6 +2323,16 @@ def q_event_type_cooccurrence(sf_dir: str):
     return cooccurrence(ev, "user_id", "event_type")
 
 
+def q_event_type_pmi(sf_dir: str):
+    """Co-occurring event-type pairs scored by pointwise mutual
+    information over group-presence counts (integer inputs, verbatim
+    float formula on both sides)."""
+    from raylink.ops import cooccurrence_pmi
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return cooccurrence_pmi(ev, "user_id", "event_type")
+
+
 def q_user_type_entropy(sf_dir: str):
     """Per-user Shannon entropy of the event-type distribution (category
     diversity, §2.8 custom aggregate): per-term integer lattice, only the
@@ -2527,6 +2537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": q_doc_top_terms,
         "user_type_entropy": q_user_type_entropy,
         "event_type_cooccurrence": q_event_type_cooccurrence,
+        "event_type_pmi": q_event_type_pmi,
         "doc_regex_extract": q_doc_regex_extract,
     }
 
@@ -4109,6 +4120,20 @@ def oracle_sql() -> dict[str, str]:
         "CAST(count(*) AS BIGINT) AS n FROM d a "
         "JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type "
         "GROUP BY 1, 2"
+    )
+    sql["event_type_pmi"] = (
+        "WITH d AS (SELECT DISTINCT user_id, event_type FROM events), "
+        "ic AS (SELECT event_type, count(*) AS c FROM d GROUP BY 1), "
+        "ng AS (SELECT count(DISTINCT user_id) AS n FROM d), "
+        "p AS (SELECT a.event_type AS a, b.event_type AS b, "
+        "CAST(count(*) AS BIGINT) AS n FROM d a "
+        "JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type "
+        "GROUP BY 1, 2) "
+        "SELECT p.a, p.b, p.n, "
+        "CAST(floor(ln(p.n * (SELECT n FROM ng) / "
+        "(ca.c * CAST(cb.c AS DOUBLE)))*1000000 + 0.5) AS BIGINT) AS pmi_fp "
+        "FROM p JOIN ic ca ON ca.event_type = p.a "
+        "JOIN ic cb ON cb.event_type = p.b"
     )
     sql["user_type_entropy"] = (
         "WITH c AS (SELECT user_id, event_type, count(*) AS c "

@@ -2087,3 +2087,52 @@ def cooccurrence(ds: rd.Dataset, group_col: str, item_col: str, *,
                                                 pa.scalar(min_count))),
             batch_format="pyarrow")
     return agg
+
+
+def cooccurrence_pmi(ds: rd.Dataset, group_col: str, item_col: str, *,
+                     min_count: int = 1) -> rd.Dataset:
+    """Co-occurrence pairs scored by pointwise mutual information:
+    PMI(a,b) = ln(n_ab * N / (n_a * n_b)) over group-level presence
+    counts (N = total groups, n_x = groups containing x) — the
+    association-strength signal on top of :func:`cooccurrence`.
+
+    The per-item counts and N are tiny aggregates (bounded by the item
+    vocabulary); they attach to the pair table via an in-task broadcast
+    dict. All inputs to the float formula are exact integers, and the
+    expression is mirrored verbatim by the SQL twin, so fixed-point
+    output matches bit-for-bit."""
+    pairs = cooccurrence(ds, group_col, item_col, min_count=min_count)
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({group_col: batch[group_col].to_pandas(),
+                           item_col: batch[item_col].to_pandas()})
+        return pa.Table.from_pandas(df.drop_duplicates(),
+                                    preserve_index=False)
+
+    gi = (ds.select_columns([group_col, item_col])
+          .map_batches(distinct_pairs, batch_format="pyarrow",
+                       zero_copy_batch=True)
+          .groupby(group_col).map_groups(
+              lambda g: g.drop_duplicates(), batch_format="pandas")
+          .materialize())
+    # per-item presence counts: a vocabulary-sized aggregate (broadcast
+    # small side); distinct-group total: a distributed count, scalar only
+    item_counts = {r[item_col]: int(r["count()"])
+                   for b in gi.groupby(item_col).count().iter_batches(
+                       batch_format="pyarrow") for r in b.to_pylist()}
+    n_groups = gi.groupby(group_col).count().count()
+
+    def score(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_pylist()
+        bb = batch["b"].to_pylist()
+        n_ab = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = np.array([item_counts[x] for x in a], np.float64)
+        nb = np.array([item_counts[x] for x in bb], np.float64)
+        pmi = np.log(n_ab * float(n_groups) / (na * nb))
+        return pa.table({
+            "a": batch["a"], "b": batch["b"], "n": batch["n"],
+            "pmi_fp": pa.array(np.floor(pmi * 1e6 + 0.5).astype(np.int64),
+                               pa.int64()),
+        })
+
+    return pairs.map_batches(score, batch_format="pyarrow")

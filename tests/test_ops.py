@@ -1266,3 +1266,16 @@ def test_cooccurrence_hand_built():
     assert got == {("x", "y"): 2, ("x", "z"): 1, ("y", "z"): 1}
     out2 = cooccurrence(ds, "g", "i", min_count=2).to_pandas()
     assert {(r["a"], r["b"]) for _, r in out2.iterrows()} == {("x", "y")}
+
+
+def test_cooccurrence_pmi_hand_computed():
+    from raylink.ops import cooccurrence_pmi
+
+    # groups: g1={x,y}, g2={x,y}, g3={x}, g4={z}  (N=4, nx=3, ny=2, nz=1)
+    ds = ds_of({"g": [1, 1, 2, 2, 3, 4], "i": ["x", "y", "x", "y", "x", "z"]})
+    out = cooccurrence_pmi(ds, "g", "i").to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["a"], r["b"], r["n"]) == ("x", "y", 2)
+    # PMI = ln(2*4/(3*2)) = ln(4/3)
+    assert r["pmi_fp"] == int(np.floor(np.log(2 * 4.0 / (3.0 * 2.0)) * 1e6 + 0.5))
