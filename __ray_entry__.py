@@ -514,6 +514,21 @@ def q_graph_sssp(sf_dir: str):
     return _rename(join_keys(dist, sg, "dist"), {"key": "user_id"})
 
 
+DENSEST_ROUNDS = 4
+
+
+def q_graph_densest(sf_dir: str):
+    """Densest-subgraph 2-approx (parallel greedy peeling, eps=0): best
+    average-degree/2 density over DENSEST_ROUNDS peels of the symmetric
+    user-transition graph; integer-exact peel threshold deg*n > 2m."""
+    from raylink.graph import build_graph
+    from raylink.kernels import densest_subgraph
+
+    sg = build_graph(_user_edges(sf_dir), P=GRAPH_P, symmetric=True,
+                     already_deduped=True)
+    return densest_subgraph(sg, rounds=DENSEST_ROUNDS)
+
+
 def q_graph_widest_path(sf_dir: str):
     """Bottleneck (maximin) path capacity from the min-key user over the
     weighted symmetric transition multigraph — the max-min semiring twin
@@ -2467,6 +2482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_sssp": q_graph_sssp,
         "graph_sssp_delta": q_graph_sssp_delta,
         "graph_widest_path": q_graph_widest_path,
+        "graph_densest": q_graph_densest,
         "graph_mis": q_graph_mis,
         "graph_matching": q_graph_matching,
         "graph_dag_levels": q_graph_dag_levels,
@@ -3241,6 +3257,38 @@ def oracle_sql() -> dict[str, str]:
         "WITH " + ", ".join(_sssp_parts) +
         f" SELECT v AS user_id, CAST(dist AS BIGINT) AS dist "
         f"FROM d{SSSP_DELTA_ROUNDS}"
+    )
+    # densest subgraph: eps=0 parallel peeling unroll — per round, the
+    # alive-subgraph edge-slot count s=2m and vertex count n gate the peel
+    # (integer compare deg*n > s); best (earliest) round by IEEE density
+    _dn_parts = [
+        _E_CTE,
+        "und AS MATERIALIZED (SELECT DISTINCT a, b FROM "
+        "(SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e))",
+        "a0 AS MATERIALIZED (SELECT a AS v FROM und UNION SELECT b FROM und)",
+    ]
+    for _k in range(DENSEST_ROUNDS + 1):
+        _dn_parts.append(
+            f"s{_k} AS MATERIALIZED (SELECT count(*) AS s FROM und u "
+            f"JOIN a{_k} x ON x.v = u.a JOIN a{_k} y ON y.v = u.b)")
+        _dn_parts.append(
+            f"n{_k} AS MATERIALIZED (SELECT count(*) AS n FROM a{_k})")
+        if _k < DENSEST_ROUNDS:
+            _dn_parts.append(
+                f"a{_k + 1} AS MATERIALIZED (SELECT u.a AS v FROM und u "
+                f"JOIN a{_k} x ON x.v = u.a JOIN a{_k} y ON y.v = u.b "
+                f"GROUP BY u.a HAVING count(*) * (SELECT n FROM n{_k}) "
+                f"> (SELECT s FROM s{_k}))")
+    _dn_hist = " UNION ALL ".join(
+        f"SELECT {k} AS r, (SELECT s FROM s{k}) AS s, "
+        f"(SELECT n FROM n{k}) AS n" for k in range(DENSEST_ROUNDS + 1))
+    sql["graph_densest"] = (
+        "WITH " + ", ".join(_dn_parts) + f", hist AS ({_dn_hist}) "
+        "SELECT CAST(r AS BIGINT) AS best_round, CAST(n AS BIGINT) AS "
+        "n_vertices, CAST(s // 2 AS BIGINT) AS n_edges, "
+        "CAST(floor(s/(2.0*n)*1000000 + 0.5) AS BIGINT) AS density_fp "
+        "FROM hist WHERE n > 0 "
+        "ORDER BY CAST(s AS DOUBLE)/(2*n) DESC, r ASC LIMIT 1"
     )
     # widest (maximin) path: same uw weighted edge CTE, max-min unroll;
     # source excluded (its capacity is the unbounded sentinel)

@@ -22,6 +22,7 @@ from .labelprop import label_propagation
 from .triangles import (approx_triangle_count, degree_assortativity,
                         edge_support, graph_summary, local_clustering,
                         reciprocity, triangle_count)
+from .densest import densest_subgraph
 from .traversal import (bfs_hops, bfs_hops_multi, coreness, dag_levels,
                         k_core, sssp, sssp_delta, widest_path)
 from .linkpred import adamic_adar_candidates
@@ -42,7 +43,8 @@ __all__ = ["pagerank", "connected_components", "label_propagation",
            "degree_assortativity", "adamic_adar_candidates", "k_truss",
            "modularity",
            "local_clustering", "edge_support", "bfs_hops", "bfs_hops_multi",
-           "k_core", "hits", "sssp", "sssp_delta", "widest_path", "coreness", "dag_levels",
+           "k_core", "hits", "sssp", "sssp_delta", "widest_path", "coreness",
+           "densest_subgraph", "dag_levels",
            "reciprocity",
            "maximal_independent_set", "maximal_matching",
            "betweenness", "graph_coloring",

@@ -2901,3 +2901,52 @@ def test_local_clustering_dense_core_matches_plain():
         got = local_clustering(g, dense_core_deg=D).to_pandas(
         ).sort_values("vid").reset_index(drop=True)
         assert got.equals(base), f"dense_core_deg={D} diverged"
+
+
+def test_densest_subgraph_matches_sequential_peeling():
+    """densest_subgraph == a sequential replication of the same eps=0
+    parallel peeling (integer threshold deg*n > 2m, earliest best round);
+    the planted clique must dominate the best round's density."""
+    import ray.data as rd
+
+    from raylink.kernels import densest_subgraph
+
+    rng = np.random.default_rng(31)
+    n = 200
+    er = rng.integers(0, n, size=(500, 2))
+    er = er[er[:, 0] != er[:, 1]]
+    cl = np.array([(a, b) for a in range(12) for b in range(12) if a != b])
+    arr = np.vstack([er, cl])
+    pairs = sorted({(f"v{a}", f"v{b}") for a, b in arr})
+    ds = rd.from_arrow(pa.table({"src": [p[0] for p in pairs],
+                                 "dst": [p[1] for p in pairs]}))
+    g = G.build_graph(ds, P=P, symmetric=True)
+    out = densest_subgraph(g, rounds=6).to_pandas().iloc[0]
+
+    # sequential replication over the undirected simple graph
+    und = set()
+    for a, b in arr:
+        und.add((min(int(a), int(b)), max(int(a), int(b))))
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    hist = []
+    for r in range(7):
+        edges_alive = sum(1 for a, b in und if a in alive and b in alive)
+        if not alive:
+            break
+        hist.append((r, 2 * edges_alive, len(alive)))
+        if r == 6:
+            break
+        s2m, na = 2 * edges_alive, len(alive)
+        alive = {v for v in alive
+                 if len(adj[v] & alive) * na > s2m}
+    best = max(hist, key=lambda t: (np.float64(t[1]) / (2.0 * t[2]), -t[0]))
+    assert (out["best_round"], out["n_vertices"], out["n_edges"]) == \
+        (best[0], best[2], best[1] // 2)
+    assert out["density_fp"] == int(
+        np.floor(np.float64(best[1]) / (2.0 * best[2]) * 1e6 + 0.5))
+    # the 12-clique (density ~5.5) must beat the sparse background
+    assert out["density_fp"] >= 5_000_000
