@@ -2329,6 +2329,16 @@ def q_running_revenue(sf_dir: str):
     return out.select_columns(["o_orderkey", "o_custkey", "run_cents"])
 
 
+def q_events_sliding_count(sf_dir: str):
+    """Per-event trailing-1h same-user event count (value-based RANGE
+    window frame; §2.10)."""
+    from raylink.ops import sliding_count
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = sliding_count(ev, "user_id", "ts", window_us=3_600_000_000)
+    return out.select_columns(["event_id", "user_id", "n_window"])
+
+
 def q_event_type_cooccurrence(sf_dir: str):
     """Unordered event-type pair co-occurrence across users (market-basket
     / association-mining shape; §2.7 pairwise join family)."""
@@ -2554,6 +2564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_entropy": q_user_type_entropy,
         "event_type_cooccurrence": q_event_type_cooccurrence,
         "event_type_pmi": q_event_type_pmi,
+        "events_sliding_count": q_events_sliding_count,
         "doc_regex_extract": q_doc_regex_extract,
     }
 
@@ -4168,6 +4179,12 @@ def oracle_sql() -> dict[str, str]:
         "CAST(count(*) AS BIGINT) AS n FROM d a "
         "JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type "
         "GROUP BY 1, 2"
+    )
+    sql["events_sliding_count"] = (
+        "SELECT event_id, user_id, "
+        "CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
+        "AS BIGINT) AS n_window FROM events"
     )
     sql["event_type_pmi"] = (
         "WITH d AS (SELECT DISTINCT user_id, event_type FROM events), "

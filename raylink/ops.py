@@ -2136,3 +2136,28 @@ def cooccurrence_pmi(ds: rd.Dataset, group_col: str, item_col: str, *,
         })
 
     return pairs.map_batches(score, batch_format="pyarrow")
+
+
+def sliding_count(events: rd.Dataset, part_col: str, ts_col: str, *,
+                  window_us: int, id_col: str = "event_id",
+                  out_col: str = "n_window") -> rd.Dataset:
+    """Per-row count of same-partition rows in the trailing time window
+    [ts - window, ts] — the SQL ``COUNT(*) OVER (... ORDER BY ts RANGE
+    BETWEEN <window> PRECEDING AND CURRENT ROW)`` value-based frame (rate
+    limiting / burst detection). Value-based on BOTH ends (all ts ties
+    count), so the result is row-order independent. One groupby shuffle;
+    per group two vectorized searchsorted passes."""
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        order = np.argsort(ts, kind="mergesort")
+        srt = ts[order]
+        hi = np.searchsorted(srt, ts, side="right")
+        lo = np.searchsorted(srt, ts - np.int64(window_us), side="left")
+        g = g.copy()
+        g[out_col] = (hi - lo).astype(np.int64)
+        return g
+
+    return (events.select_columns([part_col, ts_col, id_col])
+            .groupby(part_col)
+            .map_groups(f, batch_format="pandas"))

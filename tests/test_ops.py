@@ -1279,3 +1279,18 @@ def test_cooccurrence_pmi_hand_computed():
     assert (r["a"], r["b"], r["n"]) == ("x", "y", 2)
     # PMI = ln(2*4/(3*2)) = ln(4/3)
     assert r["pmi_fp"] == int(np.floor(np.log(2 * 4.0 / (3.0 * 2.0)) * 1e6 + 0.5))
+
+
+def test_sliding_count_value_based_frame():
+    from raylink.ops import sliding_count
+
+    ts = pd.to_datetime(["2020-01-01 00:00:00", "2020-01-01 00:30:00",
+                         "2020-01-01 01:00:00", "2020-01-01 02:30:00",
+                         "2020-01-01 02:30:00"])
+    ds = ds_of({"event_id": [1, 2, 3, 4, 5], "u": [7, 7, 7, 7, 7],
+                "ts": ts})
+    out = sliding_count(ds, "u", "ts", window_us=3_600_000_000,
+                        ).to_pandas().sort_values("event_id")
+    # 00:00 -> {1}; 00:30 -> {1,2}; 01:00 -> {1,2,3} (inclusive 1h);
+    # 02:30 twins -> both count both ties -> 2 each
+    assert out["n_window"].tolist() == [1, 2, 3, 2, 2]
