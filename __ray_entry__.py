@@ -517,6 +517,24 @@ def q_graph_sssp(sf_dir: str):
 DENSEST_ROUNDS = 4
 
 
+def q_graph_msf(sf_dir: str):
+    """Minimum spanning forest (distributed Boruvka) over the weighted
+    symmetric transition graph: forest size and component count are
+    SQL-checkable structural invariants (any MSF has n - #components
+    edges); total weight is pytest-verified against Kruskal (weight
+    multiset is unique under ties)."""
+    from raylink.graph import build_graph
+    from raylink.kernels import minimum_spanning_forest
+    from raylink.ops import transition_edges
+
+    ew = transition_edges(
+        _read(sf_dir, "events", ["event_id", "user_id"]), distinct=False)
+    sg = build_graph(ew, P=GRAPH_P, symmetric=True, weighted=True,
+                     already_deduped=True)
+    summary, _edges = minimum_spanning_forest(sg)
+    return summary.select(["n_msf_edges", "n_components"])
+
+
 def q_graph_densest(sf_dir: str):
     """Densest-subgraph 2-approx (parallel greedy peeling, eps=0): best
     average-degree/2 density over DENSEST_ROUNDS peels of the symmetric
@@ -2493,6 +2511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_sssp_delta": q_graph_sssp_delta,
         "graph_widest_path": q_graph_widest_path,
         "graph_densest": q_graph_densest,
+        "graph_msf": q_graph_msf,
         "graph_mis": q_graph_mis,
         "graph_matching": q_graph_matching,
         "graph_dag_levels": q_graph_dag_levels,
@@ -3268,6 +3287,22 @@ def oracle_sql() -> dict[str, str]:
         "WITH " + ", ".join(_sssp_parts) +
         f" SELECT v AS user_id, CAST(dist AS BIGINT) AS dist "
         f"FROM d{SSSP_DELTA_ROUNDS}"
+    )
+    # MSF structural invariants: ANY spanning forest has n - #components
+    # edges; components via the same reachability closure as
+    # graph_components
+    sql["graph_msf"] = (
+        f"WITH RECURSIVE {_E_CTE}, "
+        "und AS (SELECT src AS a, dst AS b FROM e "
+        "UNION SELECT dst, src FROM e), "
+        "r(a, b) AS (SELECT a, b FROM und "
+        "UNION SELECT r.a, u.b FROM r JOIN und u ON r.b = u.a), "
+        "comps AS (SELECT count(DISTINCT least(a, mn)) AS nc FROM "
+        "(SELECT a, min(b) AS mn FROM r GROUP BY a)), "
+        "verts AS (SELECT count(DISTINCT v) AS n FROM "
+        "(SELECT src AS v FROM e UNION ALL SELECT dst FROM e)) "
+        "SELECT CAST(n - nc AS BIGINT) AS n_msf_edges, "
+        "CAST(nc AS BIGINT) AS n_components FROM comps, verts"
     )
     # densest subgraph: eps=0 parallel peeling unroll — per round, the
     # alive-subgraph edge-slot count s=2m and vertex count n gate the peel

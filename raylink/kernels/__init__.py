@@ -23,6 +23,7 @@ from .triangles import (approx_triangle_count, degree_assortativity,
                         edge_support, graph_summary, local_clustering,
                         reciprocity, triangle_count)
 from .densest import densest_subgraph
+from .msf import minimum_spanning_forest
 from .traversal import (bfs_hops, bfs_hops_multi, coreness, dag_levels,
                         k_core, sssp, sssp_delta, widest_path)
 from .linkpred import adamic_adar_candidates
@@ -44,7 +45,7 @@ __all__ = ["pagerank", "connected_components", "label_propagation",
            "modularity",
            "local_clustering", "edge_support", "bfs_hops", "bfs_hops_multi",
            "k_core", "hits", "sssp", "sssp_delta", "widest_path", "coreness",
-           "densest_subgraph", "dag_levels",
+           "densest_subgraph", "minimum_spanning_forest", "dag_levels",
            "reciprocity",
            "maximal_independent_set", "maximal_matching",
            "betweenness", "graph_coloring",

@@ -2950,3 +2950,64 @@ def test_densest_subgraph_matches_sequential_peeling():
         np.floor(np.float64(best[1]) / (2.0 * best[2]) * 1e6 + 0.5))
     # the 12-clique (density ~5.5) must beat the sparse background
     assert out["density_fp"] >= 5_000_000
+
+
+def test_msf_matches_kruskal():
+    """Boruvka MSF == sequential Kruskal: edge count, component count and
+    (tie-invariant) total weight; the picked edge set itself is acyclic
+    and spanning."""
+    import ray.data as rd
+
+    from raylink.kernels import minimum_spanning_forest
+
+    base = overlay_pairs(seed=77, n=30, m=70) + [("iso1", "iso2")]
+    pairs = base + base[::2] + base[::5]  # multiplicity weights
+    sg = G.build_graph(edges_ds(pairs), P=P, symmetric=True, weighted=True,
+                       already_deduped=True)
+    summary, edges = minimum_spanning_forest(sg)
+    row = summary.to_pydict()
+
+    # sequential Kruskal over multiplicity weights on vids
+    kv = {r["key"]: r["vid"] for b in sg.vertices.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()}
+    from collections import Counter
+    wmap = Counter()
+    for a, b in pairs:
+        if a != b:
+            u, v = kv[a], kv[b]
+            wmap[(min(u, v), max(u, v))] += 1
+    parent = {v: v for v in kv.values()}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    total, cnt = 0, 0
+    for (u, v), w in sorted(wmap.items(), key=lambda t: (t[1], t[0])):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            total += w
+            cnt += 1
+    assert row["n_msf_edges"][0] == cnt
+    assert row["total_weight"][0] == total
+    assert row["n_components"][0] == len(kv) - cnt
+
+    # picked set is acyclic + consistent with the summary
+    df = edges.to_pandas()
+    assert len(df) == cnt
+    assert int(df["w"].sum()) == total
+    parent2 = {v: v for v in kv.values()}
+
+    def find2(x):
+        while parent2[x] != x:
+            parent2[x] = parent2[parent2[x]]
+            x = parent2[x]
+        return x
+
+    for lo, hi, _w in df.itertuples(index=False):
+        ra, rb = find2(lo), find2(hi)
+        assert ra != rb, "cycle in picked MSF edges"
+        parent2[ra] = rb
