@@ -2386,6 +2386,32 @@ def q_user_type_entropy(sf_dir: str):
     return grouped_entropy(ev, "user_id", "event_type")
 
 
+def q_doc_lang_quota(sf_dir: str):
+    """Language-balanced curation quota: gate on punctuation ratio, then
+    keep the top-25 longest docs PER LANGUAGE (quality-filter ->
+    grouped-top-k pipeline, the per-domain/per-language cap of a
+    training-data mix)."""
+    from raylink.ops import grouped_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def gate(batch: pd.DataFrame) -> pd.DataFrame:
+        txt = batch["text"].fillna("")
+        n = txt.str.len().astype("int64")
+        safe = n.replace(0, 1).astype("float64")
+        punct = np.floor(txt.str.count(r"[.!?,;:]") / safe * 1_000_000.0
+                         + 0.5).astype("int64")
+        out = pd.DataFrame({"doc_id": batch["doc_id"],
+                            "lang": batch["lang"],
+                            "n_chars": n, "punct_ratio": punct})
+        return out[out["punct_ratio"] <= 60000]
+
+    gated = docs.map_batches(gate, batch_format="pandas")
+    out = grouped_topk(gated, ["lang"],
+                       [("n_chars", True), ("doc_id", False)], 25)
+    return out.select_columns(["doc_id", "lang", "n_chars"])
+
+
 def q_doc_top_terms(sf_dir: str):
     """Corpus top-20 vocabulary terms (map-side combined token counts ->
     one term-groupby -> global sort+limit with full tiebreak)."""
@@ -2580,6 +2606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_revenue": q_running_revenue,
         "customer_order_rank": q_customer_order_rank,
         "doc_top_terms": q_doc_top_terms,
+        "doc_lang_quota": q_doc_lang_quota,
         "user_type_entropy": q_user_type_entropy,
         "event_type_cooccurrence": q_event_type_cooccurrence,
         "event_type_pmi": q_event_type_pmi,
@@ -4244,6 +4271,17 @@ def oracle_sql() -> dict[str, str]:
         "SELECT user_id, n AS n_rows, "
         "CAST(floor((ln(n) - (s/1000000000.0)/n)*1000000 + 0.5) AS BIGINT) "
         "AS entropy_fp FROM n"
+    )
+    sql["doc_lang_quota"] = (
+        "SELECT doc_id, lang, n_chars FROM ("
+        "SELECT doc_id, lang, n_chars, row_number() OVER ("
+        "PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn FROM ("
+        "SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars, "
+        "CAST(floor((length(text) - length(regexp_replace(text, "
+        "'[.!?,;:]', '', 'g'))) / CAST(CASE WHEN length(text) = 0 THEN 1 "
+        "ELSE length(text) END AS DOUBLE)*1000000 + 0.5) AS BIGINT) "
+        "AS punct_ratio FROM documents) WHERE punct_ratio <= 60000"
+        ") WHERE rn <= 25"
     )
     sql["doc_top_terms"] = (
         "SELECT term, n FROM ("
