@@ -2386,6 +2386,15 @@ def q_user_type_entropy(sf_dir: str):
     return grouped_entropy(ev, "user_id", "event_type")
 
 
+def q_doc_dedup_rewrite(sf_dir: str):
+    """Exact-substring dedup rewrite: every non-canonical duplicated
+    8-token chunk removed corpus-wide, documents reassembled (Lee et al.
+    '22 shape); byte-identical to the string_agg SQL twin."""
+    from raylink.dedup import remove_dup_chunks
+
+    return remove_dup_chunks(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_doc_lang_quota(sf_dir: str):
     """Language-balanced curation quota: gate on punctuation ratio, then
     keep the top-25 longest docs PER LANGUAGE (quality-filter ->
@@ -2607,6 +2616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_rank": q_customer_order_rank,
         "doc_top_terms": q_doc_top_terms,
         "doc_lang_quota": q_doc_lang_quota,
+        "doc_dedup_rewrite": q_doc_dedup_rewrite,
         "user_type_entropy": q_user_type_entropy,
         "event_type_cooccurrence": q_event_type_cooccurrence,
         "event_type_pmi": q_event_type_pmi,
@@ -4271,6 +4281,32 @@ def oracle_sql() -> dict[str, str]:
         "SELECT user_id, n AS n_rows, "
         "CAST(floor((ln(n) - (s/1000000000.0)/n)*1000000 + 0.5) AS BIGINT) "
         "AS entropy_fp FROM n"
+    )
+    sql["doc_dedup_rewrite"] = (
+        "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')"
+        " AS toks FROM documents WHERE trim(text) <> ''), "
+        "ch AS (SELECT doc_id, i, "
+        "array_to_string(toks[(i-1)*8+1 : i*8], ' ') AS chunk, "
+        "md5(array_to_string(toks[(i-1)*8+1 : i*8], ' ')) AS fp FROM ("
+        "SELECT doc_id, toks, unnest(generate_series(1, len(toks)//8)) AS i "
+        "FROM t)), "
+        "canon AS (SELECT fp, min(doc_id*1048576 + (i-1)) AS mc "
+        "FROM ch GROUP BY fp), "
+        "keptch AS (SELECT ch.doc_id, ch.i, ch.chunk FROM ch "
+        "JOIN canon USING (fp) WHERE ch.doc_id*1048576 + (ch.i-1) = canon.mc), "
+        "tl AS (SELECT doc_id, len(toks)//8 + 1 AS i, "
+        "array_to_string(toks[len(toks)//8*8+1 : len(toks)], ' ') AS chunk "
+        "FROM t WHERE len(toks) % 8 <> 0), "
+        "pieces AS (SELECT * FROM keptch UNION ALL SELECT * FROM tl), "
+        "agg AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY i) "
+        "AS clean_text FROM pieces GROUP BY doc_id), "
+        "drops AS (SELECT doc_id, count(*) AS n_dropped FROM ("
+        "SELECT ch.doc_id FROM ch JOIN canon USING (fp) "
+        "WHERE ch.doc_id*1048576 + (ch.i-1) <> canon.mc) GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text, "
+        "CAST(coalesce(dr.n_dropped, 0) AS BIGINT) AS n_dropped "
+        "FROM documents d LEFT JOIN agg a USING (doc_id) "
+        "LEFT JOIN drops dr USING (doc_id)"
     )
     sql["doc_lang_quota"] = (
         "SELECT doc_id, lang, n_chars FROM ("

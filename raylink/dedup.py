@@ -956,3 +956,126 @@ def simhash_pairs(sigs: rd.Dataset, *, radius: int = 3,
     from .ops import keep_first
 
     return keep_first(pairs, ["a", "b"], ["hamming"])
+
+
+_CHUNK_IDX_CAP = 1 << 20  # chunks per doc bound for the (doc, idx) code
+
+
+def remove_dup_chunks(docs: rd.Dataset, id_col: str = "doc_id",
+                      text_col: str = "text", *,
+                      width: int = 8,
+                      num_buckets: int = 64) -> rd.Dataset:
+    """Exact-substring dedup REWRITE (Lee et al. '22 shape): drop every
+    non-canonical occurrence of a duplicated ``width``-token chunk across
+    the whole corpus and reassemble each document from its kept chunks
+    (+ the always-kept tail tokens past the last full chunk). The
+    canonical occurrence of a chunk fingerprint is the lexicographic min
+    (doc_id, chunk_idx) — deterministic and SQL-mirrorable via the code
+    ``doc_id * 2^20 + idx``. Output rows: (id, clean_text, n_dropped) for
+    EVERY input doc; reassembly is whitespace-normalized (single spaces),
+    byte-identical to a ``string_agg(chunk, ' ' ORDER BY idx)`` SQL twin.
+
+    Scale shape: stage 1 shuffles only (16-byte fp, doc, idx) triples
+    bucketed by fp prefix (the text never leaves its read partition);
+    stage 2 emits ONLY dropped occurrences (volume = duplicate mass);
+    stage 3 groups them per doc; stage 4 is one co-partitioned LEFT join
+    back to the raw docs + a vectorized rebuild."""
+
+    def chunk_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        txt = batch[text_col].fillna("")
+        toks = txt.str.split()
+        n = toks.str.len().fillna(0).astype("int64").to_numpy()
+        nch = np.maximum(0, n // width)
+        if not int(nch.sum()):
+            return pd.DataFrame({"fp": pd.Series([], dtype=object),
+                                 "__bkt": pd.Series([], dtype="int64"),
+                                 id_col: pd.Series([], dtype="int64"),
+                                 "idx": pd.Series([], dtype="int64")})
+        if int(nch.max()) >= _CHUNK_IDX_CAP:
+            raise ValueError("document exceeds 2^20 chunks; widen the "
+                             "(doc, idx) code")
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks.to_numpy()])
+        doc_off = np.concatenate([[0], np.cumsum(n)[:-1]])
+        chunk_own = np.repeat(np.arange(len(batch), dtype=np.int64), nch)
+        coff = np.concatenate([[0], np.cumsum(nch)[:-1]])
+        cwithin = (np.arange(int(nch.sum()), dtype=np.int64)
+                   - np.repeat(coff, nch))
+        starts = doc_off[chunk_own] + cwithin * width
+        gather = starts[:, None] + np.arange(width, dtype=np.int64)[None, :]
+        mat = flat[gather]
+        ids = batch[id_col].to_numpy()
+        fps = [hashlib.md5(" ".join(row).encode()).hexdigest()
+               for row in mat]
+        return pd.DataFrame({
+            "fp": fps,
+            "__bkt": np.array([int(f[:8], 16) % num_buckets for f in fps],
+                              dtype=np.int64),
+            id_col: ids[chunk_own],
+            "idx": cwithin,
+        })
+
+    occurrences = docs.select_columns([id_col, text_col]).map_batches(
+        chunk_rows, batch_format="pandas")
+
+    def dropped_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        code = (g[id_col].to_numpy().astype(np.int64) * _CHUNK_IDX_CAP
+                + g["idx"].to_numpy().astype(np.int64))
+        fp = g["fp"].to_numpy()
+        order = np.lexsort((code, fp))
+        fp_s, code_s = fp[order], code[order]
+        first = np.r_[True, fp_s[1:] != fp_s[:-1]]
+        drop = ~first  # every non-canonical occurrence of its fp
+        return pd.DataFrame({
+            id_col: (code_s[drop] // _CHUNK_IDX_CAP),
+            "idx": (code_s[drop] % _CHUNK_IDX_CAP),
+        })
+
+    dropped = occurrences.groupby("__bkt").map_groups(
+        dropped_of_bucket, batch_format="pandas")
+
+    def pack_doc(g: pd.DataFrame) -> pd.DataFrame:
+        idxs = np.sort(g["idx"].to_numpy().astype(np.int64))
+        # scalar (string) payload: Acero's hash join doesn't take nested
+        # payload columns, and the volume is the duplicate mass only
+        return pd.DataFrame({
+            id_col: [np.int64(g[id_col].iloc[0])],
+            "drop_idx": [",".join(map(str, idxs))],
+        })
+
+    per_doc = dropped.groupby(id_col).map_groups(pack_doc,
+                                                 batch_format="pandas")
+
+    from .ops import hash_join
+
+    joined = hash_join(docs.select_columns([id_col, text_col]), per_doc,
+                       on=id_col, how="left", num_partitions=num_buckets)
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col].to_pandas().fillna("")
+        drop_col = batch["drop_idx"]
+        ids = batch[id_col]
+        out_txt = []
+        out_drop = np.zeros(len(txt), np.int64)
+        for i, t in enumerate(txt):
+            toks = t.split()
+            nch = len(toks) // width
+            d = drop_col[i].as_py()
+            if not d:
+                out_txt.append(" ".join(toks))
+                continue
+            dset = {int(x) for x in d.split(",")}
+            out_drop[i] = len(dset)
+            kept: list[str] = []
+            for c in range(nch):
+                if c not in dset:
+                    kept.extend(toks[c * width:(c + 1) * width])
+            kept.extend(toks[nch * width:])
+            out_txt.append(" ".join(kept))
+        return pa.table({
+            id_col: ids,
+            "clean_text": pa.array(out_txt, pa.string()),
+            "n_dropped": pa.array(out_drop, pa.int64()),
+        })
+
+    return joined.map_batches(rebuild, batch_format="pyarrow")

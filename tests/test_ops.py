@@ -1294,3 +1294,22 @@ def test_sliding_count_value_based_frame():
     # 00:00 -> {1}; 00:30 -> {1,2}; 01:00 -> {1,2,3} (inclusive 1h);
     # 02:30 twins -> both count both ties -> 2 each
     assert out["n_window"].tolist() == [1, 2, 3, 2, 2]
+
+
+def test_remove_dup_chunks_rewrite():
+    from raylink.dedup import remove_dup_chunks
+
+    c1 = "a b c d e f g h"          # 8-token chunk
+    c2 = "p q r s t u v w"
+    ds = ds_of({"doc_id": [1, 2, 3],
+                "text": [f"{c1} {c2} tail1 tail2",   # canonical for c1, c2
+                         f"{c2} {c1}",               # both dup -> all dropped
+                         "short text"]})
+    out = remove_dup_chunks(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "clean_text"] == f"{c1} {c2} tail1 tail2"
+    assert out.loc[1, "n_dropped"] == 0
+    # doc 2: c2 at idx0 and c1 at idx1 both already seen in doc 1
+    assert out.loc[2, "clean_text"] == ""
+    assert out.loc[2, "n_dropped"] == 2
+    assert out.loc[3, "clean_text"] == "short text"  # tail-only, kept
+    assert out.loc[3, "n_dropped"] == 0
