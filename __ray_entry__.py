@@ -234,6 +234,27 @@ def q_orders_customer_join(sf_dir: str):
     return out.select_columns(["o_orderkey", "c_nationkey"])
 
 
+def q_customer_orders_full(sf_dir: str):
+    """FULL OUTER hash join (§2.7): low-nation customers vs big-order
+    counts — unmatched rows survive on BOTH sides with nulls."""
+    from ray.data.aggregate import Count
+    from raylink.ops import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.less(t["c_nationkey"], 12)),
+        batch_format="pyarrow")
+    big = (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+           .map_batches(lambda t: t.filter(
+               pc.greater(t["o_totalprice"], 150000.0)),
+               batch_format="pyarrow")
+           .groupby("o_custkey").aggregate(Count(alias_name="n_orders")))
+    big = _rename(big, {"o_custkey": "c_custkey"})
+    out = hash_join(cust, big, "c_custkey", how="full_outer",
+                    num_partitions=16)
+    return out.select_columns(["c_custkey", "c_nationkey", "n_orders"])
+
+
 def q_mode_event_type(sf_dir: str):
     """Grouped mode with deterministic tiebreak (§2.8)."""
     from raylink.ops import grouped_mode
@@ -2483,6 +2504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_window_items": q_orders_window_items,
         "region_revenue": q_region_revenue,
         "orders_customer_join": q_orders_customer_join,
+        "customer_orders_full": q_customer_orders_full,
         "mode_event_type": q_mode_event_type,
         "price_outliers": q_price_outliers,
         "approx_price_outliers": q_approx_price_outliers,
@@ -2951,6 +2973,14 @@ def oracle_sql() -> dict[str, str]:
     sql["orders_customer_join"] = (
         "SELECT o_orderkey, c_nationkey FROM orders "
         "JOIN customer ON o_custkey = c_custkey"
+    )
+    sql["customer_orders_full"] = (
+        "WITH c AS (SELECT c_custkey, c_nationkey FROM customer "
+        "WHERE c_nationkey < 12), "
+        "b AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_orders "
+        "FROM orders WHERE o_totalprice > 150000 GROUP BY 1) "
+        "SELECT coalesce(c.c_custkey, b.k) AS c_custkey, c.c_nationkey, "
+        "b.n_orders FROM c FULL OUTER JOIN b ON c.c_custkey = b.k"
     )
     sql["orders_topk_by_priority"] = (
         "SELECT o_orderkey, o_orderpriority, o_totalprice FROM "

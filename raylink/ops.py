@@ -1001,7 +1001,8 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
     Acero FieldRef error on identical inputs (same reason
     :func:`semi_join` / :func:`anti_join` use this pattern).
 
-    ``how`` is ``inner`` or ``left_outer``. Right non-key columns that
+    ``how`` is ``inner``, ``left_outer`` or ``full_outer``. Right non-key
+    columns that
     collide with a left column name get ``right_suffix`` appended. NULL
     join keys never match (SQL semantics); ``left_outer`` keeps unmatched
     left rows with nulls. Use :func:`broadcast_left_join` instead when one
@@ -1011,7 +1012,8 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
 
     r_on = right_on or on
     pa_how = {"inner": "inner", "left": "left outer",
-              "left_outer": "left outer"}[how]
+              "left_outer": "left outer",
+              "full": "full outer", "full_outer": "full outer"}[how]
     B = num_partitions
 
     def _arrow(ds: rd.Dataset):

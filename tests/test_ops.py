@@ -1313,3 +1313,16 @@ def test_remove_dup_chunks_rewrite():
     assert out.loc[2, "n_dropped"] == 2
     assert out.loc[3, "clean_text"] == "short text"  # tail-only, kept
     assert out.loc[3, "n_dropped"] == 0
+
+
+def test_hash_join_full_outer():
+    from raylink.ops import hash_join
+
+    left = ds_of({"k": [1, 2, 3], "l": ["a", "b", "c"]})
+    right = ds_of({"k": [2, 3, 4], "r": [20, 30, 40]})
+    out = hash_join(left, right, "k", how="full_outer",
+                    num_partitions=4).to_pandas().sort_values("k")
+    assert out["k"].tolist() == [1, 2, 3, 4]
+    assert out["l"].tolist()[:3] == ["a", "b", "c"] and pd.isna(
+        out["l"].iloc[3])
+    assert pd.isna(out["r"].iloc[0]) and out["r"].tolist()[1:] == [20, 30, 40]
