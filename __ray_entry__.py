@@ -538,6 +538,30 @@ def q_graph_sssp(sf_dir: str):
 DENSEST_ROUNDS = 4
 
 
+def q_graph_coengagement(sf_dir: str):
+    """Composition showcase: event-type co-occurrence pairs -> weighted
+    symmetric graph (weight = co-engaged-user count) -> weighted PageRank.
+    The bipartite-projection + centrality pipeline of web analytics."""
+    from raylink.graph import build_graph
+    from raylink.kernels import pagerank
+    from raylink.ops import cooccurrence, scale_columns
+    from raylink.pipelines.flagship import join_keys
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    pairs = cooccurrence(ev, "user_id", "event_type")
+
+    def as_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["a"], "dst": t["b"],
+                         "w": pc.cast(t["n"], pa.float64())})
+
+    g = build_graph(pairs.map_batches(as_edges, batch_format="pyarrow"),
+                    P=8, symmetric=True, weight_col="w",
+                    already_deduped=True)
+    ranks = pagerank(g, damping=DAMPING, tol=0.0, max_iter=PR_ITERS)
+    out = _rename(join_keys(ranks, g, "score"), {"key": "event_type"})
+    return scale_columns(out, {"score": 1e9})
+
+
 def q_graph_msf(sf_dir: str):
     """Minimum spanning forest (distributed Boruvka) over the weighted
     symmetric transition graph: forest size and component count are
@@ -2569,6 +2593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_widest_path": q_graph_widest_path,
         "graph_densest": q_graph_densest,
         "graph_msf": q_graph_msf,
+        "graph_coengagement": q_graph_coengagement,
         "graph_mis": q_graph_mis,
         "graph_matching": q_graph_matching,
         "graph_dag_levels": q_graph_dag_levels,
@@ -3355,6 +3380,17 @@ def oracle_sql() -> dict[str, str]:
         f" SELECT v AS user_id, CAST(dist AS BIGINT) AS dist "
         f"FROM d{SSSP_DELTA_ROUNDS}"
     )
+    _COENG_CTE = (
+        "d AS (SELECT DISTINCT user_id, event_type FROM events), "
+        "p AS (SELECT a.event_type AS a, b.event_type AS b, "
+        "CAST(count(*) AS BIGINT) AS n FROM d a "
+        "JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type "
+        "GROUP BY 1, 2), "
+        "e AS (SELECT a AS src, b AS dst, n AS w FROM p "
+        "UNION ALL SELECT b, a, n FROM p)"
+    )
+    sql["graph_coengagement"] = _pr_sql_body(_COENG_CTE, PR_ITERS,
+                                             "event_type", weighted=True)
     # MSF structural invariants: ANY spanning forest has n - #components
     # edges; components via the same reachability closure as
     # graph_components
