@@ -981,16 +981,17 @@ def remove_dup_chunks(docs: rd.Dataset, id_col: str = "doc_id",
     stage 3 groups them per doc; stage 4 is one co-partitioned LEFT join
     back to the raw docs + a vectorized rebuild."""
 
-    def chunk_rows(batch: pd.DataFrame) -> pd.DataFrame:
+    _ROWS_SCHEMA = pa.schema([
+        pa.field("fp", pa.string()), pa.field("__bkt", pa.int64()),
+        pa.field(id_col, pa.int64()), pa.field("idx", pa.int64())])
+
+    def chunk_rows(batch: pd.DataFrame) -> pa.Table:
         txt = batch[text_col].fillna("")
         toks = txt.str.split()
         n = toks.str.len().fillna(0).astype("int64").to_numpy()
         nch = np.maximum(0, n // width)
         if not int(nch.sum()):
-            return pd.DataFrame({"fp": pd.Series([], dtype=object),
-                                 "__bkt": pd.Series([], dtype="int64"),
-                                 id_col: pd.Series([], dtype="int64"),
-                                 "idx": pd.Series([], dtype="int64")})
+            return _ROWS_SCHEMA.empty_table()
         if int(nch.max()) >= _CHUNK_IDX_CAP:
             raise ValueError("document exceeds 2^20 chunks; widen the "
                              "(doc, idx) code")
@@ -1007,44 +1008,49 @@ def remove_dup_chunks(docs: rd.Dataset, id_col: str = "doc_id",
         ids = batch[id_col].to_numpy()
         fps = [hashlib.md5(" ".join(row).encode()).hexdigest()
                for row in mat]
-        return pd.DataFrame({
-            "fp": fps,
-            "__bkt": np.array([int(f[:8], 16) % num_buckets for f in fps],
-                              dtype=np.int64),
-            id_col: ids[chunk_own],
-            "idx": cwithin,
-        })
+        return pa.table({
+            "fp": pa.array(fps, pa.string()),
+            "__bkt": pa.array([int(f[:8], 16) % num_buckets for f in fps],
+                              pa.int64()),
+            id_col: pa.array(ids[chunk_own], pa.int64()),
+            "idx": pa.array(cwithin, pa.int64()),
+        }, schema=_ROWS_SCHEMA)
 
     occurrences = docs.select_columns([id_col, text_col]).map_batches(
         chunk_rows, batch_format="pandas")
 
-    def dropped_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        code = (g[id_col].to_numpy().astype(np.int64) * _CHUNK_IDX_CAP
-                + g["idx"].to_numpy().astype(np.int64))
-        fp = g["fp"].to_numpy()
+    # every stage emits EXPLICITLY TYPED Arrow tables: a zero-row pandas
+    # frame loses its schema in the block layer and the schema-less block
+    # nondeterministically poisons the downstream join
+    def dropped_of_bucket(g: pa.Table) -> pa.Table:
+        code = (g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                * _CHUNK_IDX_CAP
+                + g["idx"].to_numpy(zero_copy_only=False).astype(np.int64))
+        fp = np.asarray(g["fp"].to_pylist(), dtype=object)
         order = np.lexsort((code, fp))
         fp_s, code_s = fp[order], code[order]
         first = np.r_[True, fp_s[1:] != fp_s[:-1]]
         drop = ~first  # every non-canonical occurrence of its fp
-        return pd.DataFrame({
-            id_col: (code_s[drop] // _CHUNK_IDX_CAP),
-            "idx": (code_s[drop] % _CHUNK_IDX_CAP),
+        return pa.table({
+            id_col: pa.array(code_s[drop] // _CHUNK_IDX_CAP, pa.int64()),
+            "idx": pa.array(code_s[drop] % _CHUNK_IDX_CAP, pa.int64()),
         })
 
     dropped = occurrences.groupby("__bkt").map_groups(
-        dropped_of_bucket, batch_format="pandas")
+        dropped_of_bucket, batch_format="pyarrow")
 
-    def pack_doc(g: pd.DataFrame) -> pd.DataFrame:
-        idxs = np.sort(g["idx"].to_numpy().astype(np.int64))
+    def pack_doc(g: pa.Table) -> pa.Table:
+        idxs = np.sort(g["idx"].to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
         # scalar (string) payload: Acero's hash join doesn't take nested
         # payload columns, and the volume is the duplicate mass only
-        return pd.DataFrame({
-            id_col: [np.int64(g[id_col].iloc[0])],
-            "drop_idx": [",".join(map(str, idxs))],
+        return pa.table({
+            id_col: pa.array([int(g[id_col][0].as_py())], pa.int64()),
+            "drop_idx": pa.array([",".join(map(str, idxs))], pa.string()),
         })
 
     per_doc = dropped.groupby(id_col).map_groups(pack_doc,
-                                                 batch_format="pandas")
+                                                 batch_format="pyarrow")
 
     from .ops import hash_join
 

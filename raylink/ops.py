@@ -1078,11 +1078,21 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
     r_union_cols = [right_key_union] + [
         un for (orig, un, t) in r_fields if un != right_key_union]
 
+    # the sort shuffle normalizes all-null columns to null TYPE in some
+    # blocks; Acero refuses null-typed non-key join fields — cast each
+    # side back to its intended schema before the per-bucket probe
+    l_target = pa.schema(list(l_schema))
+    r_target = pa.schema(
+        [pa.field(right_key_union, key_type)]
+        + [pa.field(un, t) for (orig, un, t) in r_fields
+           if un != right_key_union])
+
     def per_bucket(g: pa.Table) -> pa.Table:
         side = g["__side"].to_numpy(zero_copy_only=False)
         ltab = (g.filter(pa.array(side == 0))
-                .select([f.name for f in l_schema]))
-        rtab = g.filter(pa.array(side == 1)).select(r_union_cols)
+                .select([f.name for f in l_schema]).cast(l_target))
+        rtab = (g.filter(pa.array(side == 1))
+                .select(r_union_cols).cast(r_target))
         return ltab.join(rtab, keys=[on], right_keys=[right_key_union],
                          join_type=pa_how)
 

@@ -1326,3 +1326,75 @@ def test_hash_join_full_outer():
     assert out["l"].tolist()[:3] == ["a", "b", "c"] and pd.isna(
         out["l"].iloc[3])
     assert pd.isna(out["r"].iloc[0]) and out["r"].tolist()[1:] == [20, 30, 40]
+
+
+def test_rollup_and_entropy_property_random_tables():
+    """Property check on random small tables: rollup levels equal pandas
+    re-aggregation; grouped entropy equals the direct formula."""
+    from hypothesis import given, settings, strategies as st
+
+    from raylink.ops import grouped_entropy, rollup_sum
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(st.tuples(st.sampled_from("ab"), st.sampled_from("xyz"),
+                              st.integers(-50, 50)),
+                    min_size=1, max_size=30))
+    def check(rows):
+        df = pd.DataFrame(rows, columns=["a", "b", "v"])
+        ds = ds_of({"a": df["a"].tolist(), "b": df["b"].tolist(),
+                    "v": df["v"].astype("int64").tolist()})
+        out = rollup_sum(ds, ["a", "b"], "v", "t").to_pandas()
+        norm = {(r["a"] if isinstance(r["a"], str) else None,
+                 r["b"] if isinstance(r["b"], str) else None): int(r["t"])
+                for _, r in out.iterrows()}
+        expect = {}
+        for (a, b), sub in df.groupby(["a", "b"]):
+            expect[(a, b)] = int(sub["v"].sum())
+        for a, sub in df.groupby("a"):
+            expect[(a, None)] = int(sub["v"].sum())
+        expect[(None, None)] = int(df["v"].sum())
+        assert norm == expect
+
+        ent = grouped_entropy(ds, "a", "b").to_pandas()
+        for _, r in ent.iterrows():
+            counts = df[df["a"] == r["a"]]["b"].value_counts().to_numpy(
+            ).astype(np.float64)
+            n = counts.sum()
+            s = np.floor(counts * np.log(counts) * 1e9 + 0.5).astype(
+                np.int64).sum()
+            h = np.log(n) - (float(s) / 1e9) / n
+            assert r["entropy_fp"] == int(np.floor(h * 1e6 + 0.5))
+            assert r["n_rows"] == int(n)
+
+    check()
+
+
+def test_fuzzy_lookup_property_vs_reference_dp():
+    from hypothesis import given, settings, strategies as st
+
+    from raylink.ops import fuzzy_lookup
+
+    def ref_lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    cands = ["abc", "abcd", "xyz", ""]
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.text(alphabet="abcxyz", max_size=6),
+                    min_size=1, max_size=12))
+    def check(vals):
+        ds = ds_of({"s": vals})
+        out = fuzzy_lookup(ds, "s", cands).to_pandas()
+        for _, r in out.iterrows():
+            best = min(((ref_lev(r["s"], c), c) for c in sorted(cands)),
+                       key=lambda t: (t[0], t[1]))
+            assert (r["dist"], r["best_match"]) == best
+
+    check()
