@@ -2474,6 +2474,24 @@ def q_doc_top_terms(sf_dir: str):
     return top_terms(_read(sf_dir, "documents", ["text"]), k=20)
 
 
+def q_priority_price_mad(sf_dir: str):
+    """Robust dispersion per group: 4x median-absolute-deviation of order
+    price cents per priority, exact on the quarter-cent lattice."""
+    from raylink.ops import grouped_mad
+
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(batch["o_totalprice"],
+                                                pa.scalar(100.0)),
+                                    pa.scalar(0.5))), pa.int64())
+        return pa.table({"o_orderpriority": batch["o_orderpriority"],
+                         "cents": c})
+
+    return grouped_mad(orders.map_batches(cents, batch_format="pyarrow"),
+                       "o_orderpriority", "cents")
+
+
 def q_customer_order_rank(sf_dir: str):
     """Per-customer RANK of order price (ties -> min rank, gaps): the
     partitioned window-rank family next to global_rank's whole-table scan."""
@@ -2661,6 +2679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_fuzzy": q_part_type_fuzzy,
         "running_revenue": q_running_revenue,
         "customer_order_rank": q_customer_order_rank,
+        "priority_price_mad": q_priority_price_mad,
         "doc_top_terms": q_doc_top_terms,
         "doc_lang_quota": q_doc_lang_quota,
         "doc_dedup_rewrite": q_doc_dedup_rewrite,
@@ -4391,6 +4410,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t "
         "FROM documents) WHERE t <> '' GROUP BY t) "
         "ORDER BY n DESC, term LIMIT 20"
+    )
+    sql["priority_price_mad"] = (
+        "SELECT o_orderpriority, CAST(4*mad(CAST(floor(o_totalprice*100 "
+        "+ 0.5) AS BIGINT)) AS BIGINT) AS mad_x4 "
+        "FROM orders GROUP BY o_orderpriority"
     )
     sql["customer_order_rank"] = (
         "SELECT o_orderkey, o_custkey, "

@@ -1398,3 +1398,13 @@ def test_fuzzy_lookup_property_vs_reference_dp():
             assert (r["dist"], r["best_match"]) == best
 
     check()
+
+
+def test_grouped_mad_exact_quarter_grid():
+    from raylink.ops import grouped_mad
+
+    # g=1: vals 1,2,4,10 -> med 3.0, |d| = 2,1,1,7 -> mad 1.5 -> x4 = 6
+    ds = ds_of({"g": [1, 1, 1, 1, 2],
+                "v": np.array([1, 2, 4, 10, 5], np.int64)})
+    out = grouped_mad(ds, "g", "v").to_pandas().sort_values("g")
+    assert out["mad_x4"].tolist() == [6, 0]
