@@ -2474,6 +2474,17 @@ def q_doc_top_terms(sf_dir: str):
     return top_terms(_read(sf_dir, "documents", ["text"]), k=20)
 
 
+def q_order_percent_rank(sf_dir: str):
+    """percent_rank window per priority (fixed point from exact integer
+    rank/count)."""
+    from raylink.ops import grouped_percent_rank
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    out = grouped_percent_rank(orders, "o_orderpriority", "o_totalprice")
+    return out.select_columns(["o_orderkey", "o_orderpriority", "prank_fp"])
+
+
 def q_priority_price_mad(sf_dir: str):
     """Robust dispersion per group: 4x median-absolute-deviation of order
     price cents per priority, exact on the quarter-cent lattice."""
@@ -2680,6 +2691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_revenue": q_running_revenue,
         "customer_order_rank": q_customer_order_rank,
         "priority_price_mad": q_priority_price_mad,
+        "order_percent_rank": q_order_percent_rank,
         "doc_top_terms": q_doc_top_terms,
         "doc_lang_quota": q_doc_lang_quota,
         "doc_dedup_rewrite": q_doc_dedup_rewrite,
@@ -4410,6 +4422,12 @@ def oracle_sql() -> dict[str, str]:
         "SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t "
         "FROM documents) WHERE t <> '' GROUP BY t) "
         "ORDER BY n DESC, term LIMIT 20"
+    )
+    sql["order_percent_rank"] = (
+        "SELECT o_orderkey, o_orderpriority, "
+        "CAST(floor(percent_rank() OVER (PARTITION BY o_orderpriority "
+        "ORDER BY o_totalprice)*1000000 + 0.5) AS BIGINT) AS prank_fp "
+        "FROM orders"
     )
     sql["priority_price_mad"] = (
         "SELECT o_orderpriority, CAST(4*mad(CAST(floor(o_totalprice*100 "

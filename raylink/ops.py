@@ -2196,3 +2196,21 @@ def grouped_mad(ds: rd.Dataset, group_col: str, value_col: str, *,
                                                np.int64)})
 
     return ds.groupby(group_col).map_groups(f, batch_format="pandas")
+
+
+def grouped_percent_rank(ds: rd.Dataset, group_col: str, value_col: str, *,
+                         out_col: str = "prank_fp") -> rd.Dataset:
+    """SQL ``percent_rank() OVER (PARTITION BY g ORDER BY v)`` in 1e-6
+    fixed point: (rank-1)/(n-1) from exact integer rank and count (0 for
+    single-row groups), so the float division matches the SQL twin
+    bit-for-bit. One groupby shuffle, vectorized per-group rank."""
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        r = g[value_col].rank(method="min", ascending=True).to_numpy()
+        n = len(g)
+        pr = (r - 1.0) / (n - 1.0) if n > 1 else np.zeros(n)
+        g[out_col] = np.floor(pr * 1e6 + 0.5).astype(np.int64)
+        return g
+
+    return ds.groupby(group_col).map_groups(f, batch_format="pandas")

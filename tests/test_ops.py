@@ -1408,3 +1408,14 @@ def test_grouped_mad_exact_quarter_grid():
                 "v": np.array([1, 2, 4, 10, 5], np.int64)})
     out = grouped_mad(ds, "g", "v").to_pandas().sort_values("g")
     assert out["mad_x4"].tolist() == [6, 0]
+
+
+def test_grouped_percent_rank_hand_case():
+    from raylink.ops import grouped_percent_rank
+
+    ds = ds_of({"g": [1, 1, 1, 1, 2], "v": [10.0, 20.0, 20.0, 40.0, 7.0]})
+    out = grouped_percent_rank(ds, "g", "v").to_pandas().sort_values(
+        ["g", "v"])
+    # ranks asc: 1,2,2,4 over n=4 -> pr = 0, 1/3, 1/3, 1; single row -> 0
+    third = int(np.floor(1 / 3 * 1e6 + 0.5))
+    assert out["prank_fp"].tolist() == [0, third, third, 1_000_000, 0]
