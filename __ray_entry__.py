@@ -538,6 +538,32 @@ def q_graph_sssp(sf_dir: str):
 DENSEST_ROUNDS = 4
 
 
+def q_graph_pseudo_diameter(sf_dir: str):
+    """Double-sweep diameter estimation: BFS from the min-key vertex,
+    re-BFS from the farthest vertex found (ties -> min key); the second
+    sweep's max hop count is the classic pseudo-diameter lower bound.
+    Two runs of the verified frontier-pruned BFS kernel."""
+    from raylink.graph import build_graph
+    from raylink.kernels import bfs_hops
+    from raylink.ops import top_k
+    from raylink.pipelines.flagship import join_keys
+
+    sg = build_graph(_user_edges(sf_dir), P=GRAPH_P, symmetric=True,
+                     already_deduped=True)
+    h1 = join_keys(bfs_hops(sg, _min_key_vid(sg)), sg, "hops")
+    far = top_k(h1, [("hops", True), ("key", False)], 1).to_pandas()
+    far_key = int(far["key"].iloc[0])
+    vert = pa.concat_tables(list(
+        sg.vertices.iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    keys = vert["key"].to_numpy(zero_copy_only=False)
+    vids = vert["vid"].to_numpy(zero_copy_only=False)
+    far_vid = int(vids[int(np.flatnonzero(keys == far_key)[0])])
+    h2 = bfs_hops(sg, far_vid)
+    diam = int(h2.max("hops") or 0)
+    return pa.table({"far_user": pa.array([far_key], pa.int64()),
+                     "pseudo_diameter": pa.array([diam], pa.int64())})
+
+
 def q_graph_coengagement(sf_dir: str):
     """Composition showcase: event-type co-occurrence pairs -> weighted
     symmetric graph (weight = co-engaged-user count) -> weighted PageRank.
@@ -2623,6 +2649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_densest": q_graph_densest,
         "graph_msf": q_graph_msf,
         "graph_coengagement": q_graph_coengagement,
+        "graph_pseudo_diameter": q_graph_pseudo_diameter,
         "graph_mis": q_graph_mis,
         "graph_matching": q_graph_matching,
         "graph_dag_levels": q_graph_dag_levels,
@@ -3410,6 +3437,23 @@ def oracle_sql() -> dict[str, str]:
         "WITH " + ", ".join(_sssp_parts) +
         f" SELECT v AS user_id, CAST(dist AS BIGINT) AS dist "
         f"FROM d{SSSP_DELTA_ROUNDS}"
+    )
+    sql["graph_pseudo_diameter"] = (
+        f"WITH RECURSIVE {_E_CTE}, "
+        "und AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b "
+        "FROM e UNION ALL SELECT dst, src FROM e)), "
+        "vv AS (SELECT a AS v FROM und UNION SELECT b FROM und), "
+        "b1(v, d) AS (SELECT (SELECT min(v) FROM vv), 0 "
+        "UNION SELECT u.b, b1.d + 1 FROM b1 JOIN und u ON u.a = b1.v "
+        "WHERE b1.d < 200), "
+        "d1 AS (SELECT v, min(d) AS d FROM b1 GROUP BY v), "
+        "far AS (SELECT v FROM d1 ORDER BY d DESC, v LIMIT 1), "
+        "b2(v, d) AS (SELECT (SELECT v FROM far), 0 "
+        "UNION SELECT u.b, b2.d + 1 FROM b2 JOIN und u ON u.a = b2.v "
+        "WHERE b2.d < 200), "
+        "d2 AS (SELECT v, min(d) AS d FROM b2 GROUP BY v) "
+        "SELECT CAST((SELECT v FROM far) AS BIGINT) AS far_user, "
+        "CAST(max(d) AS BIGINT) AS pseudo_diameter FROM d2"
     )
     _COENG_CTE = (
         "d AS (SELECT DISTINCT user_id, event_type FROM events), "
