@@ -2418,6 +2418,27 @@ def q_running_revenue(sf_dir: str):
     return out.select_columns(["o_orderkey", "o_custkey", "run_cents"])
 
 
+def q_props_k_summary(sf_dir: str):
+    """Semi-structured column handling (§2.1 nested data): pull the int
+    field k out of the JSON props string, aggregate per event type."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+    from raylink.textops import json_extract_int
+
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+    ex = json_extract_int(ev, "props", "k")
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type": batch["event_type"],
+                         "k": pc.cast(batch["k"], pa.int64())})
+
+    return (ex.map_batches(proj, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Count(alias_name="n"),
+                       Sum("k", alias_name="sum_k"),
+                       Min("k", alias_name="min_k"),
+                       Max("k", alias_name="max_k")))
+
+
 def q_events_sliding_count(sf_dir: str):
     """Per-event trailing-1h same-user event count (value-based RANGE
     window frame; §2.10)."""
@@ -2726,6 +2747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_cooccurrence": q_event_type_cooccurrence,
         "event_type_pmi": q_event_type_pmi,
         "events_sliding_count": q_events_sliding_count,
+        "props_k_summary": q_props_k_summary,
         "doc_regex_extract": q_doc_regex_extract,
     }
 
@@ -4392,6 +4414,13 @@ def oracle_sql() -> dict[str, str]:
         "CAST(count(*) AS BIGINT) AS n FROM d a "
         "JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type "
         "GROUP BY 1, 2"
+    )
+    sql["props_k_summary"] = (
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(k) AS BIGINT) AS sum_k, CAST(min(k) AS BIGINT) AS min_k, "
+        "CAST(max(k) AS BIGINT) AS max_k FROM ("
+        "SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
+        "FROM events) GROUP BY event_type"
     )
     sql["events_sliding_count"] = (
         "SELECT event_id, user_id, "

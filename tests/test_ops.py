@@ -1419,3 +1419,14 @@ def test_grouped_percent_rank_hand_case():
     # ranks asc: 1,2,2,4 over n=4 -> pr = 0, 1/3, 1/3, 1; single row -> 0
     third = int(np.floor(1 / 3 * 1e6 + 0.5))
     assert out["prank_fp"].tolist() == [0, third, third, 1_000_000, 0]
+
+
+def test_json_extract_int_missing_and_negative():
+    from raylink.textops import json_extract_int
+
+    ds = ds_of({"props": ['{"k": 7}', '{"k": -3, "z": 1}', '{"z": 9}',
+                          None]})
+    out = json_extract_int(ds, "props", "k").to_pandas()
+    got = out["k"].tolist()
+    assert got[0] == 7 and got[1] == -3
+    assert pd.isna(got[2]) and pd.isna(got[3])
