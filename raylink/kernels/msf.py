@@ -76,7 +76,8 @@ def _min_pick_final(g: pd.DataFrame) -> pd.DataFrame:
 
 def minimum_spanning_forest(graph: Graph, *, max_rounds: int = 64,
                             metrics_out: list | None = None,
-                            P_merge: int = 8):
+                            P_merge: int = 8,
+                            broadcast_max_map: int = 4_000_000):
     """(summary_table, msf_edges) over a SYMMETRIC (optionally weighted
     with INTEGER weights) build: summary is one row (n_msf_edges,
     total_weight, n_components); ``msf_edges`` is a Dataset of
@@ -138,24 +139,54 @@ def minimum_spanning_forest(graph: Graph, *, max_rounds: int = 64,
             batch_format="pyarrow")
         msg = build_graph(merge_edges, P=P_merge, symmetric=True)
         cmap = join_keys(
-            connected_components(msg, init="key"), msg, "comp")
+            connected_components(msg, init="key"), msg, "comp").materialize()
 
-        def attach(col: str):
-            nonlocal edges
-            joined = hash_join(edges, cmap, on=col, right_on="key",
-                               how="left", num_partitions=P_merge)
+        # label refresh: the merge map has at most one row per merging
+        # component and at least halves each round — broadcast it (sorted
+        # arrays + searchsorted, the join_keys auto-threshold policy) when
+        # it fits, co-partitioned join only above the threshold
+        if cmap.count() <= broadcast_max_map:
+            import ray as _ray
 
-            def fold(t: pa.Table, col=col) -> pa.Table:
-                new = pc.coalesce(t["comp"], t[col])
-                t = t.drop_columns([c for c in ("key", "comp")
-                                    if c in t.column_names])
-                return t.set_column(
-                    t.column_names.index(col), col, new)
+            mt = pa.concat_tables(list(cmap.iter_batches(
+                batch_format="pyarrow", batch_size=1 << 20)))
+            mk = mt["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+            mv = mt["comp"].to_numpy(zero_copy_only=False).astype(np.int64)
+            o = np.argsort(mk, kind="stable")
+            map_ref = _ray.put((mk[o], mv[o]))
 
-            edges = joined.map_batches(fold, batch_format="pyarrow")
+            def remap(t: pa.Table) -> pa.Table:
+                keys, vals = _ray.get(map_ref)
+                for col in ("ca", "cb"):
+                    cur = t[col].to_numpy(zero_copy_only=False)
+                    pos = np.searchsorted(keys, cur)
+                    safe = np.minimum(pos, max(len(keys) - 1, 0))
+                    hit = (pos < len(keys)) & (keys[safe] == cur) \
+                        if len(keys) else np.zeros(len(cur), bool)
+                    new = np.where(hit, vals[safe], cur)
+                    t = t.set_column(t.column_names.index(col), col,
+                                     pa.array(new, pa.int64()))
+                return t
 
-        attach("ca")
-        attach("cb")
+            edges = edges.map_batches(remap, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+        else:
+            def attach(col: str):
+                nonlocal edges
+                joined = hash_join(edges, cmap, on=col, right_on="key",
+                                   how="left", num_partitions=P_merge)
+
+                def fold(t: pa.Table, col=col) -> pa.Table:
+                    new = pc.coalesce(t["comp"], t[col])
+                    t = t.drop_columns([c for c in ("key", "comp")
+                                        if c in t.column_names])
+                    return t.set_column(
+                        t.column_names.index(col), col, new)
+
+                edges = joined.map_batches(fold, batch_format="pyarrow")
+
+            attach("ca")
+            attach("cb")
         edges = edges.materialize()
 
     summary = pa.table({

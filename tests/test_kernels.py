@@ -3011,3 +3011,20 @@ def test_msf_matches_kruskal():
         ra, rb = find2(lo), find2(hi)
         assert ra != rb, "cycle in picked MSF edges"
         parent2[ra] = rb
+
+
+def test_msf_join_path_matches_broadcast_path():
+    import ray.data as rd
+
+    from raylink.kernels import minimum_spanning_forest
+
+    base = overlay_pairs(seed=101, n=25, m=55)
+    pairs = base + base[::3]
+    sg = G.build_graph(edges_ds(pairs), P=P, symmetric=True, weighted=True,
+                       already_deduped=True)
+    s_b, e_b = minimum_spanning_forest(sg)
+    s_j, e_j = minimum_spanning_forest(sg, broadcast_max_map=0)
+    assert s_b.to_pydict() == s_j.to_pydict()
+    db = e_b.to_pandas().sort_values(["lo", "hi"]).reset_index(drop=True)
+    dj = e_j.to_pandas().sort_values(["lo", "hi"]).reset_index(drop=True)
+    assert db.equals(dj)
