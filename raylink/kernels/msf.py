@@ -114,6 +114,26 @@ def minimum_spanning_forest(graph: Graph, *, max_rounds: int = 64,
     n_msf = 0
     total_w = 0
 
+    import ray as _ray
+
+    def _broadcast_remap(keys_sorted: np.ndarray, vals: np.ndarray):
+        map_ref = _ray.put((keys_sorted, vals))
+
+        def remap(t: pa.Table) -> pa.Table:
+            keys, vv = _ray.get(map_ref)
+            for col in ("ca", "cb"):
+                cur = t[col].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(keys, cur)
+                safe = np.minimum(pos, max(len(keys) - 1, 0))
+                hit = (pos < len(keys)) & (keys[safe] == cur) \
+                    if len(keys) else np.zeros(len(cur), bool)
+                new = np.where(hit, vv[safe], cur)
+                t = t.set_column(t.column_names.index(col), col,
+                                 pa.array(new, pa.int64()))
+            return t
+
+        return remap
+
     for r in range(max_rounds):
         live = edges.map_batches(
             lambda t: t.filter(pc.not_equal(t["ca"], t["cb"])),
@@ -122,55 +142,72 @@ def minimum_spanning_forest(graph: Graph, *, max_rounds: int = 64,
             break
         picks = (live.map_batches(_min_pick_partial, batch_format="pyarrow")
                  .groupby("comp")
-                 .map_groups(_min_pick_final, batch_format="pandas"))
-        sel = keep_first(picks, ["lo", "hi"], ["w"]).materialize()
-        sel_edges = sel.select_columns(["lo", "hi", "w"]).materialize()
-        n_sel = sel_edges.count()
-        w_sel = int(sel_edges.sum("w") or 0)
-        n_msf += n_sel
-        total_w += w_sel
-        msf_parts.append(sel_edges)
-        if metrics_out is not None:
-            metrics_out.append({"round": r, "picked": n_sel,
-                                "weight": w_sel})
-        # contract: CC over the picked component-label edges
-        merge_edges = sel.map_batches(
-            lambda t: pa.table({"src": t["ca"], "dst": t["cb"]}),
-            batch_format="pyarrow")
-        msg = build_graph(merge_edges, P=P_merge, symmetric=True)
-        cmap = join_keys(
-            connected_components(msg, init="key"), msg, "comp").materialize()
+                 .map_groups(_min_pick_final, batch_format="pandas")
+                 .materialize())
+        n_picks = picks.count()
 
-        # label refresh: the merge map has at most one row per merging
-        # component and at least halves each round — broadcast it (sorted
-        # arrays + searchsorted, the join_keys auto-threshold policy) when
-        # it fits, co-partitioned join only above the threshold
-        if cmap.count() <= broadcast_max_map:
-            import ray as _ray
-
-            mt = pa.concat_tables(list(cmap.iter_batches(
+        if n_picks <= broadcast_max_map:
+            # pick-pseudoforest contraction, driver-vectorized: under the
+            # global (w, lo, hi) total order every pick cycle is a MUTUAL
+            # 2-cycle (both endpoints picked their shared minimum edge),
+            # so rooting each 2-cycle at its smaller label leaves a forest
+            # and pointer jumping converges in log rounds — no per-round
+            # merge-graph build or CC kernel needed at this size
+            pt = pa.concat_tables(list(picks.iter_batches(
                 batch_format="pyarrow", batch_size=1 << 20)))
-            mk = mt["key"].to_numpy(zero_copy_only=False).astype(np.int64)
-            mv = mt["comp"].to_numpy(zero_copy_only=False).astype(np.int64)
-            o = np.argsort(mk, kind="stable")
-            map_ref = _ray.put((mk[o], mv[o]))
-
-            def remap(t: pa.Table) -> pa.Table:
-                keys, vals = _ray.get(map_ref)
-                for col in ("ca", "cb"):
-                    cur = t[col].to_numpy(zero_copy_only=False)
-                    pos = np.searchsorted(keys, cur)
-                    safe = np.minimum(pos, max(len(keys) - 1, 0))
-                    hit = (pos < len(keys)) & (keys[safe] == cur) \
-                        if len(keys) else np.zeros(len(cur), bool)
-                    new = np.where(hit, vals[safe], cur)
-                    t = t.set_column(t.column_names.index(col), col,
-                                     pa.array(new, pa.int64()))
-                return t
-
-            edges = edges.map_batches(remap, batch_format="pyarrow",
-                                      zero_copy_batch=True)
+            comp = pt["comp"].to_numpy(zero_copy_only=False)
+            ca = pt["ca"].to_numpy(zero_copy_only=False)
+            cb = pt["cb"].to_numpy(zero_copy_only=False)
+            w = pt["w"].to_numpy(zero_copy_only=False)
+            lo = pt["lo"].to_numpy(zero_copy_only=False)
+            hi = pt["hi"].to_numpy(zero_copy_only=False)
+            # distinct picked edges (both endpoints may pick the same one)
+            eorder = np.lexsort((hi, lo))
+            el, eh, ew = lo[eorder], hi[eorder], w[eorder]
+            first = np.r_[True, (el[1:] != el[:-1]) | (eh[1:] != eh[:-1])]
+            el, eh, ew = el[first], eh[first], ew[first]
+            n_sel = len(el)
+            w_sel = int(ew.sum())
+            msf_parts.append(rd.from_arrow(pa.table({
+                "lo": pa.array(el, pa.int64()),
+                "hi": pa.array(eh, pa.int64()),
+                "w": pa.array(ew, pa.int64())})))
+            # hook: parent(comp) = the pick's other endpoint
+            order = np.argsort(comp, kind="stable")
+            cs = comp[order]
+            other = np.where(comp == ca, cb, ca)[order]
+            par = np.searchsorted(cs, other)
+            assert np.array_equal(cs[par], other), "pick endpoint missing"
+            idx = np.arange(len(cs))
+            two = (par[par] == idx) & (cs < cs[par])
+            par = np.where(two, idx, par)
+            while True:
+                nxt = par[par]
+                if np.array_equal(nxt, par):
+                    break
+                par = nxt
+            roots = cs[par]
+            changed = roots != cs
+            # dead (ca == cb) edges never revive: carry only the live set
+            edges = live.map_batches(
+                _broadcast_remap(cs[changed], roots[changed]),
+                batch_format="pyarrow", zero_copy_batch=True)
         else:
+            # scale path: CC kernel over the picked component-label edges
+            sel = keep_first(picks, ["lo", "hi"], ["w"]).materialize()
+            sel_edges = sel.select_columns(["lo", "hi", "w"]).materialize()
+            n_sel = sel_edges.count()
+            w_sel = int(sel_edges.sum("w") or 0)
+            msf_parts.append(sel_edges)
+            merge_edges = sel.map_batches(
+                lambda t: pa.table({"src": t["ca"], "dst": t["cb"]}),
+                batch_format="pyarrow")
+            msg = build_graph(merge_edges, P=P_merge, symmetric=True)
+            cmap = join_keys(connected_components(msg, init="key"),
+                             msg, "comp").materialize()
+
+            edges = live  # dead edges never revive
+
             def attach(col: str):
                 nonlocal edges
                 joined = hash_join(edges, cmap, on=col, right_on="key",
@@ -187,6 +224,12 @@ def minimum_spanning_forest(graph: Graph, *, max_rounds: int = 64,
 
             attach("ca")
             attach("cb")
+
+        n_msf += n_sel
+        total_w += w_sel
+        if metrics_out is not None:
+            metrics_out.append({"round": r, "picked": n_sel,
+                                "weight": w_sel})
         edges = edges.materialize()
 
     summary = pa.table({
