@@ -43,6 +43,22 @@ from .bsp import (
 _I64_GUARD = np.int64(1) << 62
 
 
+def _check_wrap(acc: np.ndarray, idx: np.ndarray, valsf: np.ndarray,
+                base: float = 0.0) -> None:
+    """Detect silent int64 wraparound in an integer accumulation via a
+    float64 shadow sum: a wrap shifts the result by ~2^64, while legit
+    float rounding error is <= fanin * 2^-52 relative — orders of
+    magnitude inside the 1e-6 tolerance. Catches accumulations (and the
+    y*w products feeding them) that wrap past 2^63 and land back UNDER
+    the post-hoc 2^62 guard (advisor r2, katz.py)."""
+    accf = np.full(len(acc), base, np.float64)
+    np.add.at(accf, idx, valsf)
+    if np.any(np.abs(acc - accf) > 1e-6 * np.abs(accf) + 4.0):
+        raise OverflowError(
+            "Katz integer lattice overflow (int64 wraparound detected): "
+            "raise alpha_inv or lower max_iter")
+
+
 def _int_sum_scatter(view):
     refs = view.blocks
     P = view.P
@@ -65,8 +81,10 @@ def _int_sum_scatter(view):
                             "(multiplicity builds); float weight_col "
                             "graphs are not supported")
                     vals = y[blk.src_local] * blk.w
+                    valsf = y[blk.src_local].astype(np.float64) * blk.w
                 else:
                     vals = y[blk.src_local]
+                    valsf = vals.astype(np.float64)
                 for q in range(P):
                     lo, hi = blk.bounds[q], blk.bounds[q + 1]
                     if hi <= lo:
@@ -74,6 +92,7 @@ def _int_sum_scatter(view):
                     seg_dst = blk.dst_local[lo:hi]
                     acc = np.zeros(int(seg_dst.max()) + 1, np.int64)
                     np.add.at(acc, seg_dst, vals[lo:hi])
+                    _check_wrap(acc, seg_dst, valsf[lo:hi])
                     nz = np.flatnonzero(acc)
                     if len(nz):
                         rows.append(partial_row(q, part, sub, 0,
@@ -99,11 +118,18 @@ def _int_sum_combine(beta_k: int):
         idx_offs = idx_col.offsets.to_numpy(zero_copy_only=False)
         n_q = int(lab_offs[prev_i + 1] - lab_offs[prev_i])
         acc = np.full(n_q, bk, np.int64)
+        accf = np.full(n_q, float(bk), np.float64)
         for i in range(group.num_rows):
             if kinds[i] != 0:
                 continue
             idx = idx_flat[idx_offs[i]: idx_offs[i + 1]].astype(np.int64)
-            acc[idx] += lab_flat[lab_offs[i]: lab_offs[i + 1]]
+            lab = lab_flat[lab_offs[i]: lab_offs[i + 1]]
+            acc[idx] += lab
+            accf[idx] += lab.astype(np.float64)
+        if n_q and np.any(np.abs(acc - accf) > 1e-6 * np.abs(accf) + 4.0):
+            raise OverflowError(
+                "Katz integer lattice overflow (int64 wraparound detected): "
+                "raise alpha_inv or lower max_iter")
         if len(acc) and int(acc.max()) > int(_I64_GUARD):
             raise OverflowError(
                 "Katz integer lattice overflow: raise alpha_inv or lower "

@@ -982,6 +982,12 @@ def _widest_scatter(graph: Graph):
                     raise TypeError(
                         "widest_path requires integer edge weights (int64 "
                         "max-min state)")
+                if len(blk.w) and int(blk.w.max()) >= int(_W0):
+                    raise ValueError(
+                        "widest_path edge weight >= the source capacity "
+                        "sentinel 2^40: first-hop min() would silently "
+                        "truncate path capacities (advisor r2); rescale "
+                        "weights below 2^40")
                 vals = np.minimum(vals, blk.w.astype(np.int64))
             else:
                 vals = np.minimum(vals, np.int64(1))

@@ -1576,9 +1576,13 @@ def pack_sequences(ds: rd.Dataset, id_col: str, count_col: str,
     def partial(batch: pa.Table) -> pa.Table:
         b = batch["__bkt"].to_numpy(zero_copy_only=False)
         n = batch[count_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        sums = np.bincount(b, weights=n.astype(np.float64), minlength=nb)
+        # integer accumulation: float64 bincount weights lose exactness
+        # past 2^53 total tokens per bucket, shifting every downstream
+        # start_tok/seq_id offset (advisor r2)
+        sums = np.zeros(nb, dtype=np.int64)
+        np.add.at(sums, b, n)
         return pa.table({"b": pa.array(np.arange(nb, dtype=np.int64)),
-                         "s": pa.array(sums.astype(np.int64), pa.int64())})
+                         "s": pa.array(sums, pa.int64())})
 
     totals = np.zeros(nb, dtype=np.int64)
     for row in tagged.map_batches(partial, batch_format="pyarrow").take_all():

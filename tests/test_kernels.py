@@ -3028,3 +3028,48 @@ def test_msf_join_path_matches_broadcast_path():
     db = e_b.to_pandas().sort_values(["lo", "hi"]).reset_index(drop=True)
     dj = e_j.to_pandas().sort_values(["lo", "hi"]).reset_index(drop=True)
     assert db.equals(dj)
+
+
+def test_katz_wraparound_detected():
+    """A superstep whose int64 accumulation wraps past 2^63 (and lands back
+    UNDER the 2^62 post-hoc guard) must raise, not return wrong scores: a
+    2-cycle with multiplicity-16 edges grows y by ~16x per iteration
+    (... 2^56, 2^60, then ~2^64 -> wrap), skipping the (2^62, 2^63) window
+    the old guard watched (advisor r2)."""
+    from raylink.kernels import katz
+
+    pairs = [(0, 1)] * 16 + [(1, 0)] * 16
+    g = G.build_graph(_int_edges_ds(pairs), P=4, weighted=True,
+                      already_deduped=True)
+    for fused in (False, True):
+        with pytest.raises(Exception, match="wraparound"):
+            katz(g, alpha_inv=1, max_iter=24, fused=fused).to_pandas()
+
+
+def test_widest_path_rejects_weights_at_sentinel():
+    """Edge weights >= the 2^40 source-capacity sentinel would silently
+    truncate every first-hop capacity -> must raise (advisor r2). Normal
+    builds can't produce such weights (multiplicity counts; float
+    weight_col is refused), so inflate the block weights directly."""
+    import dataclasses
+
+    import ray as _ray
+
+    from raylink.kernels import widest_path
+
+    pairs = [(0, 1), (0, 1), (1, 2)]
+    g = G.build_graph(_int_edges_ds(pairs), P=4, symmetric=True,
+                      weighted=True, already_deduped=True)
+    blocks = {}
+    for part, refs in g.blocks.items():
+        out = []
+        for ref in refs:
+            blk = _ray.get(ref)
+            if blk.w is not None:
+                blk = dataclasses.replace(blk, w=blk.w * (1 << 41))
+            out.append(_ray.put(blk))
+        blocks[part] = out
+    g2 = dataclasses.replace(g, blocks=blocks)
+    src_vid = int(g.vertices.to_pandas()["vid"].min())
+    with pytest.raises(Exception, match="2\\^40"):
+        widest_path(g2, src_vid, fused=False).to_pandas()
