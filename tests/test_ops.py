@@ -1430,3 +1430,35 @@ def test_json_extract_int_missing_and_negative():
     got = out["k"].tolist()
     assert got[0] == 7 and got[1] == -3
     assert pd.isna(got[2]) and pd.isna(got[3])
+
+
+def test_mode_value_high_cardinality_bounded_driver():
+    """Exact mode via the MG two-pass (sketches.mode_value): matches the
+    full grouped count on a 50k-distinct column while the verify pass
+    broadcasts only a tiny candidate set (VERDICT r2 item #7)."""
+    from raylink.sketches import mode_value
+
+    rng = np.random.default_rng(11)
+    tail = rng.integers(10_000, 60_000, 20_000).astype(np.int64)
+    hot = np.full(900, 77, np.int64)        # clear mode
+    runner = np.full(880, 33, np.int64)     # close runner-up
+    v = np.concatenate([tail, hot, runner])
+    rng.shuffle(v)
+    ds = rd.from_arrow(pa.table({"u": pa.array(v)})).repartition(11)
+    val, info = mode_value(ds, "u", k=256)
+    assert val == 77
+    assert info["exact_via_sketch"]
+    # driver-byte bound: candidates within slack of the max, not the
+    # 50k-value dictionary
+    assert info["n_candidates"] < 1000
+    # min-value tiebreak on an exact tie
+    tie = np.concatenate([np.full(50, 5, np.int64), np.full(50, 3, np.int64),
+                          np.arange(100, 140, dtype=np.int64)])
+    val2, _ = mode_value(rd.from_arrow(pa.table({"u": pa.array(tie)}))
+                         .repartition(4), "u", k=64)
+    assert val2 == 3
+    # pathologically flat distribution: guard trips, fallback stays exact
+    flat = np.arange(2000, dtype=np.int64)
+    val3, info3 = mode_value(rd.from_arrow(pa.table({"u": pa.array(flat)}))
+                             .repartition(4), "u", k=8)
+    assert val3 == 0 and not info3["exact_via_sketch"]
