@@ -4684,7 +4684,30 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, regexp_extract(text, '[a-z]{8,}') AS extracted "
         "FROM documents"
     )
-    # doc_lang_id, doc_minhash_pairs, doc_simhash, emb_knn_lsh, emb_knn_ivf,
-    # emb_near_dups_lsh, media_features, approx_*: model/sketch/stub ops
-    # with no faithful ANSI-SQL equivalent -> rows-only checks.
+    # lang-ID: score per language = count of DISTINCT profile stopwords
+    # present as maximal [a-z]+ runs of the lowered text — presence is a
+    # scan-order-robust boolean, so the regexp_matches twin is exact
+    # (consuming boundaries (^|[^a-z]) == the engine's lookarounds for
+    # presence). Tiebreak: first language in sorted order at the max;
+    # 'xx' when every score is 0.
+    from raylink.textops import _PROFILES
+
+    _langs = sorted(_PROFILES)
+    _score_exprs = ", ".join(
+        "(" + " + ".join(
+            f"CAST(regexp_matches(t, '(^|[^a-z]){w}([^a-z]|$)') AS INT)"
+            for w in _PROFILES[lang]) + f") AS {lang}"
+        for lang in _langs)
+    _case = " ".join(f"WHEN {lang} = mx THEN '{lang}'" for lang in _langs)
+    sql["doc_lang_id"] = (
+        "WITH s AS (SELECT doc_id, lower(coalesce(text, '')) AS t "
+        "FROM documents), "
+        f"sc AS (SELECT doc_id, {_score_exprs} FROM s), "
+        f"m AS (SELECT *, greatest({', '.join(_langs)}) AS mx FROM sc) "
+        f"SELECT doc_id, CASE WHEN mx = 0 THEN 'xx' {_case} END "
+        "AS pred_lang FROM m"
+    )
+    # doc_minhash_pairs, doc_simhash, emb_knn_lsh, emb_knn_ivf,
+    # emb_near_dups_lsh, media_features: model/sketch/stub ops with no
+    # faithful ANSI-SQL equivalent -> rows-only checks.
     return sql
