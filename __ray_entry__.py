@@ -2653,6 +2653,21 @@ def q_doc_regex_extract(sf_dir: str):
     return regex_extract(docs, pattern=r"[a-z]{8,}")
 
 
+_RESAMPLE_STEP = 21_600_000_000  # 6 h in microseconds
+
+
+def q_events_resample(sf_dir: str):
+    """Per-user re-grid of the event value series onto an epoch-aligned
+    6-hour lattice with exact integer linear interpolation — the
+    clock-drift resample/correction op (lib_ebm/tools.py:105-195 analog;
+    VERDICT r2 missing #4)."""
+    from raylink.ops import resample_regrid
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return resample_regrid(ev, "user_id", "ts", "value",
+                           step=_RESAMPLE_STEP, scale=1000.0)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2852,6 +2867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_count": q_events_sliding_count,
         "props_k_summary": q_props_k_summary,
         "doc_regex_extract": q_doc_regex_extract,
+        "events_resample": q_events_resample,
     }
     head = {k: base[k] for k in _PRIORITY}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -4706,6 +4722,33 @@ def oracle_sql() -> dict[str, str]:
         f"m AS (SELECT *, greatest({', '.join(_langs)}) AS mx FROM sc) "
         f"SELECT doc_id, CASE WHEN mx = 0 THEN 'xx' {_case} END "
         "AS pred_lang FROM m"
+    )
+    # resample/re-grid: duplicate-ts collapse (max vf), epoch-aligned
+    # grid inside [min(t), max(t)] per key, exact integer interpolation
+    # — vf >= 0 so DuckDB's truncating // equals numpy's floor_divide
+    _st = _RESAMPLE_STEP
+    sql["events_resample"] = (
+        "WITH s AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t, "
+        "max(CAST(floor(value*1000 + 0.5) AS BIGINT)) AS vf "
+        "FROM events GROUP BY 1, 2), "
+        "b AS (SELECT user_id, min(t) AS tmin, max(t) AS tmax "
+        "FROM s GROUP BY 1), "
+        f"grid AS (SELECT user_id, unnest(generate_series("
+        f"((tmin + {_st} - 1) // {_st}) * {_st}, "
+        f"(tmax // {_st}) * {_st}, {_st})) AS tg FROM b), "
+        "lo AS (SELECT g.user_id, g.tg, max(s.t) AS tlo FROM grid g "
+        "JOIN s ON s.user_id = g.user_id AND s.t <= g.tg GROUP BY 1, 2), "
+        "hi AS (SELECT g.user_id, g.tg, min(s.t) AS thi FROM grid g "
+        "JOIN s ON s.user_id = g.user_id AND s.t >= g.tg GROUP BY 1, 2), "
+        "j AS (SELECT lo.user_id, lo.tg, lo.tlo, hi.thi, "
+        "sl.vf AS vlo, sh.vf AS vhi "
+        "FROM lo JOIN hi ON hi.user_id = lo.user_id AND hi.tg = lo.tg "
+        "JOIN s sl ON sl.user_id = lo.user_id AND sl.t = lo.tlo "
+        "JOIN s sh ON sh.user_id = lo.user_id AND sh.t = hi.thi) "
+        "SELECT user_id, tg AS t_grid, "
+        "CASE WHEN thi = tlo THEN vlo "
+        "ELSE (vlo*(thi - tg) + vhi*(tg - tlo)) // (thi - tlo) END AS v_fp "
+        "FROM j"
     )
     # doc_minhash_pairs, doc_simhash, emb_knn_lsh, emb_knn_ivf,
     # emb_near_dups_lsh, media_features: model/sketch/stub ops with no

@@ -2216,3 +2216,77 @@ def grouped_percent_rank(ds: rd.Dataset, group_col: str, value_col: str, *,
         return g
 
     return ds.groupby(group_col).map_groups(f, batch_format="pandas")
+
+
+def resample_regrid(ds: rd.Dataset, key_col: str, t_col: str, v_col: str, *,
+                    step: int, scale: float = 1000.0) -> rd.Dataset:
+    """Per-key index re-grid + linear interpolation — the clock-drift
+    resample/correction shape (reference parity: lib_ebm/tools.py:105-195,
+    lib_ebm/correct_rpeak.py:51-102 re-grid each ECG block onto a
+    corrected sample index and interpolate; here per-key event series onto
+    a global regular lattice).
+
+    Semantics (exactly mirrored by the SQL oracle, integer lattice):
+    timestamps become int64 microseconds ``t``; values become fixed-point
+    ``vf = floor(v*scale + 0.5)``; duplicate (key, t) samples collapse to
+    ``max(vf)``.  Grid points are the multiples of ``step`` inside
+    [min(t), max(t)] per key (epoch-aligned — a shared clock across keys,
+    not per-key phase).  Interpolation between the bracketing samples is
+    exact integer arithmetic::
+
+        v_fp = (vf_lo*(t_hi - tg) + vf_hi*(tg - t_lo)) // (t_hi - t_lo)
+
+    with ``v_fp = vf`` when the grid point hits a sample.  Requires
+    ``vf >= 0`` (raises otherwise: DuckDB's ``//`` truncates toward zero
+    while numpy floors — identical only for non-negative numerators) and
+    guards the int64 product ``max(vf) * max_gap`` against overflow.
+
+    Shape: one groupby(key) shuffle, vectorized searchsorted per group —
+    no driver state, no per-row Python. Keys with a single sample emit
+    only grid points that coincide with it."""
+    step = int(step)
+    if step <= 0:
+        raise ValueError("step must be a positive integer (microseconds)")
+
+    def regrid(g: pd.DataFrame) -> pd.DataFrame:
+        key = g[key_col].iloc[0]
+        tv = g[t_col]
+        if str(tv.dtype).startswith("datetime64"):
+            # normalize to int64 MICROSECONDS whatever the pandas unit
+            t = tv.to_numpy().astype("datetime64[us]").astype(np.int64)
+        else:
+            t = tv.to_numpy().astype(np.int64)
+        vf = np.floor(g[v_col].to_numpy(dtype=np.float64) * scale
+                      + 0.5).astype(np.int64)
+        if len(vf) and vf.min() < 0:
+            raise ValueError("resample_regrid requires non-negative "
+                             "fixed-point values (got negative)")
+        order = np.lexsort((vf, t))
+        t, vf = t[order], vf[order]
+        last = np.r_[t[1:] != t[:-1], True]  # max(vf) per duplicate t
+        t, vf = t[last], vf[last]
+        lo = -(-t[0] // step) * step
+        hi = t[-1] // step * step
+        empty = pd.DataFrame({key_col: pd.Series([], dtype=g[key_col].dtype),
+                              "t_grid": pd.Series([], dtype=np.int64),
+                              "v_fp": pd.Series([], dtype=np.int64)})
+        if hi < lo:
+            return empty
+        tg = np.arange(lo, hi + 1, step, dtype=np.int64)
+        j = np.searchsorted(t, tg, side="left")    # first t >= tg
+        jr = np.searchsorted(t, tg, side="right")  # last t <= tg is jr-1
+        thi, vhi = t[j], vf[j]
+        tlo, vlo = t[jr - 1], vf[jr - 1]
+        gap = thi - tlo
+        if len(gap) and int(vf.max()) * int(gap.max() or 1) >= (1 << 62):
+            raise OverflowError("resample_regrid interpolation product "
+                                "would overflow int64; lower scale")
+        exact = gap == 0
+        den = np.where(exact, 1, gap)
+        num = vlo * (thi - tg) + vhi * (tg - tlo)
+        out = np.where(exact, vlo, np.floor_divide(num, den))
+        return pd.DataFrame({key_col: np.repeat(key, len(tg)),
+                             "t_grid": tg, "v_fp": out.astype(np.int64)})
+
+    return (ds.select_columns([key_col, t_col, v_col])
+            .groupby(key_col).map_groups(regrid, batch_format="pandas"))

@@ -1462,3 +1462,34 @@ def test_mode_value_high_cardinality_bounded_driver():
     val3, info3 = mode_value(rd.from_arrow(pa.table({"u": pa.array(flat)}))
                              .repartition(4), "u", k=8)
     assert val3 == 0 and not info3["exact_via_sketch"]
+
+
+def test_resample_regrid_interp_and_edges():
+    """resample_regrid: exact integer interpolation, duplicate-ts collapse
+    (max vf), single-sample keys, negative-value guard."""
+    from raylink.ops import resample_regrid
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2, 3],
+        # key 1: samples at t=5,5(dup),10,30; step 10 grid -> 10, 20, 30
+        "t": pd.to_datetime([5, 5, 10, 30, 95, 40], unit="us"),
+        "v": [0.002, 0.001, 0.010, 0.030, 0.007, 0.004],
+    })
+    out = (resample_regrid(rd.from_pandas(df).repartition(3), "k", "t", "v",
+                           step=10, scale=1000.0)
+           .to_pandas().sort_values(["k", "t_grid"]).reset_index(drop=True))
+    # key 1 @10 -> sample hit (vf=10); @20 -> between (10,10) and (30,30):
+    # (10*10 + 30*10)//20 = 20; @30 -> sample hit (vf=30)
+    k1 = out[out.k == 1]
+    assert k1.t_grid.tolist() == [10, 20, 30]
+    assert k1.v_fp.tolist() == [10, 20, 30]
+    # key 2: single sample at t=95 -> no grid multiple inside [95, 95]
+    assert (out.k == 2).sum() == 0
+    # key 3: single sample exactly on the lattice -> one exact row
+    k3 = out[out.k == 3]
+    assert k3.t_grid.tolist() == [40] and k3.v_fp.tolist() == [4]
+    with pytest.raises(Exception):
+        resample_regrid(
+            rd.from_pandas(pd.DataFrame({
+                "k": [1, 1], "t": pd.to_datetime([0, 10], unit="us"),
+                "v": [-5.0, 1.0]})), "k", "t", "v", step=5).to_pandas()
