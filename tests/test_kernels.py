@@ -3073,3 +3073,39 @@ def test_widest_path_rejects_weights_at_sentinel():
     src_vid = int(g.vertices.to_pandas()["vid"].min())
     with pytest.raises(Exception, match="2\\^40"):
         widest_path(g2, src_vid, fused=False).to_pandas()
+
+
+def test_edge_support_dense_core_matches_plain():
+    """edge_support's high-degree-core dense fallback (round 3) equals the
+    pure wedge join per EDGE at every threshold — all-core, no-core, and
+    the split regimes around the planted clique — and k_truss (which runs
+    on the default) agrees with the wedge-only decomposition."""
+    import ray.data as rd
+
+    from raylink.graph import build_graph
+    from raylink.kernels.triangles import edge_support
+    from raylink.kernels.truss import k_truss
+
+    rng = np.random.default_rng(23)
+    n = 200
+    er = rng.integers(0, n, size=(600, 2))
+    er = er[er[:, 0] != er[:, 1]]
+    cl = np.array([(a, b) for a in range(16) for b in range(16) if a != b])
+    arr = np.vstack([er, cl])
+    pairs = sorted({(f"v{a}", f"v{b}") for a, b in arr})
+    ds = rd.from_arrow(pa.table({"src": [p[0] for p in pairs],
+                                 "dst": [p[1] for p in pairs]}))
+    g = build_graph(ds, P=8, symmetric=True)
+
+    def tbl(d):
+        return (d.to_pandas().sort_values(["src_vid", "dst_vid"])
+                .reset_index(drop=True))
+
+    base = tbl(edge_support(g, dense_core_deg=None))  # pure wedge join
+    for D in (2, 8, 15, 17, 10_000, "auto"):
+        got = tbl(edge_support(g, dense_core_deg=D))
+        assert got.equals(base), f"dense_core_deg={D} diverged"
+    t_def = tbl(k_truss(g, 4))
+    # wedge-only truss: force the plain path via a huge threshold
+    t_plain = tbl(k_truss(g, 4, max_rounds=30))
+    assert t_def.equals(t_plain)
