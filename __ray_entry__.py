@@ -2387,22 +2387,16 @@ def q_media_frame_sample(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    """Decoder actor pool (fake codec: the real decode is the declared
-    stub) -> fixed-dim feature vectors + decode_ok gate column. Projected
-    to deterministic metadata columns for the rows-only check."""
-    from raylink.multimodal import extract_features, media_dataset, resize_media
+    """REAL byte-level media decode (round 3 — the former stub removed):
+    BMP/WAV/concatenated-BMP payloads parsed in pure numpy by the
+    StatsPool actor pool -> exactly-checkable per-row value stats, with
+    truncated payloads annotating decode_ok=False. The oracle is a VALUES
+    list computed from the synthetic pixel/sample ARRAYS without parsing
+    bytes, so any decoder bug (endianness, padding, row order, chunk
+    walk) breaks the hash compare."""
+    from raylink.multimodal import media_stats, real_media_dataset
 
-    media = resize_media(media_dataset(N_MEDIA), target_w=32, target_h=32)
-    feats = extract_features(media, codec="fake", batch_size=32)
-
-    def proj(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "media_id": batch["media_id"], "kind": batch["kind"],
-            "n_dims": pc.cast(pc.list_value_length(batch["feature"]), pa.int64()),
-            "decode_ok": batch["decode_ok"],
-        })
-
-    return feats.map_batches(proj, batch_format="pyarrow")
+    return media_stats(real_media_dataset(N_MEDIA), batch_size=32)
 
 
 def _media_frame_values() -> str:
@@ -4558,6 +4552,17 @@ def oracle_sql() -> dict[str, str]:
     sql["media_frame_sample"] = (
         "SELECT * FROM (VALUES " + _media_frame_values() +
         ") AS t(media_id, kind, frame_idx)"
+    )
+    # real-decode ground truth: stats recomputed from the synth ARRAYS
+    # (never the bytes) — see q_media_features
+    from raylink.multimodal import media_stats_truth
+
+    _media_rows = ", ".join(
+        f"({i}, '{k}', {n}, {s}, {lo}, {hi}, {str(ok).upper()})"
+        for i, k, n, s, lo, hi, ok in media_stats_truth(N_MEDIA))
+    sql["media_features"] = (
+        "SELECT * FROM (VALUES " + _media_rows +
+        ") AS t(media_id, kind, n_units, v_sum, v_min, v_max, decode_ok)"
     )
     sql["rollup_revenue"] = (
         "SELECT r_name, n_name, CAST(sum(cents) AS BIGINT) AS revenue FROM ("

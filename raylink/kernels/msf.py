@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from ..graph import Graph, build_graph, edges_table
+from ..graph import Graph, edges_table
 
 
 def _min_pick_partial(batch: pa.Table) -> pa.Table:
@@ -83,9 +83,6 @@ def minimum_spanning_forest(graph: Graph, *, max_rounds: int = 64,
     total_weight, n_components); ``msf_edges`` is a Dataset of
     (lo, hi, w) rows of one valid MSF (deterministic tie-break)."""
     from raylink.ops import hash_join, keep_first
-    from raylink.pipelines.flagship import join_keys
-
-    from .cc import connected_components
 
     def init_cols(batch: pa.Table) -> pa.Table:
         a = batch["src_vid"].to_numpy(zero_copy_only=False)
@@ -193,18 +190,74 @@ def minimum_spanning_forest(graph: Graph, *, max_rounds: int = 64,
                 _broadcast_remap(cs[changed], roots[changed]),
                 batch_format="pyarrow", zero_copy_batch=True)
         else:
-            # scale path: CC kernel over the picked component-label edges
+            # scale path (round 3): DISTRIBUTED pointer jumping on the
+            # pick pseudoforest — replaces the per-round merge-graph
+            # build_graph + CC (measured the dominant cost of large-round
+            # MSF, ROADMAP r2) and keeps ZERO driver structure
+            # proportional to component count. Same rooting rule as the
+            # driver path: under the global (w, lo, hi) total order every
+            # pick cycle is a mutual 2-cycle, rooted at its smaller
+            # label; then p := p(p) halves chain depth per jump round
+            # (<= log2 rounds, each one hash join over the shrinking
+            # component-sized pointer table).
             sel = keep_first(picks, ["lo", "hi"], ["w"]).materialize()
             sel_edges = sel.select_columns(["lo", "hi", "w"]).materialize()
             n_sel = sel_edges.count()
             w_sel = int(sel_edges.sum("w") or 0)
             msf_parts.append(sel_edges)
-            merge_edges = sel.map_batches(
-                lambda t: pa.table({"src": t["ca"], "dst": t["cb"]}),
-                batch_format="pyarrow")
-            msg = build_graph(merge_edges, P=P_merge, symmetric=True)
-            cmap = join_keys(connected_components(msg, init="key"),
-                             msg, "comp").materialize()
+
+            def to_ptr(t: pa.Table) -> pa.Table:
+                comp = t["comp"].to_numpy(zero_copy_only=False)
+                ca = t["ca"].to_numpy(zero_copy_only=False)
+                cb = t["cb"].to_numpy(zero_copy_only=False)
+                return pa.table({
+                    "c": pa.array(comp, pa.int64()),
+                    "p": pa.array(np.where(comp == ca, cb, ca), pa.int64()),
+                })
+
+            pt = picks.map_batches(to_ptr,
+                                   batch_format="pyarrow").materialize()
+            first_jump = True
+            for _ in range(64):
+                rhs = pt.map_batches(
+                    lambda t: t.rename_columns(["c2", "p2"]),
+                    batch_format="pyarrow")
+                j = hash_join(pt, rhs, on="p", right_on="c2", how="left",
+                              num_partitions=P_merge)
+
+                def step(t: pa.Table, first=first_jump) -> pa.Table:
+                    c = t["c"].to_numpy(zero_copy_only=False)
+                    p = t["p"].to_numpy(zero_copy_only=False)
+                    # every p is itself a picked component, so the join
+                    # always hits; coalesce is belt-and-braces
+                    p2 = pc.coalesce(t["p2"], t["p"]).to_numpy(
+                        zero_copy_only=False)
+                    if first:
+                        two = p2 == c  # mutual 2-cycle
+                        newp = np.where(two & (c < p), c,
+                                        np.where(two, p, p2))
+                    else:
+                        newp = p2
+                    return pa.table({
+                        "c": pa.array(c, pa.int64()),
+                        "p": pa.array(newp, pa.int64()),
+                        "chg": pa.array(newp != p, pa.bool_()),
+                    })
+
+                stepped = j.map_batches(
+                    step, batch_format="pyarrow").materialize()
+                n_chg = int(stepped.sum("chg") or 0)
+                pt = stepped.drop_columns(["chg"])
+                first_jump = False
+                if n_chg == 0:
+                    break
+
+            def to_cmap(t: pa.Table) -> pa.Table:
+                keep = t.filter(pc.not_equal(t["c"], t["p"]))
+                return pa.table({"key": keep["c"], "comp": keep["p"]})
+
+            cmap = pt.map_batches(to_cmap,
+                                  batch_format="pyarrow").materialize()
 
             edges = live  # dead edges never revive
 

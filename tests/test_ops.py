@@ -137,11 +137,52 @@ def test_multimodal_plumbing():
     f1 = feats.sort_values("media_id")["feature"].tolist()
     f2 = feats2.sort_values("media_id")["feature"].tolist()
     assert all(list(a) == list(b) for a, b in zip(f1, f2))
-    # real codec is an explicit stub
-    with pytest.raises(NotImplementedError):
-        DecoderPool(codec="real")(media_dataset(2).take_batch(2, batch_format="pyarrow"))
+    # real codec on NON-real payloads annotates, never crashes
+    bad = DecoderPool(codec="real")(
+        media_dataset(2).take_batch(2, batch_format="pyarrow"))
+    assert not bad["decode_ok"].to_pylist()[0]
     frames = frame_sample(media_dataset(10), every_k=5).to_pandas()
     assert (frames["frame_idx"] % 5 == 0).all()
+
+
+def test_real_media_codecs_roundtrip_and_stats():
+    """Round 3: the real byte-level codecs — BMP (row padding, bottom-up
+    BGR), WAV (RIFF chunk walk incl. junk chunk), concatenated-BMP video
+    (bfSize frame advance) — roundtrip exactly, and the distributed
+    StatsPool matches ground truth computed from the arrays (never the
+    bytes), with truncated payloads annotating decode_ok=False."""
+    from raylink.multimodal import (
+        ResizePool, _synth_pixels, _synth_samples, decode_bmp, decode_wav,
+        encode_bmp, encode_wav, media_stats, media_stats_truth,
+        real_media_dataset)
+
+    px = _synth_pixels(3, 13, 7)  # odd width exercises 4-byte row padding
+    b = encode_bmp(px)
+    px2, end = decode_bmp(b)
+    assert end == len(b) and np.array_equal(px, px2)
+    s = _synth_samples(5, 321)    # odd byte length exercises the pad byte
+    assert np.array_equal(decode_wav(encode_wav(s)), s)
+    # corrupted header -> ValueError, not garbage
+    with pytest.raises(ValueError):
+        decode_bmp(b"XX" + b[2:])
+    with pytest.raises(ValueError):
+        decode_wav(encode_wav(s)[:20])
+
+    n = 40
+    got = (media_stats(real_media_dataset(n, parallelism=4), batch_size=8)
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    exp = pd.DataFrame(media_stats_truth(n), columns=got.columns)
+    assert got.equals(exp)
+    assert not got["decode_ok"].all()  # the truncated rows are exercised
+
+    # real nearest-neighbor resize: output is a REAL decodable BMP of the
+    # target geometry whose pixels are the nearest-neighbor sample
+    rp = ResizePool(target_w=5, target_h=4, codec="real")
+    small, _ = decode_bmp(rp._real_payload(b, "image"))
+    assert small.shape == (4, 5, 3)
+    ri = (np.arange(4) * 7) // 4
+    ci = (np.arange(5) * 13) // 5
+    assert np.array_equal(small, px[ri][:, ci])
 
 
 def test_sessionize_gap_splitting():
