@@ -2290,3 +2290,164 @@ def resample_regrid(ds: rd.Dataset, key_col: str, t_col: str, v_col: str, *,
 
     return (ds.select_columns([key_col, t_col, v_col])
             .groupby(key_col).map_groups(regrid, batch_format="pandas"))
+
+
+def _mp_best_corr(v: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
+    """Self-join matrix profile over one fixed-point int series ``v``:
+    for every window start i, the BEST z-normalized correlation to any
+    non-overlapping window (|j - i| >= m) — max corr == nearest-neighbor
+    z-distance, the stumpy.stump discord primitive
+    (porcine/stumpy_discord.py:204-238, peak_detect_v4.py:251 analog).
+
+    Exactness discipline (same as the Katz/entropy lattices): window sums
+    S = sum(v), Q = sum(v^2) and diagonal products QT = sum(v_i v_j) are
+    EXACT int64 (order-independent), and the only float step is the one
+    mirrored expression
+
+        corr = (m*QT - S_i*S_j) / (sqrt(m*Q_i - S_i^2) * sqrt(m*Q_j - S_j^2))
+
+    whose inputs are identical integers in numpy and SQL — IEEE division/
+    sqrt are correctly rounded, so fixed-point floors match bit-for-bit.
+    Windows with zero variance (m*Q - S^2 <= 0, an integer test) pair with
+    nobody. Returns (best corr float64, has_valid_partner) per window;
+    O(n) vectorized work per diagonal, O(n^2/2) total."""
+    n = len(v)
+    nw = n - m + 1
+    if nw < 1 or n < 2 * m:
+        return np.zeros(0), np.zeros(0, bool)
+    if n and int(np.abs(v).max()) ** 2 * max(n, m) >= (1 << 62):
+        raise OverflowError("matrix profile fixed-point values too large "
+                            "for exact int64 window sums; lower scale")
+    cs = np.concatenate([[0], np.cumsum(v, dtype=np.int64)])
+    cq = np.concatenate([[0], np.cumsum(v * v, dtype=np.int64)])
+    S = cs[m:] - cs[:-m]          # (nw,)
+    Q = cq[m:] - cq[:-m]
+    var = m * Q - S * S           # exact integer variance test
+    valid = var > 0
+    sig = np.sqrt(var.astype(np.float64))
+    best = np.full(nw, -np.inf)
+    has = np.zeros(nw, bool)
+    for d in range(m, nw):
+        p = v[:n - d] * v[d:]
+        cp = np.concatenate([[0], np.cumsum(p, dtype=np.int64)])
+        nq = len(p) - m + 1       # windows on this diagonal
+        if nq < 1:
+            break
+        QT = cp[m:] - cp[:-m]     # QT(i, i+d), i in [0, nq)
+        i = np.arange(nq)
+        j = i + d
+        ok = valid[i] & valid[j]
+        if not ok.any():
+            continue
+        corr = np.where(
+            ok,
+            (m * QT - S[i] * S[j]).astype(np.float64) / (sig[i] * sig[j]),
+            -np.inf)
+        np.maximum.at(best, i, corr)
+        np.maximum.at(best, j, corr)
+        has[i[ok]] = True
+        has[j[ok]] = True
+    return best, has
+
+
+def series_discords(ds: rd.Dataset, key_col: str, v_col: str,
+                    order_cols: list[str], *, m: int = 8, k: int = 10,
+                    scale: float = 100.0) -> rd.Dataset:
+    """Top-k DISCORDS across per-key series: the k windows whose
+    z-normalized nearest-neighbor correlation is SMALLEST (largest NN
+    distance — stumpy discord semantics). One groupby(key) shuffle, the
+    exact integer-lattice matrix profile per group, then a tiny global
+    sort+limit. Output (key, pos, mp_corr_fp) with pos the window start
+    in (order_cols) order and mp_corr_fp = floor(best_corr*1e9 + 0.5).
+
+    For ONE ultra-long series use :func:`matrix_profile_discords_single`
+    (halo-sharded actor tasks over a broadcast series)."""
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort")
+        v = np.floor(g[v_col].to_numpy(dtype=np.float64) * scale
+                     + 0.5).astype(np.int64)
+        best, has = _mp_best_corr(v, m)
+        keep = np.flatnonzero(has)
+        return pd.DataFrame({
+            key_col: np.repeat(g[key_col].iloc[0], len(keep)),
+            "pos": keep.astype(np.int64),
+            "mp_corr_fp": np.floor(best[keep] * 1e9 + 0.5).astype(np.int64),
+        })
+
+    prof = ds.groupby(key_col).map_groups(f, batch_format="pandas")
+    return prof.sort(["mp_corr_fp", key_col, "pos"]).limit(k)
+
+
+def matrix_profile_discords_single(
+        values: np.ndarray, *, m: int, k: int = 10,
+        n_shards: int = 32) -> "pa.Table":
+    """Halo-sharded discord search over ONE long series (SURVEY §2.6
+    mapping of the stumpy self-join): the fixed-point series is broadcast
+    once (``ray.put``), each shard task computes the exact integer-lattice
+    best-corr for its query range against the WHOLE series (the diagonal
+    recurrence restricted to rows intersecting the shard), and per-shard
+    top-k rows reduce to a global top-k. Same arithmetic as
+    :func:`_mp_best_corr` — a pytest asserts bit-equality."""
+    import ray
+
+    v = np.asarray(values, dtype=np.int64)
+    n = len(v)
+    nw = n - m + 1
+    if nw < 1 or n < 2 * m:
+        return pa.table({"pos": pa.array([], pa.int64()),
+                         "mp_corr_fp": pa.array([], pa.int64())})
+    v_ref = ray.put(v)
+
+    @ray.remote
+    def shard_best(lo: int, hi: int):
+        vv = ray.get(v_ref)
+        nn = len(vv)
+        cs = np.concatenate([[0], np.cumsum(vv, dtype=np.int64)])
+        cq = np.concatenate([[0], np.cumsum(vv * vv, dtype=np.int64)])
+        S = cs[m:] - cs[:-m]
+        Q = cq[m:] - cq[:-m]
+        var = m * Q - S * S
+        valid = var > 0
+        sig = np.sqrt(var.astype(np.float64))
+        n_w = nn - m + 1
+        best = np.full(hi - lo, -np.inf)
+        has = np.zeros(hi - lo, bool)
+        for d in range(m, n_w):
+            # rows i of this diagonal with i in [lo,hi) OR i+d in [lo,hi)
+            nq = nn - d - m + 1
+            if nq < 1:
+                break
+            for a, b, qside in (
+                    (max(lo, 0), min(hi, nq), 0),          # i in shard
+                    (max(lo - d, 0), min(hi - d, nq), 1)):  # j in shard
+                if a >= b:
+                    continue
+                i = np.arange(a, b)
+                j = i + d
+                ok = valid[i] & valid[j]
+                if not ok.any():
+                    continue
+                p = vv[i[0]:i[-1] + m] * vv[j[0]:j[-1] + m]
+                cp = np.concatenate([[0], np.cumsum(p, dtype=np.int64)])
+                QT = cp[m:m + len(i)] - cp[:len(i)]
+                corr = np.where(
+                    ok,
+                    (m * QT - S[i] * S[j]).astype(np.float64)
+                    / (sig[i] * sig[j]),
+                    -np.inf)
+                tgt = (i if qside == 0 else j) - lo
+                np.maximum.at(best, tgt, corr)
+                has[tgt[ok]] = True
+        keep = np.flatnonzero(has)
+        return (keep + lo).astype(np.int64), best[keep]
+
+    bounds = np.linspace(0, nw, n_shards + 1).astype(int)
+    outs = ray.get([shard_best.remote(int(a), int(b))
+                    for a, b in zip(bounds[:-1], bounds[1:]) if b > a])
+    pos = np.concatenate([o[0] for o in outs]) if outs else np.array([], np.int64)
+    best = np.concatenate([o[1] for o in outs]) if outs else np.array([])
+    fp = np.floor(best * 1e9 + 0.5).astype(np.int64)
+    order = np.lexsort((pos, fp))[:k]
+    return pa.table({"pos": pa.array(pos[order], pa.int64()),
+                     "mp_corr_fp": pa.array(fp[order], pa.int64())})

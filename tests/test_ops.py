@@ -1534,3 +1534,51 @@ def test_resample_regrid_interp_and_edges():
             rd.from_pandas(pd.DataFrame({
                 "k": [1, 1], "t": pd.to_datetime([0, 10], unit="us"),
                 "v": [-5.0, 1.0]})), "k", "t", "v", step=5).to_pandas()
+
+
+def test_matrix_profile_discords_vs_bruteforce():
+    """_mp_best_corr == brute-force z-norm NN correlation (identical float
+    expression over exact integer window sums); the halo-sharded
+    single-series path is bit-equal to the in-core kernel; series_discords
+    returns the k smallest best-corr rows."""
+    from raylink.ops import (_mp_best_corr, matrix_profile_discords_single,
+                             series_discords)
+
+    rng = np.random.default_rng(31)
+    m, n = 6, 90
+    v = rng.integers(0, 5000, n).astype(np.int64)
+    v[40:46] = np.arange(6) * 900  # a planted unique shape
+    best, has = _mp_best_corr(v, m)
+
+    nw = n - m + 1
+    S = np.array([v[i:i + m].sum() for i in range(nw)])
+    Q = np.array([(v[i:i + m] ** 2).sum() for i in range(nw)])
+    sig = np.sqrt((m * Q - S * S).astype(np.float64))
+    exp = np.full(nw, -np.inf)
+    exp_has = np.zeros(nw, bool)
+    for i in range(nw):
+        if m * Q[i] - S[i] * S[i] <= 0:
+            continue
+        for j in range(nw):
+            if abs(j - i) < m or m * Q[j] - S[j] * S[j] <= 0:
+                continue
+            qt = int((v[i:i + m] * v[j:j + m]).sum())
+            c = float(m * qt - S[i] * S[j]) / (sig[i] * sig[j])
+            exp[i] = max(exp[i], c)
+            exp_has[i] = True
+    assert np.array_equal(has, exp_has)
+    assert np.array_equal(best[has], exp[exp_has])  # bit-equal floats
+
+    sharded = matrix_profile_discords_single(v, m=m, k=5, n_shards=7)
+    fp = np.floor(best[has] * 1e9 + 0.5).astype(np.int64)
+    pos = np.flatnonzero(has)
+    order = np.lexsort((pos, fp))[:5]
+    assert sharded["pos"].to_pylist() == pos[order].tolist()
+    assert sharded["mp_corr_fp"].to_pylist() == fp[order].tolist()
+
+    # Dataset-level per-key path: discord (smallest best-corr) comes first
+    df = pd.DataFrame({"k": 1, "t": np.arange(n), "val": v / 100.0})
+    out = series_discords(rd.from_pandas(df).repartition(3), "k", "val",
+                          ["t"], m=m, k=3, scale=100.0).to_pandas()
+    assert len(out) == 3
+    assert out["mp_corr_fp"].tolist() == sorted(fp)[:3]
