@@ -2713,7 +2713,8 @@ _PRIORITY = [
     "graph_anf", "graph_katz", "graph_lp1", "approx_price_outliers",
     "approx_distinct_users", "orders_customer_join", "customer_orders_full",
     "events_asof_purchase", "heavy_users", "user_funnel", "rollup_revenue",
-    "price_outliers", "sessionize", "hourly_rollup", "revenue_filter",
+    "price_outliers", "series_discords", "events_resample", "media_features",
+    "sessionize", "hourly_rollup", "revenue_filter",
 ]
 
 
