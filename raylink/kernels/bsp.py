@@ -352,3 +352,200 @@ def empty_vertex_result(cols: dict) -> rd.Dataset:
     out = {"vid": pa.array([], pa.int64())}
     out.update({c: pa.array([], t) for c, t in cols.items()})
     return rd.from_arrow(pa.table(out))
+
+
+# ---------------------------------------------------------------------------
+# Actor-pool BSP execution (round 3 — the per-superstep Dataset-launch
+# floor, VERDICT r2 item #2).
+#
+# The Dataset path pays a fixed ~0.3-0.4 s scheduling cost PER SUPERSTEP
+# (measured: the cause of the raw 0.52-0.78 scaling band vs the >= 0.8
+# bar — BASELINE.md §3). This path runs the same scatter/combine closures
+# inside PERSISTENT actors: each actor owns a set of partitions, keeps
+# their state vectors in process memory across supersteps, and exchanges
+# per-dst-part partial tables through the object store (refs routed by
+# the driver — two actor RPC rounds per superstep, ~10-40 ms overhead).
+#
+# Determinism: each combine group receives exactly the same partial ROWS
+# as the Dataset path's groupby("dst_part") group (scatter output split
+# by dst_part + the carrier row), and combine sorts rows by (kind,
+# src_part, sub) before the sequential np.add.at reduction — per-vertex
+# state is therefore BIT-EQUAL to the Dataset path. Only the P-element
+# driver reductions of delta/dangling scalars may differ in float order
+# (same caveat as the fused path; bounded by the 1e-12 parity test).
+#
+# Like the fused path, actors are skipped when a checkpoint store is
+# attached (per-superstep durability implies the Dataset path's
+# per-iteration materialization anyway).
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+class _BSPActor:
+    """Owns a set of partitions' state vectors for the whole iteration."""
+
+    def __init__(self, view, parts: list, state_tab: pa.Table,
+                 make_scatter, make_dangling) -> None:
+        self.view = view
+        self.parts = list(parts)
+        self.state: dict[int, np.ndarray] = {}
+        for part, vec in iter_state_rows(state_tab):
+            self.state[int(part)] = np.asarray(vec, dtype=np.float64)
+        self.scatter = make_scatter(view)
+        self.dangling = make_dangling(view) if make_dangling else None
+        self.vec_type = pa.list_(pa.float64())
+
+    def _state_batch(self) -> pa.Table:
+        """State rows in the shape the scatter expects — expanded (part,
+        sub, vec) rows when any owned partition has multiple CSR chunks,
+        plain (part, vec) rows otherwise."""
+        parts = sorted(self.state)
+        chunked = any(len(self.view.blocks.get(p, [])) > 1 for p in parts)
+        if not chunked:
+            return pa.table({
+                "part": pa.array(parts, pa.int64()),
+                "vec": pa.array([self.state[p] for p in parts],
+                                self.vec_type),
+            })
+        po, so, vo = [], [], []
+        for p in parts:
+            for s in range(-1, max(1, len(self.view.blocks.get(p, [])))):
+                po.append(p)
+                so.append(s)
+                vo.append(self.state[p])
+        return pa.table({"part": pa.array(po, pa.int64()),
+                         "sub": pa.array(so, pa.int64()),
+                         "vec": pa.array(vo, self.vec_type)})
+
+    def dangling_mass(self) -> list:
+        """[(part, dm)] for owned partitions, part-ascending."""
+        out = []
+        tab = self.dangling(self._state_batch())
+        # dangling() emits one row per state row in iteration order; on
+        # the expanded shape dedupe to the carrier rows only
+        batch = self._state_batch()
+        parts = batch["part"].to_numpy(zero_copy_only=False)
+        dms = tab["dm"].to_numpy(zero_copy_only=False)
+        seen = set()
+        for p, d in zip(parts, dms):
+            if int(p) not in seen:
+                seen.add(int(p))
+                out.append((int(p), float(d)))
+        return sorted(out)
+
+    def scatter_phase(self) -> dict:
+        """Run scatter over owned state; split output by dst_part; put
+        each group in the object store; return {dst_part: ref}."""
+        partials = self.scatter(self._state_batch())
+        return {int(g["dst_part"][0].as_py()): ray.put(g)
+                for g in split_by_dst_part(partials)}
+
+    def combine_phase(self, make_combine, refs_by_part: dict) -> list:
+        """Combine each owned partition's incoming groups; update state
+        in place; return [(part, delta, dm)]."""
+        combine = make_combine(self.view)
+        out = []
+        for part in sorted(self.state):
+            tabs = [ray.get(r) for r in refs_by_part.get(part, [])]
+            if not tabs:
+                continue
+            group = pa.concat_tables(tabs)
+            res = combine(group)
+            for p2, vec in iter_state_rows(res):
+                self.state[int(p2)] = np.asarray(vec, dtype=np.float64)
+            out.append((part, float(res["delta"][0].as_py()),
+                        float(res["dm"][0].as_py())))
+        return out
+
+    def state_rows(self) -> pa.Table:
+        parts = sorted(self.state)
+        return pa.table({
+            "part": pa.array(parts, pa.int64()),
+            "vec": pa.array([self.state[p] for p in parts], self.vec_type),
+        })
+
+
+def actor_pool_size(P: int) -> int:
+    """Actors get num_cpus=1 each; cap the pool at the cluster's CPU count
+    so no actor is left unschedulable (a pending actor would deadlock the
+    barrier), and at P (one partition minimum per actor)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 1))
+    except Exception:
+        cpus = 1
+    return max(1, min(P, cpus))
+
+
+def start_bsp_actors(graph_or_view, state: "rd.Dataset | pa.Table",
+                     make_scatter, make_dangling=None):
+    """Spin up the actor pool with partitions round-robined across it.
+    Returns (actors, parts_of_actor) — parts_of_actor[i] lists the
+    partitions actor i owns."""
+    view = graph_or_view if isinstance(graph_or_view, GraphView) \
+        else graph_view(graph_or_view)
+    state_tab = state if isinstance(state, pa.Table) else state_table(state)
+    parts = state_tab["part"].to_numpy(zero_copy_only=False)
+    n_actors = actor_pool_size(view.P)
+    owner: dict[int, int] = {int(p): i % n_actors
+                             for i, p in enumerate(sorted(parts))}
+    parts_of: list[list[int]] = [[] for _ in range(n_actors)]
+    for p, i in owner.items():
+        parts_of[i].append(p)
+    live = [(i, ps) for i, ps in enumerate(parts_of) if ps]
+    actors = []
+    parts_of_actor = []
+    for i, ps in live:
+        mask = np.isin(parts, ps)
+        sub = state_tab.filter(pa.array(mask))
+        actors.append(_BSPActor.remote(view, ps, sub, make_scatter,
+                                       make_dangling))
+        parts_of_actor.append(ps)
+    return actors, parts_of_actor
+
+
+def actor_superstep(actors: list, parts_of_actor: list,
+                    make_combine) -> tuple[float, float]:
+    """One BSP superstep across the pool: scatter on every actor, route
+    the per-dst-part refs, combine on every actor. Returns (sum delta,
+    sum dm) reduced in part-ascending order."""
+    ref_maps = ray.get([a.scatter_phase.remote() for a in actors])
+    route: dict[int, list] = {}
+    for m in ref_maps:
+        for dst, ref in m.items():
+            route.setdefault(dst, []).append(ref)
+    outs = ray.get([
+        a.combine_phase.remote(
+            make_combine,
+            {p: route.get(p, []) for p in parts})
+        for a, parts in zip(actors, parts_of_actor)])
+    flat = sorted((part, d, dm) for o in outs for (part, d, dm) in o)
+    # part-ascending pa.compute.sum — the same order and kernel the
+    # Dataset path's scalar reduction uses (its shuffle emits groups
+    # part-ascending); residual last-ulp differences are possible when
+    # the Dataset path's scalars span chunk boundaries (1e-12 test)
+    delta = float(pa.compute.sum(
+        pa.array([x[1] for x in flat], pa.float64())).as_py() or 0.0)
+    dm = float(pa.compute.sum(
+        pa.array([x[2] for x in flat], pa.float64())).as_py() or 0.0)
+    return delta, dm
+
+
+def actor_state_table(actors: list) -> pa.Table:
+    tabs = ray.get([a.state_rows.remote() for a in actors])
+    tab = pa.concat_tables([t for t in tabs if t.num_rows])
+    order = pa.compute.sort_indices(tab, sort_keys=[("part", "ascending")])
+    return tab.take(order)
+
+
+def actor_dangling_mass(actors: list) -> float:
+    rows = sorted(x for o in ray.get(
+        [a.dangling_mass.remote() for a in actors]) for x in o)
+    return float(np.sum([x[1] for x in rows]))
+
+
+def stop_bsp_actors(actors: list) -> None:
+    for a in actors:
+        try:
+            ray.kill(a)
+        except Exception:
+            pass

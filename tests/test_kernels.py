@@ -3109,3 +3109,44 @@ def test_edge_support_dense_core_matches_plain():
     # wedge-only truss: force the plain path via a huge threshold
     t_plain = tbl(k_truss(g, 4, max_rounds=30))
     assert t_def.equals(t_plain)
+
+
+def test_actor_pagerank_bit_equal_to_dataset():
+    """The persistent-actor BSP path (round 3 scaling work) produces
+    per-vertex scores BIT-EQUAL to the Dataset superstep pipeline —
+    classic, personalized, seed-set, and weighted variants — because each
+    combine group receives the identical partial rows and sorts them
+    before the sequential reduction."""
+    import os
+
+    pairs = overlay_pairs(seed=57, n=400, m=1600)
+    g = G.build_graph(edges_ds(pairs), P=P)
+    gw = G.build_graph(edges_ds(pairs + pairs[::2]), P=P, weighted=True,
+                       already_deduped=True)
+
+    def scores(engine, fn):
+        os.environ["RAYLINK_PR_ENGINE"] = engine
+        try:
+            df = fn().to_pandas().sort_values("vid")
+            return df["score"].to_numpy()
+        finally:
+            os.environ.pop("RAYLINK_PR_ENGINE", None)
+
+    runs = [
+        (lambda: pagerank(g, tol=0.0, max_iter=6, fused=False), True),
+        (lambda: pagerank(g, tol=0.0, max_iter=5, fused=False,
+                          personalize_vid=0), True),
+        (lambda: pagerank(g, tol=0.0, max_iter=4, fused=False,
+                          personalize_vids=[0, 1, 2]), True),
+        # weighted graph has dangling mass: the P-element dm scalar sum
+        # order can differ in the last ulp (the documented fused-path
+        # caveat) -> 1e-12 bound instead of bitwise
+        (lambda: pagerank(gw, tol=0.0, max_iter=4, fused=False), False),
+    ]
+    for fn, bitwise in runs:
+        a = scores("actors", fn)
+        d = scores("dataset", fn)
+        if bitwise:
+            assert np.array_equal(a, d)  # bitwise, not allclose
+        else:
+            assert np.allclose(a, d, rtol=1e-12, atol=0)
