@@ -385,15 +385,18 @@ class _BSPActor:
     """Owns a set of partitions' state vectors for the whole iteration."""
 
     def __init__(self, view, parts: list, state_tab: pa.Table,
-                 make_scatter, make_dangling) -> None:
+                 make_scatter, make_dangling, dtype: str = "float64",
+                 scalar_cols: tuple = ("delta", "dm")) -> None:
         self.view = view
         self.parts = list(parts)
+        self.np_dtype = np.dtype(dtype)
+        self.scalar_cols = list(scalar_cols)
         self.state: dict[int, np.ndarray] = {}
         for part, vec in iter_state_rows(state_tab):
-            self.state[int(part)] = np.asarray(vec, dtype=np.float64)
+            self.state[int(part)] = np.asarray(vec, dtype=self.np_dtype)
         self.scatter = make_scatter(view)
         self.dangling = make_dangling(view) if make_dangling else None
-        self.vec_type = pa.list_(pa.float64())
+        self.vec_type = pa.list_(pa.from_numpy_dtype(self.np_dtype))
 
     def _state_batch(self) -> pa.Table:
         """State rows in the shape the scatter expects — expanded (part,
@@ -452,9 +455,9 @@ class _BSPActor:
             group = pa.concat_tables(tabs)
             res = combine(group)
             for p2, vec in iter_state_rows(res):
-                self.state[int(p2)] = np.asarray(vec, dtype=np.float64)
-            out.append((part, float(res["delta"][0].as_py()),
-                        float(res["dm"][0].as_py())))
+                self.state[int(p2)] = np.asarray(vec, dtype=self.np_dtype)
+            out.append((part, [float(res[c][0].as_py())
+                               for c in self.scalar_cols]))
         return out
 
     def state_rows(self) -> pa.Table:
@@ -477,7 +480,9 @@ def actor_pool_size(P: int) -> int:
 
 
 def start_bsp_actors(graph_or_view, state: "rd.Dataset | pa.Table",
-                     make_scatter, make_dangling=None):
+                     make_scatter, make_dangling=None, *,
+                     dtype: str = "float64",
+                     scalar_cols: tuple = ("delta", "dm")):
     """Spin up the actor pool with partitions round-robined across it.
     Returns (actors, parts_of_actor) — parts_of_actor[i] lists the
     partitions actor i owns."""
@@ -498,16 +503,21 @@ def start_bsp_actors(graph_or_view, state: "rd.Dataset | pa.Table",
         mask = np.isin(parts, ps)
         sub = state_tab.filter(pa.array(mask))
         actors.append(_BSPActor.remote(view, ps, sub, make_scatter,
-                                       make_dangling))
+                                       make_dangling, dtype, scalar_cols))
         parts_of_actor.append(ps)
     return actors, parts_of_actor
 
 
-def actor_superstep(actors: list, parts_of_actor: list,
-                    make_combine) -> tuple[float, float]:
+def actor_superstep(actors: list, parts_of_actor: list, make_combine,
+                    scalar_cols: tuple = ("delta", "dm")) -> list:
     """One BSP superstep across the pool: scatter on every actor, route
-    the per-dst-part refs, combine on every actor. Returns (sum delta,
-    sum dm) reduced in part-ascending order."""
+    the per-dst-part refs, combine on every actor. Returns the summed
+    combine scalars (one per ``scalar_cols`` entry), reduced
+    part-ascending with pa.compute.sum — the same order and kernel the
+    Dataset path's scalar reduction uses (its shuffle emits groups
+    part-ascending); residual last-ulp float differences are possible
+    when the Dataset path's scalars span chunk boundaries (1e-12 test).
+    Integer scalars (e.g. CC's "changed") are exact either way."""
     ref_maps = ray.get([a.scatter_phase.remote() for a in actors])
     route: dict[int, list] = {}
     for m in ref_maps:
@@ -518,16 +528,10 @@ def actor_superstep(actors: list, parts_of_actor: list,
             make_combine,
             {p: route.get(p, []) for p in parts})
         for a, parts in zip(actors, parts_of_actor)])
-    flat = sorted((part, d, dm) for o in outs for (part, d, dm) in o)
-    # part-ascending pa.compute.sum — the same order and kernel the
-    # Dataset path's scalar reduction uses (its shuffle emits groups
-    # part-ascending); residual last-ulp differences are possible when
-    # the Dataset path's scalars span chunk boundaries (1e-12 test)
-    delta = float(pa.compute.sum(
-        pa.array([x[1] for x in flat], pa.float64())).as_py() or 0.0)
-    dm = float(pa.compute.sum(
-        pa.array([x[2] for x in flat], pa.float64())).as_py() or 0.0)
-    return delta, dm
+    flat = sorted((part, vals) for o in outs for (part, vals) in o)
+    return [float(pa.compute.sum(
+        pa.array([x[1][i] for x in flat], pa.float64())).as_py() or 0.0)
+        for i in range(len(scalar_cols))]
 
 
 def actor_state_table(actors: list) -> pa.Table:

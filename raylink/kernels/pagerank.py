@@ -362,7 +362,7 @@ def pagerank(
     import os as _os
 
     if store is None and _os.environ.get(
-            "RAYLINK_PR_ENGINE", "actors") == "actors":
+            "RAYLINK_BSP_ENGINE", "actors") == "actors":
         return _actor_pagerank(graph, state, damping, tol, max_iter, seed,
                                start_iter, metrics_out)
 

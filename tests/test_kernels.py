@@ -3125,12 +3125,12 @@ def test_actor_pagerank_bit_equal_to_dataset():
                        already_deduped=True)
 
     def scores(engine, fn):
-        os.environ["RAYLINK_PR_ENGINE"] = engine
+        os.environ["RAYLINK_BSP_ENGINE"] = engine
         try:
             df = fn().to_pandas().sort_values("vid")
             return df["score"].to_numpy()
         finally:
-            os.environ.pop("RAYLINK_PR_ENGINE", None)
+            os.environ.pop("RAYLINK_BSP_ENGINE", None)
 
     runs = [
         (lambda: pagerank(g, tol=0.0, max_iter=6, fused=False), True),
