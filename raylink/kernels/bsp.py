@@ -468,6 +468,18 @@ class _BSPActor:
         })
 
 
+# Above this many vertices the final-state driver gather (the one
+# non-streaming step of the actor path) stops being cheap and the Dataset
+# path's fixed launch cost is amortized by real per-superstep data volume
+# anyway — the actor engine targets the mid-size regime in between the
+# fused single-task path and the fully streaming Dataset path.
+ACTOR_MAX_STATE = int(os.environ.get("RAYLINK_ACTOR_MAX_STATE", 50_000_000))
+
+
+def actor_eligible(graph) -> bool:
+    return graph.n <= ACTOR_MAX_STATE
+
+
 def actor_pool_size(P: int) -> int:
     """Actors get num_cpus=1 each; cap the pool at the cluster's CPU count
     so no actor is left unschedulable (a pending actor would deadlock the

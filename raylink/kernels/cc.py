@@ -334,7 +334,9 @@ def connected_components(
 
     import os as _os
 
-    if (store is None and method == "minlabel"
+    from .bsp import actor_eligible
+
+    if (store is None and method == "minlabel" and actor_eligible(graph)
             and _os.environ.get("RAYLINK_BSP_ENGINE", "actors") == "actors"):
         return _actor_cc(graph, state, max_iter, start_iter, metrics_out)
 

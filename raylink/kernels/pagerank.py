@@ -361,7 +361,9 @@ def pagerank(
 
     import os as _os
 
-    if store is None and _os.environ.get(
+    from .bsp import actor_eligible
+
+    if store is None and actor_eligible(graph) and _os.environ.get(
             "RAYLINK_BSP_ENGINE", "actors") == "actors":
         return _actor_pagerank(graph, state, damping, tol, max_iter, seed,
                                start_iter, metrics_out)
