@@ -380,22 +380,34 @@ def empty_vertex_result(cols: dict) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
-@ray.remote
+@ray.remote(num_cpus=0)
 class _BSPActor:
-    """Owns a set of partitions' state vectors for the whole iteration."""
+    """Owns a set of partitions' state vectors across an iteration.
 
-    def __init__(self, view, parts: list, state_tab: pa.Table,
-                 make_scatter, make_dangling, dtype: str = "float64",
-                 scalar_cols: tuple = ("delta", "dm")) -> None:
+    KERNEL-AGNOSTIC and REUSABLE: the pool is created once per Graph
+    (cached on the graph object — see :func:`get_bsp_pool`) and each
+    kernel invocation ``reset()``s it with its own state / closures, so
+    the worker-process spawn + import cost (~1-1.5 s for an 8-actor
+    pool) is paid once per graph, not once per kernel call. Actors take
+    ``num_cpus=0``: the pool never RESERVES cluster CPUs, so Dataset
+    executions can run while a cached pool idles (a num_cpus=1 pool on a
+    small test cluster would deadlock them) and an actor can never sit
+    pending behind a full cluster."""
+
+    def __init__(self) -> None:
+        self.state: dict[int, np.ndarray] = {}
+
+    def reset(self, view, state_tab: pa.Table, make_scatter, make_dangling,
+              dtype: str, scalar_cols: list) -> None:
         self.view = view
-        self.parts = list(parts)
         self.np_dtype = np.dtype(dtype)
         self.scalar_cols = list(scalar_cols)
-        self.state: dict[int, np.ndarray] = {}
+        self.state = {}
         for part, vec in iter_state_rows(state_tab):
             self.state[int(part)] = np.asarray(vec, dtype=self.np_dtype)
-        self.scatter = make_scatter(view)
-        self.dangling = make_dangling(view) if make_dangling else None
+        self.scatter = make_scatter(self.view)
+        self.dangling = (make_dangling(self.view) if make_dangling
+                         else None)
         self.vec_type = pa.list_(pa.from_numpy_dtype(self.np_dtype))
 
     def _state_batch(self) -> pa.Table:
@@ -512,33 +524,52 @@ def actor_pool_size(P: int) -> int:
     return max(1, min(P, cpus, cap))
 
 
+# SESSION-scoped pool cache: the actors are kernel- AND graph-agnostic
+# (everything per-invocation arrives via reset()), so one pool of
+# worker processes serves every kernel call in the session — the
+# process-spawn + import cost (~1-1.5 s for 8 actors) is paid once.
+# Not reentrant: kernels run synchronously to completion in this
+# engine, so no two invocations ever interleave on the pool.
+_POOLS: dict[int, list] = {}
+
+
 def start_bsp_actors(graph_or_view, state: "rd.Dataset | pa.Table",
                      make_scatter, make_dangling=None, *,
                      dtype: str = "float64",
-                     scalar_cols: tuple = ("delta", "dm")):
-    """Spin up the actor pool with partitions round-robined across it.
-    Returns (actors, parts_of_actor) — parts_of_actor[i] lists the
-    partitions actor i owns."""
+                     scalar_cols: tuple = ("delta", "dm"),
+                     graph_for_cache=None):
+    """Get (or create) the session's actor pool and reset it with this
+    kernel's graph view / state / closures. Returns (actors,
+    parts_of_actor)."""
     view = graph_or_view if isinstance(graph_or_view, GraphView) \
         else graph_view(graph_or_view)
     state_tab = state if isinstance(state, pa.Table) else state_table(state)
     parts = state_tab["part"].to_numpy(zero_copy_only=False)
-    n_actors = actor_pool_size(view.P)
+    n_actors = min(actor_pool_size(view.P), max(1, len(parts)))
     owner: dict[int, int] = {int(p): i % n_actors
                              for i, p in enumerate(sorted(parts))}
     parts_of: list[list[int]] = [[] for _ in range(n_actors)]
     for p, i in owner.items():
         parts_of[i].append(p)
-    live = [(i, ps) for i, ps in enumerate(parts_of) if ps]
-    actors = []
-    parts_of_actor = []
-    for i, ps in live:
-        mask = np.isin(parts, ps)
-        sub = state_tab.filter(pa.array(mask))
-        actors.append(_BSPActor.remote(view, ps, sub, make_scatter,
-                                       make_dangling, dtype, scalar_cols))
-        parts_of_actor.append(ps)
-    return actors, parts_of_actor
+
+    def _reset(actors):
+        ray.get([
+            a.reset.remote(
+                view, state_tab.filter(pa.array(np.isin(parts, ps))),
+                make_scatter, make_dangling, dtype, list(scalar_cols))
+            for a, ps in zip(actors, parts_of)])
+
+    actors = _POOLS.get(n_actors)
+    if actors is not None:
+        try:
+            _reset(actors)
+            return actors, parts_of
+        except Exception:
+            pass  # pool died with a previous Ray session: rebuild below
+    actors = [_BSPActor.remote() for _ in range(n_actors)]
+    _POOLS[n_actors] = actors
+    _reset(actors)
+    return actors, parts_of
 
 
 def actor_superstep(actors: list, parts_of_actor: list, make_combine,
@@ -574,8 +605,7 @@ def actor_dangling_mass(actors: list) -> float:
 
 
 def stop_bsp_actors(actors: list) -> None:
-    for a in actors:
-        try:
-            ray.kill(a)
-        except Exception:
-            pass
+    """No-op for cached pools (the pool lives with its Graph and dies
+    when the graph handle is garbage-collected); kept for explicit
+    teardown of uncached pools."""
+    return None

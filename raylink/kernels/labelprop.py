@@ -168,6 +168,53 @@ def _fused_lp(view, state_tab: pa.Table, max_iter: int, start_iter: int,
     return state_tab.select(["part", "vec"]), metrics
 
 
+def _actor_lp(graph, state, max_iter, start_iter, method, weighted,
+              metrics_out):
+    """Persistent-actor BSP label propagation (round 3 scaling work):
+    each sync round is one actor superstep; redblack runs its two parity
+    half-steps as two supersteps per round (the parity combine carries
+    off-color partitions through unchanged, exactly as the Dataset
+    path). Integer vote reductions — output BIT-EQUAL to the Dataset
+    path (see bsp._BSPActor)."""
+    from .bsp import (actor_state_table, actor_superstep, start_bsp_actors,
+                      stop_bsp_actors)
+
+    def mk_scatter(view, _w=weighted):
+        return _make_scatter(view, _w)
+
+    if method == "redblack":
+        mk_combines = [lambda view: _make_combine(view, 0),
+                       lambda view: _make_combine(view, 1)]
+    else:
+        mk_combines = [lambda view: _make_combine(view)]
+
+    actors, parts_of = start_bsp_actors(
+        graph, state, mk_scatter, None, dtype="int64",
+        scalar_cols=("changed",), graph_for_cache=graph)
+    try:
+        for it in range(start_iter + 1, max_iter + 1):
+            t0 = time.perf_counter()
+            changed = 0
+            for mk in mk_combines:
+                (c,) = actor_superstep(actors, parts_of, mk,
+                                       scalar_cols=("changed",))
+                changed += int(c)
+            dt = time.perf_counter() - t0
+            if metrics_out is not None:
+                metrics_out.append({
+                    "iter": it, "changed": changed, "sec": dt,
+                    "engine": "actors",
+                    "edges_per_sec": graph.m / dt if dt > 0 else None,
+                })
+            if changed == 0:
+                break
+        final = actor_state_table(actors)
+    finally:
+        stop_bsp_actors(actors)
+    return state_to_vertex_table(rd.from_arrow(final), graph, "vec",
+                                 "label")
+
+
 def label_propagation(
     graph: Graph,
     *,
@@ -231,6 +278,15 @@ def label_propagation(
             metrics_out.extend(metrics)
         return state_to_vertex_table(rd.from_arrow(final_tab), graph,
                                      "vec", "label")
+
+    import os as _os
+
+    from .bsp import actor_eligible
+
+    if (store is None and actor_eligible(graph)
+            and _os.environ.get("RAYLINK_BSP_ENGINE", "actors") == "actors"):
+        return _actor_lp(graph, state, max_iter, start_iter, method,
+                         weighted, metrics_out)
 
     scatter = _make_scatter(graph, weighted)
     if method == "redblack":

@@ -3150,3 +3150,35 @@ def test_actor_pagerank_bit_equal_to_dataset():
             assert np.array_equal(a, d)  # bitwise, not allclose
         else:
             assert np.allclose(a, d, rtol=1e-12, atol=0)
+
+
+def test_actor_lp_bit_equal_to_dataset():
+    """Actor-BSP label propagation == Dataset path bitwise for sync,
+    redblack and weighted variants (integer vote reductions)."""
+    import os
+
+    pairs = overlay_pairs(seed=63, n=350, m=1400)
+    g = G.build_graph(edges_ds(pairs), P=P, symmetric=True)
+    gw = G.build_graph(edges_ds(pairs + pairs[::2]), P=P, symmetric=True,
+                       weighted=True, already_deduped=True)
+    from raylink.kernels import label_propagation
+
+    def labels(engine, fn):
+        os.environ["RAYLINK_BSP_ENGINE"] = engine
+        try:
+            df = fn().to_pandas().sort_values("vid")
+            return df["label"].to_numpy()
+        finally:
+            os.environ.pop("RAYLINK_BSP_ENGINE", None)
+
+    runs = [
+        lambda: label_propagation(g, max_iter=4, fused=False),
+        lambda: label_propagation(g, max_iter=4, method="redblack",
+                                  fused=False),
+        lambda: label_propagation(gw, max_iter=3, weighted=True,
+                                  fused=False),
+    ]
+    for fn in runs:
+        a = labels("actors", fn)
+        d = labels("dataset", fn)
+        assert np.array_equal(a, d)
