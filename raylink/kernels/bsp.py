@@ -398,10 +398,12 @@ class _BSPActor:
         self.state: dict[int, np.ndarray] = {}
 
     def reset(self, view, state_tab: pa.Table, make_scatter, make_dangling,
-              dtype: str, scalar_cols: list) -> None:
+              dtype: str, scalar_cols: list,
+              plain_state: bool = False) -> None:
         self.view = view
         self.np_dtype = np.dtype(dtype)
         self.scalar_cols = list(scalar_cols)
+        self.plain_state = bool(plain_state)
         self.state = {}
         for part, vec in iter_state_rows(state_tab):
             self.state[int(part)] = np.asarray(vec, dtype=self.np_dtype)
@@ -415,7 +417,8 @@ class _BSPActor:
         sub, vec) rows when any owned partition has multiple CSR chunks,
         plain (part, vec) rows otherwise."""
         parts = sorted(self.state)
-        chunked = any(len(self.view.blocks.get(p, [])) > 1 for p in parts)
+        chunked = (not self.plain_state) and any(
+            len(self.view.blocks.get(p, [])) > 1 for p in parts)
         if not chunked:
             return pa.table({
                 "part": pa.array(parts, pa.int64()),
@@ -537,10 +540,12 @@ def start_bsp_actors(graph_or_view, state: "rd.Dataset | pa.Table",
                      make_scatter, make_dangling=None, *,
                      dtype: str = "float64",
                      scalar_cols: tuple = ("delta", "dm"),
-                     graph_for_cache=None):
+                     graph_for_cache=None, plain_state: bool = False):
     """Get (or create) the session's actor pool and reset it with this
     kernel's graph view / state / closures. Returns (actors,
-    parts_of_actor)."""
+    parts_of_actor). ``plain_state``: always hand the scatter plain
+    (part, vec) rows — for scatters that walk CSR chunks internally
+    (katz) instead of via the expanded-row shape."""
     view = graph_or_view if isinstance(graph_or_view, GraphView) \
         else graph_view(graph_or_view)
     state_tab = state if isinstance(state, pa.Table) else state_table(state)
@@ -556,7 +561,8 @@ def start_bsp_actors(graph_or_view, state: "rd.Dataset | pa.Table",
         ray.get([
             a.reset.remote(
                 view, state_tab.filter(pa.array(np.isin(parts, ps))),
-                make_scatter, make_dangling, dtype, list(scalar_cols))
+                make_scatter, make_dangling, dtype, list(scalar_cols),
+                plain_state)
             for a, ps in zip(actors, parts_of)])
 
     actors = _POOLS.get(n_actors)

@@ -177,19 +177,46 @@ def katz(graph: Graph, *, alpha_inv: int = 100, max_iter: int = 5,
             metrics_out.extend(metrics)
         final = rd.from_arrow(final_tab)
     else:
-        scatter = _int_sum_scatter(graph)
-        for it in range(1, max_iter + 1):
-            t0 = time.perf_counter()
-            state = (state.map_batches(scatter, batch_format="pyarrow",
-                                       batch_size=1, zero_copy_batch=True)
-                     .groupby("dst_part")
-                     .map_groups(_int_sum_combine(alpha_inv ** it),
-                                 batch_format="pyarrow")
-                     .materialize())
-            if metrics_out is not None:
-                metrics_out.append({"iter": it, "fused": False,
-                                    "sec": time.perf_counter() - t0})
-        final = state
+        import os as _os
+
+        from .bsp import actor_eligible
+
+        if (actor_eligible(graph) and _os.environ.get(
+                "RAYLINK_BSP_ENGINE", "actors") == "actors"):
+            # actor-BSP engine (round 3): same closures, exact integers
+            # -> bit-equal; plain state rows (this scatter walks CSR
+            # chunks internally), no convergence scalars (fixed K)
+            from .bsp import (actor_state_table, actor_superstep,
+                              start_bsp_actors)
+
+            actors, parts_of = start_bsp_actors(
+                graph, state, _int_sum_scatter, None, dtype="int64",
+                scalar_cols=(), plain_state=True)
+            for it in range(1, max_iter + 1):
+                t0 = time.perf_counter()
+                actor_superstep(
+                    actors, parts_of,
+                    lambda view, _k=alpha_inv ** it: _int_sum_combine(_k),
+                    scalar_cols=())
+                if metrics_out is not None:
+                    metrics_out.append({"iter": it, "engine": "actors",
+                                        "sec": time.perf_counter() - t0})
+            final = rd.from_arrow(actor_state_table(actors))
+        else:
+            scatter = _int_sum_scatter(graph)
+            for it in range(1, max_iter + 1):
+                t0 = time.perf_counter()
+                state = (state.map_batches(scatter, batch_format="pyarrow",
+                                           batch_size=1,
+                                           zero_copy_batch=True)
+                         .groupby("dst_part")
+                         .map_groups(_int_sum_combine(alpha_inv ** it),
+                                     batch_format="pyarrow")
+                         .materialize())
+                if metrics_out is not None:
+                    metrics_out.append({"iter": it, "fused": False,
+                                        "sec": time.perf_counter() - t0})
+            final = state
     yvt = state_to_vertex_table(final, graph, "vec", "y")
     p = float(alpha_inv ** max_iter)
 

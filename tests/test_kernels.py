@@ -3182,3 +3182,24 @@ def test_actor_lp_bit_equal_to_dataset():
         a = labels("actors", fn)
         d = labels("dataset", fn)
         assert np.array_equal(a, d)
+
+
+def test_actor_katz_bit_equal_to_dataset():
+    """Actor-BSP Katz == Dataset path bitwise (exact integer lattice)."""
+    import os
+
+    from raylink.kernels import katz
+
+    pairs = overlay_pairs(seed=71, n=300, m=1200)
+    g = G.build_graph(edges_ds(pairs), P=P)
+
+    def vals(engine):
+        os.environ["RAYLINK_BSP_ENGINE"] = engine
+        try:
+            df = katz(g, alpha_inv=100, max_iter=4,
+                      fused=False).to_pandas().sort_values("vid")
+            return df["katz"].to_numpy()
+        finally:
+            os.environ.pop("RAYLINK_BSP_ENGINE", None)
+
+    assert np.array_equal(vals("actors"), vals("dataset"))
