@@ -384,8 +384,9 @@ def empty_vertex_result(cols: dict) -> rd.Dataset:
 class _BSPActor:
     """Owns a set of partitions' state vectors across an iteration.
 
-    KERNEL-AGNOSTIC and REUSABLE: the pool is created once per Graph
-    (cached on the graph object — see :func:`get_bsp_pool`) and each
+    KERNEL-AGNOSTIC and REUSABLE: the pool is created once per SESSION
+    (cached in the module-level ``_POOLS`` dict — see
+    :func:`start_bsp_actors`) and each
     kernel invocation ``reset()``s it with its own state / closures, so
     the worker-process spawn + import cost (~1-1.5 s for an 8-actor
     pool) is paid once per graph, not once per kernel call. Actors take
@@ -438,10 +439,10 @@ class _BSPActor:
     def dangling_mass(self) -> list:
         """[(part, dm)] for owned partitions, part-ascending."""
         out = []
-        tab = self.dangling(self._state_batch())
+        batch = self._state_batch()
+        tab = self.dangling(batch)
         # dangling() emits one row per state row in iteration order; on
         # the expanded shape dedupe to the carrier rows only
-        batch = self._state_batch()
         parts = batch["part"].to_numpy(zero_copy_only=False)
         dms = tab["dm"].to_numpy(zero_copy_only=False)
         seen = set()
@@ -513,12 +514,15 @@ def actor_eligible(graph) -> bool:
 
 
 def actor_pool_size(P: int) -> int:
-    """Actors get num_cpus=1 each; cap the pool at the cluster's CPU count
-    so no actor is left unschedulable (a pending actor would deadlock the
-    barrier), at P (one partition minimum per actor), and at
-    RAYLINK_BSP_ACTORS (default 8 — measured sweet spot on this host:
-    fan-out RPC + oversubscription costs beat the extra parallelism above
-    ~8 actors; a real multi-core node would raise it)."""
+    """Pool size heuristic. Actors are ``num_cpus=0`` (see
+    :class:`_BSPActor` — they never reserve cluster CPUs, so they always
+    schedule and can idle alongside Dataset executions); the CPU cap here
+    is therefore an OVERSUBSCRIPTION heuristic, not a scheduling-safety
+    bound: more actors than cores just contend during the compute-bound
+    scatter/combine phases. Also capped at P (one partition minimum per
+    actor) and at RAYLINK_BSP_ACTORS (default 8 — measured sweet spot on
+    this host: fan-out RPC + oversubscription costs beat the extra
+    parallelism above ~8 actors; a real multi-core node would raise it)."""
     cap = int(os.environ.get("RAYLINK_BSP_ACTORS", 8))
     try:
         cpus = int(ray.cluster_resources().get("CPU", 1))
@@ -540,7 +544,7 @@ def start_bsp_actors(graph_or_view, state: "rd.Dataset | pa.Table",
                      make_scatter, make_dangling=None, *,
                      dtype: str = "float64",
                      scalar_cols: tuple = ("delta", "dm"),
-                     graph_for_cache=None, plain_state: bool = False):
+                     plain_state: bool = False):
     """Get (or create) the session's actor pool and reset it with this
     kernel's graph view / state / closures. Returns (actors,
     parts_of_actor). ``plain_state``: always hand the scatter plain

@@ -250,7 +250,7 @@ def _actor_cc(graph, state, max_iter, start_iter, metrics_out):
 
     actors, parts_of = start_bsp_actors(
         graph, state, _make_scatter, None, dtype="int64",
-        scalar_cols=("changed",), graph_for_cache=graph)
+        scalar_cols=("changed",))
     try:
         for it in range(start_iter + 1, max_iter + 1):
             t0 = time.perf_counter()

@@ -190,7 +190,7 @@ def _actor_lp(graph, state, max_iter, start_iter, method, weighted,
 
     actors, parts_of = start_bsp_actors(
         graph, state, mk_scatter, None, dtype="int64",
-        scalar_cols=("changed",), graph_for_cache=graph)
+        scalar_cols=("changed",))
     try:
         for it in range(start_iter + 1, max_iter + 1):
             t0 = time.perf_counter()

@@ -212,8 +212,7 @@ def _actor_pagerank(graph, state, damping, tol, max_iter, seed, start_iter,
                       actor_superstep, start_bsp_actors, stop_bsp_actors)
 
     actors, parts_of = start_bsp_actors(graph, state, _make_scatter,
-                                        _dangling_pass,
-                                        graph_for_cache=graph)
+                                        _dangling_pass)
     try:
         dm = actor_dangling_mass(actors)
         for it in range(start_iter + 1, max_iter + 1):

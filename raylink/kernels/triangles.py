@@ -679,11 +679,10 @@ def _transpose_bitmat(M: np.ndarray, n: int) -> np.ndarray:
         bt = np.ascontiguousarray(bits.T)    # (n, chunk)
         packed = np.packbits(bt, bitorder="little", axis=1)
         pw = packed.shape[1]
-        word_lo, byte_lo = divmod(s, 8)
         # chunk columns [s, s+chunk) land at byte offset s//8 (s % 8 == 0
         # since step is a multiple of 8)
-        assert byte_lo == 0
-        T.view(np.uint8)[:, word_lo * 8:word_lo * 8 + pw] |= packed
+        byte_lo = s // 8
+        T.view(np.uint8)[:, byte_lo:byte_lo + pw] |= packed
     return T
 
 

@@ -2292,6 +2292,19 @@ def resample_regrid(ds: rd.Dataset, key_col: str, t_col: str, v_col: str, *,
             .groupby(key_col).map_groups(regrid, batch_format="pandas"))
 
 
+def _mp_overflow_check(v: np.ndarray, n: int, m: int) -> None:
+    """Exactness guard for the integer matrix-profile lattice. Two bounds
+    (r4 advisor fix — the old max^2*max(n,m) bound missed the products):
+    cumsums of v^2 / v_i*v_j grow as max^2 * n, while the correlation
+    numerator terms m*QT and S_i*S_j grow as (max * m)^2."""
+    if not n:
+        return
+    amax = int(np.abs(v).max())
+    if amax * amax * n >= (1 << 62) or (amax * m) ** 2 >= (1 << 62):
+        raise OverflowError("matrix profile fixed-point values too large "
+                            "for exact int64 window sums; lower scale")
+
+
 def _mp_best_corr(v: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
     """Self-join matrix profile over one fixed-point int series ``v``:
     for every window start i, the BEST z-normalized correlation to any
@@ -2315,9 +2328,7 @@ def _mp_best_corr(v: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
     nw = n - m + 1
     if nw < 1 or n < 2 * m:
         return np.zeros(0), np.zeros(0, bool)
-    if n and int(np.abs(v).max()) ** 2 * max(n, m) >= (1 << 62):
-        raise OverflowError("matrix profile fixed-point values too large "
-                            "for exact int64 window sums; lower scale")
+    _mp_overflow_check(v, n, m)
     cs = np.concatenate([[0], np.cumsum(v, dtype=np.int64)])
     cq = np.concatenate([[0], np.cumsum(v * v, dtype=np.int64)])
     S = cs[m:] - cs[:-m]          # (nw,)
@@ -2397,6 +2408,7 @@ def matrix_profile_discords_single(
     if nw < 1 or n < 2 * m:
         return pa.table({"pos": pa.array([], pa.int64()),
                          "mp_corr_fp": pa.array([], pa.int64())})
+    _mp_overflow_check(v, n, m)
     v_ref = ray.put(v)
 
     @ray.remote

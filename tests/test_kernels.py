@@ -3075,6 +3075,34 @@ def test_widest_path_rejects_weights_at_sentinel():
         widest_path(g2, src_vid, fused=False).to_pandas()
 
 
+def test_transpose_bitmat_wide_core():
+    """Regression (r4 advisor): _transpose_bitmat wrote each column chunk
+    at byte offset s (word_lo*8 with word_lo = s//8) instead of s//8, so
+    any core matrix wider than one 4096-column chunk crashed or corrupted.
+    Verify exact transposes beyond the chunk width, including a non-64
+    multiple."""
+    from raylink.kernels.triangles import _transpose_bitmat
+
+    rng = np.random.default_rng(7)
+    for n in (63, 4096, 4100, 8192, 8200):
+        words = (n + 63) // 64
+        M = rng.integers(0, np.iinfo(np.int64).max, size=(n, words),
+                         dtype=np.int64).view(np.uint64)
+        # mask tail bits beyond n so the reference round-trip is exact
+        tail = n % 64
+        if tail:
+            M[:, -1] &= np.uint64((1 << tail) - 1)
+        T = _transpose_bitmat(M, n)
+        bits = np.unpackbits(M.view(np.uint8), bitorder="little",
+                             axis=1)[:, :n]
+        expT = np.packbits(np.ascontiguousarray(bits.T), bitorder="little",
+                           axis=1)
+        got = T.view(np.uint8)[:, :expT.shape[1]]
+        assert np.array_equal(got, expT), f"n={n} transpose mismatch"
+        # and bits past n stay zero
+        assert not T.view(np.uint8)[:, expT.shape[1]:].any()
+
+
 def test_edge_support_dense_core_matches_plain():
     """edge_support's high-degree-core dense fallback (round 3) equals the
     pure wedge join per EDGE at every threshold — all-core, no-core, and
