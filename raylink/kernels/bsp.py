@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 from typing import Any
 
@@ -452,19 +453,29 @@ class _BSPActor:
                 out.append((int(p), float(d)))
         return sorted(out)
 
-    def scatter_phase(self):
-        """Run scatter over owned state; put the WHOLE partials table as
-        ONE object (sorted by dst_part so consumers slice zero-copy).
-        One put per src actor instead of one per (src actor, dst part) —
-        the per-object serialization overhead of the fine granularity
-        measured ~1 s/superstep at 32 actors x 32 parts. On one node
-        every consumer mmaps the same plasma object zero-copy; a
-        multi-node deployment would switch back to per-dst-node objects
-        (the Dataset path's shuffle granularity) to avoid broadcasting."""
+    def scatter_phase(self, dst_groups: list | None = None):
+        """Run scatter over owned state. Default (``dst_groups=None``):
+        put the WHOLE partials table as ONE object (sorted by dst_part so
+        consumers slice zero-copy). One put per src actor instead of one
+        per (src actor, dst part) — the per-object serialization overhead
+        of the fine granularity measured ~1 s/superstep at 32 actors x 32
+        parts; on one node every consumer mmaps the same plasma object
+        zero-copy. ``dst_groups=[[parts of dst actor 0], ...]``: one
+        object PER DESTINATION ACTOR — the multi-node exchange shape
+        (RAYLINK_BSP_EXCHANGE=grouped), where each consumer fetches only
+        the bytes destined for it instead of a broadcast of all partials
+        to all nodes; granularity per dst ACTOR, not per dst part, so the
+        object count is pool-sized like the Dataset path's shuffle."""
         partials = self.scatter(self._state_batch())
         dst = partials["dst_part"].to_numpy(zero_copy_only=False)
         order = np.argsort(dst, kind="stable")
-        return ray.put(partials.take(pa.array(order, pa.int64())))
+        sorted_tab = partials.take(pa.array(order, pa.int64()))
+        if dst_groups is None:
+            return ray.put(sorted_tab)
+        d = dst[order]
+        return [ray.put(sorted_tab.filter(
+            pa.array(np.isin(d, np.asarray(parts, dtype=d.dtype)))))
+            for parts in dst_groups]
 
     def combine_phase(self, make_combine, refs: list) -> list:
         """Slice this actor's partitions out of every scatter object
@@ -500,6 +511,136 @@ class _BSPActor:
             "vec": pa.array([self.state[p] for p in parts], self.vec_type),
         })
 
+    # -- v2: multi-view / multi-named-state protocol (round 4) ----------
+    # Generalizes the single-closure reset() shape so kernels whose
+    # iteration alternates GRAPH VIEWS (HITS/SALSA fwd<->rev, SCC's
+    # trim/F/B phases) or mixes supersteps with per-partition local
+    # merges (SCC trim/assign, bow-tie classify) run on the same
+    # persistent pool. States are named vectors per owned partition;
+    # every superstep names the view it scatters over, the state
+    # column(s) it reads and the state(s) the combine output writes.
+
+    def setup_v2(self, views: dict, owned: list) -> None:
+        self.views2 = dict(views)
+        self.owned2 = sorted(int(p) for p in owned)
+        self.states2: dict[str, dict[int, np.ndarray]] = {}
+        self.dtypes2: dict[str, np.dtype] = {}
+
+    def load_v2(self, name: str, tab: pa.Table, dtype: str) -> None:
+        dt = np.dtype(dtype)
+        d = {}
+        for part, vec in iter_state_rows(tab):
+            d[int(part)] = np.asarray(vec, dtype=dt)
+        self.states2[name] = d
+        self.dtypes2[name] = dt
+
+    def _batch_v2(self, read: dict, view_name: str, expand: bool) -> pa.Table:
+        """Plain multi-column state batch (part, <col>=state vec per
+        ``read`` col->state mapping); with ``expand`` and a chunked view,
+        the expanded (part, sub, vec) shape instead (single read col)."""
+        parts = self.owned2
+        view = self.views2[view_name]
+        if expand and any(len(view.blocks.get(p, [])) > 1 for p in parts):
+            if list(read) != ["vec"]:
+                raise ValueError("expanded shape supports a single 'vec' "
+                                 "read column")
+            sn = read["vec"]
+            vt = pa.list_(pa.from_numpy_dtype(self.dtypes2[sn]))
+            po, so, vo = [], [], []
+            for p in parts:
+                for s in range(-1, max(1, len(view.blocks.get(p, [])))):
+                    po.append(p)
+                    so.append(s)
+                    vo.append(self.states2[sn][p])
+            return pa.table({"part": pa.array(po, pa.int64()),
+                             "sub": pa.array(so, pa.int64()),
+                             "vec": pa.array(vo, vt)})
+        cols = {"part": pa.array(parts, pa.int64())}
+        for bc, sn in read.items():
+            vt = pa.list_(pa.from_numpy_dtype(self.dtypes2[sn]))
+            cols[bc] = pa.array([self.states2[sn][p] for p in parts], vt)
+        return pa.table(cols)
+
+    def scatter_v2(self, make_scatter, view_name: str, read: dict,
+                   expand: bool, dst_groups: list | None = None):
+        """Scatter over the named view/state(s). ``dst_groups=None``:
+        one object holding ALL partials sorted by dst_part (single-node
+        zero-copy broadcast). ``dst_groups=[[parts of dst actor 0], ...]``:
+        one object PER DESTINATION ACTOR (the multi-node exchange shape —
+        each consumer fetches only bytes destined for it)."""
+        scatter = make_scatter(self.views2[view_name])
+        partials = scatter(self._batch_v2(read, view_name, expand))
+        dst = partials["dst_part"].to_numpy(zero_copy_only=False)
+        order = np.argsort(dst, kind="stable")
+        sorted_tab = partials.take(pa.array(order, pa.int64()))
+        if dst_groups is None:
+            return ray.put(sorted_tab)
+        d = dst[order]
+        refs = []
+        for parts in dst_groups:
+            mask = np.isin(d, np.asarray(parts, dtype=d.dtype))
+            refs.append(ray.put(sorted_tab.filter(pa.array(mask))))
+        return refs
+
+    def combine_v2(self, make_combine, refs: list, view_name: str,
+                   write: dict, scalar_cols: list) -> list:
+        """Slice owned partitions out of the scatter objects, combine per
+        partition, store each ``write`` result column into its named
+        state; return [(part, [scalars...])]."""
+        combine = make_combine(self.views2[view_name])
+        mine: dict[int, list] = {p: [] for p in self.owned2}
+        for r in refs:
+            tab = ray.get(r)
+            d = tab["dst_part"].to_numpy(zero_copy_only=False)
+            for part in self.owned2:
+                lo = int(np.searchsorted(d, part, side="left"))
+                hi = int(np.searchsorted(d, part, side="right"))
+                if hi > lo:
+                    mine[part].append(tab.slice(lo, hi - lo))
+        out = []
+        for part in self.owned2:
+            tabs = mine[part]
+            if not tabs:
+                continue
+            res = combine(pa.concat_tables(tabs))
+            for rc, sn in write.items():
+                if sn not in self.dtypes2:
+                    self.dtypes2[sn] = np.dtype(
+                        res.schema.field(rc).type.value_type.to_pandas_dtype())
+                    self.states2[sn] = {}
+                dt = self.dtypes2[sn]
+                for p2, vec in iter_state_rows(res, rc):
+                    self.states2[sn][int(p2)] = np.asarray(vec, dtype=dt)
+            out.append((part, [float(res[c][0].as_py())
+                               for c in scalar_cols]))
+        return out
+
+    def apply_v2(self, fn, reads: list, writes: list) -> list:
+        """Per owned partition: fn(part, {name: vec}) -> {name: vec, ...,
+        'changed': scalar}; store ``writes``, return [(part, changed)].
+        Purely local (no exchange) — SCC's trim/assign merges, bow-tie's
+        classify."""
+        out = []
+        for part in self.owned2:
+            res = fn(part, {n: self.states2[n][part] for n in reads})
+            for n in writes:
+                v = np.asarray(res[n])
+                if n not in self.dtypes2:
+                    self.dtypes2[n] = v.dtype
+                    self.states2[n] = {}
+                self.states2[n][part] = v.astype(self.dtypes2[n],
+                                                 copy=False)
+            out.append((part, float(res.get("changed", 0))))
+        return out
+
+    def state_v2(self, name: str) -> pa.Table:
+        parts = [p for p in self.owned2 if p in self.states2.get(name, {})]
+        vt = pa.list_(pa.from_numpy_dtype(self.dtypes2[name]))
+        return pa.table({
+            "part": pa.array(parts, pa.int64()),
+            "vec": pa.array([self.states2[name][p] for p in parts], vt),
+        })
+
 
 # Above this many vertices the final-state driver gather (the one
 # non-streaming step of the actor path) stops being cheap and the Dataset
@@ -511,6 +652,15 @@ ACTOR_MAX_STATE = int(os.environ.get("RAYLINK_ACTOR_MAX_STATE", 50_000_000))
 
 def actor_eligible(graph) -> bool:
     return graph.n <= ACTOR_MAX_STATE
+
+
+def actor_engine_enabled(graph) -> bool:
+    """Shared gate for every kernel's actor-BSP path: graph inside the
+    actor regime AND the kill-switch (RAYLINK_BSP_ENGINE=dataset) off.
+    Callers additionally require no checkpoint store (per-superstep
+    durability implies the Dataset path's materialization anyway)."""
+    return (actor_eligible(graph)
+            and os.environ.get("RAYLINK_BSP_ENGINE", "actors") == "actors")
 
 
 def actor_pool_size(P: int) -> int:
@@ -582,6 +732,24 @@ def start_bsp_actors(graph_or_view, state: "rd.Dataset | pa.Table",
     return actors, parts_of
 
 
+def exchange_mode() -> str:
+    """'single' (default): each scatter actor publishes ONE plasma object
+    every consumer slices zero-copy — optimal on one node, a broadcast on
+    many. 'grouped': one object per (src actor, dst actor) — the
+    multi-node shape where each consumer fetches only its bytes."""
+    return os.environ.get("RAYLINK_BSP_EXCHANGE", "single")
+
+
+def _route_refs(refs, n_actors: int) -> list:
+    """Per-consumer ref lists for either exchange mode: 'single' returns
+    the same full list for every consumer; 'grouped' transposes the
+    per-src [per-dst refs] matrix so consumer j gets column j."""
+    if refs and isinstance(refs[0], list):
+        return [[refs[i][j] for i in range(len(refs))]
+                for j in range(n_actors)]
+    return [list(refs)] * n_actors
+
+
 def actor_superstep(actors: list, parts_of_actor: list, make_combine,
                     scalar_cols: tuple = ("delta", "dm")) -> list:
     """One BSP superstep across the pool: scatter on every actor, route
@@ -592,9 +760,11 @@ def actor_superstep(actors: list, parts_of_actor: list, make_combine,
     part-ascending); residual last-ulp float differences are possible
     when the Dataset path's scalars span chunk boundaries (1e-12 test).
     Integer scalars (e.g. CC's "changed") are exact either way."""
-    refs = ray.get([a.scatter_phase.remote() for a in actors])
-    outs = ray.get([a.combine_phase.remote(make_combine, refs)
-                    for a in actors])
+    groups = parts_of_actor if exchange_mode() == "grouped" else None
+    refs = ray.get([a.scatter_phase.remote(groups) for a in actors])
+    routed = _route_refs(refs, len(actors))
+    outs = ray.get([a.combine_phase.remote(make_combine, rs)
+                    for a, rs in zip(actors, routed)])
     flat = sorted((part, vals) for o in outs for (part, vals) in o)
     return [float(pa.compute.sum(
         pa.array([x[1][i] for x in flat], pa.float64())).as_py() or 0.0)
@@ -619,6 +789,131 @@ def stop_bsp_actors(actors: list) -> None:
     when the graph handle is garbage-collected); kept for explicit
     teardown of uncached pools."""
     return None
+
+
+class ActorEngine:
+    """Driver handle for a multi-view / multi-named-state actor-BSP run
+    (round 4 — generalizes the PageRank-shaped reset() pool so SCC's
+    trim/F/B phases, bow-tie's floods, HITS/SALSA's alternating fwd/rev
+    half-steps and the traversal min-plus loops run on the same
+    persistent pool; VERDICT r3 item #1).
+
+    ``graphs``: name -> Graph/GraphView (e.g. {"f": gf, "r": gr}).
+    States are named dense vectors per partition, loaded from (part,
+    vec) tables/Datasets; supersteps name the view and the read/write
+    states; ``apply`` runs a per-partition local merge with no exchange.
+    Partition ownership is fixed at construction, so every local merge
+    is alignment-safe by construction."""
+
+    def __init__(self, graphs: dict, parts: list[int] | None = None):
+        views = {k: (g if isinstance(g, GraphView) else graph_view(g))
+                 for k, g in graphs.items()}
+        v0 = next(iter(views.values()))
+        if parts is None:
+            parts = [p for p in range(v0.P) if v0.n_per_part[p] > 0]
+        n_actors = min(actor_pool_size(v0.P), max(1, len(parts)))
+        actors = _POOLS.get(n_actors)
+        self.parts_of = [[] for _ in range(n_actors)]
+        for i, p in enumerate(sorted(parts)):
+            self.parts_of[i % n_actors].append(int(p))
+
+        def _setup(acts):
+            ray.get([a.setup_v2.remote(views, ps)
+                     for a, ps in zip(acts, self.parts_of)])
+
+        if actors is not None:
+            try:
+                _setup(actors)
+            except Exception:
+                actors = None  # pool died with a previous Ray session
+        if actors is None:
+            actors = [_BSPActor.remote() for _ in range(n_actors)]
+            _POOLS[n_actors] = actors
+            _setup(actors)
+        self.actors = actors
+        self.owner = {p: i for i, ps in enumerate(self.parts_of)
+                      for p in ps}
+
+    def load(self, name: str, state, dtype: str = "int64") -> None:
+        tab = state if isinstance(state, pa.Table) else state_table(state)
+        parts = tab["part"].to_numpy(zero_copy_only=False)
+        ray.get([a.load_v2.remote(
+            name, tab.filter(pa.array(np.isin(parts, ps))), dtype)
+            for a, ps in zip(self.actors, self.parts_of)])
+
+    def superstep(self, make_scatter, make_combine, *, view: str,
+                  read: dict, write: dict, scalar_cols: tuple = (),
+                  expand: bool = False,
+                  reduce: tuple = ()) -> list[float]:
+        """One exchange round. ``reduce`` aligns with ``scalar_cols``:
+        'sum' (default) or 'min' per scalar (delta-stepping's fresh_min
+        needs min). Reductions run part-ascending (same order as the
+        Dataset path's group emission)."""
+        groups = (self.parts_of if exchange_mode() == "grouped" else None)
+        refs = ray.get([a.scatter_v2.remote(make_scatter, view, read,
+                                            expand, groups)
+                        for a in self.actors])
+        routed = _route_refs(refs, len(self.actors))
+        outs = ray.get([a.combine_v2.remote(make_combine, rs, view, write,
+                                            list(scalar_cols))
+                        for a, rs in zip(self.actors, routed)])
+        flat = sorted((part, vals) for o in outs for (part, vals) in o)
+        res = []
+        for i, c in enumerate(scalar_cols):
+            vals = pa.array([x[1][i] for x in flat], pa.float64())
+            mode = reduce[i] if i < len(reduce) else "sum"
+            if mode == "min":
+                res.append(float(pa.compute.min(vals).as_py()
+                                 if len(vals) else 0.0))
+            else:
+                res.append(float(pa.compute.sum(vals).as_py() or 0.0))
+        return res
+
+    def apply(self, fn, reads: list, writes: list) -> float:
+        """Per-partition local merge on every actor; returns the summed
+        'changed' scalar (part-ascending)."""
+        outs = ray.get([a.apply_v2.remote(fn, list(reads), list(writes))
+                        for a in self.actors])
+        flat = sorted(x for o in outs for x in o)
+        return float(pa.compute.sum(
+            pa.array([x[1] for x in flat], pa.float64())).as_py() or 0.0)
+
+    def table(self, name: str) -> pa.Table:
+        tabs = ray.get([a.state_v2.remote(name) for a in self.actors])
+        tab = pa.concat_tables([t for t in tabs if t.num_rows])
+        order = pa.compute.sort_indices(tab,
+                                        sort_keys=[("part", "ascending")])
+        return tab.take(order)
+
+    def dataset(self, name: str) -> rd.Dataset:
+        return rd.from_arrow(self.table(name))
+
+
+def actor_int_loop(graph, state, make_scatter, make_combine, *,
+                   max_iter: int, metrics_out: list | None = None,
+                   expand: bool = True, dtype: str = "int64",
+                   scalar_cols: tuple = ("changed",)):
+    """Fixed-closure 'superstep until changed == 0' loop on the actor
+    engine — the shape shared by BFS/SSSP/DAG-levels/k-core/coreness/
+    widest-path/multi-BFS and the bow-tie reachability floods. Integer
+    reductions, so the final state is bit-equal to the Dataset path's.
+    Returns (final (part, vec) table, converged)."""
+    eng = ActorEngine({"g": graph})
+    eng.load("s", state, dtype)
+    converged = False
+    for it in range(1, max_iter + 1):
+        t0 = time.perf_counter()
+        changed = eng.superstep(make_scatter, make_combine, view="g",
+                                read={"vec": "s"}, write={"vec": "s"},
+                                scalar_cols=scalar_cols, expand=expand)[0]
+        if metrics_out is not None:
+            metrics_out.append({"iter": it, "changed": int(changed),
+                                "engine": "actors",
+                                "sec": time.perf_counter() - t0})
+        if changed == 0:
+            converged = True
+            break
+    return eng.table("s"), converged
 
 
 def warm_bsp_pool(n: int | None = None) -> None:

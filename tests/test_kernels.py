@@ -3231,3 +3231,81 @@ def test_actor_katz_bit_equal_to_dataset():
             os.environ.pop("RAYLINK_BSP_ENGINE", None)
 
     assert np.array_equal(vals("actors"), vals("dataset"))
+
+
+def test_actor_scc_bowtie_bit_equal_to_dataset():
+    """The multi-view actor-BSP SCC/bow-tie path (round 4) produces
+    per-vertex labels BIT-EQUAL to the Dataset superstep pipeline —
+    integer min/any reductions on identical partial rows."""
+    import os
+
+    from raylink.kernels import bowtie, strongly_connected_components
+
+    rng = np.random.default_rng(91)
+    n = 300
+    edges = sorted({(int(a), int(b)) for a, b in
+                    rng.integers(0, n, (900, 2)) if a != b})
+    prep = G.prepare_edges(_int_edges_ds(edges), P=P, already_deduped=True)
+    gf, gr = G.build_graph_fwd_rev(prep)
+
+    def run(engine, fn, col):
+        os.environ["RAYLINK_BSP_ENGINE"] = engine
+        try:
+            df = fn().to_pandas().sort_values("vid")
+            return df[col].to_numpy()
+        finally:
+            os.environ.pop("RAYLINK_BSP_ENGINE", None)
+
+    for fn, col in [
+        (lambda: strongly_connected_components(gf, gr, init="key",
+                                               fused=False), "scc"),
+        (lambda: bowtie(gf, gr, init="key", fused=False), "cls"),
+    ]:
+        a = run("actors", fn, col)
+        d = run("dataset", fn, col)
+        assert np.array_equal(a, d)
+
+    # actor path emits per-round metrics tagged engine=actors
+    metrics = []
+    os.environ["RAYLINK_BSP_ENGINE"] = "actors"
+    try:
+        strongly_connected_components(gf, gr, init="key", fused=False,
+                                      metrics_out=metrics)
+    finally:
+        os.environ.pop("RAYLINK_BSP_ENGINE", None)
+    assert metrics and all(m["engine"] == "actors" for m in metrics)
+
+
+def test_exchange_modes_bit_equal():
+    """RAYLINK_BSP_EXCHANGE=grouped (one object per dst actor — the
+    multi-node exchange shape) == single (one broadcast object per src
+    actor) bitwise, for both the v1 (PageRank) and v2 (SCC) protocols."""
+    import os
+
+    from raylink.kernels import strongly_connected_components
+
+    rng = np.random.default_rng(77)
+    iedges = sorted({(int(a), int(b)) for a, b in
+                     rng.integers(0, 350, (1400, 2)) if a != b})
+    g = G.build_graph(edges_ds(overlay_pairs(seed=77, n=350, m=1400)), P=P)
+    prep = G.prepare_edges(_int_edges_ds(iedges), P=P, already_deduped=True)
+    gf, gr = G.build_graph_fwd_rev(prep)
+
+    def run(mode, fn, col):
+        os.environ["RAYLINK_BSP_ENGINE"] = "actors"
+        os.environ["RAYLINK_BSP_EXCHANGE"] = mode
+        try:
+            df = fn().to_pandas().sort_values("vid")
+            return df[col].to_numpy()
+        finally:
+            os.environ.pop("RAYLINK_BSP_ENGINE", None)
+            os.environ.pop("RAYLINK_BSP_EXCHANGE", None)
+
+    for fn, col in [
+        (lambda: pagerank(g, tol=0.0, max_iter=5, fused=False), "score"),
+        (lambda: strongly_connected_components(gf, gr, init="key",
+                                               fused=False), "scc"),
+    ]:
+        s = run("single", fn, col)
+        grp = run("grouped", fn, col)
+        assert np.array_equal(s, grp)
