@@ -37,6 +37,7 @@ import ray.data as rd
 
 from ..graph import Graph
 from .bsp import (
+    actor_engine_enabled as _actor_route,
     init_state,
     iter_chunk_rows,
     maybe_expand_chunks,
@@ -192,6 +193,38 @@ def _fused_hits(fwd_view, rev_view, hub_tab: pa.Table, max_iter: int):
             auth_tab.select(["part", "vec"]), auth_norm, metrics)
 
 
+def _actor_hits(gf: Graph, gr: Graph, hub0, max_iter: int,
+                metrics_out: list | None):
+    """Alternating half-steps on the persistent multi-view actor pool
+    (round 4): the SAME scatter/combine closures, view 'f' for the auth
+    half-step and view 'r' for the hub half-step — no Dataset launch
+    floor per half-step. Normalizer sums reduce part-ascending (the
+    Dataset path's group order), so scores match to float addition
+    order (1e-12 parity test)."""
+    from .bsp import ActorEngine
+
+    eng = ActorEngine({"f": gf, "r": gr})
+    eng.load("hub", hub0, "float64")
+    hub_norm, auth_norm = 1.0, 1.0
+    for it in range(1, max_iter + 1):
+        t0 = time.perf_counter()
+        s1 = eng.superstep(
+            lambda v, s=1.0 / hub_norm: _make_sum_scatter(v, s),
+            _make_sum_combine, view="f", read={"vec": "hub"},
+            write={"vec": "auth"}, scalar_cols=("s1",), expand=True)[0]
+        auth_norm = s1 or 1.0
+        s1 = eng.superstep(
+            lambda v, s=1.0 / auth_norm: _make_sum_scatter(v, s),
+            _make_sum_combine, view="r", read={"vec": "auth"},
+            write={"vec": "hub"}, scalar_cols=("s1",), expand=True)[0]
+        hub_norm = s1 or 1.0
+        if metrics_out is not None:
+            metrics_out.append({"iter": it, "hub_norm": hub_norm,
+                                "auth_norm": auth_norm, "engine": "actors",
+                                "sec": time.perf_counter() - t0})
+    return eng.dataset("hub"), hub_norm, eng.dataset("auth"), auth_norm
+
+
 def hits(graph_fwd: Graph, graph_rev: Graph, *, max_iter: int = 20,
          metrics_out: list | None = None,
          fused: bool | None = None) -> rd.Dataset:
@@ -221,6 +254,9 @@ def hits(graph_fwd: Graph, graph_rev: Graph, *, max_iter: int = 20,
             metrics_out.extend(metrics)
         hub_state = rd.from_arrow(hub_tab)
         auth_state = rd.from_arrow(auth_tab)
+    elif _actor_route(graph_fwd):
+        hub_state, hub_norm, auth_state, auth_norm = _actor_hits(
+            graph_fwd, graph_rev, hub, max_iter, metrics_out)
     else:
         hub_norm = 1.0
         auth_state, auth_norm = None, 1.0

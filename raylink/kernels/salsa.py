@@ -77,6 +77,26 @@ def salsa(gf: Graph, gr: Graph, *, max_iter: int = 5,
         return _zip_states(rd.from_arrow(h_tab), rd.from_arrow(a_tab),
                            gf, 1.0, 1.0)
 
+    from .bsp import ActorEngine, actor_engine_enabled
+
+    if actor_engine_enabled(gf):
+        # Alternating degree-normalized half-steps on the persistent
+        # multi-view actor pool (round 4) — same closures, views 'f'/'r'.
+        eng = ActorEngine({"f": gf, "r": gr})
+        eng.load("h", h, "float64")
+        for it in range(1, max_iter + 1):
+            t0 = time.perf_counter()
+            eng.superstep(_make_scatter, _make_sum_combine, view="f",
+                          read={"vec": "h"}, write={"vec": "a"},
+                          expand=True)
+            eng.superstep(_make_scatter, _make_sum_combine, view="r",
+                          read={"vec": "a"}, write={"vec": "h"},
+                          expand=True)
+            if metrics_out is not None:
+                metrics_out.append({"iter": it, "engine": "actors",
+                                    "sec": time.perf_counter() - t0})
+        return _zip_states(eng.dataset("h"), eng.dataset("a"), gf, 1.0, 1.0)
+
     sc_f, sc_r = _make_scatter(gf), _make_scatter(gr)
     cb_f, cb_r = _make_sum_combine(gf), _make_sum_combine(gr)
 

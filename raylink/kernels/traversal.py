@@ -248,7 +248,8 @@ def _min_plus_single(graph: Graph, source_vid: int, out_col: str,
             out_col: pa.array(enc[keep] >> 1, pa.int64()),
         })
 
-    from .bsp import fused_eligible, graph_view, state_table
+    from .bsp import (actor_engine_enabled, actor_int_loop, fused_eligible,
+                      graph_view, state_table)
 
     if fused_eligible(graph, fused):
         final_tab, metrics = ray.get(_fused_min_loop.remote(
@@ -257,6 +258,16 @@ def _min_plus_single(graph: Graph, source_vid: int, out_col: str,
             metrics_out.extend(metrics)
         state = rd.from_arrow(final_tab)
         out = state_to_vertex_table(state, graph, "vec", out_col)
+        return out.map_batches(decode_f, batch_format="pyarrow")
+
+    if actor_engine_enabled(graph):
+        tab, _ = actor_int_loop(
+            graph, state,
+            lambda v, uw=use_weights: _min_scatter(v, plus_one=True,
+                                                   use_weights=uw),
+            _min_combine, max_iter=max_iter, metrics_out=metrics_out)
+        out = state_to_vertex_table(rd.from_arrow(tab), graph, "vec",
+                                    out_col)
         return out.map_batches(decode_f, batch_format="pyarrow")
 
     scatter = _min_scatter(graph, plus_one=True, use_weights=use_weights)
@@ -314,7 +325,8 @@ def dag_levels(graph: Graph, *, max_iter: int = 1024,
             "level": pa.array(-(enc >> 1), pa.int64()),
         })
 
-    from .bsp import fused_eligible, graph_view, state_table
+    from .bsp import (actor_engine_enabled, actor_int_loop, fused_eligible,
+                      graph_view, state_table)
 
     converged = False
     if fused_eligible(graph, fused):
@@ -324,6 +336,12 @@ def dag_levels(graph: Graph, *, max_iter: int = 1024,
             metrics_out.extend(metrics)
         converged = bool(metrics) and metrics[-1]["changed"] == 0
         state = rd.from_arrow(final_tab)
+    elif actor_engine_enabled(graph):
+        tab, converged = actor_int_loop(
+            graph, state,
+            lambda v: _min_scatter(v, plus_one=True, step=-1),
+            _min_combine, max_iter=max_iter, metrics_out=metrics_out)
+        state = rd.from_arrow(tab)
     else:
         scatter = _min_scatter(graph, plus_one=True, step=-1)
         combine = _min_combine(graph)
@@ -436,6 +454,36 @@ def sssp_delta(graph: Graph, source_vid: int, *, delta: int = 4,
             metrics_out.extend(metrics)
         state = rd.from_arrow(final_tab)
         out = state_to_vertex_table(state, graph, "vec", "dist")
+        return out.map_batches(decode_f, batch_format="pyarrow")
+
+    from .bsp import ActorEngine, actor_engine_enabled
+
+    if actor_engine_enabled(graph):
+        # Same bucket schedule as the Dataset loop below, on the
+        # persistent pool; fresh_min min-reduces across parts (the
+        # per-part scalar the driver reads to open the next bucket).
+        eng = ActorEngine({"g": graph})
+        eng.load("s", state, "int64")
+        B, uw = int(delta), graph.weighted
+        for it in range(1, max_iter + 1):
+            t0 = time.perf_counter()
+            ch, fm = eng.superstep(
+                lambda v, b=B, u=uw: _min_scatter(v, plus_one=True,
+                                                  use_weights=u, bound=b),
+                lambda v, b=B: _min_combine(v, bound=b),
+                view="g", read={"vec": "s"}, write={"vec": "s"},
+                scalar_cols=("changed", "fresh_min"),
+                reduce=("sum", "min"), expand=True)
+            changed, fm = int(ch), int(fm)
+            if metrics_out is not None:
+                metrics_out.append({"iter": it, "changed": changed,
+                                    "bound": B, "engine": "actors",
+                                    "sec": time.perf_counter() - t0})
+            if changed == 0:
+                if fm >= _INF:
+                    break
+                B = (fm // delta + 1) * delta
+        out = state_to_vertex_table(eng.dataset("s"), graph, "vec", "dist")
         return out.map_batches(decode_f, batch_format="pyarrow")
 
     B = int(delta)
@@ -588,6 +636,16 @@ def k_core(graph: Graph, k: int, *, max_iter: int = 10_000,
             metrics_out.extend(metrics)
         return state_to_vertex_table(rd.from_arrow(final_tab), graph,
                                      "vec", "in_core")
+
+    from .bsp import actor_engine_enabled, actor_int_loop
+
+    if actor_engine_enabled(graph):
+        tab, _ = actor_int_loop(
+            graph, state, _make_alive_scatter,
+            lambda v, kk=k: _make_kcore_combine(v, kk),
+            max_iter=max_iter, metrics_out=metrics_out)
+        return state_to_vertex_table(rd.from_arrow(tab), graph, "vec",
+                                     "in_core")
 
     scatter = _make_alive_scatter(graph)
     combine = _make_kcore_combine(graph, k)
@@ -751,12 +809,21 @@ def bfs_hops_multi(graph: Graph, source_vids, *, max_iter: int = 10_000,
 
     from .bsp import fused_eligible, graph_view, state_table
 
+    from .bsp import actor_engine_enabled, actor_int_loop
+
     if fused_eligible(graph, fused):
         final_tab, metrics = ray.get(_fused_multi_min.remote(
             graph_view(graph), state_table(state), S, max_iter))
         if metrics_out is not None:
             metrics_out.extend(metrics)
         state = rd.from_arrow(final_tab)
+    elif actor_engine_enabled(graph):
+        tab, _ = actor_int_loop(
+            graph, state,
+            lambda v, s=S: _multi_min_scatter(v, s),
+            lambda v, s=S: _multi_min_combine(v, s),
+            max_iter=max_iter, metrics_out=metrics_out)
+        state = rd.from_arrow(tab)
     else:
         scatter = _multi_min_scatter(graph, S)
         combine = _multi_min_combine(graph, S)
@@ -921,6 +988,15 @@ def coreness(graph: Graph, *, max_iter: int = 10_000,
             metrics_out.extend(metrics)
         return state_to_vertex_table(rd.from_arrow(final_tab), graph,
                                      "vec", "core")
+
+    from .bsp import actor_engine_enabled, actor_int_loop
+
+    if actor_engine_enabled(graph):
+        tab, _ = actor_int_loop(graph, state, _lp_scatter,
+                                _coreness_combine, max_iter=max_iter,
+                                metrics_out=metrics_out)
+        return state_to_vertex_table(rd.from_arrow(tab), graph, "vec",
+                                     "core")
 
     scatter = _lp_scatter(graph)
     combine = _coreness_combine(graph)
@@ -1109,6 +1185,16 @@ def widest_path(graph: Graph, source_vid: int, *, max_iter: int = 10_000,
             metrics_out.extend(metrics)
         state = rd.from_arrow(final_tab)
         out = state_to_vertex_table(state, graph, "vec", "width")
+        return out.map_batches(decode_f, batch_format="pyarrow")
+
+    from .bsp import actor_engine_enabled, actor_int_loop
+
+    if actor_engine_enabled(graph):
+        tab, _ = actor_int_loop(graph, state, _widest_scatter,
+                                _widest_combine, max_iter=max_iter,
+                                metrics_out=metrics_out)
+        out = state_to_vertex_table(rd.from_arrow(tab), graph, "vec",
+                                    "width")
         return out.map_batches(decode_f, batch_format="pyarrow")
 
     scatter = _widest_scatter(graph)

@@ -3309,3 +3309,87 @@ def test_exchange_modes_bit_equal():
         s = run("single", fn, col)
         grp = run("grouped", fn, col)
         assert np.array_equal(s, grp)
+
+
+def test_actor_traversal_bit_equal_to_dataset():
+    """Round-4 actor routes for the traversal family == Dataset path
+    bitwise (integer lattices throughout): BFS, SSSP, delta-stepping,
+    DAG levels, k-core, coreness, widest path, multi-source BFS."""
+    import os
+
+    from raylink.kernels import (bfs_hops, bfs_hops_multi, coreness,
+                                 dag_levels, k_core, sssp, sssp_delta,
+                                 widest_path)
+
+    pairs = overlay_pairs(seed=83, n=300, m=1200)
+    g = G.build_graph(edges_ds(pairs), P=P)
+    gs = G.build_graph(edges_ds(pairs), P=P, symmetric=True)
+    gw = G.build_graph(edges_ds(pairs + pairs[::3]), P=P, weighted=True,
+                       already_deduped=True)
+    dag_pairs = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+    gd = G.build_graph(edges_ds(dag_pairs), P=P)
+
+    def run(engine, fn, cols):
+        os.environ["RAYLINK_BSP_ENGINE"] = engine
+        try:
+            df = fn().to_pandas().sort_values("vid").reset_index(drop=True)
+            return df
+        finally:
+            os.environ.pop("RAYLINK_BSP_ENGINE", None)
+
+    runs = [
+        (lambda: bfs_hops(g, 0, fused=False), ["hops"]),
+        (lambda: sssp(gw, 0, fused=False), ["dist"]),
+        (lambda: sssp_delta(gw, 0, delta=2, fused=False), ["dist"]),
+        (lambda: dag_levels(gd, fused=False), ["level"]),
+        (lambda: k_core(gs, 4, fused=False), ["in_core"]),
+        (lambda: coreness(gs, max_iter=6, fused=False), ["core"]),
+        (lambda: widest_path(gw, 0, fused=False), ["width"]),
+        (lambda: bfs_hops_multi(g, [0, 1, 2], fused=False),
+         ["source_idx", "hops"]),
+    ]
+    for fn, cols in runs:
+        a = run("actors", fn, cols)
+        d = run("dataset", fn, cols)
+        assert len(a) == len(d), cols
+        assert np.array_equal(a["vid"].to_numpy(), d["vid"].to_numpy()), cols
+        for c in cols:
+            assert np.array_equal(a[c].to_numpy(), d[c].to_numpy()), c
+
+    # delta-stepping actor metrics carry the bucket bound + engine tag
+    metrics = []
+    os.environ["RAYLINK_BSP_ENGINE"] = "actors"
+    try:
+        sssp_delta(gw, 0, delta=2, fused=False, metrics_out=metrics)
+    finally:
+        os.environ.pop("RAYLINK_BSP_ENGINE", None)
+    assert metrics and all(m["engine"] == "actors" for m in metrics)
+
+
+def test_actor_hits_salsa_matches_dataset():
+    """Round-4 actor routes for HITS/SALSA == Dataset path to 1e-12
+    (float normalizer sums may differ in the last ulp across the two
+    reduction orders, same caveat as weighted PageRank)."""
+    import os
+
+    from raylink.kernels import hits, salsa
+
+    pairs = overlay_pairs(seed=89, n=300, m=1200)
+    prep = G.prepare_edges(edges_ds(pairs), P=P)
+    gf, gr = G.build_graph_fwd_rev(prep)
+
+    def run(engine, fn):
+        os.environ["RAYLINK_BSP_ENGINE"] = engine
+        try:
+            return fn().to_pandas().sort_values("vid").reset_index(drop=True)
+        finally:
+            os.environ.pop("RAYLINK_BSP_ENGINE", None)
+
+    for fn in [lambda: hits(gf, gr, max_iter=6, fused=False),
+               lambda: salsa(gf, gr, max_iter=4, fused=False)]:
+        a = run("actors", fn)
+        d = run("dataset", fn)
+        assert np.array_equal(a["vid"].to_numpy(), d["vid"].to_numpy())
+        for c in ("hub", "auth"):
+            assert np.allclose(a[c].to_numpy(), d[c].to_numpy(),
+                               rtol=1e-12, atol=1e-15)
