@@ -2313,24 +2313,51 @@ def q_emb_knn_lsh(sf_dir: str):
     return lsh_topk(emb, _query_vec(sf_dir), 10)
 
 
+def _emb_train_mat(sf_dir: str, n: int = 8192) -> np.ndarray:
+    """Deterministic k-means training sample: the first ``n`` FILE-ORDER
+    rows of embeddings.parquet, read driver-side (bounded — never
+    corpus-proportional). Pinning the sample makes the IVF/IVF-PQ index
+    (and so the query result) independent of Ray's block delivery order,
+    which is what lets the oracle replay it exactly (round 4)."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    got, parts = 0, []
+    for b in f.iter_batches(batch_size=4096, columns=["embedding"]):
+        v = b.column(0)
+        m = v.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        parts.append(m.reshape(b.num_rows, -1))
+        got += b.num_rows
+        if got >= n:
+            break
+    return np.concatenate(parts)[:n]
+
+
 def q_emb_knn_ivf(sf_dir: str):
-    """IVF coarse-quantized ANN (bounded-sample k-means train + list-probe
-    scan; recall bounded in tests)."""
+    """IVF coarse-quantized ANN (deterministic first-N-rows k-means train
+    + list-probe scan; recall bounded in tests). Exactly checkable: the
+    oracle replays the trainer on the same sample and verifies the
+    assignment, probe filter, scoring and top-k ordering in SQL given the
+    centroid literals."""
     from raylink.similarity import ivf_topk
 
     emb = _read(sf_dir, "embeddings")
-    return ivf_topk(emb, _query_vec(sf_dir), 10, n_lists=16, n_probe=6)
+    return ivf_topk(emb, _query_vec(sf_dir), 10, n_lists=16, n_probe=6,
+                    train=_emb_train_mat(sf_dir))
 
 
 def q_emb_knn_ivfpq(sf_dir: str):
     """IVF-PQ ANN: corpus compressed to 8-byte PQ codes (32x vs raw
     float32), scored by ADC table lookups over the probed lists
-    (similarity.ivfpq_topk; recall bounded in tests)."""
+    (similarity.ivfpq_topk; recall bounded in tests). Deterministic
+    train sample -> the oracle replays coarse+residual quantizers and
+    the ADC scoring naively (per-row loops, no shared vectorized code)
+    into a VALUES truth table."""
     from raylink.similarity import ivfpq_topk
 
     emb = _read(sf_dir, "embeddings")
     return ivfpq_topk(emb, _query_vec(sf_dir), 10, n_lists=16, n_probe=6,
-                      m_subspaces=8)
+                      m_subspaces=8, train=_emb_train_mat(sf_dir))
 
 
 def q_emb_knn_multi(sf_dir: str):
@@ -3140,6 +3167,145 @@ def _pages_docs_values() -> str:
         for url, (text, links_all, ok) in sorted(truth.items())
     )
     return rows
+
+
+_ORACLE_SF = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _dlist(v: np.ndarray) -> str:
+    """Full-precision DOUBLE[] literal (repr round-trips every float64)."""
+    return "CAST([" + ", ".join(repr(float(x)) for x in v) + "] AS DOUBLE[])"
+
+
+def _ivf_oracle_sql(sf: str) -> str:
+    """Exact IVF oracle: replay the deterministic trainer (same first-N
+    file-order sample, seeded k-means++ + Lloyd) for the centroid
+    literals, then verify the corpus assignment (argmax u.c - |c|^2/2,
+    ties to the lowest list id), probe-list filter, cosine scoring and
+    top-k tie ordering entirely in SQL."""
+    from raylink.similarity import _kmeans
+
+    train = _emb_train_mat(sf)
+    tn = np.linalg.norm(train, axis=1)
+    tn[tn == 0] = 1.0
+    cent = _kmeans(train / tn[:, None], 16, seed=42)
+    q = _query_vec(sf)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    qd = ((qn[None, :] - cent) ** 2).sum(axis=1)
+    probe = np.sort(np.argsort(qd, kind="stable")[:6])
+    cent_rows = ", ".join(f"({i}, {_dlist(cent[i])})"
+                          for i in range(len(cent)))
+    probe_list = ", ".join(str(int(p)) for p in probe)
+    return (
+        "WITH cent(list_id, c) AS (VALUES " + cent_rows + "), "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "en AS (SELECT vec_id, v, CASE WHEN sqrt(list_inner_product(v, v))"
+        " = 0 THEN 1.0 ELSE sqrt(list_inner_product(v, v)) END AS nv "
+        "FROM e), "
+        "sc AS (SELECT en.vec_id, cent.list_id, "
+        "list_inner_product(en.v, cent.c) / en.nv "
+        "- 0.5 * list_inner_product(cent.c, cent.c) AS s "
+        "FROM en CROSS JOIN cent), "
+        "asg AS (SELECT vec_id, list_id FROM ("
+        "SELECT vec_id, list_id, row_number() OVER ("
+        "PARTITION BY vec_id ORDER BY s DESC, list_id) AS rn FROM sc) "
+        "WHERE rn = 1), "
+        "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings "
+        "WHERE vec_id = 0) "
+        "SELECT e.vec_id, CAST(floor(list_cosine_similarity(e.v, q.qv)"
+        "*1000000 + 0.5) AS BIGINT) AS cos_sim "
+        "FROM e JOIN asg ON e.vec_id = asg.vec_id CROSS JOIN q "
+        f"WHERE asg.list_id IN ({probe_list}) "
+        "ORDER BY cos_sim DESC, e.vec_id LIMIT 10"
+    )
+
+
+def _ivfpq_truth_values(sf: str) -> str:
+    """Independent IVF-PQ replay — naive per-row distance argmins and a
+    sequential ADC accumulation, none of similarity.py's vectorized
+    encode/LUT paths — into the expected top-10 VALUES rows."""
+    import pyarrow.parquet as pq
+
+    from raylink.similarity import _kmeans
+
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = (t["embedding"].combine_chunks().flatten()
+           .to_numpy(zero_copy_only=False).astype(np.float64)
+           .reshape(len(ids), -1))
+    dim = mat.shape[1]
+    n_lists, n_probe, M = 16, 6, 8
+    ds = dim // M
+    train = _emb_train_mat(sf)
+    tn = np.linalg.norm(train, axis=1)
+    tn[tn == 0] = 1.0
+    unit_train = train / tn[:, None]
+    cent = _kmeans(unit_train, n_lists, seed=42)
+
+    def nearest(u: np.ndarray, C: np.ndarray) -> int:
+        # plain squared distances (vs the trainer's dot-product argmax)
+        return int(((C - u[None, :]) ** 2).sum(axis=1).argmin())
+
+    resid = np.stack([unit_train[i] - cent[nearest(unit_train[i], cent)]
+                      for i in range(len(unit_train))])
+    ksub = min(256, len(resid))
+    books = np.stack([
+        _kmeans(np.ascontiguousarray(resid[:, j * ds:(j + 1) * ds]),
+                ksub, seed=43 + j)
+        for j in range(M)
+    ])
+    q = _query_vec(sf)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probe = set(np.sort(np.argsort(
+        ((qn[None, :] - cent) ** 2).sum(axis=1), kind="stable")[:n_probe])
+        .tolist())
+    lut = [books[j] @ qn[j * ds:(j + 1) * ds] for j in range(M)]
+    offsets = cent @ qn
+    rows = []
+    for i in range(len(ids)):
+        v = mat[i]
+        u = v / (np.linalg.norm(v) or 1.0)
+        li = nearest(u, cent)
+        if li not in probe:
+            continue
+        r = u - cent[li]
+        s = float(offsets[li])
+        for j in range(M):
+            s += float(lut[j][nearest(r[j * ds:(j + 1) * ds], books[j])])
+        rows.append((int(ids[i]), int(np.floor(s * 1_000_000.0 + 0.5))))
+    rows.sort(key=lambda x: (-x[1], x[0]))
+    return ", ".join(f"({i}, {s})" for i, s in rows[:10])
+
+
+def _simhash_truth_values(sf: str) -> str:
+    """Independent simhash replay — Python str.split + a per-token vote
+    loop (vs SimHasher's one Arrow split + bulk hash + reduceat), pinned
+    to the same seeded polars token hash — into (doc_id, simhash) VALUES
+    rows."""
+    import polars as pl
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    bitpos = np.arange(64, dtype=np.uint64)
+    rows = []
+    for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = (txt or "").split()
+        if not toks:
+            rows.append((int(did), 0))
+            continue
+        hs = pl.Series(toks).hash(seed=9).to_numpy().astype(np.uint64)
+        votes = np.zeros(64, np.int64)
+        for h in hs:
+            bits = ((np.uint64(h) >> bitpos) & np.uint64(1)).astype(np.int64)
+            votes += bits * 2 - 1
+        val = 0
+        for b in range(64):
+            if votes[b] > 0:
+                val |= 1 << b
+        rows.append((int(did), val - (1 << 64) if val >= (1 << 63) else val))
+    return ", ".join(f"({d}, {s})" for d, s in rows)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4804,7 +4970,25 @@ def oracle_sql() -> dict[str, str]:
         "CAST(floor(best*1000000000 + 0.5) AS BIGINT) AS mp_corr_fp "
         "FROM bi ORDER BY mp_corr_fp, user_id, pos LIMIT 10"
     )
-    # doc_minhash_pairs, doc_simhash, emb_knn_lsh, emb_knn_ivf,
-    # emb_near_dups_lsh: model/sketch ops with no faithful ANSI-SQL
-    # equivalent -> rows-only checks.
+    # Round 4: exact oracles for the deterministic ANN/sketch ops.
+    # Data-dependent literals (centroids, probe lists, VALUES truths) are
+    # replayed at oracle-build time from the parquet the driver compares
+    # at (sf0.01; override with GRAFT_ORACLE_SF_DIR) using plain
+    # pyarrow/numpy — never Ray. IVF verifies assignment + probe filter +
+    # scoring + top-k ordering IN SQL given only the centroid literals;
+    # IVF-PQ and simhash get independently recomputed (naive per-row)
+    # VALUES truths. If the parquet is unreadable the entries stay
+    # rows-only rather than failing oracle_sql().
+    try:
+        sql["emb_knn_ivf"] = _ivf_oracle_sql(_ORACLE_SF)
+        sql["emb_knn_ivfpq"] = (
+            "SELECT * FROM (VALUES " + _ivfpq_truth_values(_ORACLE_SF) +
+            ") AS t(vec_id, cos_sim)")
+        sql["doc_simhash"] = (
+            "SELECT * FROM (VALUES " + _simhash_truth_values(_ORACLE_SF) +
+            ") AS t(doc_id, simhash)")
+    except Exception:
+        pass
+    # doc_minhash_pairs, doc_simhash_pairs, emb_knn_lsh, emb_near_dups_lsh:
+    # remaining rows-only checks (stochastic bucketing; pytest oracles).
     return sql

@@ -164,22 +164,32 @@ class IvfIndex:
 
 def ivf_build(emb: rd.Dataset, *, n_lists: int = 32, train_sample: int = 8192,
               seed: int = 42, id_col: str = "vec_id",
-              vec_col: str = "embedding") -> IvfIndex:
+              vec_col: str = "embedding",
+              train: np.ndarray | None = None) -> IvfIndex:
     """Train the coarse quantizer on a bounded driver sample (k-means++ +
     Lloyd, never corpus-proportional) and persist each vector's list id as
-    an ``ivf_list`` column (one matmul pass, centroids broadcast once)."""
-    train = []
-    got = 0
-    for b in emb.select_columns([vec_col]).iter_batches(
-            batch_format="pyarrow", batch_size=4096):
-        v = b[vec_col].combine_chunks()
-        m = v.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-        m = m.reshape(b.num_rows, -1)
-        train.append(m)
-        got += len(m)
-        if got >= train_sample:
-            break
-    mat = np.concatenate(train)[:train_sample]
+    an ``ivf_list`` column (one matmul pass, centroids broadcast once).
+
+    ``train``: explicit (rows, dim) training matrix. Streaming a sample
+    out of ``emb`` depends on Ray's block delivery order; an explicit
+    matrix (e.g. the first N file-order rows of the source parquet) makes
+    the whole index — and so the query result — deterministic and
+    SQL-replayable (round 4: the emb_knn_ivf exact oracle)."""
+    if train is not None:
+        mat = np.asarray(train, dtype=np.float64)[:train_sample]
+    else:
+        parts = []
+        got = 0
+        for b in emb.select_columns([vec_col]).iter_batches(
+                batch_format="pyarrow", batch_size=4096):
+            v = b[vec_col].combine_chunks()
+            m = v.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            m = m.reshape(b.num_rows, -1)
+            parts.append(m)
+            got += len(m)
+            if got >= train_sample:
+                break
+        mat = np.concatenate(parts)[:train_sample]
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
     cent = _kmeans(mat / norms[:, None], n_lists, seed=seed)
@@ -241,12 +251,14 @@ def ivf_query(index: IvfIndex, query: np.ndarray, k: int = 10, *,
 def ivf_topk(emb: rd.Dataset, query: np.ndarray, k: int = 10, *,
              n_lists: int = 32, n_probe: int = 4, train_sample: int = 8192,
              seed: int = 42, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> rd.Dataset:
+             vec_col: str = "embedding",
+             train: np.ndarray | None = None) -> rd.Dataset:
     """One-shot IVF approximate top-k: :func:`ivf_build` then
     :func:`ivf_query` (build the index once with ``ivf_build`` when
     serving several queries)."""
     index = ivf_build(emb, n_lists=n_lists, train_sample=train_sample,
-                      seed=seed, id_col=id_col, vec_col=vec_col)
+                      seed=seed, id_col=id_col, vec_col=vec_col,
+                      train=train)
     return ivf_query(index, query, k, n_probe=n_probe)
 
 
@@ -269,7 +281,8 @@ class IvfPqIndex:
 def ivfpq_build(emb: rd.Dataset, *, n_lists: int = 32, m_subspaces: int = 8,
                 train_sample: int = 8192, seed: int = 42,
                 id_col: str = "vec_id",
-                vec_col: str = "embedding") -> IvfPqIndex:
+                vec_col: str = "embedding",
+                train: np.ndarray | None = None) -> IvfPqIndex:
     """Train coarse + residual quantizers on a bounded driver sample, then
     one encode pass over the corpus (centroids/codebooks broadcast once via
     ``ray.put``) that emits ONLY ids, list ids and M-byte PQ codes — the
@@ -278,19 +291,25 @@ def ivfpq_build(emb: rd.Dataset, *, n_lists: int = 32, m_subspaces: int = 8,
     Residual PQ: each unit vector v with coarse list l is stored as
     per-subspace nearest codebook entries of (v - centroid_l); a query
     scores it as q.centroid_l + sum_j LUT[j, code_j] (asymmetric distance
-    computation — one 256-entry table lookup per subspace, no decode)."""
-    train = []
-    got = 0
-    for b in emb.select_columns([vec_col]).iter_batches(
-            batch_format="pyarrow", batch_size=4096):
-        v = b[vec_col].combine_chunks()
-        m = v.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-        m = m.reshape(b.num_rows, -1)
-        train.append(m)
-        got += len(m)
-        if got >= train_sample:
-            break
-    mat = np.concatenate(train)[:train_sample]
+    computation — one 256-entry table lookup per subspace, no decode).
+
+    ``train``: explicit training matrix, same contract as
+    :func:`ivf_build` (deterministic, oracle-replayable index)."""
+    if train is not None:
+        mat = np.asarray(train, dtype=np.float64)[:train_sample]
+    else:
+        parts = []
+        got = 0
+        for b in emb.select_columns([vec_col]).iter_batches(
+                batch_format="pyarrow", batch_size=4096):
+            v = b[vec_col].combine_chunks()
+            m = v.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            m = m.reshape(b.num_rows, -1)
+            parts.append(m)
+            got += len(m)
+            if got >= train_sample:
+                break
+        mat = np.concatenate(parts)[:train_sample]
     dim = mat.shape[1]
     if dim % m_subspaces:
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
@@ -389,12 +408,13 @@ def ivfpq_topk(emb: rd.Dataset, query: np.ndarray, k: int = 10, *,
                n_lists: int = 32, m_subspaces: int = 8, n_probe: int = 4,
                train_sample: int = 8192, seed: int = 42,
                id_col: str = "vec_id",
-               vec_col: str = "embedding") -> rd.Dataset:
+               vec_col: str = "embedding",
+               train: np.ndarray | None = None) -> rd.Dataset:
     """One-shot IVF-PQ approximate top-k (build the index once with
     :func:`ivfpq_build` when serving several queries)."""
     index = ivfpq_build(emb, n_lists=n_lists, m_subspaces=m_subspaces,
                         train_sample=train_sample, seed=seed,
-                        id_col=id_col, vec_col=vec_col)
+                        id_col=id_col, vec_col=vec_col, train=train)
     return ivfpq_query(index, query, k, n_probe=n_probe)
 
 

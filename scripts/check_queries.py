@@ -66,6 +66,9 @@ def main():
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # data-dependent oracle literals (IVF centroids, VALUES truths) must
+    # replay against the SAME sf dir the queries run at
+    os.environ["GRAFT_ORACLE_SF_DIR"] = sf_dir
     ray.init(address="local", num_cpus=8, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     DataContext.get_current().enable_progress_bars = False
