@@ -1960,13 +1960,29 @@ def q_doc_resample(sf_dir: str):
 def q_emb_pca(sf_dir: str):
     """Distributed PCA over the embedding table: one covariance-partials
     pass (O(d^2) driver bytes), driver eigh, broadcast projection to 8
-    dims. Eigendecomposition has no ANSI-SQL twin -> rows-only check; the
-    pytest oracle matches numpy full-data PCA exactly."""
+    dims. Output fixed-points each projection coordinate at 1e6 (round 4)
+    so an independent full-data numpy replay oracles the whole result
+    exactly as a VALUES truth — eigendecomposition itself has no
+    ANSI-SQL twin."""
     from raylink.similarity import pca_fit, pca_transform
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     mean, comps = pca_fit(emb, 8)
-    return pca_transform(emb, mean, comps)  # rows-only compare
+    proj = pca_transform(emb, mean, comps)
+
+    def to_fp(batch: pa.Table) -> pa.Table:
+        p = batch["proj"].combine_chunks()
+        mat = (p.flatten().to_numpy(zero_copy_only=False)
+               .reshape(batch.num_rows, -1) if batch.num_rows else
+               np.zeros((0, 8)))
+        cols = {"vec_id": batch["vec_id"]}
+        for j in range(8):
+            cols[f"pc{j}"] = pa.array(
+                np.floor(mat[:, j] * 1_000_000.0 + 0.5).astype(np.int64),
+                pa.int64())
+        return pa.table(cols)
+
+    return proj.map_batches(to_fp, batch_format="pyarrow")
 
 
 def q_order_price_rank(sf_dir: str):
@@ -3279,11 +3295,169 @@ def _ivfpq_truth_values(sf: str) -> str:
     return ", ".join(f"({i}, {s})" for i, s in rows[:10])
 
 
-def _simhash_truth_values(sf: str) -> str:
+def _emb_table(sf: str) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = (t["embedding"].combine_chunks().flatten()
+           .to_numpy(zero_copy_only=False).astype(np.float64)
+           .reshape(len(ids), -1))
+    return ids, mat
+
+
+def _pca_truth_values(sf: str) -> str:
+    """Independent PCA replay: straight full-data numpy (single mean /
+    covariance over the whole matrix at once — not the per-batch partial
+    blocks the Ray pass reduces), same deterministic sign fix, fixed-point
+    1e6 projections."""
+    ids, mat = _emb_table(sf)
+    mean = mat.mean(axis=0)
+    x = mat - mean
+    cov = (x.T @ x) / len(mat)
+    _, v = np.linalg.eigh(cov)
+    comps = v[:, ::-1][:, :8].T
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    proj = np.floor(x @ comps.T * 1_000_000.0 + 0.5).astype(np.int64)
+    return ", ".join(
+        "(" + ", ".join([str(int(ids[i]))] +
+                        [str(int(p)) for p in proj[i]]) + ")"
+        for i in range(len(ids)))
+
+
+def _lsh_knn_truth_values(sf: str) -> str:
+    """Independent LSH top-k replay: per-row Python signature loop (vs the
+    batched matmul), Hamming<=1 probe set, exact cosine fixed-point."""
+    ids, mat = _emb_table(sf)
+    q = _query_vec(sf)
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((8, len(q)))
+    qsig = int((planes @ q > 0) @ (1 << np.arange(8)))
+    probe = {qsig} | {qsig ^ (1 << b) for b in range(8)}
+    qn = q / (np.linalg.norm(q) or 1.0)
+    rows = []
+    for i in range(len(ids)):
+        sig = 0
+        for b in range(8):
+            if float(planes[b] @ mat[i]) > 0:
+                sig |= 1 << b
+        if sig not in probe:
+            continue
+        nv = np.linalg.norm(mat[i]) or 1.0
+        c = float((mat[i] / nv) @ qn)
+        rows.append((int(ids[i]), int(np.floor(c * 1_000_000.0 + 0.5))))
+    rows.sort(key=lambda x: (-x[1], x[0]))
+    return ", ".join(f"({i}, {s})" for i, s in rows[:10])
+
+
+def _near_dups_lsh_truth_values(sf: str) -> str:
+    """Independent LSH near-dup replay: per-table bucket dicts + Python
+    set union of candidate pairs, exact cosine verify at 0.4."""
+    ids, mat = _emb_table(sf)
+    dim = mat.shape[1]
+    cand: set[tuple[int, int]] = set()
+    for t in range(6):
+        rng = np.random.default_rng(42 + t)
+        planes = rng.standard_normal((6, dim))
+        sig = ((mat @ planes.T) > 0) @ (1 << np.arange(6))
+        buckets: dict[int, list[int]] = {}
+        for i, s in enumerate(sig):
+            buckets.setdefault(int(s), []).append(i)
+        for members in buckets.values():
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    i, j = members[x], members[y]
+                    a, b = ((i, j) if ids[i] < ids[j] else (j, i))
+                    cand.add((a, b))
+    norm = np.linalg.norm(mat, axis=1)
+    norm[norm == 0] = 1.0
+    rows = []
+    for i, j in cand:
+        c = float((mat[i] / norm[i]) @ (mat[j] / norm[j]))
+        if c > 0.4:
+            rows.append((int(ids[i]), int(ids[j]),
+                         int(np.floor(c * 1_000_000.0 + 0.5))))
+    rows.sort()
+    return ", ".join(f"({a}, {b}, {s})" for a, b, s in rows)
+
+
+def _minhash_pairs_truth_values(sf: str) -> str:
+    """Independent MinHash-LSH replay: per-doc Python shingle loop over
+    the pinned polars token hashes, 64 scalar permutations, 16-band
+    bucket dicts (cap 256), exact set-Jaccard verify at 0.5."""
+    import polars as pl
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    M64 = (1 << 64) - 1
+    A = 0x9E3779B97F4A7C15
+    MERS = (1 << 61) - 1
+    rng = np.random.default_rng(42)
+    pa_ = rng.integers(1, MERS, size=64, dtype=np.int64).astype(np.uint64)
+    pb_ = rng.integers(0, MERS, size=64, dtype=np.int64).astype(np.uint64)
+    band_coefs = (np.random.default_rng(1234).integers(
+        1, 1 << 62, size=256, dtype=np.int64).astype(np.uint64)
+        | np.uint64(1))
+    gold = 0x9E3779B97F4A7C15
+    shing: dict[int, set[int]] = {}
+    sigs: dict[int, list[int]] = {}
+    for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = (txt or "").split()
+        hs = (pl.Series(toks).hash(seed=17).to_numpy().astype(np.uint64)
+              .tolist() if toks else [])
+        sh: set[int] = set()
+        if hs and len(hs) < 3:
+            acc = 0
+            for v in hs:
+                acc = (acc * A + v) & M64
+            sh.add(acc)
+        else:
+            for s in range(len(hs) - 2):
+                acc = 0
+                for v in hs[s:s + 3]:
+                    acc = (acc * A + v) & M64
+                sh.add(acc)
+        shing[int(did)] = sh
+        if sh:
+            # numpy's uint64 (SH*a + b) wraps at 2^64 BEFORE the % MERS;
+            # emulate that exactly with & M64 at each step
+            sigs[int(did)] = [
+                min(((((h * int(pa_[p])) & M64) + int(pb_[p])) & M64) % MERS
+                    for h in sh) for p in range(64)]
+        else:
+            sigs[int(did)] = [0] * 64
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for did, sig in sigs.items():
+        for band in range(16):
+            hb = 0
+            for r, v in enumerate(sig[band * 4:(band + 1) * 4]):
+                hb = (hb + v * int(band_coefs[r])) & M64
+            hb = ((hb * gold) & M64) >> 1
+            buckets.setdefault((band, hb), []).append(did)
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        members = sorted(members)[:256]
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                cand.add((members[x], members[y]))
+    rows = []
+    for a, b in sorted(cand):
+        sa, sb = shing[a], shing[b]
+        union = len(sa | sb)
+        j = (len(sa & sb) / union) if union else 0.0
+        if j >= 0.5:
+            rows.append((a, b, round(j, 6)))
+    return ", ".join(f"({a}, {b}, {j!r})" for a, b, j in rows)
+
+
+def _simhash_sigs(sf: str) -> list[tuple[int, int]]:
     """Independent simhash replay — Python str.split + a per-token vote
     loop (vs SimHasher's one Arrow split + bulk hash + reduceat), pinned
-    to the same seeded polars token hash — into (doc_id, simhash) VALUES
-    rows."""
+    to the same seeded polars token hash — as (doc_id, int64 signature)."""
     import polars as pl
     import pyarrow.parquet as pq
 
@@ -3305,7 +3479,72 @@ def _simhash_truth_values(sf: str) -> str:
             if votes[b] > 0:
                 val |= 1 << b
         rows.append((int(did), val - (1 << 64) if val >= (1 << 63) else val))
-    return ", ".join(f"({d}, {s})" for d, s in rows)
+    return rows
+
+
+def _simhash_truth_values(sf: str) -> str:
+    return ", ".join(f"({d}, {s})" for d, s in _simhash_sigs(sf))
+
+
+def _simhash_pairs_truth_values(sf: str) -> str:
+    """Brute-force all-pairs Hamming<=3 over the replayed signatures —
+    the pigeonhole banding is EXACT at its radius, so the distributed
+    banded path must equal brute force; (a, b, hamming) rows."""
+    sigs = _simhash_sigs(sf)
+    rows = []
+    for x in range(len(sigs)):
+        for y in range(x + 1, len(sigs)):
+            a, sa = sigs[x]
+            b, sb = sigs[y]
+            h = bin((sa ^ sb) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                rows.append((min(a, b), max(a, b), h))
+    rows.sort()
+    return ", ".join(f"({a}, {b}, {h})" for a, b, h in rows)
+
+
+def _triangles_approx_truth_values(sf: str) -> str:
+    """DOULION replay: the edge set derived by the exact-triangles SQL
+    CTE (DuckDB, not the range-bucketed exchange), the same seeded
+    unordered-pair sampling ticket, then a BRUTE-FORCE common-neighbor
+    triangle count on the sampled subgraph (vs the distributed wedge
+    join), scaled 1/p^3."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    edges = con.sql("WITH " + _E_CTE + " SELECT src, dst FROM e").arrow()
+    con.close()
+    from raylink.graph import hash64
+
+    ha = hash64(edges["src"], seed=7 + 1_000_003)
+    hb = hash64(edges["dst"], seed=7 + 1_000_003)
+    gold = np.uint64(0x9E3779B97F4A7C15)
+    x = np.minimum(ha, hb) + gold * np.maximum(ha, hb)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h = x ^ (x >> np.uint64(31))
+    keep = (h % np.uint64(1 << 32)) < np.uint64(int(0.5 * float(1 << 32)))
+    src = edges["src"].to_numpy(zero_copy_only=False)
+    dst = edges["dst"].to_numpy(zero_copy_only=False)
+    und = {(min(int(src[i]), int(dst[i])), max(int(src[i]), int(dst[i])))
+           for i in np.flatnonzero(keep) if src[i] != dst[i]}
+    adj: dict[int, set] = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    t3 = sum(len(adj[u] & adj[v]) for u, v in und)
+    est = int(round((t3 // 3) / (0.5 ** 3)))
+    return f"({est})"
+
+
+def _values_or_empty(rows: str, cols: list[str]) -> str:
+    """VALUES-truth SELECT; an all-BIGINT empty table when no rows."""
+    if rows:
+        return ("SELECT * FROM (VALUES " + rows + ") AS t(" +
+                ", ".join(cols) + ")")
+    return ("SELECT " + ", ".join(f"CAST(NULL AS BIGINT) AS {c}"
+                                  for c in cols) + " WHERE FALSE")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4987,8 +5226,24 @@ def oracle_sql() -> dict[str, str]:
         sql["doc_simhash"] = (
             "SELECT * FROM (VALUES " + _simhash_truth_values(_ORACLE_SF) +
             ") AS t(doc_id, simhash)")
+        sql["emb_pca"] = (
+            "SELECT * FROM (VALUES " + _pca_truth_values(_ORACLE_SF) +
+            ") AS t(vec_id, " +
+            ", ".join(f"pc{j}" for j in range(8)) + ")")
+        sql["emb_knn_lsh"] = (
+            "SELECT * FROM (VALUES " + _lsh_knn_truth_values(_ORACLE_SF) +
+            ") AS t(vec_id, cos_sim)")
+        sql["emb_near_dups_lsh"] = _values_or_empty(
+            _near_dups_lsh_truth_values(_ORACLE_SF),
+            ["a_id", "b_id", "cos_sim"])
+        sql["doc_minhash_pairs"] = _values_or_empty(
+            _minhash_pairs_truth_values(_ORACLE_SF), ["a", "b", "jaccard"])
+        sql["doc_simhash_pairs"] = _values_or_empty(
+            _simhash_pairs_truth_values(_ORACLE_SF), ["a", "b", "hamming"])
+        sql["graph_triangles_approx"] = (
+            "SELECT * FROM (VALUES " +
+            _triangles_approx_truth_values(_ORACLE_SF) +
+            ") AS t(n_triangles_est)")
     except Exception:
         pass
-    # doc_minhash_pairs, doc_simhash_pairs, emb_knn_lsh, emb_near_dups_lsh:
-    # remaining rows-only checks (stochastic bucketing; pytest oracles).
     return sql
