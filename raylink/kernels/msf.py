@@ -341,13 +341,26 @@ def minimum_spanning_forest(graph: Graph, *, max_rounds: int = 64,
 
             attach("ca")
             attach("cb")
+            # coalesce: each attach join MULTIPLIES the block count
+            # (measured 16 -> 48 -> 144 -> 432 -> 1296 over four rounds),
+            # and every downstream stage pays per-block task overhead —
+            # the round-over-round slowdown was block explosion, not plan
+            # growth. Rows only shrink, so a fixed block budget is right.
+            edges = edges.repartition(int(graph.P))
 
         n_msf += n_sel
         total_w += w_sel
         if metrics_out is not None:
             metrics_out.append({"round": r, "picked": n_sel,
                                 "weight": w_sel})
+        # lineage cut, not just a materialize: each round's plan otherwise
+        # embeds every previous round's full plan (filter + picks + jump
+        # loop + joins), and executor planning time compounds round over
+        # round (measured 4.4 s -> 118 s/round by round 3 on the 35 k-
+        # vertex corpus). Rebuilding from the cached blocks keeps the
+        # per-round plan constant — same fix as the cmap leaf above.
         edges = edges.materialize()
+        edges = rd.from_arrow_refs(list(edges.to_arrow_refs()))
         _log("round", r, "edges rebuilt")
 
     summary = pa.table({
