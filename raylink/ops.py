@@ -1803,11 +1803,12 @@ def grouping_sets_sum(ds: rd.Dataset, group_cols: list[str],
                  if f.name in group_cols}
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({c: batch[c].to_pandas() for c in group_cols})
-        df[out_col] = batch[value_col].to_numpy(zero_copy_only=False)
-        agg = df.groupby(group_cols, sort=False, dropna=False)[
-            out_col].sum().reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        # Arrow group-by-hash (null keys form their own group, matching
+        # SQL GROUP BY) — zero-copy, no pandas round-trip (round 4)
+        agg = (batch.select(group_cols + [value_col])
+               .group_by(group_cols).aggregate([(value_col, "sum")]))
+        return (agg.select(group_cols + [value_col + "_sum"])
+                .rename_columns(group_cols + [out_col]))
 
     finest = (ds.select_columns(group_cols + [value_col])
               .map_batches(partial, batch_format="pyarrow",
@@ -2021,12 +2022,12 @@ def grouped_entropy(ds: rd.Dataset, group_col: str, value_col: str, *,
     from ray.data.aggregate import Sum
 
     def pair_counts(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({group_col: batch[group_col].to_pandas(),
-                           value_col: batch[value_col].to_pandas()})
-        agg = df.groupby([group_col, value_col], sort=False,
-                         dropna=False).size().rename("c").reset_index()
-        agg["c"] = agg["c"].astype("int64")
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        # Arrow group-by-hash count (null keys kept) — no pandas (round 4)
+        agg = (batch.select([group_col, value_col])
+               .group_by([group_col, value_col])
+               .aggregate([([], "count_all")]))
+        return (agg.select([group_col, value_col, "count_all"])
+                .rename_columns([group_col, value_col, "c"]))
 
     pairs = (ds.select_columns([group_col, value_col])
              .map_batches(pair_counts, batch_format="pyarrow",
@@ -2073,10 +2074,9 @@ def cooccurrence(ds: rd.Dataset, group_col: str, item_col: str, *,
     from ray.data.aggregate import Sum
 
     def distinct_pairs(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({group_col: batch[group_col].to_pandas(),
-                           item_col: batch[item_col].to_pandas()})
-        df = df.drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # Arrow group-by distinct — no pandas round-trip (round 4)
+        return (batch.select([group_col, item_col])
+                .group_by([group_col, item_col]).aggregate([]))
 
     per_group = (ds.select_columns([group_col, item_col])
                  .map_batches(distinct_pairs, batch_format="pyarrow",
@@ -2118,10 +2118,9 @@ def cooccurrence_pmi(ds: rd.Dataset, group_col: str, item_col: str, *,
     pairs = cooccurrence(ds, group_col, item_col, min_count=min_count)
 
     def distinct_pairs(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({group_col: batch[group_col].to_pandas(),
-                           item_col: batch[item_col].to_pandas()})
-        return pa.Table.from_pandas(df.drop_duplicates(),
-                                    preserve_index=False)
+        # Arrow group-by distinct — no pandas round-trip (round 4)
+        return (batch.select([group_col, item_col])
+                .group_by([group_col, item_col]).aggregate([]))
 
     gi = (ds.select_columns([group_col, item_col])
           .map_batches(distinct_pairs, batch_format="pyarrow",
