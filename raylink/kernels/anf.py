@@ -203,28 +203,53 @@ def neighborhood_function(graph: Graph, *, p: int = 6, max_iter: int = 256,
         # the fixpoint round repeats the previous estimate; drop it
         nf.extend(mt["nf"] for mt in metrics if mt["changed"] > 0)
     else:
-        scatter = _anf_scatter(graph, p)
-        combine = _anf_combine(graph, p)
-        for it in range(1, max_iter + 1):
-            t0 = time.perf_counter()
-            state = (
-                maybe_expand_chunks(state, graph)
-                .map_batches(scatter, batch_format="pyarrow", batch_size=1,
-                             zero_copy_batch=True)
-                .groupby("dst_part")
-                .map_groups(combine, batch_format="pyarrow")
-                .materialize()
-            )
-            sums = sum_columns(state, ["changed", "est"])
-            changed = int(sums["changed"])
-            if metrics_out is not None:
-                metrics_out.append({"iter": it, "changed": changed,
-                                    "nf": float(sums["est"]),
-                                    "sec": time.perf_counter() - t0})
-            if changed == 0:
-                break
-            nf.append(float(sums["est"]))
-            state = state.select_columns(["part", "vec"])
+        from .bsp import ActorEngine, actor_engine_enabled
+
+        if actor_engine_enabled(graph):
+            # register max-merge supersteps on the persistent pool
+            # (round 4); the est scalar only feeds the 5%-tolerance
+            # est_ok gate, so its part-ascending sum order is safe
+            eng = ActorEngine({"g": graph})
+            eng.load("s", state, "int64")
+            for it in range(1, max_iter + 1):
+                t0 = time.perf_counter()
+                changed, est = eng.superstep(
+                    lambda v, pp=p: _anf_scatter(v, pp),
+                    lambda v, pp=p: _anf_combine(v, pp),
+                    view="g", read={"vec": "s"}, write={"vec": "s"},
+                    scalar_cols=("changed", "est"), expand=True)
+                changed = int(changed)
+                if metrics_out is not None:
+                    metrics_out.append({"iter": it, "changed": changed,
+                                        "nf": float(est),
+                                        "engine": "actors",
+                                        "sec": time.perf_counter() - t0})
+                if changed == 0:
+                    break
+                nf.append(float(est))
+        else:
+            scatter = _anf_scatter(graph, p)
+            combine = _anf_combine(graph, p)
+            for it in range(1, max_iter + 1):
+                t0 = time.perf_counter()
+                state = (
+                    maybe_expand_chunks(state, graph)
+                    .map_batches(scatter, batch_format="pyarrow",
+                                 batch_size=1, zero_copy_batch=True)
+                    .groupby("dst_part")
+                    .map_groups(combine, batch_format="pyarrow")
+                    .materialize()
+                )
+                sums = sum_columns(state, ["changed", "est"])
+                changed = int(sums["changed"])
+                if metrics_out is not None:
+                    metrics_out.append({"iter": it, "changed": changed,
+                                        "nf": float(sums["est"]),
+                                        "sec": time.perf_counter() - t0})
+                if changed == 0:
+                    break
+                nf.append(float(sums["est"]))
+                state = state.select_columns(["part", "vec"])
 
     return rd.from_arrow(pa.table({
         "hop": pa.array(np.arange(len(nf), dtype=np.int64)),

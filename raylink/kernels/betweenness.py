@@ -184,36 +184,73 @@ def betweenness(graph: Graph, source_vids, *, max_depth: int = 10_000,
 
     state = init_state(graph, init_of, dtype=pa.float64())
 
-    def superstep(state, forward, t):
-        return (
-            maybe_expand_chunks(state, graph)
-            .map_batches(_scatter(graph, S, forward, t),
-                         batch_format="pyarrow", batch_size=1,
-                         zero_copy_batch=True)
-            .groupby("dst_part")
-            .map_groups(_combine(graph, S, forward, t),
-                        batch_format="pyarrow")
-            .materialize()
-        )
+    from .bsp import ActorEngine, actor_engine_enabled
 
-    depth = 0
-    for t in range(1, max_depth + 1):
-        t0 = time.perf_counter()
-        state = superstep(state, True, t)
-        changed = int(sum_columns(state, ["changed"])["changed"])
-        if metrics_out is not None:
-            metrics_out.append({"phase": "fwd", "iter": t, "changed": changed,
-                                "sec": time.perf_counter() - t0})
-        if changed == 0:
-            break
-        depth = t
+    if actor_engine_enabled(graph):
+        # Brandes fwd/bwd sweeps on the persistent pool (round 4): the
+        # per-level closures ship per superstep; the combine's ordered
+        # reduction keeps dist/sigma/delta bit-equal to the Dataset path
+        eng = ActorEngine({"g": graph})
+        eng.load("s", state, "float64")
+        depth = 0
+        for t in range(1, max_depth + 1):
+            t0 = time.perf_counter()
+            changed = int(eng.superstep(
+                lambda v, s=S, t=t: _scatter(v, s, True, t),
+                lambda v, s=S, t=t: _combine(v, s, True, t),
+                view="g", read={"vec": "s"}, write={"vec": "s"},
+                scalar_cols=("changed",), expand=True)[0])
+            if metrics_out is not None:
+                metrics_out.append({"phase": "fwd", "iter": t,
+                                    "changed": changed, "engine": "actors",
+                                    "sec": time.perf_counter() - t0})
+            if changed == 0:
+                break
+            depth = t
+        for t in range(depth, 0, -1):
+            t0 = time.perf_counter()
+            eng.superstep(
+                lambda v, s=S, t=t: _scatter(v, s, False, t),
+                lambda v, s=S, t=t: _combine(v, s, False, t),
+                view="g", read={"vec": "s"}, write={"vec": "s"},
+                expand=True)
+            if metrics_out is not None:
+                metrics_out.append({"phase": "bwd", "level": t,
+                                    "engine": "actors",
+                                    "sec": time.perf_counter() - t0})
+        state = eng.dataset("s")
+    else:
+        def superstep(state, forward, t):
+            return (
+                maybe_expand_chunks(state, graph)
+                .map_batches(_scatter(graph, S, forward, t),
+                             batch_format="pyarrow", batch_size=1,
+                             zero_copy_batch=True)
+                .groupby("dst_part")
+                .map_groups(_combine(graph, S, forward, t),
+                            batch_format="pyarrow")
+                .materialize()
+            )
 
-    for t in range(depth, 0, -1):
-        t0 = time.perf_counter()
-        state = superstep(state, False, t)
-        if metrics_out is not None:
-            metrics_out.append({"phase": "bwd", "level": t,
-                                "sec": time.perf_counter() - t0})
+        depth = 0
+        for t in range(1, max_depth + 1):
+            t0 = time.perf_counter()
+            state = superstep(state, True, t)
+            changed = int(sum_columns(state, ["changed"])["changed"])
+            if metrics_out is not None:
+                metrics_out.append({"phase": "fwd", "iter": t,
+                                    "changed": changed,
+                                    "sec": time.perf_counter() - t0})
+            if changed == 0:
+                break
+            depth = t
+
+        for t in range(depth, 0, -1):
+            t0 = time.perf_counter()
+            state = superstep(state, False, t)
+            if metrics_out is not None:
+                metrics_out.append({"phase": "bwd", "level": t,
+                                    "sec": time.perf_counter() - t0})
 
     from .bsp import iter_state_rows
 

@@ -239,12 +239,34 @@ def maximal_matching(graph: Graph, *, max_iter: int = 64,
 
     from .bsp import fused_eligible, graph_view, state_table
 
+    from .bsp import ActorEngine, actor_engine_enabled
+
     if fused_eligible(graph, fused):
         final_tab, metrics = ray.get(_fused_matching_loop.remote(
             graph_view(graph), state_table(state), max_iter))
         if metrics_out is not None:
             metrics_out.extend(metrics)
         state = rd.from_arrow(final_tab)
+    elif actor_engine_enabled(graph):
+        # A/B half-steps alternate on the persistent pool (round 4)
+        eng = ActorEngine({"g": graph})
+        eng.load("s", state, "int64")
+        for it in range(1, max_iter + 1):
+            t0 = time.perf_counter()
+            total = 0
+            for ph in ("A", "B"):
+                total += int(eng.superstep(
+                    lambda v, ph=ph: _match_scatter(v, ph),
+                    lambda v, ph=ph: _match_combine(v, ph),
+                    view="g", read={"vec": "s"}, write={"vec": "s"},
+                    scalar_cols=("changed",), expand=True)[0])
+            if metrics_out is not None:
+                metrics_out.append({"iter": it, "changed": total,
+                                    "engine": "actors",
+                                    "sec": time.perf_counter() - t0})
+            if total == 0:
+                break
+        state = eng.dataset("s")
     else:
         sa, ca = _match_scatter(graph, "A"), _match_combine(graph, "A")
         sb, cb = _match_scatter(graph, "B"), _match_combine(graph, "B")

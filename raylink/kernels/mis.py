@@ -154,12 +154,19 @@ def maximal_independent_set(graph: Graph, *, max_iter: int = 64,
 
     from .bsp import fused_eligible, graph_view, state_table
 
+    from .bsp import actor_engine_enabled, actor_int_loop
+
     if fused_eligible(graph, fused):
         final_tab, metrics = ray.get(_fused_mis_loop.remote(
             graph_view(graph), state_table(state), max_iter))
         if metrics_out is not None:
             metrics_out.extend(metrics)
         state = rd.from_arrow(final_tab)
+    elif actor_engine_enabled(graph):
+        tab, _ = actor_int_loop(
+            graph, state, lambda v: _min_scatter(v, plus_one=False),
+            _mis_combine, max_iter=max_iter, metrics_out=metrics_out)
+        state = rd.from_arrow(tab)
     else:
         scatter = _min_scatter(graph, plus_one=False)
         combine = _mis_combine(graph)

@@ -3393,3 +3393,51 @@ def test_actor_hits_salsa_matches_dataset():
         for c in ("hub", "auth"):
             assert np.allclose(a[c].to_numpy(), d[c].to_numpy(),
                                rtol=1e-12, atol=1e-15)
+
+
+def test_actor_mis_matching_coloring_anf_bc_match_dataset():
+    """Round-4 actor routes for MIS, maximal matching, coloring, ANF and
+    betweenness == Dataset path (integer/enc lattices bitwise; ANF
+    registers bitwise via the nf series; betweenness float64 to 1e-12)."""
+    import os
+
+    from raylink.kernels import (betweenness, graph_coloring,
+                                 maximal_independent_set, maximal_matching,
+                                 neighborhood_function)
+
+    rng = np.random.default_rng(97)
+    iedges = sorted({(int(a), int(b)) for a, b in
+                     rng.integers(0, 300, (1200, 2)) if a != b})
+    gs = G.build_graph(_int_edges_ds(iedges), P=P, symmetric=True,
+                       already_deduped=True)
+
+    def run(engine, fn):
+        os.environ["RAYLINK_BSP_ENGINE"] = engine
+        try:
+            return fn().to_pandas()
+        finally:
+            os.environ.pop("RAYLINK_BSP_ENGINE", None)
+
+    runs = [
+        (lambda: maximal_independent_set(gs, fused=False), ["vid"], None),
+        (lambda: maximal_matching(gs, fused=False), None, None),
+        (lambda: graph_coloring(gs, fused=False), ["vid"], None),
+        (lambda: neighborhood_function(gs, fused=False), ["hop"], "nf"),
+        (lambda: betweenness(gs, [0, 1, 2]), ["vid"], "bc"),
+    ]
+    for fn, sort_cols, float_col in runs:
+        a, d = run("actors", fn), run("dataset", fn)
+        if sort_cols:
+            a = a.sort_values(sort_cols).reset_index(drop=True)
+            d = d.sort_values(sort_cols).reset_index(drop=True)
+        else:
+            cols = list(a.columns)
+            a = a.sort_values(cols).reset_index(drop=True)
+            d = d.sort_values(cols).reset_index(drop=True)
+        assert len(a) == len(d)
+        for c in a.columns:
+            if float_col and c == float_col:
+                assert np.allclose(a[c].to_numpy(), d[c].to_numpy(),
+                                   rtol=1e-12, atol=1e-12), c
+            else:
+                assert a[c].equals(d[c]), c
