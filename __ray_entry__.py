@@ -2084,9 +2084,10 @@ def q_doc_simhash(sf_dir: str):
 
 
 def q_doc_simhash_pairs(sf_dir: str):
-    """Exact Hamming<=3 SimHash near-dup pairs via pigeonhole banding
-    (signatures are polars-hash-pinned -> no ANSI-SQL twin; rows-only,
-    pytest oracle is all-pairs brute force)."""
+    """Exact Hamming<=3 SimHash near-dup pairs via pigeonhole banding.
+    Oracled by a brute-force all-pairs VALUES truth over independently
+    replayed signatures (round 4); pytest keeps the in-process
+    brute-force check."""
     from raylink.dedup import simhash_pairs, simhash_table
 
     return simhash_pairs(simhash_table(_read(sf_dir, "documents")),

@@ -86,46 +86,80 @@ def densest_subgraph(graph: Graph, *, rounds: int = 6,
     state = init_state(graph,
                        lambda p: np.ones(int(graph.n_per_part[p]), np.int64),
                        dtype=pa.int64())
-    scatter = _make_alive_scatter(graph)
-    combine = _deg_combine(graph)
+
+    from .bsp import ActorEngine, actor_engine_enabled
 
     hist: list[tuple[int, int, int]] = []  # (round, s=2m, n)
-    for r in range(rounds + 1):
-        t0 = time.perf_counter()
-        state = (
-            maybe_expand_chunks(state, graph)
-            .map_batches(scatter, batch_format="pyarrow", batch_size=1,
-                         zero_copy_batch=True)
-            .groupby("dst_part")
-            .map_groups(combine, batch_format="pyarrow")
-            .materialize()
-        )
-        sums = sum_columns(state, ["s2m", "n_alive"])
-        s, n = int(sums["s2m"]), int(sums["n_alive"])
-        if metrics_out is not None:
-            metrics_out.append({"round": r, "s2m": s, "n_alive": n,
-                                "sec": time.perf_counter() - t0})
-        if n == 0:
-            break
-        hist.append((r, s, n))
-        if r == rounds:
-            break
+    if actor_engine_enabled(graph):
+        # degree superstep + LOCAL threshold peel per round on the
+        # persistent pool (round 4) — the peel is a pure per-partition
+        # apply, no exchange at all
+        eng = ActorEngine({"g": graph})
+        eng.load("s", state, "int64")
+        for r in range(rounds + 1):
+            t0 = time.perf_counter()
+            s2m, na = eng.superstep(
+                _make_alive_scatter, _deg_combine, view="g",
+                read={"vec": "s"}, write={"vec": "s"},
+                scalar_cols=("s2m", "n_alive"), expand=True)
+            s, n = int(s2m), int(na)
+            if metrics_out is not None:
+                metrics_out.append({"round": r, "s2m": s, "n_alive": n,
+                                    "engine": "actors",
+                                    "sec": time.perf_counter() - t0})
+            if n == 0:
+                break
+            hist.append((r, s, n))
+            if r == rounds:
+                break
 
-        def peel(batch: pa.Table, s=s, n=n) -> pa.Table:
-            out_cols = {}
-            for name in batch.column_names:
-                if name != "vec":
-                    out_cols[name] = batch[name]
-            col = batch["vec"].combine_chunks()
-            flat = col.flatten().to_numpy(zero_copy_only=False)
-            offs = col.offsets.to_numpy(zero_copy_only=False)
-            keep = (flat > 0) & ((flat - 1) * np.int64(n) > np.int64(s))
-            new = keep.astype(np.int64)
-            out_cols["vec"] = pa.ListArray.from_arrays(
-                pa.array(offs, pa.int32()), pa.array(new, pa.int64()))
-            return pa.table(out_cols)
+            def peel_fn(part, d, s=s, n=n):
+                v = d["s"]
+                keep = (v > 0) & ((v - 1) * np.int64(n) > np.int64(s))
+                return {"s": keep.astype(np.int64), "changed": 0}
 
-        state = state.map_batches(peel, batch_format="pyarrow").materialize()
+            eng.apply(peel_fn, ["s"], ["s"])
+    else:
+        scatter = _make_alive_scatter(graph)
+        combine = _deg_combine(graph)
+
+        for r in range(rounds + 1):
+            t0 = time.perf_counter()
+            state = (
+                maybe_expand_chunks(state, graph)
+                .map_batches(scatter, batch_format="pyarrow", batch_size=1,
+                             zero_copy_batch=True)
+                .groupby("dst_part")
+                .map_groups(combine, batch_format="pyarrow")
+                .materialize()
+            )
+            sums = sum_columns(state, ["s2m", "n_alive"])
+            s, n = int(sums["s2m"]), int(sums["n_alive"])
+            if metrics_out is not None:
+                metrics_out.append({"round": r, "s2m": s, "n_alive": n,
+                                    "sec": time.perf_counter() - t0})
+            if n == 0:
+                break
+            hist.append((r, s, n))
+            if r == rounds:
+                break
+
+            def peel(batch: pa.Table, s=s, n=n) -> pa.Table:
+                out_cols = {}
+                for name in batch.column_names:
+                    if name != "vec":
+                        out_cols[name] = batch[name]
+                col = batch["vec"].combine_chunks()
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                offs = col.offsets.to_numpy(zero_copy_only=False)
+                keep = (flat > 0) & ((flat - 1) * np.int64(n) > np.int64(s))
+                new = keep.astype(np.int64)
+                out_cols["vec"] = pa.ListArray.from_arrays(
+                    pa.array(offs, pa.int32()), pa.array(new, pa.int64()))
+                return pa.table(out_cols)
+
+            state = (state.map_batches(peel, batch_format="pyarrow")
+                     .materialize())
 
     # earliest best round under IEEE-double density, mirroring the oracle
     best = max(hist, key=lambda t: (np.float64(t[1]) / (2.0 * t[2]), -t[0]))

@@ -3441,3 +3441,26 @@ def test_actor_mis_matching_coloring_anf_bc_match_dataset():
                                    rtol=1e-12, atol=1e-12), c
             else:
                 assert a[c].equals(d[c]), c
+
+
+def test_actor_densest_matches_dataset():
+    """Round-4 densest-subgraph actor route (degree superstep + local
+    peel apply) == Dataset path exactly (integer s2m/n_alive scalars)."""
+    import os
+
+    from raylink.kernels import densest_subgraph
+
+    rng = np.random.default_rng(5)
+    iedges = sorted({(int(a), int(b)) for a, b in
+                     rng.integers(0, 400, (1600, 2)) if a != b})
+    g = G.build_graph(_int_edges_ds(iedges), P=P, symmetric=True,
+                      already_deduped=True)
+
+    def run(engine):
+        os.environ["RAYLINK_BSP_ENGINE"] = engine
+        try:
+            return densest_subgraph(g, rounds=5).to_pydict()
+        finally:
+            os.environ.pop("RAYLINK_BSP_ENGINE", None)
+
+    assert run("actors") == run("dataset")
