@@ -71,8 +71,14 @@ def run_flagship(timings: dict) -> dict:
     t0 = time.perf_counter()
     edges = docs_to_edges(docs)
     prep = prepare_edges(edges, P=P)
+    t_prep = time.perf_counter()
     g, sg = build_graph_pair(prep)  # one shuffle builds both graphs
     timings["graph_build"] = round(time.perf_counter() - t0, 3)
+    # sub-stage split (diagnostic; graph_build stays the stage total):
+    # prep = self-loop drop + ranks shuffle + broadcast encode barriers,
+    # csr = the one pack+groupby shuffle that builds both CSR block sets
+    timings["graph_build/prep"] = round(t_prep - t0, 3)
+    timings["graph_build/csr"] = round(time.perf_counter() - t_prep, 3)
     info["n_vertices"], info["n_edges"] = g.n, g.m
 
     t0 = time.perf_counter()

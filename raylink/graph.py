@@ -143,8 +143,15 @@ def _canonical_order(u: pa.Array, h: np.ndarray) -> np.ndarray:
     return by_key[np.argsort(h[by_key], kind="stable")]
 
 
-def build_vertex_ranks(edges: rd.Dataset, P: int):
+def build_vertex_ranks(edges: rd.Dataset, P: int,
+                       gather_ranks: bool = False):
     """Distinct endpoint HASHES -> dense ranks, via an INT-ONLY shuffle.
+
+    ``gather_ranks=True`` (broadcast-encode callers ONLY — the gather is
+    O(n) driver bytes) also returns the globally h-sorted ``(h, vid)``
+    arrays, collected in the SAME driver pass as the O(P) metadata scan so
+    the rows Dataset is executed once, not twice. Return shape becomes
+    ``(rows, n_per_part, n, n_collisions, (h_sorted, vid_sorted))``.
 
     The dictionary rank order is (hash64(key), key) within each partition,
     so when the 64-bit hashes are globally collision-free (checked), ranks
@@ -213,16 +220,39 @@ def build_vertex_ranks(edges: rd.Dataset, P: int):
     rows = packed.groupby("part").map_groups(
         assign, batch_format="pyarrow").materialize()
 
-    # O(P) metadata only: counts per part + collision flags
+    # O(P) metadata only: counts per part + collision flags (plus the
+    # O(n) (h, vid) gather when the caller will broadcast anyway — one
+    # driver pass instead of metadata-then-_ranks_arrays)
     n_per_part = np.zeros(P, dtype=np.int64)
     n_collisions = 0
-    for b in rows.select_columns(["part", "n", "collisions"]).iter_batches(
-            batch_format="pyarrow", batch_size=1 << 20):
+    hs_parts: list = []
+    vid_parts: list = []
+    cols = None if gather_ranks else ["part", "n", "collisions"]
+    src = rows if cols is None else rows.select_columns(cols)
+    for b in src.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
         parts = b["part"].to_numpy(zero_copy_only=False)
         ns = b["n"].to_numpy(zero_copy_only=False)
         n_per_part[parts] = ns
         n_collisions += int(pc.sum(b["collisions"]).as_py() or 0)
-    return rows, n_per_part, int(n_per_part.sum()), n_collisions
+        if gather_ranks:
+            col = b["hashes"].combine_chunks()
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            offs = col.offsets.to_numpy(zero_copy_only=False)
+            for i, p in enumerate(parts):
+                u = flat[offs[i]: offs[i + 1]]
+                hs_parts.append(u)
+                vid_parts.append(
+                    np.arange(len(u), dtype=np.int64) * P + int(p))
+    if not gather_ranks:
+        return rows, n_per_part, int(n_per_part.sum()), n_collisions
+    if hs_parts:
+        h_all = np.concatenate(hs_parts)
+        vid_all = np.concatenate(vid_parts)
+        order = np.argsort(h_all, kind="stable")
+        ranks = (h_all[order], vid_all[order])
+    else:
+        ranks = (np.array([], np.uint64), np.array([], np.int64))
+    return rows, n_per_part, int(n_per_part.sum()), n_collisions, ranks
 
 
 def _ranks_arrays(rows: rd.Dataset, P: int) -> tuple[np.ndarray, np.ndarray]:
@@ -454,9 +484,15 @@ class PreparedEdges:
     need hashes and ranks; keys are materialized the first time something
     joins vids back to keys (``vertices``)."""
 
-    enc_edges: rd.Dataset | None  # (src_vid, dst_vid) materialized, or None
-    #                               when the encode is fused into the block
-    #                               build ("partitioned-fused" mode)
+    enc_edges: rd.Dataset | None  # (src_vid, dst_vid), or None when the
+    #                               encode is fused into the block build
+    #                               ("partitioned-fused" mode). The broadcast
+    #                               path keeps this LAZY so the encode map
+    #                               fuses into each consumer's first stage
+    #                               (one fewer full-table barrier); repeated
+    #                               consumption re-runs the cheap vectorized
+    #                               searchsorted probe instead of re-reading
+    #                               a materialized copy.
     dict_ref: Any  # ObjectRef[(h_sorted, vid_sorted)] | None (partitioned path)
     n: int
     n_per_part: np.ndarray
@@ -466,6 +502,9 @@ class PreparedEdges:
     vertices_cache: rd.Dataset | None = None
     encode_mode: str = "broadcast"  # which key->vid path built enc_edges
     rank_rows: rd.Dataset | None = None  # (part, hashes) dictionary rows
+    enc_blocks_hint: int = 0  # input block count of enc_edges (num_blocks()
+    #                           raises on a lazy Dataset; map_batches is
+    #                           per-block so the encode preserves the count)
     weight_col: str | None = None  # float weight column (fused build only:
     #                                broadcast/small paths bake it into
     #                                enc_edges as "w" instead)
@@ -656,12 +695,27 @@ def prepare_edges(edges: rd.Dataset, *, P: int = DEFAULT_P,
                                   zero_copy_batch=True)
     edges = edges.materialize()
 
-    if encode == "auto" and edges.count() <= SMALL_BUILD_MAX_EDGES:
-        prep = _prepare_small(edges, P, key_type, weight_col)
-        if prep is not None:  # None on a (2^-128-rare) hash collision
-            return prep
+    m_directed = None
+    if encode == "auto":
+        m_directed = edges.count()
+        if m_directed <= SMALL_BUILD_MAX_EDGES:
+            prep = _prepare_small(edges, P, key_type, weight_col)
+            if prep is not None:  # None on a (2^-128-rare) hash collision
+                return prep
 
-    rank_rows, n_per_part, n, n_collisions = build_vertex_ranks(edges, P)
+    # when the broadcast decision is already certain (explicit, or the
+    # n <= 2m upper bound clears the threshold), collect the (h, vid)
+    # arrays inside build_vertex_ranks' metadata pass — one execution of
+    # the rank rows instead of metadata-then-_ranks_arrays
+    pre_broadcast = (encode == "broadcast"
+                     or (encode == "auto"
+                         and 2 * m_directed <= broadcast_max_vertices))
+    ranks = None
+    if pre_broadcast:
+        rank_rows, n_per_part, n, n_collisions, ranks = build_vertex_ranks(
+            edges, P, gather_ranks=True)
+    else:
+        rank_rows, n_per_part, n, n_collisions = build_vertex_ranks(edges, P)
     if n_collisions > 0:
         # 64-bit hash collision in the key set: fall back to the string
         # table (same canonical (hash, key) rank order, so ids agree)
@@ -694,7 +748,8 @@ def prepare_edges(edges: rd.Dataset, *, P: int = DEFAULT_P,
                              encode_mode="string-fallback")
 
     if encode == "broadcast" or (encode == "auto" and n <= broadcast_max_vertices):
-        h_sorted, vid_sorted = _ranks_arrays(rank_rows, P)
+        h_sorted, vid_sorted = (ranks if ranks is not None
+                                else _ranks_arrays(rank_rows, P))
         dict_ref = ray.put((h_sorted, vid_sorted))
 
         def encode_fn(batch: pa.Table) -> pa.Table:
@@ -707,8 +762,11 @@ def prepare_edges(edges: rd.Dataset, *, P: int = DEFAULT_P,
                 out["w"] = pc.cast(batch[weight_col], pa.float64())
             return pa.table(out)
 
+        # LAZY on purpose: edges is materialized just above, so this one
+        # vectorized map fuses into each consumer's first stage (the CSR
+        # pack) instead of paying a materialize write+read barrier here
         enc = edges.map_batches(encode_fn, batch_format="pyarrow",
-                                zero_copy_batch=True).materialize()
+                                zero_copy_batch=True)
         mode = "broadcast"
     elif encode == "partitioned":
         # explicit: materialize the encoded edge table (callers that want
@@ -732,6 +790,10 @@ def prepare_edges(edges: rd.Dataset, *, P: int = DEFAULT_P,
     return PreparedEdges(enc_edges=enc, dict_ref=dict_ref, n=n,
                          n_per_part=n_per_part, P=P, key_type=key_type,
                          edges=edges, encode_mode=mode, rank_rows=rank_rows,
+                         enc_blocks_hint=(edges.num_blocks()
+                                          if mode == "broadcast"
+                                          else enc.num_blocks()
+                                          if enc is not None else 0),
                          weight_col=weight_col if mode == "partitioned-fused"
                          else None)
 
@@ -1152,7 +1214,15 @@ def _build_blocks(prep: PreparedEdges, directions: tuple[bool, ...],
     # count directly multiplies the shuffle's row count
     n_blocks = max(64, 8 * P)
     enc_in = prep.enc_edges
-    if enc_in.num_blocks() > n_blocks:
+    # enc_edges may be lazy (broadcast mode): num_blocks() raises there, so
+    # the block count travels as a hint set where the input WAS materialized
+    in_blocks = prep.enc_blocks_hint
+    if in_blocks == 0:
+        try:
+            in_blocks = enc_in.num_blocks()
+        except NotImplementedError:
+            in_blocks = n_blocks  # unknown: skip the coalesce
+    if in_blocks > n_blocks:
         enc_in = enc_in.repartition(n_blocks)
     enc = enc_in.map_batches(_pack_fn(P, directions),
                              batch_format="pyarrow", zero_copy_batch=True)
