@@ -129,8 +129,16 @@ def main() -> None:
     from ray.data import DataContext
 
     if not ray.is_initialized():
+        # driver AND workers read the repo's Ray Data logging config —
+        # stock config + one ERROR override silencing the harmless
+        # schema-hash-dedup warning flood (see raylink/data_logging.yaml)
+        log_cfg = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "raylink", "data_logging.yaml")
+        os.environ["RAY_DATA_LOGGING_CONFIG"] = log_cfg
         ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
-                 ignore_reinit_error=True, logging_level="ERROR")
+                 ignore_reinit_error=True, logging_level="ERROR",
+                 runtime_env={"env_vars": {
+                     "RAY_DATA_LOGGING_CONFIG": log_cfg}})
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
@@ -151,8 +159,13 @@ def main() -> None:
     rd.range(NCPU * 8, override_num_blocks=NCPU * 8).map_batches(
         lambda b: b, batch_size=1
     ).materialize()
-    rd.read_parquet(f"{SF_DIR}/lineitem.parquet").count()
-    rd.read_parquet(f"{SF_DIR}/events.parquet").count()
+    # metadata-free schema (see __ray_entry__._read): keeps block schemas
+    # hashable so Ray's schema-dedup warning doesn't flood the log
+    import pyarrow.parquet as pq
+
+    for t in ("lineitem", "events"):
+        p = f"{SF_DIR}/{t}.parquet"
+        rd.read_parquet(p, schema=pq.read_schema(p).remove_metadata()).count()
     # pre-spawn the BSP actor pool (process spawn + imports), untimed —
     # the same warmup spirit as the Dataset worker pool above
     from raylink.kernels.bsp import warm_bsp_pool
@@ -186,7 +199,9 @@ def main() -> None:
     qs = entry.queries()
     for name in ("doc_pack", "doc_decontam", "doc_chunk_dedup",
                  "graph_scc", "graph_bowtie", "graph_widest_path",
-                 "rollup_revenue", "doc_top_terms"):
+                 "rollup_revenue", "doc_top_terms",
+                 # round-4 engine wins, tracked per-round from r5 on
+                 "graph_hits", "graph_salsa", "graph_msf"):
         t0 = time.perf_counter()
         res = qs[name](SF_DIR)
         if isinstance(res, rd.Dataset):
@@ -280,12 +295,19 @@ def scaling(lo: int | None = None, hi: int | None = None) -> None:
     repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
 
     probes = 0
+    # every attempt's outcome is recorded (ADVICE r4: with attempts>1 the
+    # reported efficiency is the FIRST one >= target, i.e. max-selected —
+    # the full spread must be visible next to the accepted number)
+    attempt_log: list[dict] = []
     for attempt in range(1, attempts + 1):
         ceiling = machine_ceiling((lo, hi))
         probes += 1
         ceiling_ratio = ceiling[str(hi)] / ceiling[str(lo)]
         if (ceiling_ratio / (hi / lo) < min_ceiling
                 and attempt < attempts):
+            attempt_log.append({
+                "attempt": attempt, "skipped": "ceiling below min",
+                "ceiling_eff": round(ceiling_ratio / (hi / lo), 3)})
             time.sleep(retry_sleep)
             continue
 
@@ -304,12 +326,20 @@ def scaling(lo: int | None = None, hi: int | None = None) -> None:
         r_hi = his[all_f_hi.index(min(all_f_hi))]
         f_lo, f_hi = flagship_sec(r_lo), flagship_sec(r_hi)
         eff = (f_lo / f_hi) / (hi / lo)
+        attempt_log.append({
+            "attempt": attempt, "raw_eff": round(eff, 3),
+            "ceiling_eff": round(ceiling_ratio / (hi / lo), 3),
+            "flagship_sec_all_runs": {"lo": all_f_lo, "hi": all_f_hi}})
         if eff >= target or attempt == attempts:
             break
         time.sleep(retry_sleep)
 
     print(json.dumps({
         "attempts": attempt, "ceiling_probes": probes,
+        "attempt_log": attempt_log,
+        "selection_rule": "reported = first attempt with raw_eff >= "
+                          "GRAFT_SCALE_TARGET (else last); every attempt's "
+                          "efficiency is in attempt_log",
         "metric": "scaling: identical flagship job, fresh processes, "
                   f"num_cpus={lo} vs {hi}",
         f"flagship_sec_{lo}cpu": f_lo,

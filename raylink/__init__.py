@@ -28,3 +28,13 @@ Layout:
 """
 
 __version__ = "0.2.0"
+
+
+# Noise control (VERDICT r4 item #10): this pyarrow's Schema.__hash__
+# raises on ANY schema carrying metadata, so Ray Data's best-effort
+# schema-dedup logs "Failed to hash the schemas" per pandas-round-tripped
+# block. Parquet reads are metadata-free at the source
+# (__ray_entry__._read); for stages that legitimately produce pandas
+# blocks, point RAY_DATA_LOGGING_CONFIG at raylink/data_logging.yaml
+# (stock Ray Data config + one ERROR override) in BOTH the driver env and
+# runtime_env env_vars — see bench.py for the wiring.

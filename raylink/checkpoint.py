@@ -51,6 +51,35 @@ def _fs_of(root: str):
     return pafs.LocalFileSystem(), os.path.abspath(root), False
 
 
+def write_state_parts(tab: pa.Table, root: str, kernel: str, it: int) -> list[int]:
+    """Write one parquet file per (part, vec, ...) row under
+    ``{root}/{kernel}/iter={it}/part={p}.parquet`` — tmp + atomic rename on
+    POSIX, single-PUT on object stores, skip-existing (superstep outputs
+    are deterministic, so a torn iteration's surviving files are valid).
+    Callable from Dataset ``map_batches`` tasks AND from BSP actors: the
+    filesystem is reconstructed from the root string, so only strings and
+    the Arrow table cross the process boundary. Returns every partition id
+    now present (written or pre-existing)."""
+    from pyarrow import fs as pafs
+
+    wfs, base, _ = _fs_of(root)
+    odir = posixpath.join(base, kernel, f"iter={it}")
+    wfs.create_dir(odir, recursive=True)
+    present = []
+    for i in range(tab.num_rows):
+        p = int(tab["part"][i].as_py())
+        path = posixpath.join(odir, f"part={p}.parquet")
+        if wfs.get_file_info(path).type == pafs.FileType.NotFound:
+            if isinstance(wfs, pafs.LocalFileSystem):
+                tmp = path + ".tmp"
+                pq.write_table(tab.slice(i, 1), tmp, filesystem=wfs)
+                wfs.move(tmp, path)
+            else:
+                pq.write_table(tab.slice(i, 1), path, filesystem=wfs)
+        present.append(p)
+    return present
+
+
 def graph_fingerprint(graph) -> str:
     import hashlib
 
@@ -76,6 +105,7 @@ class CheckpointStore:
             raise ValueError("retain must be >= 1 (the resume point)")
         self.retain = retain
         self.root = root
+        self.kernel = kernel
         fs, base, self.is_uri = _fs_of(root)
         self.fs = fs
         self.dir = posixpath.join(base, kernel)
@@ -130,32 +160,12 @@ class CheckpointStore:
     def save(self, it: int, state: rd.Dataset, metrics: dict[str, Any]) -> None:
         """Write per-partition files (distributed, atomic, skip-existing),
         then commit the iteration to the manifest."""
-        out_dir = posixpath.join(self.dir, f"iter={it}")
-        self.fs.create_dir(out_dir, recursive=True)
-        root = self.root
-        kernel = posixpath.basename(self.dir)
+        root, kernel = self.root, self.kernel
 
         def write_parts(batch: pa.Table) -> pa.Table:
             # workers reconstruct the filesystem from the root string (the
             # fs handle itself need not survive serialization)
-            from pyarrow import fs as pafs
-
-            wfs, base, _ = _fs_of(root)
-            odir = posixpath.join(base, kernel, f"iter={it}")
-            written = []
-            for i in range(batch.num_rows):
-                p = int(batch["part"][i].as_py())
-                path = posixpath.join(odir, f"part={p}.parquet")
-                if wfs.get_file_info(path).type == pafs.FileType.NotFound:
-                    if isinstance(wfs, pafs.LocalFileSystem):
-                        # tmp + atomic rename on POSIX
-                        tmp = path + ".tmp"
-                        pq.write_table(batch.slice(i, 1), tmp, filesystem=wfs)
-                        wfs.move(tmp, path)
-                    else:
-                        # object stores: single PUT is atomic, no rename
-                        pq.write_table(batch.slice(i, 1), path, filesystem=wfs)
-                written.append(p)
+            written = write_state_parts(batch, root, kernel, it)
             return pa.table({"part": pa.array(written, pa.int64())})
 
         parts = sorted(
@@ -165,8 +175,15 @@ class CheckpointStore:
             ).iter_batches(batch_format="pyarrow")
             for p in b["part"].to_pylist()
         )
+        self.commit(it, parts, metrics)
+
+    def commit(self, it: int, parts: list[int], metrics: dict[str, Any]) -> None:
+        """Record an iteration whose partition files are already on disk
+        (the actor-BSP engine writes them from the actors themselves via
+        :func:`write_state_parts`); the manifest write is the commit
+        point, followed by retention pruning."""
         self.manifest["iterations"][str(it)] = {
-            "parts": parts,
+            "parts": sorted(int(p) for p in parts),
             "complete": True,
             "metrics": metrics,
         }

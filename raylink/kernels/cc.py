@@ -240,29 +240,37 @@ def _fused_cc(view, state_tab: pa.Table, method: str, max_iter: int,
     return state_tab.select(["part", "vec"]), metrics
 
 
-def _actor_cc(graph, state, max_iter, start_iter, metrics_out):
+def _actor_cc(graph, state, max_iter, start_iter, metrics_out, store=None):
     """Persistent-actor BSP CC (round 3 scaling work, minlabel method):
     the same scatter/combine closures as the Dataset path inside a
     partition-owning actor pool; integer min reductions, so the output is
-    BIT-EQUAL to the Dataset path (see bsp._BSPActor)."""
-    from .bsp import (actor_state_table, actor_superstep, start_bsp_actors,
+    BIT-EQUAL to the Dataset path (see bsp._BSPActor). ``store``: durable
+    runs keep this engine — actors write their own partition state files
+    every checkpoint_interval() supersteps (round 5)."""
+    from .bsp import (actor_checkpoint, actor_state_table, actor_superstep,
+                      checkpoint_interval, start_bsp_actors,
                       stop_bsp_actors)
 
     actors, parts_of = start_bsp_actors(
         graph, state, _make_scatter, None, dtype="int64",
         scalar_cols=("changed",))
+    every = checkpoint_interval()
     try:
         for it in range(start_iter + 1, max_iter + 1):
             t0 = time.perf_counter()
             (changed,) = actor_superstep(actors, parts_of, _make_combine,
                                          scalar_cols=("changed",))
             dt = time.perf_counter() - t0
+            metrics = {
+                "iter": it, "changed": int(changed), "jump_changed": 0,
+                "sec": dt, "engine": "actors",
+                "edges_per_sec": graph.m / dt if dt > 0 else None,
+            }
             if metrics_out is not None:
-                metrics_out.append({
-                    "iter": it, "changed": int(changed), "jump_changed": 0,
-                    "sec": dt, "engine": "actors",
-                    "edges_per_sec": graph.m / dt if dt > 0 else None,
-                })
+                metrics_out.append(metrics)
+            if store is not None and (changed == 0 or it == max_iter
+                                      or it % every == 0):
+                actor_checkpoint(actors, store, it, metrics)
             if changed == 0:
                 break
         final = actor_state_table(actors)
@@ -332,13 +340,11 @@ def connected_components(
         return state_to_vertex_table(rd.from_arrow(final_tab), graph,
                                      "vec", "comp")
 
-    import os as _os
+    from .bsp import actor_engine_enabled
 
-    from .bsp import actor_eligible
-
-    if (store is None and method == "minlabel" and actor_eligible(graph)
-            and _os.environ.get("RAYLINK_BSP_ENGINE", "actors") == "actors"):
-        return _actor_cc(graph, state, max_iter, start_iter, metrics_out)
+    if method == "minlabel" and actor_engine_enabled(graph):
+        return _actor_cc(graph, state, max_iter, start_iter, metrics_out,
+                         store=store)
 
     scatter = _make_scatter(graph)
     combine = _make_combine(graph)

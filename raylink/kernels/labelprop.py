@@ -169,14 +169,16 @@ def _fused_lp(view, state_tab: pa.Table, max_iter: int, start_iter: int,
 
 
 def _actor_lp(graph, state, max_iter, start_iter, method, weighted,
-              metrics_out):
+              metrics_out, store=None):
     """Persistent-actor BSP label propagation (round 3 scaling work):
     each sync round is one actor superstep; redblack runs its two parity
     half-steps as two supersteps per round (the parity combine carries
     off-color partitions through unchanged, exactly as the Dataset
     path). Integer vote reductions — output BIT-EQUAL to the Dataset
-    path (see bsp._BSPActor)."""
-    from .bsp import (actor_state_table, actor_superstep, start_bsp_actors,
+    path (see bsp._BSPActor). ``store``: durable runs keep this engine —
+    actors write their own partition state files per round (round 5)."""
+    from .bsp import (actor_checkpoint, actor_state_table, actor_superstep,
+                      checkpoint_interval, start_bsp_actors,
                       stop_bsp_actors)
 
     def mk_scatter(view, _w=weighted):
@@ -191,6 +193,7 @@ def _actor_lp(graph, state, max_iter, start_iter, method, weighted,
     actors, parts_of = start_bsp_actors(
         graph, state, mk_scatter, None, dtype="int64",
         scalar_cols=("changed",))
+    every = checkpoint_interval()
     try:
         for it in range(start_iter + 1, max_iter + 1):
             t0 = time.perf_counter()
@@ -200,12 +203,16 @@ def _actor_lp(graph, state, max_iter, start_iter, method, weighted,
                                        scalar_cols=("changed",))
                 changed += int(c)
             dt = time.perf_counter() - t0
+            metrics = {
+                "iter": it, "changed": changed, "sec": dt,
+                "engine": "actors",
+                "edges_per_sec": graph.m / dt if dt > 0 else None,
+            }
             if metrics_out is not None:
-                metrics_out.append({
-                    "iter": it, "changed": changed, "sec": dt,
-                    "engine": "actors",
-                    "edges_per_sec": graph.m / dt if dt > 0 else None,
-                })
+                metrics_out.append(metrics)
+            if store is not None and (changed == 0 or it == max_iter
+                                      or it % every == 0):
+                actor_checkpoint(actors, store, it, metrics)
             if changed == 0:
                 break
         final = actor_state_table(actors)
@@ -279,14 +286,11 @@ def label_propagation(
         return state_to_vertex_table(rd.from_arrow(final_tab), graph,
                                      "vec", "label")
 
-    import os as _os
+    from .bsp import actor_engine_enabled
 
-    from .bsp import actor_eligible
-
-    if (store is None and actor_eligible(graph)
-            and _os.environ.get("RAYLINK_BSP_ENGINE", "actors") == "actors"):
+    if actor_engine_enabled(graph):
         return _actor_lp(graph, state, max_iter, start_iter, method,
-                         weighted, metrics_out)
+                         weighted, metrics_out, store=store)
 
     scatter = _make_scatter(graph, weighted)
     if method == "redblack":

@@ -64,6 +64,10 @@ def salsa(gf: Graph, gr: Graph, *, max_iter: int = 5,
 
     if gf.P != gr.P or gf.n != gr.n:
         raise ValueError("gf/gr must share the fwd_rev vertex dictionary")
+    if max_iter < 1:
+        # same contract as hits(): zero iterations has no defined 'auth'
+        # state (ADVICE r4 — the actor route would KeyError on it)
+        raise ValueError("max_iter must be >= 1")
     if gf.n == 0:
         return empty_vertex_result({"hub": pa.float64(),
                                     "auth": pa.float64()})

@@ -473,14 +473,28 @@ def _assign_fn(part, d):
 
 
 def _actor_scc(gf: Graph, gr: Graph, lab0, max_rounds: int, max_iter: int,
-               metrics_out: list | None) -> rd.Dataset:
-    from .bsp import ActorEngine
+               metrics_out: list | None, store=None, start_round: int = 0,
+               resumed_scc=None) -> rd.Dataset:
+    from .bsp import ActorEngine, state_table
 
     eng = ActorEngine({"f": gf, "r": gr})
     eng.load("lab0", lab0, "int64")
-    eng.load("scc", init_state(
-        gf, lambda p: np.full(int(gf.n_per_part[p]), SENT, np.int64),
-        dtype=pa.int64()), "int64")
+    if resumed_scc is not None:
+        # resume (round 5): the persisted per-round assignment state
+        # re-enters the pool; remaining = unassigned (SENT) vertices.
+        scc_tab = state_table(resumed_scc)
+        eng.load("scc", scc_tab, "int64")
+        remaining = int(sum(
+            int((np.asarray(v) == SENT).sum())
+            for _, v in iter_state_rows(scc_tab, "vec")))
+        if remaining <= 0:
+            return state_to_vertex_table(eng.dataset("scc"), gf, "vec",
+                                         "scc")
+    else:
+        eng.load("scc", init_state(
+            gf, lambda p: np.full(int(gf.n_per_part[p]), SENT, np.int64),
+            dtype=pa.int64()), "int64")
+        remaining = int(gf.n)
 
     def mk_deg(view):
         return _deg_combine()
@@ -491,8 +505,7 @@ def _actor_scc(gf: Graph, gr: Graph, lab0, max_rounds: int, max_iter: int,
     def mk_conf(view):
         return _conf_combine()
 
-    remaining = int(gf.n)
-    for rnd in range(1, max_rounds + 1):
+    for rnd in range(start_round + 1, max_rounds + 1):
         t0 = time.perf_counter()
         trimmed_total = 0
         for _ in range(max_iter):
@@ -508,11 +521,14 @@ def _actor_scc(gf: Graph, gr: Graph, lab0, max_rounds: int, max_iter: int,
                 break
         remaining -= trimmed_total
         if remaining <= 0:
+            metrics = {"round": rnd, "trimmed": trimmed_total,
+                       "f_steps": 0, "b_steps": 0, "assigned": 0,
+                       "engine": "actors",
+                       "sec": time.perf_counter() - t0}
             if metrics_out is not None:
-                metrics_out.append({"round": rnd, "trimmed": trimmed_total,
-                                    "f_steps": 0, "b_steps": 0,
-                                    "assigned": 0, "engine": "actors",
-                                    "sec": time.perf_counter() - t0})
+                metrics_out.append(metrics)
+            if store is not None:
+                eng.checkpoint("scc", store, rnd, metrics)
             break
 
         eng.apply(_col_init_fn, ["scc", "lab0"], ["col"])
@@ -539,11 +555,14 @@ def _actor_scc(gf: Graph, gr: Graph, lab0, max_rounds: int, max_iter: int,
 
         assigned = int(eng.apply(_assign_fn, ["scc", "ccol"], ["scc"]))
         remaining -= assigned
+        metrics = {"round": rnd, "trimmed": trimmed_total,
+                   "f_steps": f_steps, "b_steps": b_steps,
+                   "assigned": assigned, "engine": "actors",
+                   "sec": time.perf_counter() - t0}
         if metrics_out is not None:
-            metrics_out.append({"round": rnd, "trimmed": trimmed_total,
-                                "f_steps": f_steps, "b_steps": b_steps,
-                                "assigned": assigned, "engine": "actors",
-                                "sec": time.perf_counter() - t0})
+            metrics_out.append(metrics)
+        if store is not None:
+            eng.checkpoint("scc", store, rnd, metrics)
         if remaining <= 0:
             break
         if assigned == 0 and trimmed_total == 0:
@@ -607,8 +626,10 @@ def strongly_connected_components(
 
     from .bsp import actor_engine_enabled
 
-    if store is None and actor_engine_enabled(gf):
-        return _actor_scc(gf, gr, lab0, max_rounds, max_iter, metrics_out)
+    if actor_engine_enabled(gf):
+        return _actor_scc(gf, gr, lab0, max_rounds, max_iter, metrics_out,
+                          store=store, start_round=start_round,
+                          resumed_scc=resumed_scc)
     if resumed_scc is not None:
         scc = resumed_scc
 

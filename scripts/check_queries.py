@@ -69,8 +69,12 @@ def main():
     # data-dependent oracle literals (IVF centroids, VALUES truths) must
     # replay against the SAME sf dir the queries run at
     os.environ["GRAFT_ORACLE_SF_DIR"] = sf_dir
+    log_cfg = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "raylink", "data_logging.yaml")
+    os.environ["RAY_DATA_LOGGING_CONFIG"] = log_cfg
     ray.init(address="local", num_cpus=8, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             runtime_env={"env_vars": {"RAY_DATA_LOGGING_CONFIG": log_cfg}})
     DataContext.get_current().enable_progress_bars = False
 
     import __ray_entry__ as entry
