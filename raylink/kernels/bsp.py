@@ -538,9 +538,14 @@ class _BSPActor:
         self.states2: dict[str, dict[int, np.ndarray]] = {}
         self.dtypes2: dict[str, np.dtype] = {}
 
-    def load_v2(self, name: str, tab: pa.Table, dtype: str) -> None:
+    def load_v2(self, name: str, tab: pa.Table, dtype: str,
+                merge: bool = False) -> None:
+        """``merge=False``: replace the named state. ``merge=True``: update
+        only the partitions present in ``tab``, keeping the rest (sparse
+        overrides on top of a previously loaded base, e.g. MSF's pick
+        pointers over the identity map)."""
         dt = np.dtype(dtype)
-        d = {}
+        d = self.states2.get(name, {}) if merge else {}
         for part, vec in iter_state_rows(tab):
             d[int(part)] = np.asarray(vec, dtype=dt)
         self.states2[name] = d
@@ -594,6 +599,43 @@ class _BSPActor:
             refs.append(ray.put(sorted_tab.filter(pa.array(mask))))
         return refs
 
+    def exchange_v2(self, make_stage, refs: list, view_name: str,
+                    dst_groups: list | None = None):
+        """Intermediate exchange hop: run a partials -> partials stage per
+        owned partition (the same group rows the Dataset path's
+        ``groupby("dst_part").map_groups(stage)`` would feed it) and
+        publish the concatenated outputs as the NEXT hop's scatter
+        objects. This is the middle leg of request -> respond -> apply
+        pointer-jumping rounds (cc._make_jump_fns shape) on the persistent
+        pool; the stage's own carrier rows keep flowing through it."""
+        stage = make_stage(self.views2[view_name])
+        mine: dict[int, list] = {p: [] for p in self.owned2}
+        for r in refs:
+            tab = ray.get(r)
+            d = tab["dst_part"].to_numpy(zero_copy_only=False)
+            for part in self.owned2:
+                lo = int(np.searchsorted(d, part, side="left"))
+                hi = int(np.searchsorted(d, part, side="right"))
+                if hi > lo:
+                    mine[part].append(tab.slice(lo, hi - lo))
+        outs = []
+        for part in self.owned2:
+            tabs = mine[part]
+            if not tabs:
+                continue
+            outs.append(stage(pa.concat_tables(tabs)))
+        partials = (pa.concat_tables(outs) if outs
+                    else PARTIAL_SCHEMA.empty_table())
+        dst = partials["dst_part"].to_numpy(zero_copy_only=False)
+        order = np.argsort(dst, kind="stable")
+        sorted_tab = partials.take(pa.array(order, pa.int64()))
+        if dst_groups is None:
+            return ray.put(sorted_tab)
+        d = dst[order]
+        return [ray.put(sorted_tab.filter(
+            pa.array(np.isin(d, np.asarray(parts, dtype=d.dtype)))))
+            for parts in dst_groups]
+
     def combine_v2(self, make_combine, refs: list, view_name: str,
                    write: dict, scalar_cols: list) -> list:
         """Slice owned partitions out of the scatter objects, combine per
@@ -644,6 +686,40 @@ class _BSPActor:
                                                  copy=False)
             out.append((part, float(res.get("changed", 0))))
         return out
+
+    def init_identity_v2(self, name: str, view_name: str) -> None:
+        """Identity pointer map par[v] = v for every owned partition,
+        synthesized locally — no driver-built table crosses the wire
+        (MSF contraction's base state, round 5)."""
+        view = self.views2[view_name]
+        P = view.P
+        d = {}
+        for p in self.owned2:
+            d[p] = np.arange(int(view.n_per_part[p]),
+                             dtype=np.int64) * P + p
+        self.states2[name] = d
+        self.dtypes2[name] = np.dtype("int64")
+
+    def sparse_pairs_v2(self, name: str, view_name: str):
+        """ray.put ONE (key, comp) table of this actor's non-identity
+        pointer entries — the cmap-shard extraction that previously cost
+        a full state gather plus a Dataset execution per MSF round. The
+        shard stays in plasma; the driver only sees the ref."""
+        view = self.views2[view_name]
+        P = view.P
+        tabs = []
+        for p in self.owned2:
+            vec = self.states2[name][p]
+            vids = np.arange(len(vec), dtype=np.int64) * P + p
+            nz = vec != vids
+            if nz.any():
+                tabs.append(pa.table({
+                    "key": pa.array(vids[nz], pa.int64()),
+                    "comp": pa.array(vec[nz], pa.int64())}))
+        tab = (pa.concat_tables(tabs) if tabs else
+               pa.table({"key": pa.array([], pa.int64()),
+                         "comp": pa.array([], pa.int64())}))
+        return ray.put(tab)
 
     def state_v2(self, name: str) -> pa.Table:
         parts = [p for p in self.owned2 if p in self.states2.get(name, {})]
@@ -891,11 +967,12 @@ class ActorEngine:
         self.owner = {p: i for i, ps in enumerate(self.parts_of)
                       for p in ps}
 
-    def load(self, name: str, state, dtype: str = "int64") -> None:
+    def load(self, name: str, state, dtype: str = "int64",
+             merge: bool = False) -> None:
         tab = state if isinstance(state, pa.Table) else state_table(state)
         parts = tab["part"].to_numpy(zero_copy_only=False)
         ray.get([a.load_v2.remote(
-            name, tab.filter(pa.array(np.isin(parts, ps))), dtype)
+            name, tab.filter(pa.array(np.isin(parts, ps))), dtype, merge)
             for a, ps in zip(self.actors, self.parts_of)])
 
     def superstep(self, make_scatter, make_combine, *, view: str,
@@ -926,6 +1003,39 @@ class ActorEngine:
                 res.append(float(pa.compute.sum(vals).as_py() or 0.0))
         return res
 
+    def rra_superstep(self, make_request, make_respond, make_apply, *,
+                      view: str, read: dict, write: dict,
+                      scalar_cols: tuple = ("changed",),
+                      reduce: tuple = ()) -> list[float]:
+        """One request -> respond -> apply round (the pointer-jumping
+        exchange shape of cc._make_jump_fns) on the persistent pool:
+        scatter the requests, run the respond stage as an intermediate
+        exchange hop, then apply as a normal combine writing the named
+        state. Three RPC rounds instead of two Dataset executions."""
+        groups = (self.parts_of if exchange_mode() == "grouped" else None)
+        refs = ray.get([a.scatter_v2.remote(make_request, view, read,
+                                            False, groups)
+                        for a in self.actors])
+        routed = _route_refs(refs, len(self.actors))
+        refs2 = ray.get([a.exchange_v2.remote(make_respond, rs, view,
+                                              groups)
+                         for a, rs in zip(self.actors, routed)])
+        routed2 = _route_refs(refs2, len(self.actors))
+        outs = ray.get([a.combine_v2.remote(make_apply, rs, view, write,
+                                            list(scalar_cols))
+                        for a, rs in zip(self.actors, routed2)])
+        flat = sorted((part, vals) for o in outs for (part, vals) in o)
+        res = []
+        for i, c in enumerate(scalar_cols):
+            vals = pa.array([x[1][i] for x in flat], pa.float64())
+            mode = reduce[i] if i < len(reduce) else "sum"
+            if mode == "min":
+                res.append(float(pa.compute.min(vals).as_py()
+                                 if len(vals) else 0.0))
+            else:
+                res.append(float(pa.compute.sum(vals).as_py() or 0.0))
+        return res
+
     def apply(self, fn, reads: list, writes: list) -> float:
         """Per-partition local merge on every actor; returns the summed
         'changed' scalar (part-ascending)."""
@@ -934,6 +1044,19 @@ class ActorEngine:
         flat = sorted(x for o in outs for x in o)
         return float(pa.compute.sum(
             pa.array([x[1] for x in flat], pa.float64())).as_py() or 0.0)
+
+    def init_identity(self, name: str, view: str) -> None:
+        """Load the identity vid map as state ``name`` — built inside each
+        actor, nothing ships from the driver."""
+        ray.get([a.init_identity_v2.remote(name, view)
+                 for a in self.actors])
+
+    def sparse_pairs(self, name: str, view: str) -> rd.Dataset:
+        """(key, comp) Dataset of every non-identity entry of state
+        ``name`` — one plasma shard per actor, zero driver bytes."""
+        refs = ray.get([a.sparse_pairs_v2.remote(name, view)
+                        for a in self.actors])
+        return rd.from_arrow_refs(refs)
 
     def table(self, name: str) -> pa.Table:
         tabs = ray.get([a.state_v2.remote(name) for a in self.actors])

@@ -75,6 +75,154 @@ def _min_pick_final(g: pd.DataFrame) -> pd.DataFrame:
     return g.iloc[[i]]
 
 
+# ---------------------------------------------------------------------------
+# actor-engine contraction (round 5 — VERDICT r4 item #3): the pick
+# pseudoforest lives as a DENSE pointer state over the full vid space
+# (par[v] = v except picked components, where par[c] = the pick's other
+# endpoint), and pointer doubling par := par(par) runs as
+# request -> respond -> apply rounds on the persistent BSP pool — the
+# same exchange closures CC's jump method uses (cc._make_jump_fns), with
+# MSF-specific applies: one 2-cycle-rooting round (root each mutual pick
+# pair at its smaller label — under the global (w, lo, hi) total order
+# every pick cycle is mutual), then pure assignment doubling to the
+# fixpoint (<= log2(depth) rounds). Replaces the per-round Dataset jump
+# loop whose per-execution launch floor dominated distributed MSF
+# (measured 1.8x the driver path at 694k edges, BASELINE.md §4).
+# ---------------------------------------------------------------------------
+
+
+def _mk_jump_request(view):
+    from .cc import _make_jump_fns
+
+    return _make_jump_fns(view)[0]
+
+
+def _mk_jump_respond(view):
+    from .cc import _make_jump_fns
+
+    return _make_jump_fns(view)[1]
+
+
+def _unpack_jump_group(group: pa.Table, P: int):
+    """(part, prev, A_pos) from one apply group: prev = this part's
+    pointer vector (carrier row), A_pos[i] = par(par(v_i)) resolved from
+    the routed answers (every label in prev was requested, so the sorted
+    lookup is exact — same contract as cc._make_jump_fns.apply)."""
+    kinds = group["kind"].to_numpy(zero_copy_only=False)
+    prev_i = int(np.flatnonzero(kinds == 1)[0])
+    part = int(group["dst_part"][prev_i].as_py())
+    lab_col = group["lab"].combine_chunks()
+    cnt_col = group["cnt"].combine_chunks()
+    lab_flat = lab_col.flatten().to_numpy(zero_copy_only=False)
+    lab_offs = lab_col.offsets.to_numpy(zero_copy_only=False)
+    cnt_flat = cnt_col.flatten().to_numpy(zero_copy_only=False)
+    cnt_offs = cnt_col.offsets.to_numpy(zero_copy_only=False)
+    prev = lab_flat[lab_offs[prev_i]: lab_offs[prev_i + 1]].astype(np.int64)
+    reqs, anss = [], []
+    for i in range(group.num_rows):
+        if kinds[i] != 0:
+            continue
+        reqs.append(lab_flat[lab_offs[i]: lab_offs[i + 1]].astype(np.int64))
+        anss.append(cnt_flat[cnt_offs[i]: cnt_offs[i + 1]].astype(np.int64))
+    if not reqs:
+        return part, prev, prev.copy()
+    R = np.concatenate(reqs)
+    A = np.concatenate(anss)
+    order = np.argsort(R, kind="stable")
+    R, A = R[order], A[order]
+    return part, prev, A[np.searchsorted(R, prev)]
+
+
+def _jump_state_row(part: int, new: np.ndarray, changed: int) -> pa.Table:
+    return pa.table({
+        "part": pa.array([part], pa.int64()),
+        "vec": pa.array([new], pa.list_(pa.int64())),
+        "changed": pa.array([changed], pa.int64()),
+    })
+
+
+def _mk_apply_root2(view):
+    P = view.P
+
+    def apply(group: pa.Table) -> pa.Table:
+        part, prev, pp = _unpack_jump_group(group, P)
+        vid_self = np.arange(len(prev), dtype=np.int64) * P + part
+        two = (pp == vid_self) & (vid_self < prev)
+        new = np.where(two, vid_self, prev)
+        return _jump_state_row(part, new, int(two.sum()))
+
+    return apply
+
+
+def _mk_apply_assign(view):
+    P = view.P
+
+    def apply(group: pa.Table) -> pa.Table:
+        part, prev, pp = _unpack_jump_group(group, P)
+        return _jump_state_row(part, pp, int((pp != prev).sum()))
+
+    return apply
+
+
+def _actor_contraction(graph: Graph, picks: rd.Dataset,
+                       eng=None, max_jumps: int = 64) -> rd.Dataset:
+    """picks (comp, ca, cb, ...) -> cmap Dataset (key, comp): key = old
+    component label, comp = its pick-tree root. No driver structure
+    proportional to component count — the pointer table is per-partition
+    actor state (the same O(n/P) footprint PageRank holds), pick
+    overrides arrive via one groupby(part), each doubling round is three
+    actor RPC hops instead of a Dataset execution, and the cmap leaves as
+    per-actor plasma shards (zero driver bytes). ``eng``: reuse a caller's
+    ActorEngine across Boruvka rounds (setup/identity are re-issued per
+    call; the pool itself is session-cached anyway)."""
+    from .bsp import ActorEngine
+
+    P = graph.P
+    n_per_part = np.asarray(graph.n_per_part)
+
+    def tag(t: pa.Table) -> pa.Table:
+        comp = t["comp"].to_numpy(zero_copy_only=False)
+        ca = t["ca"].to_numpy(zero_copy_only=False)
+        cb = t["cb"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array(comp % P, pa.int64()),
+            "comp": pa.array(comp, pa.int64()),
+            "other": pa.array(np.where(comp == ca, cb, ca), pa.int64()),
+        })
+
+    def override(group: pa.Table) -> pa.Table:
+        part = int(group["part"][0].as_py())
+        comp = group["comp"].to_numpy(zero_copy_only=False)
+        other = group["other"].to_numpy(zero_copy_only=False)
+        vec = np.arange(int(n_per_part[part]), dtype=np.int64) * P + part
+        vec[comp // P] = other
+        return pa.table({"part": pa.array([part], pa.int64()),
+                         "vec": pa.array([vec], pa.list_(pa.int64()))})
+
+    pick_state = (picks.map_batches(tag, batch_format="pyarrow")
+                  .groupby("part").map_groups(override,
+                                              batch_format="pyarrow"))
+
+    if eng is None:
+        eng = ActorEngine({"g": graph})
+    eng.init_identity("par", "g")
+    eng.load("par", pick_state, "int64", merge=True)
+    eng.rra_superstep(_mk_jump_request, _mk_jump_respond, _mk_apply_root2,
+                      view="g", read={"vec": "par"}, write={"vec": "par"})
+    for _ in range(max_jumps):
+        chg = eng.rra_superstep(
+            _mk_jump_request, _mk_jump_respond, _mk_apply_assign,
+            view="g", read={"vec": "par"}, write={"vec": "par"})[0]
+        if chg == 0:
+            break
+
+    # non-identity entries are exactly the picked component labels: the
+    # override touches only them, rooting/doubling never turns an identity
+    # entry non-identity (par(par(v)) == v when par(v) == v), so this IS
+    # the component-sized cmap
+    return eng.sparse_pairs("par", "g")
+
+
 def minimum_spanning_forest(graph: Graph, *, max_rounds: int = 64,
                             metrics_out: list | None = None,
                             P_merge: int = 8,
@@ -129,6 +277,7 @@ def minimum_spanning_forest(graph: Graph, *, max_rounds: int = 64,
     msf_parts: list[rd.Dataset] = []
     n_msf = 0
     total_w = 0
+    _eng = None  # one ActorEngine reused across distributed rounds
 
     import ray as _ray
 
@@ -226,101 +375,22 @@ def minimum_spanning_forest(graph: Graph, *, max_rounds: int = 64,
             w_sel = int(sel_edges.sum("w") or 0)
             msf_parts.append(sel_edges)
 
-            def to_ptr(t: pa.Table) -> pa.Table:
-                comp = t["comp"].to_numpy(zero_copy_only=False)
-                ca = t["ca"].to_numpy(zero_copy_only=False)
-                cb = t["cb"].to_numpy(zero_copy_only=False)
-                return pa.table({
-                    "c": pa.array(comp, pa.int64()),
-                    "p": pa.array(np.where(comp == ca, cb, ca), pa.int64()),
-                })
+            from .bsp import ActorEngine, actor_engine_enabled
 
-            pt = picks.map_batches(to_ptr,
-                                   batch_format="pyarrow").materialize()
-            # each jump is ONE single-pass tag + bucketed groupby: every
-            # pointer row is emitted twice from the same scan — as a
-            # QUERY keyed by its parent and as an ANSWER keyed by its
-            # component — so p(p) resolves with a searchsorted inside the
-            # bucket. Deliberately NOT a self-hash_join: referencing pt
-            # on both sides of a union doubles the retained logical plan
-            # per jump (materialize() caches blocks but keeps lineage),
-            # which we measured going exponential (1.3 s -> 180 s by
-            # jump 10); the single-scan exchange keeps lineage linear,
-            # the same shape as the CC superstep loop.
-            from ..graph import hash64 as _h64
-
-            JB = max(int(P_merge), 8)
-
-            def jump_tag(t: pa.Table) -> pa.Table:
-                c = t["c"].to_numpy(zero_copy_only=False)
-                p = t["p"].to_numpy(zero_copy_only=False)
-                k = np.concatenate([p, c])
-                side = np.concatenate([np.zeros(len(c), np.int8),
-                                       np.ones(len(c), np.int8)])
-                bkt = (_h64(pa.array(k, pa.int64()))
-                       % np.uint64(JB)).astype(np.int64)
-                return pa.table({
-                    "bkt": pa.array(bkt, pa.int64()),
-                    "k": pa.array(k, pa.int64()),
-                    "c": pa.array(np.concatenate([c, c]), pa.int64()),
-                    "p": pa.array(np.concatenate([p, p]), pa.int64()),
-                    "side": pa.array(side, pa.int8()),
-                })
-
-            def make_jump_combine(first: bool):
-                def comb(g: pa.Table) -> pa.Table:
-                    side = g["side"].to_numpy(zero_copy_only=False)
-                    k = g["k"].to_numpy(zero_copy_only=False)
-                    c = g["c"].to_numpy(zero_copy_only=False)
-                    p = g["p"].to_numpy(zero_copy_only=False)
-                    am = side == 1
-                    ak, ap = k[am], p[am]  # parent(ak) = ap, ak unique
-                    order = np.argsort(ak)
-                    ak, ap = ak[order], ap[order]
-                    qm = ~am
-                    qc, qp = c[qm], p[qm]  # query key == qp
-                    pos = np.searchsorted(ak, qp)
-                    safe = np.minimum(pos, max(len(ak) - 1, 0))
-                    hit = ((pos < len(ak)) & (ak[safe] == qp)) \
-                        if len(ak) else np.zeros(len(qp), bool)
-                    p2 = np.where(hit, ap[safe] if len(ak) else qp, qp)
-                    if first:
-                        two = p2 == qc  # mutual 2-cycle
-                        newp = np.where(two & (qc < qp), qc,
-                                        np.where(two, qp, p2))
-                    else:
-                        newp = p2
-                    return pa.table({
-                        "c": pa.array(qc, pa.int64()),
-                        "p": pa.array(newp, pa.int64()),
-                        "chg": pa.array(newp != qp, pa.bool_()),
-                    })
-
-                return comb
-
-            first_jump = True
-            for _ in range(64):
-                stepped = (pt.map_batches(jump_tag, batch_format="pyarrow")
-                           .groupby("bkt")
-                           .map_groups(make_jump_combine(first_jump),
-                                       batch_format="pyarrow")
-                           .materialize())
-                n_chg = int(stepped.sum("chg") or 0)
-                _log("round", r, "jump chg", n_chg)
-                pt = stepped.drop_columns(["chg"])
-                first_jump = False
-                if n_chg == 0:
-                    break
-
-            def to_cmap(t: pa.Table) -> pa.Table:
-                keep = t.filter(pc.not_equal(t["c"], t["p"]))
-                return pa.table({"key": keep["c"], "comp": keep["p"]})
-
+            if actor_engine_enabled(graph):
+                # round 5: pointer doubling on the persistent BSP pool —
+                # three actor RPC hops per round instead of a Dataset
+                # execution (whose launch floor made distributed MSF 1.8x
+                # the driver path at 694k edges, BASELINE.md §4)
+                if _eng is None:
+                    _eng = ActorEngine({"g": graph})
+                cmap = _actor_contraction(graph, picks, eng=_eng)
+            else:
+                cmap = _dataset_contraction(graph, picks, P_merge)
+            _log("round", r, "contraction done")
             # lineage cut: the cmap leaf is referenced by BOTH attach
             # joins below — rebuild it from its cached blocks so the
-            # whole jump-loop plan is not duplicated into each join
-            cmap = pt.map_batches(to_cmap,
-                                  batch_format="pyarrow").materialize()
+            # whole contraction plan is not duplicated into each join
             cmap = rd.from_arrow_refs(list(cmap.to_arrow_refs()))
 
             edges = live  # dead edges never revive
@@ -341,6 +411,7 @@ def minimum_spanning_forest(graph: Graph, *, max_rounds: int = 64,
 
             attach("ca")
             attach("cb")
+            _log("round", r, "attach built")
             # coalesce: each attach join MULTIPLIES the block count
             # (measured 16 -> 48 -> 144 -> 432 -> 1296 over four rounds),
             # and every downstream stage pays per-block task overhead —
@@ -377,3 +448,101 @@ def minimum_spanning_forest(graph: Graph, *, max_rounds: int = 64,
                                       "hi": pa.array([], pa.int64()),
                                       "w": pa.array([], pa.int64())}))
     return summary, out
+
+
+def _dataset_contraction(graph: Graph, picks: rd.Dataset,
+                         P_merge: int) -> rd.Dataset:
+    """Dataset-pipeline fallback contraction (RAYLINK_BSP_ENGINE=dataset or
+    graphs above the actor regime): bucketed single-scan pointer-jumping
+    exchanges over the component-sized pointer table. Returns the
+    materialized cmap Dataset (key, comp)."""
+
+    def to_ptr(t: pa.Table) -> pa.Table:
+        comp = t["comp"].to_numpy(zero_copy_only=False)
+        ca = t["ca"].to_numpy(zero_copy_only=False)
+        cb = t["cb"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c": pa.array(comp, pa.int64()),
+            "p": pa.array(np.where(comp == ca, cb, ca), pa.int64()),
+        })
+
+    pt = picks.map_batches(to_ptr, batch_format="pyarrow").materialize()
+    # each jump is ONE single-pass tag + bucketed groupby: every
+    # pointer row is emitted twice from the same scan — as a
+    # QUERY keyed by its parent and as an ANSWER keyed by its
+    # component — so p(p) resolves with a searchsorted inside the
+    # bucket. Deliberately NOT a self-hash_join: referencing pt
+    # on both sides of a union doubles the retained logical plan
+    # per jump (materialize() caches blocks but keeps lineage),
+    # which we measured going exponential (1.3 s -> 180 s by
+    # jump 10); the single-scan exchange keeps lineage linear,
+    # the same shape as the CC superstep loop.
+    from ..graph import hash64 as _h64
+
+    JB = max(int(P_merge), 8)
+
+    def jump_tag(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False)
+        p = t["p"].to_numpy(zero_copy_only=False)
+        k = np.concatenate([p, c])
+        side = np.concatenate([np.zeros(len(c), np.int8),
+                               np.ones(len(c), np.int8)])
+        bkt = (_h64(pa.array(k, pa.int64()))
+               % np.uint64(JB)).astype(np.int64)
+        return pa.table({
+            "bkt": pa.array(bkt, pa.int64()),
+            "k": pa.array(k, pa.int64()),
+            "c": pa.array(np.concatenate([c, c]), pa.int64()),
+            "p": pa.array(np.concatenate([p, p]), pa.int64()),
+            "side": pa.array(side, pa.int8()),
+        })
+
+    def make_jump_combine(first: bool):
+        def comb(g: pa.Table) -> pa.Table:
+            side = g["side"].to_numpy(zero_copy_only=False)
+            k = g["k"].to_numpy(zero_copy_only=False)
+            c = g["c"].to_numpy(zero_copy_only=False)
+            p = g["p"].to_numpy(zero_copy_only=False)
+            am = side == 1
+            ak, ap = k[am], p[am]  # parent(ak) = ap, ak unique
+            order = np.argsort(ak)
+            ak, ap = ak[order], ap[order]
+            qm = ~am
+            qc, qp = c[qm], p[qm]  # query key == qp
+            pos = np.searchsorted(ak, qp)
+            safe = np.minimum(pos, max(len(ak) - 1, 0))
+            hit = ((pos < len(ak)) & (ak[safe] == qp)) \
+                if len(ak) else np.zeros(len(qp), bool)
+            p2 = np.where(hit, ap[safe] if len(ak) else qp, qp)
+            if first:
+                two = p2 == qc  # mutual 2-cycle
+                newp = np.where(two & (qc < qp), qc,
+                                np.where(two, qp, p2))
+            else:
+                newp = p2
+            return pa.table({
+                "c": pa.array(qc, pa.int64()),
+                "p": pa.array(newp, pa.int64()),
+                "chg": pa.array(newp != qp, pa.bool_()),
+            })
+
+        return comb
+
+    first_jump = True
+    for _ in range(64):
+        stepped = (pt.map_batches(jump_tag, batch_format="pyarrow")
+                   .groupby("bkt")
+                   .map_groups(make_jump_combine(first_jump),
+                               batch_format="pyarrow")
+                   .materialize())
+        n_chg = int(stepped.sum("chg") or 0)
+        pt = stepped.drop_columns(["chg"])
+        first_jump = False
+        if n_chg == 0:
+            break
+
+    def to_cmap(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.not_equal(t["c"], t["p"]))
+        return pa.table({"key": keep["c"], "comp": keep["p"]})
+
+    return pt.map_batches(to_cmap, batch_format="pyarrow").materialize()
