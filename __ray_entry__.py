@@ -3388,11 +3388,27 @@ def _pca_truth_values(sf: str) -> str:
     """Independent PCA replay: straight full-data numpy (single mean /
     covariance over the whole matrix at once — not the per-batch partial
     blocks the Ray pass reduces), same deterministic sign fix, fixed-point
-    1e6 projections."""
+    1e6 projections.
+
+    ASSUMPTION (ADVICE r4): the engine's BLAS-ordered covariance partials
+    and this naive replay agree to the 1e-6 fixed-point grid. That holds
+    only while the top-8 eigenvalues are well-separated — near-degenerate
+    pairs make the spanned basis ambiguous across summation orders — so
+    the builder asserts the gaps up front: a degenerate corpus fails HERE
+    at oracle-build time (a named error), never as a flaky value
+    mismatch indistinguishable from a real regression."""
     ids, mat = _emb_table(sf)
     mean = mat.mean(axis=0)
     x = mat - mean
     cov = (x.T @ x) / len(mat)
+    w, _ = np.linalg.eigh(cov)
+    top = w[::-1][:9]
+    gaps = (top[:-1] - top[1:]) / max(float(top[0]), 1e-30)
+    if (gaps < 1e-6).any():
+        raise RuntimeError(
+            "PCA oracle degenerate at this scale factor: relative "
+            f"eigenvalue gaps {gaps.round(9).tolist()} include a "
+            "near-tie; the 1e-6 fixed-point replay is not well-defined")
     _, v = np.linalg.eigh(cov)
     comps = v[:, ::-1][:, :8].T
     for i in range(comps.shape[0]):

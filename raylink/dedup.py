@@ -227,25 +227,26 @@ def lsh_candidate_pairs(sigs: rd.Dataset, *, bands: int = 16,
     buckets = sigs.map_batches(to_buckets, batch_format="pyarrow",
                                zero_copy_batch=True)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
+    def pairs(g: pa.Table) -> pa.Table:
+        ids = np.sort(g["doc_id"].to_numpy(zero_copy_only=False))
         if len(ids) > cap:
             import logging
 
             logging.getLogger("raylink.dedup").warning(
                 "LSH bucket truncated: band=%s bucket=%s had %d docs, "
                 "kept %d (dropped %d candidate sources)",
-                g["band"].iloc[0], g["bucket"].iloc[0], len(ids), cap,
-                len(ids) - cap)
+                g["band"][0].as_py(), g["bucket"][0].as_py(), len(ids),
+                cap, len(ids) - cap)
             ids = ids[:cap]
         if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                 "b": pd.Series(dtype="int64")})
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
         ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ii].astype("int64"),
-                             "b": ids[jj].astype("int64")})
+        return pa.table({"a": pa.array(ids[ii], pa.int64()),
+                         "b": pa.array(ids[jj], pa.int64())})
 
-    cand = buckets.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
+    cand = buckets.groupby(["band", "bucket"]).map_groups(
+        pairs, batch_format="pyarrow")
     # distinct pairs across bands
     return cand.groupby(["a", "b"]).count().select_columns(["a", "b"])
 
@@ -708,15 +709,17 @@ def chunk_dup_stats(docs: rd.Dataset, id_col: str = "doc_id",
     # PREFIX bucket (equal fps always co-bucket), then a vectorized
     # within-bucket count — not groupby(fp).map_groups, which would make
     # one Python call per (near-unique) fingerprint.
-    def mark_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        cnt = g["fp"].map(g["fp"].value_counts())
-        return pd.DataFrame({
-            id_col: g[id_col].to_numpy(),
-            "dup": (cnt > 1).to_numpy().astype(np.int64),
+    def mark_bucket(g: pa.Table) -> pa.Table:
+        fp = g["fp"].to_numpy(zero_copy_only=False)
+        _, inv, cnt = np.unique(fp, return_inverse=True,
+                                return_counts=True)
+        return pa.table({
+            id_col: g[id_col],
+            "dup": pa.array((cnt[inv] > 1).astype(np.int64), pa.int64()),
         })
 
     occ = pairs.groupby("__bkt").map_groups(mark_bucket,
-                                            batch_format="pandas")
+                                            batch_format="pyarrow")
     agg = occ.groupby(id_col).aggregate(
         Count(alias_name="n_chunks"), Sum("dup", alias_name="n_dup_chunks"))
 
@@ -929,14 +932,14 @@ def simhash_pairs(sigs: rd.Dataset, *, radius: int = 3,
     rows = sigs.select_columns([id_col, sim_col]).map_batches(
         to_buckets, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "hamming": pd.Series([], dtype="int64")})
-        ids = g[id_col].to_numpy()
-        sig = g["sig"].to_numpy().view(np.uint64)
-        order = np.argsort(ids, kind="mergesort")
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        sig = g["sig"].to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.argsort(ids, kind="stable")
         ids, sig = ids[order], sig[order]
         iu, ju = np.triu_indices(len(ids), k=1)
         x = sig[iu] ^ sig[ju]
@@ -948,11 +951,12 @@ def simhash_pairs(sigs: rd.Dataset, *, radius: int = 3,
             ham[nzm] += 1
             x = x & (x - np.uint64(1))
         keep = ham <= radius
-        return pd.DataFrame({"a": ids[iu[keep]], "b": ids[ju[keep]],
-                             "hamming": ham[keep]})
+        return pa.table({"a": pa.array(ids[iu[keep]], pa.int64()),
+                         "b": pa.array(ids[ju[keep]], pa.int64()),
+                         "hamming": pa.array(ham[keep], pa.int64())})
 
     pairs = rows.groupby(["band", "bucket"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+        bucket_pairs, batch_format="pyarrow")
     from .ops import keep_first
 
     return keep_first(pairs, ["a", "b"], ["hamming"])

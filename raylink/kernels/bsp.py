@@ -838,7 +838,8 @@ def start_bsp_actors(graph_or_view, state: "rd.Dataset | pa.Table",
             return actors, parts_of
         except Exception:
             pass  # pool died with a previous Ray session: rebuild below
-    actors = [_BSPActor.remote() for _ in range(n_actors)]
+    actors = [_BSPActor.options(scheduling_strategy="SPREAD").remote()
+              for _ in range(n_actors)]
     _POOLS[n_actors] = actors
     _reset(actors)
     return actors, parts_of
@@ -960,7 +961,9 @@ class ActorEngine:
             except Exception:
                 actors = None  # pool died with a previous Ray session
         if actors is None:
-            actors = [_BSPActor.remote() for _ in range(n_actors)]
+            actors = [_BSPActor.options(
+                scheduling_strategy="SPREAD").remote()
+                for _ in range(n_actors)]
             _POOLS[n_actors] = actors
             _setup(actors)
         self.actors = actors

@@ -77,12 +77,16 @@ def top_k(ds: rd.Dataset, keys: Sequence[tuple[str, bool]], k: int) -> rd.Datase
 
 def keep_first(ds: rd.Dataset, group_keys: list[str], order_keys: list[str]) -> rd.Dataset:
     """Hash-partition by group key, keep the first row per group under
-    ``order_keys`` (deterministic richest/earliest-row dedup)."""
+    ``order_keys`` (deterministic richest/earliest-row dedup). Arrow-native
+    (round 5): ``pc.sort_indices`` is a stable sort, so tie rows resolve by
+    in-group order exactly like the previous pandas mergesort."""
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_keys, kind="mergesort").head(1)
+    def first(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[(c, "ascending") for c in order_keys])
+        return g.take(idx.slice(0, 1))
 
-    return ds.groupby(group_keys).map_groups(first, batch_format="pandas")
+    return ds.groupby(group_keys).map_groups(first, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -95,23 +99,27 @@ def lag_delta_us(events: rd.Dataset, part_col: str, ts_col: str,
     ``part_col`` (ordering: ``order_cols``). First event per key -> null.
 
     The delta is computed in the integer-microsecond domain (no
-    ``total_seconds()`` float round-trip) and each group returns an Arrow
-    block with a plain ``int64`` column: pandas nullable ``Int64``
-    extension blocks canonicalize differently from SQL ``BIGINT NULL`` in
-    downstream hash compares."""
+    ``total_seconds()`` float round-trip) with a plain ``int64`` output
+    column: pandas nullable ``Int64`` extension blocks canonicalize
+    differently from SQL ``BIGINT NULL`` in downstream hash compares.
+    Arrow-native end to end (round 5): stable ``pc.sort_indices`` replaces
+    the pandas mergesort and the from_pandas round-trip disappears."""
 
-    def f(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(order_cols, kind="mergesort")
-        t = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+    def f(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[(c, "ascending") for c in order_cols])
+        g = g.take(idx)
+        t = (g.column(ts_col).combine_chunks()
+             .cast(pa.timestamp("us"))
+             .to_numpy(zero_copy_only=False).astype(np.int64))
         delta = np.zeros(len(t), dtype=np.int64)
         mask = np.zeros(len(t), dtype=bool)
         if len(t):
             delta[1:] = t[1:] - t[:-1]
             mask[0] = True  # first event per key -> null
-        tab = pa.Table.from_pandas(g, preserve_index=False)
-        return tab.append_column(out_col, pa.array(delta, pa.int64(), mask=mask))
+        return g.append_column(out_col, pa.array(delta, pa.int64(), mask=mask))
 
-    return events.groupby(part_col).map_groups(f, batch_format="pandas")
+    return events.groupby(part_col).map_groups(f, batch_format="pyarrow")
 
 
 def sessionize(events: rd.Dataset, part_col: str, ts_col: str,
@@ -123,21 +131,27 @@ def sessionize(events: rd.Dataset, part_col: str, ts_col: str,
     reference's ordered-scan semantics re-expressed as a keyed group op
     (SURVEY §2.10)."""
 
-    def f(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_cols, kind="mergesort")
-        prev = g[ts_col].shift(1)
-        delta = (g[ts_col] - prev).dt.total_seconds() * 1_000_000
-        new_s = (delta.isna() | (delta > gap_us)).astype("int64")
-        sid = new_s.cumsum()
-        out = g.groupby(sid).agg(
-            n_events=(ts_col, "size"), session_start=(ts_col, "min")
-        ).reset_index(names="session_id")
-        out.insert(0, part_col, g[part_col].iloc[0])
-        out["session_id"] = out["session_id"].astype("int64")
-        out["n_events"] = out["n_events"].astype("int64")
-        return out
+    def f(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[(c, "ascending") for c in order_cols])
+        g = g.take(idx)
+        ts = g.column(ts_col).combine_chunks().cast(pa.timestamp("us"))
+        t = ts.to_numpy(zero_copy_only=False).astype(np.int64)
+        new_s = np.r_[True, (t[1:] - t[:-1]) > gap_us]
+        sid = np.cumsum(new_s)  # 1-based session ids, ascending in time
+        starts = np.flatnonzero(new_s)
+        n_events = np.diff(np.r_[starts, len(t)])
+        key = g.column(part_col).take(
+            pa.array(np.zeros(len(starts), np.int64)))
+        return pa.table({
+            part_col: key,
+            "session_id": pa.array(sid[starts], pa.int64()),
+            "n_events": pa.array(n_events, pa.int64()),
+            # sorted by ts first, so each session's first row is its min
+            "session_start": ts.take(pa.array(starts, pa.int64())),
+        })
 
-    return events.groupby(part_col).map_groups(f, batch_format="pandas")
+    return events.groupby(part_col).map_groups(f, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
