@@ -70,7 +70,8 @@ def run_flagship(timings: dict) -> dict:
 
     t0 = time.perf_counter()
     edges = docs_to_edges(docs)
-    prep = prepare_edges(edges, P=P)
+    prep_t: dict = {}
+    prep = prepare_edges(edges, P=P, timings=prep_t)
     t_prep = time.perf_counter()
     g, sg = build_graph_pair(prep)  # one shuffle builds both graphs
     timings["graph_build"] = round(time.perf_counter() - t0, 3)
@@ -79,6 +80,8 @@ def run_flagship(timings: dict) -> dict:
     # csr = the one pack+groupby shuffle that builds both CSR block sets
     timings["graph_build/prep"] = round(t_prep - t0, 3)
     timings["graph_build/csr"] = round(time.perf_counter() - t_prep, 3)
+    for k, v in prep_t.items():
+        timings[f"graph_build/prep/{k}"] = v
     info["n_vertices"], info["n_edges"] = g.n, g.m
 
     t0 = time.perf_counter()
@@ -98,8 +101,11 @@ def run_flagship(timings: dict) -> dict:
     info["cc_supersteps"] = len(cc_metrics)
 
     t0 = time.perf_counter()
-    info["triangles"] = triangle_count(sg)
+    tri_t: dict = {}
+    info["triangles"] = triangle_count(sg, timings=tri_t)
     timings["triangles"] = round(time.perf_counter() - t0, 3)
+    for k, v in tri_t.items():
+        timings[f"triangles/{k}"] = v
     return info
 
 
@@ -326,8 +332,15 @@ def scaling(lo: int | None = None, hi: int | None = None) -> None:
         r_hi = his[all_f_hi.index(min(all_f_hi))]
         f_lo, f_hi = flagship_sec(r_lo), flagship_sec(r_hi)
         eff = (f_lo / f_hi) / (hi / lo)
+        # the north-rule metric itself (BASELINE.json: "edges/sec per
+        # PageRank superstep ... scaling efficiency >= 0.8"): best
+        # per-superstep throughput per level across this attempt's runs
+        pr_lo = max(r["pr_edges_per_sec_per_superstep"] for r in los)
+        pr_hi = max(r["pr_edges_per_sec_per_superstep"] for r in his)
+        pr_eff = (pr_hi / pr_lo) / (hi / lo)
         attempt_log.append({
             "attempt": attempt, "raw_eff": round(eff, 3),
+            "pr_superstep_eff": round(pr_eff, 3),
             "ceiling_eff": round(ceiling_ratio / (hi / lo), 3),
             "flagship_sec_all_runs": {"lo": all_f_lo, "hi": all_f_hi}})
         if eff >= target or attempt == attempts:
@@ -353,6 +366,7 @@ def scaling(lo: int | None = None, hi: int | None = None) -> None:
             str(hi): r_hi["pr_edges_per_sec_per_superstep"],
         },
         "scaling_efficiency": round(eff, 3),
+        "pr_superstep_scaling_efficiency": round(pr_eff, 3),
         "flagship_sec_all_runs": {"lo": all_f_lo, "hi": all_f_hi},
         "machine_ceiling_tasks_per_sec": ceiling,
         "machine_ceiling_efficiency": round(ceiling_ratio / (hi / lo), 3),

@@ -143,8 +143,89 @@ def _canonical_order(u: pa.Array, h: np.ndarray) -> np.ndarray:
     return by_key[np.argsort(h[by_key], kind="stable")]
 
 
+@ray.remote
+def _ranks_map_task(P: int, *tabs: pa.Table):
+    """Map side of the dictionary exchange: distinct (h1, h2) endpoint
+    hash pairs of this slice of edge blocks, partitioned by h1 % P.
+    Returns P objects (one per part, ``num_returns=P``) so each reduce
+    task fetches ONLY its part's bytes — the real-cluster shuffle shape
+    (one object per (map task -> part), never a driver round-trip)."""
+    h1s, h2s = [], []
+    for tab in tabs:
+        if tab.num_rows == 0:
+            continue  # empty blocks can be schema-less
+        h1s.append(np.concatenate([hash64(tab["src"]), hash64(tab["dst"])]))
+        h2s.append(np.concatenate([hash64(tab["src"], seed=_HASH_SEED2),
+                                   hash64(tab["dst"], seed=_HASH_SEED2)]))
+    h1 = np.concatenate(h1s) if h1s else np.array([], np.uint64)
+    h2 = np.concatenate(h2s) if h2s else np.array([], np.uint64)
+    if len(h1) == 0:
+        empty = (np.array([], np.uint64), np.array([], np.uint64))
+        return tuple(empty for _ in range(P)) if P > 1 else empty
+    order = np.lexsort((h2, h1))
+    h1, h2 = h1[order], h2[order]
+    keep = np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])]
+    h1, h2 = h1[keep], h2[keep]
+    part = (h1 % np.uint64(P)).astype(np.int64)
+    order = np.argsort(part, kind="stable")  # keeps (h1,h2) asc in part
+    h1, h2, part = h1[order], h2[order], part[order]
+    bounds = np.searchsorted(part, np.arange(P + 1)).astype(np.int64)
+    out = tuple((h1[bounds[p]: bounds[p + 1]], h2[bounds[p]: bounds[p + 1]])
+                for p in range(P))
+    return out if P > 1 else out[0]
+
+
+@ray.remote
+def _ranks_reduce_task(part: int, *slices) -> pa.Table:
+    """Reduce side: union this part's sorted (h1, h2) slices, distinct
+    pairs, collision check (same soundness as the Dataset path: duplicate
+    h1 among distinct (h1, h2) pairs == a real 64-bit key collision)."""
+    h1 = np.concatenate([s[0] for s in slices]) if slices else np.array(
+        [], np.uint64)
+    h2 = np.concatenate([s[1] for s in slices]) if slices else np.array(
+        [], np.uint64)
+    if len(h1):
+        order = np.lexsort((h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        keep = np.r_[True, (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])]
+        u1 = h1s[keep]
+        n_coll = int((u1[1:] == u1[:-1]).sum()) if len(u1) else 0
+        u = u1 if n_coll == 0 else np.unique(u1)
+    else:
+        u, n_coll = h1, 0
+    return pa.table({
+        "part": pa.array([part], pa.int64()),
+        "hashes": pa.array([u], pa.list_(pa.uint64())),
+        "n": pa.array([len(u)], pa.int64()),
+        "collisions": pa.array([n_coll], pa.int64()),
+    })
+
+
+def _ranks_exchange(edges: rd.Dataset, P: int) -> rd.Dataset:
+    """Dictionary build as ONE map round + ONE reduce round of raw Ray
+    tasks over the materialized edge blocks — replaces the Dataset
+    ``groupby("part")`` (a full sort-based shuffle, measured ~4x slower
+    and with a large CPU-independent floor) while producing the exact
+    same rows. Partitioning assumption: part = h1 % P; every (map, part)
+    slice is its own plasma object, so reduces fetch only their bytes
+    (multi-node-correct). Falls back to the Dataset path via
+    RAYLINK_RANKS_EXCHANGE=dataset (see build_vertex_ranks)."""
+    refs = edges.to_arrow_refs()
+    # bound the map fan-out: <= ~128 map tasks, each over a ref slice
+    chunk = max(1, -(-len(refs) // 128))
+    groups = [refs[i: i + chunk] for i in range(0, len(refs), chunk)]
+    outs = [_ranks_map_task.options(num_returns=P).remote(P, *g)
+            for g in groups]
+    if P == 1:
+        outs = [[o] for o in outs]
+    reduced = [_ranks_reduce_task.remote(p, *[o[p] for o in outs])
+               for p in range(P)]
+    return rd.from_arrow_refs(reduced)
+
+
 def build_vertex_ranks(edges: rd.Dataset, P: int,
-                       gather_ranks: bool = False):
+                       gather_ranks: bool = False,
+                       timings: dict | None = None):
     """Distinct endpoint HASHES -> dense ranks, via an INT-ONLY shuffle.
 
     ``gather_ranks=True`` (broadcast-encode callers ONLY — the gather is
@@ -217,8 +298,16 @@ def build_vertex_ranks(edges: rd.Dataset, P: int,
             "collisions": pa.array([n_coll], pa.int64()),
         })
 
-    rows = packed.groupby("part").map_groups(
-        assign, batch_format="pyarrow").materialize()
+    import time as _time
+    _t0 = _time.perf_counter()
+    if _os.environ.get("RAYLINK_RANKS_EXCHANGE", "tasks") == "dataset":
+        rows = packed.groupby("part").map_groups(
+            assign, batch_format="pyarrow").materialize()
+    else:
+        rows = _ranks_exchange(edges, P)
+    if timings is not None:
+        timings["shuffle"] = round(_time.perf_counter() - _t0, 3)
+        _t0 = _time.perf_counter()
 
     # O(P) metadata only: counts per part + collision flags (plus the
     # O(n) (h, vid) gather when the caller will broadcast anyway — one
@@ -243,6 +332,8 @@ def build_vertex_ranks(edges: rd.Dataset, P: int,
                 hs_parts.append(u)
                 vid_parts.append(
                     np.arange(len(u), dtype=np.int64) * P + int(p))
+    if timings is not None:
+        timings["gather"] = round(_time.perf_counter() - _t0, 3)
     if not gather_ranks:
         return rows, n_per_part, int(n_per_part.sum()), n_collisions
     if hs_parts:
@@ -404,24 +495,46 @@ def _csr_blocks_from_vids(part: int, src: np.ndarray, dst: np.ndarray,
     # keeps the multiplicity of each collapsed pair as its edge weight;
     # ``wvals`` (float per raw edge) SUMS duplicate pairs' weights instead
     # — the same shuffle, one extra array either way.
-    pair = np.stack([src, dst], axis=1)
-    if wvals is not None:
-        # ``w_dtype`` restores the original weight lattice when the raw
-        # per-edge values rode a float64 list (e.g. a weighted subgraph
-        # rebuild of an int-multiplicity graph): multiplicity sums are
-        # exact in float64, so the round trip is lossless
-        pair, inv = np.unique(pair, axis=0, return_inverse=True)
-        w = np.zeros(len(pair), dtype=np.float64)
-        np.add.at(w, inv, wvals.astype(np.float64))
-        if w_dtype is not None:
-            w = w.astype(w_dtype)
-    elif weighted:
-        pair, w = np.unique(pair, axis=0, return_counts=True)
-        w = w.astype(np.int64)
+    # pair dedup: when both vids fit in 31 bits the (src, dst) pair packs
+    # into ONE int64 code (same trick as the triangle wedge join), and a
+    # flat int64 unique is ~5-10x faster than np.unique(axis=0)'s
+    # void-dtype row sort; the axis=0 path stays as the huge-vid fallback
+    hi_vid = max(int(src.max()), int(dst.max())) if len(src) else 0
+    packable = hi_vid < (1 << 31)
+    if packable:
+        C = np.int64(hi_vid + 1)
+        code = src.astype(np.int64) * C + dst.astype(np.int64)
+        if wvals is not None:
+            # ``w_dtype`` restores the original weight lattice when the
+            # raw per-edge values rode a float64 list: multiplicity sums
+            # are exact in float64, so the round trip is lossless
+            ucode, inv = np.unique(code, return_inverse=True)
+            w = np.zeros(len(ucode), dtype=np.float64)
+            np.add.at(w, inv, wvals.astype(np.float64))
+            if w_dtype is not None:
+                w = w.astype(w_dtype)
+        elif weighted:
+            ucode, w = np.unique(code, return_counts=True)
+            w = w.astype(np.int64)
+        else:
+            ucode = np.unique(code)
+            w = None
+        src, dst = ucode // C, ucode % C
     else:
-        pair = np.unique(pair, axis=0)
-        w = None
-    src, dst = pair[:, 0].astype(np.int64), pair[:, 1].astype(np.int64)
+        pair = np.stack([src, dst], axis=1)
+        if wvals is not None:
+            pair, inv = np.unique(pair, axis=0, return_inverse=True)
+            w = np.zeros(len(pair), dtype=np.float64)
+            np.add.at(w, inv, wvals.astype(np.float64))
+            if w_dtype is not None:
+                w = w.astype(w_dtype)
+        elif weighted:
+            pair, w = np.unique(pair, axis=0, return_counts=True)
+            w = w.astype(np.int64)
+        else:
+            pair = np.unique(pair, axis=0)
+            w = None
+        src, dst = pair[:, 0].astype(np.int64), pair[:, 1].astype(np.int64)
     n_local = int(n_per_part[part])
     src_local = (src // P).astype(np.int32)
     dst_part = (dst % P).astype(np.int64)
@@ -505,6 +618,9 @@ class PreparedEdges:
     enc_blocks_hint: int = 0  # input block count of enc_edges (num_blocks()
     #                           raises on a lazy Dataset; map_batches is
     #                           per-block so the encode preserves the count)
+    weight_col_raw: str | None = None  # raw edges' weight column (broadcast
+    #                                    mode: lets the task-exchange block
+    #                                    build re-encode from raw edges)
     weight_col: str | None = None  # float weight column (fused build only:
     #                                broadcast/small paths bake it into
     #                                enc_edges as "w" instead)
@@ -658,7 +774,8 @@ def _encode_partitioned(edges: rd.Dataset, dict_rows: rd.Dataset,
 def prepare_edges(edges: rd.Dataset, *, P: int = DEFAULT_P,
                   already_deduped: bool = False, encode: str = "auto",
                   broadcast_max_vertices: int = 4_000_000,
-                  weight_col: str | None = None) -> PreparedEdges:
+                  weight_col: str | None = None,
+                  timings: dict | None = None) -> PreparedEdges:
     """Self-loop drop + vertex ranks + vid encoding; the shared prefix of
     any build.
 
@@ -685,6 +802,9 @@ def prepare_edges(edges: rd.Dataset, *, P: int = DEFAULT_P,
     the small, broadcast and partitioned-fused (10^12-vertex) paths; the
     explicit "partitioned" materialized encode would need weight
     transport through the request/reassemble rows and raises."""
+    import time as _time
+    _t = _time.perf_counter
+    _t0 = _t()
     key_type = edges.schema().base_schema.field("src").type if hasattr(
         edges.schema(), "base_schema") else edges.schema().field("src").type
     if not already_deduped:
@@ -694,10 +814,16 @@ def prepare_edges(edges: rd.Dataset, *, P: int = DEFAULT_P,
         edges = edges.map_batches(drop_self, batch_format="pyarrow",
                                   zero_copy_batch=True)
     edges = edges.materialize()
+    if timings is not None:
+        timings["selfloop_mat"] = round(_t() - _t0, 3)
+        _t0 = _t()
 
     m_directed = None
     if encode == "auto":
         m_directed = edges.count()
+        if timings is not None:
+            timings["count"] = round(_t() - _t0, 3)
+            _t0 = _t()
         if m_directed <= SMALL_BUILD_MAX_EDGES:
             prep = _prepare_small(edges, P, key_type, weight_col)
             if prep is not None:  # None on a (2^-128-rare) hash collision
@@ -711,11 +837,18 @@ def prepare_edges(edges: rd.Dataset, *, P: int = DEFAULT_P,
                      or (encode == "auto"
                          and 2 * m_directed <= broadcast_max_vertices))
     ranks = None
+    _rt = None if timings is None else {}
     if pre_broadcast:
         rank_rows, n_per_part, n, n_collisions, ranks = build_vertex_ranks(
-            edges, P, gather_ranks=True)
+            edges, P, gather_ranks=True, timings=_rt)
     else:
-        rank_rows, n_per_part, n, n_collisions = build_vertex_ranks(edges, P)
+        rank_rows, n_per_part, n, n_collisions = build_vertex_ranks(
+            edges, P, timings=_rt)
+    if timings is not None:
+        timings["ranks"] = round(_t() - _t0, 3)
+        for k, v in _rt.items():
+            timings[f"ranks/{k}"] = v
+        _t0 = _t()
     if n_collisions > 0:
         # 64-bit hash collision in the key set: fall back to the string
         # table (same canonical (hash, key) rank order, so ids agree)
@@ -794,6 +927,8 @@ def prepare_edges(edges: rd.Dataset, *, P: int = DEFAULT_P,
                                           if mode == "broadcast"
                                           else enc.num_blocks()
                                           if enc is not None else 0),
+                         weight_col_raw=(weight_col if mode == "broadcast"
+                                         else None),
                          weight_col=weight_col if mode == "partitioned-fused"
                          else None)
 
@@ -1198,6 +1333,127 @@ def _collect_blocks(block_rows: rd.Dataset) -> dict[int, dict[int, list[Any]]]:
     return blocks, m_total
 
 
+@ray.remote
+def _csr_map_task(P: int, dirs: tuple, dict_wrap, weight_col,
+                  *tabs: pa.Table):
+    """Map side of the CSR exchange: encode (broadcast dict probe, when
+    ``dict_wrap`` is given) then partition each requested direction's
+    (src_vid, dst_vid[, w]) by src % P. Returns len(dirs)*P objects
+    (``num_returns``), ordered [(dir0, p0..P-1), (dir1, p0..P-1), ...] so
+    each reduce task fetches only its (dir, part) slice."""
+    svs, dvs, wvs = [], [], []
+    for tab in tabs:
+        if tab.num_rows == 0:
+            continue  # empty blocks can be schema-less (groupby residue)
+        if dict_wrap is not None:
+            hs, vs = ray.get(dict_wrap[0])
+            svs.append(vs[np.searchsorted(hs, hash64(tab["src"]))])
+            dvs.append(vs[np.searchsorted(hs, hash64(tab["dst"]))])
+            if weight_col is not None:
+                wvs.append(pc.cast(tab[weight_col], pa.float64()).to_numpy(
+                    zero_copy_only=False))
+        else:
+            svs.append(tab["src_vid"].to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+            dvs.append(tab["dst_vid"].to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+            if "w" in tab.column_names:
+                wvs.append(tab["w"].to_numpy(zero_copy_only=False))
+    sv0 = np.concatenate(svs) if svs else np.array([], np.int64)
+    dv0 = np.concatenate(dvs) if dvs else np.array([], np.int64)
+    w0 = np.concatenate(wvs) if wvs else None
+    out = []
+    for direction in dirs:
+        if direction == 1:
+            sv = np.concatenate([sv0, dv0])
+            dv = np.concatenate([dv0, sv0])
+            wv = None if w0 is None else np.concatenate([w0, w0])
+        elif direction == 2:
+            sv, dv, wv = dv0, sv0, w0
+        else:
+            sv, dv, wv = sv0, dv0, w0
+        part = sv % P
+        order = np.argsort(part, kind="stable")
+        sv, dv, part = sv[order], dv[order], part[order]
+        wv = None if wv is None else wv[order]
+        bounds = np.searchsorted(part, np.arange(P + 1)).astype(np.int64)
+        for p in range(P):
+            lo, hi = bounds[p], bounds[p + 1]
+            out.append((sv[lo:hi], dv[lo:hi],
+                        None if wv is None else wv[lo:hi]))
+    return tuple(out) if len(out) > 1 else out[0]
+
+
+@ray.remote(num_returns="dynamic")
+def _csr_reduce_task(direction: int, part: int, P: int,
+                     n_per_part: np.ndarray, chunk_edges: int,
+                     weighted: bool, w_dtype, *slices):
+    """Reduce side: union this (dir, part)'s slices, then the standard
+    local CSR build (global dedup is free here — a pair always lands in
+    its src partition). Yields a meta tuple (chunk edge counts) first,
+    then each CSRBlock chunk as its own plasma object (owned by the
+    caller — CSR bytes never pass through the driver)."""
+    src = (np.concatenate([s[0] for s in slices]) if slices
+           else np.array([], np.int64))
+    dst = (np.concatenate([s[1] for s in slices]) if slices
+           else np.array([], np.int64))
+    wvals = None
+    if slices and slices[0][2] is not None:
+        wvals = np.concatenate([s[2] for s in slices])
+    blocks = _csr_blocks_from_vids(part, src.astype(np.int64),
+                                   dst.astype(np.int64), P, n_per_part,
+                                   chunk_edges, weighted, wvals, w_dtype)
+    yield [b.m for b in blocks]
+    for b in blocks:
+        yield b
+
+
+def _build_blocks_exchange(prep: PreparedEdges, directions: tuple[int, ...],
+                           chunk_edges: int, weighted: bool = False,
+                           w_dtype=None):
+    """CSR block build as one map round (encode + direction fan-out +
+    src-part split, ``num_returns`` scatter) + one reduce round (local
+    dedup + CSR pack) of raw Ray tasks — same outputs as the Dataset
+    ``groupby(["dir", "src_part"])`` path, without the sort-shuffle
+    machinery or the payload pickle through block rows. Partitioning
+    assumption: owner part = src_vid % P (the vid scheme's invariant).
+    Falls back to the Dataset path via RAYLINK_CSR_EXCHANGE=dataset."""
+    P, n_per_part = prep.P, prep.n_per_part
+    if prep.enc_edges is not None and prep.encode_mode != "broadcast":
+        src_ds, dict_wrap, wcol = prep.enc_edges, None, None
+    else:
+        src_ds = prep.edges
+        dict_wrap = [prep.dict_ref]
+        wcol = prep.weight_col_raw
+    refs = src_ds.to_arrow_refs()
+    chunk = max(1, -(-len(refs) // 128))
+    groups = [refs[i: i + chunk] for i in range(0, len(refs), chunk)]
+    nret = len(directions) * P
+    outs = [_csr_map_task.options(num_returns=nret).remote(
+        P, tuple(directions), dict_wrap, wcol, *g) for g in groups]
+    if nret == 1:
+        outs = [[o] for o in outs]
+    gen_refs = []
+    for di, d in enumerate(directions):
+        for p in range(P):
+            idx = di * P + p
+            gen_refs.append((int(d), p, _csr_reduce_task.remote(
+                int(d), p, P, n_per_part, chunk_edges, weighted, w_dtype,
+                *[o[idx] for o in outs])))
+    blocks: dict[int, dict[int, list[Any]]] = {}
+    m_total: dict[int, int] = {}
+    for d, p, gref in gen_refs:
+        chunk_refs = list(ray.get(gref))
+        ms = ray.get(chunk_refs[0])
+        m_total[d] = m_total.get(d, 0) + int(sum(ms))
+        if sum(ms) == 0:
+            continue  # match the Dataset path: no row for an empty part
+        blocks.setdefault(d, {})[p] = chunk_refs[1:]
+    for d in directions:
+        m_total.setdefault(int(d), 0)
+    return blocks, m_total
+
+
 def _build_blocks(prep: PreparedEdges, directions: tuple[bool, ...],
                   chunk_edges: int, weighted: bool = False):
     P, n_per_part = prep.P, prep.n_per_part
@@ -1209,6 +1465,10 @@ def _build_blocks(prep: PreparedEdges, directions: tuple[bool, ...],
     if prep.encode_mode == "broadcast-small":
         return _build_blocks_small(prep, tuple(int(d) for d in directions),
                                    chunk_edges, weighted)
+    if _os.environ.get("RAYLINK_CSR_EXCHANGE", "tasks") != "dataset":
+        return _build_blocks_exchange(prep,
+                                      tuple(int(d) for d in directions),
+                                      chunk_edges, weighted)
     # coalesce the encoded edges into ~8 blocks per partition before packing:
     # the pack stage emits one row per (dir, part) per input block, so block
     # count directly multiplies the shuffle's row count

@@ -37,6 +37,8 @@ SURVEY §2.9).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -144,18 +146,10 @@ def _make_emit(graph: Graph, B: int, C: np.int64, max_emit: int,
         tabs = [_PAIR_SCHEMA.empty_table()]
         for p in batch["part"].to_pylist():
             chunks = [_ray.get(r) for r in refs[p]]
-            u, v, du, dv = _part_edges(chunks, p, P, deg_refs)
-            # orient: keep (u,v) with (deg,vid)-rank(u) < rank(v)
-            keep = (du < dv) | ((du == dv) & (u < v))
-            ou, ov, odv = u[keep], v[keep], dv[keep]
-            odu = du[keep]
-            if len(ou) == 0:
+            oriented = _part_oriented(chunks, p, P, deg_refs, C)
+            if oriented is None:
                 continue
-            # sort by (u, (deg_v, vid_v)) so each N+(u) is code-ordered
-            cv = odv * C + ov  # (deg, vid) code of the target
-            order = np.lexsort((cv, ou))
-            ou, ov, cv = ou[order], ov[order], cv[order]
-            odu = odu[order]
+            ou, ov, cv, odu = oriented
             # oriented edges, pair code (vid_u, vid_v). Bucket by the hash
             # of the FULL pair code (not the first endpoint): a wedge (v,w)
             # closes iff the oriented edge (v,w) exists, so pair-code
@@ -164,46 +158,125 @@ def _make_emit(graph: Graph, B: int, C: np.int64, max_emit: int,
             # needed, bucket sizes are ~#wedges/B regardless of skew.
             ecodes = ou * C + ov
             tabs.append(_pack_rows(_bucket_of(ecodes, B), ecodes, 0))
-            if core_deg is not None:
-                # core centers are handled by the dense stage
-                w_mask = odu < core_deg
-                ou, ov, cv = ou[w_mask], ov[w_mask], cv[w_mask]
-                if len(ou) == 0:
-                    continue
-            # wedges from each N+(u): all ordered pairs of targets; sliced
-            seg = np.flatnonzero(np.r_[True, ou[1:] != ou[:-1], True])
-            starts, ends = seg[:-1], seg[1:]
-            lens = ends - starts
-            pos = np.arange(len(ou)) - np.repeat(starts, lens)
-            first_counts = (np.repeat(lens, lens) - 1 - pos)
-            total = int(first_counts.sum())
-            if total == 0:
-                continue
-            # slice the edge positions so one expansion stays bounded
-            cum = np.concatenate([[0], first_counts.cumsum()])
-            cut_edges = [0]
-            while cum[cut_edges[-1]] < total:
-                nxt = int(np.searchsorted(cum, cum[cut_edges[-1]] + max_emit))
-                nxt = max(nxt, cut_edges[-1] + 1)
-                cut_edges.append(min(nxt, len(ou)))
-            for a, bnd in zip(cut_edges[:-1], cut_edges[1:]):
-                fc = first_counts[a:bnd]
-                tot = int(fc.sum())
-                if tot == 0:
-                    continue
-                rep_first = np.repeat(np.arange(a, bnd), fc)
-                offs = fc.cumsum()
-                second = (np.arange(tot) - np.repeat(offs - fc, fc)
-                          + rep_first + 1)
-                wv = ov[rep_first]
-                ww = ov[second]
-                wcodes = wv * C + ww
-                cent = ou[rep_first] if with_centers else None
+            for wcodes, cent in _wedge_chunks(ou, ov, C, max_emit,
+                                              core_deg, odu, with_centers):
                 tabs.append(_pack_rows(_bucket_of(wcodes, B), wcodes, 1,
                                        centers=cent))
         return pa.concat_tables(tabs)
 
     return emit
+
+
+@ray.remote
+def _tri_map_task(part: int, refs_list, P: int, B: int, C: np.int64,
+                  max_emit: int, core_deg, deg_refs: dict):
+    """Map side of the wedge-join exchange: one partition's oriented
+    edge codes + wedge codes, sliced per bucket (``num_returns=B``) so
+    each probe task fetches only its bucket's bytes. Same pair-code
+    bucketing as the Dataset path (skew-proof: buckets are ~#wedges/B
+    regardless of hot centers)."""
+    import ray as _ray
+
+    chunks = [_ray.get(r) for r in refs_list]
+    oriented = _part_oriented(chunks, part, P, deg_refs, C)
+    empty = np.array([], np.int64)
+    if oriented is None:
+        out = [(empty, empty)] * B
+        return tuple(out) if B > 1 else out[0]
+    ou, ov, cv, odu = oriented
+    ecodes = ou * C + ov
+    wparts: list[list] = [[] for _ in range(B)]
+    for wcodes, _ in _wedge_chunks(ou, ov, C, max_emit, core_deg, odu):
+        wb = _bucket_of(wcodes, B)
+        order = np.argsort(wb, kind="stable")
+        ws, wbs = wcodes[order], wb[order]
+        bounds = np.searchsorted(wbs, np.arange(B + 1))
+        for b in range(B):
+            if bounds[b + 1] > bounds[b]:
+                wparts[b].append(ws[bounds[b]: bounds[b + 1]])
+    eb = _bucket_of(ecodes, B)
+    order = np.argsort(eb, kind="stable")
+    es, ebs = ecodes[order], eb[order]
+    ebounds = np.searchsorted(ebs, np.arange(B + 1))
+    out = []
+    for b in range(B):
+        e = es[ebounds[b]: ebounds[b + 1]]
+        w = np.concatenate(wparts[b]) if wparts[b] else empty
+        out.append((e, w))
+    return tuple(out) if B > 1 else out[0]
+
+
+@ray.remote
+def _tri_reduce_task(*slices) -> int:
+    """Probe side: sorted union of the bucket's oriented-edge codes,
+    searchsorted membership of its wedge codes -> closed-wedge count."""
+    es = [s[0] for s in slices if len(s[0])]
+    e = np.sort(np.concatenate(es)) if es else np.array([], np.int64)
+    if len(e) == 0:
+        return 0
+    tot = 0
+    for s in slices:
+        w = s[1]
+        if len(w) == 0:
+            continue
+        pos = np.searchsorted(e, w)
+        safe = np.minimum(pos, len(e) - 1)
+        tot += int(((pos < len(e)) & (e[safe] == w)).sum())
+    return tot
+
+
+def _part_oriented(chunks, p: int, P: int, deg_refs: dict, C: np.int64):
+    """Oriented out-adjacency of one partition: (u, v) kept iff
+    (deg, vid)-rank(u) < rank(v), sorted by (u, (deg_v, vid_v) code).
+    Returns (ou, ov, cv, odu) or None when empty."""
+    u, v, du, dv = _part_edges(chunks, p, P, deg_refs)
+    keep = (du < dv) | ((du == dv) & (u < v))
+    ou, ov, odv = u[keep], v[keep], dv[keep]
+    odu = du[keep]
+    if len(ou) == 0:
+        return None
+    cv = odv * C + ov  # (deg, vid) code of the target
+    order = np.lexsort((cv, ou))
+    return ou[order], ov[order], cv[order], odu[order]
+
+
+def _wedge_chunks(ou, ov, C, max_emit: int, core_deg, odu,
+                  with_centers: bool = False):
+    """Yield (wcodes, centers|None) expansion chunks: all ordered target
+    pairs of each N+(u), bounded at ~max_emit codes per chunk.
+    ``core_deg``: skip centers with degree >= core_deg (dense stage)."""
+    if core_deg is not None:
+        w_mask = odu < core_deg
+        ou, ov = ou[w_mask], ov[w_mask]
+        if len(ou) == 0:
+            return
+    seg = np.flatnonzero(np.r_[True, ou[1:] != ou[:-1], True])
+    starts, ends = seg[:-1], seg[1:]
+    lens = ends - starts
+    pos = np.arange(len(ou)) - np.repeat(starts, lens)
+    first_counts = (np.repeat(lens, lens) - 1 - pos)
+    total = int(first_counts.sum())
+    if total == 0:
+        return
+    # slice the edge positions so one expansion stays bounded
+    cum = np.concatenate([[0], first_counts.cumsum()])
+    cut_edges = [0]
+    while cum[cut_edges[-1]] < total:
+        nxt = int(np.searchsorted(cum, cum[cut_edges[-1]] + max_emit))
+        nxt = max(nxt, cut_edges[-1] + 1)
+        cut_edges.append(min(nxt, len(ou)))
+    for a, bnd in zip(cut_edges[:-1], cut_edges[1:]):
+        fc = first_counts[a:bnd]
+        tot = int(fc.sum())
+        if tot == 0:
+            continue
+        rep_first = np.repeat(np.arange(a, bnd), fc)
+        offs = fc.cumsum()
+        second = (np.arange(tot) - np.repeat(offs - fc, fc)
+                  + rep_first + 1)
+        wcodes = ov[rep_first] * C + ov[second]
+        cent = ou[rep_first] if with_centers else None
+        yield wcodes, cent
 
 
 # byte-popcount lookup (numpy<2 has no bitwise_count)
@@ -327,7 +400,8 @@ def _core_credit(M: np.ndarray, edges: np.ndarray, core_vids: np.ndarray,
 
 def triangle_count(graph: Graph, *, buckets: int | None = None,
                    max_emit: int = 1 << 22,
-                   dense_core_deg: int | str | None = "auto") -> int:
+                   dense_core_deg: int | str | None = "auto",
+                   timings: dict | None = None) -> int:
     """Exact global triangle count. ``graph`` must be a symmetric build.
 
     ``dense_core_deg``: high-degree-core fallback for extreme skew, ON
@@ -358,17 +432,39 @@ def triangle_count(graph: Graph, *, buckets: int | None = None,
     C = np.int64(max_vid + 1)
     deg_refs = {p: _deg_of.remote(graph.blocks[p][0]) for p in parts}
 
+    import time as _time
+    _t0 = _time.perf_counter()
     core_deg: int | None = None
     dense_tri = 0
     if dense_core_deg is not None:
         D = (_auto_core_deg(graph.m // 2)
              if dense_core_deg == "auto" else int(dense_core_deg))
         setup = _dense_core_setup(graph, parts, D, deg_refs)
+        if timings is not None:
+            timings["dense_setup"] = round(_time.perf_counter() - _t0, 3)
+            _t0 = _time.perf_counter()
         if setup is not None:
             core_deg = D
             _core_vids, m_ref, edge_refs = setup
             dense_tri = sum(ray.get(
                 [_core_count.remote(m_ref, er) for er in edge_refs]))
+            if timings is not None:
+                timings["dense_count"] = round(
+                    _time.perf_counter() - _t0, 3)
+                timings["n_core"] = len(_core_vids)
+    _t0 = _time.perf_counter()
+
+    if os.environ.get("RAYLINK_TRI_EXCHANGE", "tasks") != "dataset":
+        outs = [_tri_map_task.options(num_returns=B).remote(
+            p, list(graph.blocks[p]), P, B, C, max_emit, core_deg, deg_refs)
+            for p in parts]
+        if B == 1:
+            outs = [[o] for o in outs]
+        res = sum(ray.get([_tri_reduce_task.remote(*[o[b] for o in outs])
+                           for b in range(B)])) + dense_tri
+        if timings is not None:
+            timings["wedge"] = round(_time.perf_counter() - _t0, 3)
+        return res
 
     emit = _make_emit(graph, B, C, max_emit, deg_refs, core_deg=core_deg)
 
@@ -400,7 +496,10 @@ def triangle_count(graph: Graph, *, buckets: int | None = None,
         .groupby("bucket")
         .map_groups(probe, batch_format="pyarrow")
     )
-    return int(out.sum("tri") or 0) + dense_tri
+    res = int(out.sum("tri") or 0) + dense_tri
+    if timings is not None:
+        timings["wedge"] = round(_time.perf_counter() - _t0, 3)
+    return res
 
 
 @ray.remote
