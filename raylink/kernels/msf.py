@@ -34,6 +34,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 
 from ..graph import Graph, edges_table
@@ -73,6 +74,131 @@ def _min_pick_final(g: pd.DataFrame) -> pd.DataFrame:
     i = np.lexsort((g["hi"].to_numpy(), g["lo"].to_numpy(),
                     g["w"].to_numpy()))[0]
     return g.iloc[[i]]
+
+
+@ray.remote
+def _merge_cmap_shards(*tabs: pa.Table):
+    """Worker-side merge of the per-actor cmap shards into ONE sorted
+    (keys, comps) lookup object — the broadcast-remap structure built
+    WITHOUT driver involvement (the driver holds only the ref). Each
+    remap task then reads it zero-copy from its node's object store
+    (Ray caches fetched objects per node: a per-node broadcast, the
+    standard broadcast-join shape for maps up to a few GB)."""
+    ne = [t for t in tabs if t.num_rows]
+    if not ne:
+        return np.array([], np.int64), np.array([], np.int64)
+    keys = np.concatenate([t["key"].to_numpy(zero_copy_only=False)
+                           for t in ne])
+    comps = np.concatenate([t["comp"].to_numpy(zero_copy_only=False)
+                            for t in ne])
+    order = np.argsort(keys)
+    return keys[order], comps[order]
+
+
+def _ref_remap(map_ref):
+    """Broadcast remap of (ca, cb) through a plasma-resident sorted
+    (keys, vals) ref — same semantics as the driver-built remap."""
+    import ray as _ray
+
+    def remap(t: pa.Table) -> pa.Table:
+        keys, vv = _ray.get(map_ref)
+        for col in ("ca", "cb"):
+            cur = t[col].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, cur)
+            safe = np.minimum(pos, max(len(keys) - 1, 0))
+            hit = (pos < len(keys)) & (keys[safe] == cur) \
+                if len(keys) else np.zeros(len(cur), bool)
+            new = np.where(hit, vv[safe], cur)
+            t = t.set_column(t.column_names.index(col), col,
+                             pa.array(new, pa.int64()))
+        return t
+
+    return remap
+
+
+_PICK_COLS = ("comp", "w", "lo", "hi", "ca", "cb")
+
+
+def _pick_combine(arrs: dict) -> dict:
+    """Lexicographic (w, lo, hi) min per component over column arrays."""
+    order = np.lexsort((arrs["hi"], arrs["lo"], arrs["w"], arrs["comp"]))
+    comp_s = arrs["comp"][order]
+    sel = order[np.r_[True, comp_s[1:] != comp_s[:-1]]] if len(order) \
+        else order
+    return {c: arrs[c][sel] for c in _PICK_COLS}
+
+
+def _pick_map(tabs, K: int):
+    """Exchange map side: per-block min-pick partials, combined across
+    this task's blocks, sliced by comp % K."""
+    parts = [_min_pick_partial(t) for t in tabs if t.num_rows]
+    empty = {c: np.array([], np.int64) for c in _PICK_COLS}
+    if not parts:
+        return [empty] * K
+    cat = pa.concat_tables(parts)
+    arrs = {c: cat[c].to_numpy(zero_copy_only=False) for c in _PICK_COLS}
+    arrs = _pick_combine(arrs)
+    part = arrs["comp"] % K
+    order = np.argsort(part, kind="stable")
+    bounds = np.searchsorted(part[order], np.arange(K + 1))
+    return [{c: arrs[c][order[bounds[k]: bounds[k + 1]]]
+             for c in _PICK_COLS} for k in range(K)]
+
+
+def _pick_reduce(k: int, slices) -> pa.Table:
+    """Exchange reduce side: global per-comp min for this comp-hash
+    slice (comp-disjoint across reduces, so local min == global min)."""
+    arrs = {c: np.concatenate([s[c] for s in slices]) if slices
+            else np.array([], np.int64) for c in _PICK_COLS}
+    arrs = _pick_combine(arrs)
+    return pa.table({c: pa.array(arrs[c], pa.int64()) for c in _PICK_COLS})
+
+
+def _dedup_lohiw(lo, hi, w):
+    order = np.lexsort((hi, lo))
+    lo, hi, w = lo[order], hi[order], w[order]
+    first = np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])] \
+        if len(lo) else np.array([], bool)
+    return lo[first], hi[first], w[first]
+
+
+def _sel_map(tabs, K: int):
+    """Distinct-picked-edges exchange, map side: local (lo, hi) dedup
+    (an edge is picked by at most its two endpoint components — same w
+    both times), sliced by lo % K."""
+    ne = [t for t in tabs if t.num_rows]
+    empty = tuple(np.array([], np.int64) for _ in range(3))
+    if not ne:
+        return [empty] * K
+    lo = np.concatenate([t["lo"].to_numpy(zero_copy_only=False)
+                         for t in ne])
+    hi = np.concatenate([t["hi"].to_numpy(zero_copy_only=False)
+                         for t in ne])
+    w = np.concatenate([t["w"].to_numpy(zero_copy_only=False)
+                        for t in ne])
+    lo, hi, w = _dedup_lohiw(lo, hi, w)
+    part = lo % K
+    order = np.argsort(part, kind="stable")
+    bounds = np.searchsorted(part[order], np.arange(K + 1))
+    return [tuple(a[order[bounds[k]: bounds[k + 1]]] for a in (lo, hi, w))
+            for k in range(K)]
+
+
+def _sel_reduce(k: int, slices) -> pa.Table:
+    lo = np.concatenate([s[0] for s in slices])
+    hi = np.concatenate([s[1] for s in slices])
+    w = np.concatenate([s[2] for s in slices])
+    lo, hi, w = _dedup_lohiw(lo, hi, w)
+    return pa.table({"lo": pa.array(lo, pa.int64()),
+                     "hi": pa.array(hi, pa.int64()),
+                     "w": pa.array(w, pa.int64())})
+
+
+@ray.remote
+def _lohiw_meta(t: pa.Table):
+    import pyarrow.compute as _pc
+
+    return t.num_rows, int(_pc.sum(t["w"]).as_py() or 0)
 
 
 # ---------------------------------------------------------------------------
@@ -305,10 +431,21 @@ def minimum_spanning_forest(graph: Graph, *, max_rounds: int = 64,
             batch_format="pyarrow").materialize()
         if live.count() == 0:
             break
-        picks = (live.map_batches(_min_pick_partial, batch_format="pyarrow")
-                 .groupby("comp")
-                 .map_groups(_min_pick_final, batch_format="pandas")
-                 .materialize())
+        if _os.environ.get("RAYLINK_MSF_PICK_EXCHANGE", "tasks") != "dataset":
+            # min-pick as a raw-task exchange (comp % P slices): removes
+            # the per-round sort-shuffle groupby — same rows, same
+            # deterministic (w, lo, hi) tie-break
+            from raylink.exchange import exchange
+
+            picks = rd.from_arrow_refs(exchange(
+                live.to_arrow_refs(), int(graph.P), _pick_map,
+                _pick_reduce))
+        else:
+            picks = (live.map_batches(_min_pick_partial,
+                                      batch_format="pyarrow")
+                     .groupby("comp")
+                     .map_groups(_min_pick_final, batch_format="pandas")
+                     .materialize())
         n_picks = picks.count()
         _log("round", r, "picks", n_picks)
 
@@ -369,10 +506,25 @@ def minimum_spanning_forest(graph: Graph, *, max_rounds: int = 64,
             # label; then p := p(p) halves chain depth per jump round
             # (<= log2 rounds, each one hash join over the shrinking
             # component-sized pointer table).
-            sel = keep_first(picks, ["lo", "hi"], ["w"]).materialize()
-            sel_edges = sel.select_columns(["lo", "hi", "w"]).materialize()
-            n_sel = sel_edges.count()
-            w_sel = int(sel_edges.sum("w") or 0)
+            if _os.environ.get("RAYLINK_MSF_PICK_EXCHANGE",
+                               "tasks") != "dataset":
+                # distinct picked edges as a second chained exchange
+                # (lo % P slices) + O(P) scalar meta tasks — replaces
+                # keep_first's sort-groupby + two materialize passes
+                from raylink.exchange import exchange
+
+                sel_refs = exchange(picks.to_arrow_refs(), int(graph.P),
+                                    _sel_map, _sel_reduce)
+                metas = ray.get([_lohiw_meta.remote(r) for r in sel_refs])
+                n_sel = sum(m[0] for m in metas)
+                w_sel = sum(m[1] for m in metas)
+                sel_edges = rd.from_arrow_refs(sel_refs)
+            else:
+                sel = keep_first(picks, ["lo", "hi"], ["w"]).materialize()
+                sel_edges = sel.select_columns(["lo", "hi", "w"]) \
+                    .materialize()
+                n_sel = sel_edges.count()
+                w_sel = int(sel_edges.sum("w") or 0)
             msf_parts.append(sel_edges)
 
             from .bsp import ActorEngine, actor_engine_enabled
@@ -388,6 +540,31 @@ def minimum_spanning_forest(graph: Graph, *, max_rounds: int = 64,
             else:
                 cmap = _dataset_contraction(graph, picks, P_merge)
             _log("round", r, "contraction done")
+            plasma_max = int(_os.environ.get(
+                "RAYLINK_MSF_PLASMA_MAX_MAP", "33000000"))
+            if n_picks <= plasma_max:
+                # middle tier (round 5): the cmap is component-sized
+                # (n_picks entries, 16 B each — <= ~0.5 GB at the
+                # default cap): merge the per-actor shards WORKER-side
+                # into one sorted lookup ref and remap ca/cb in a single
+                # zero-copy map pass, skipping the two attach joins +
+                # repartition entirely (a per-node broadcast; the join
+                # path below stays the asymptotic >cap route)
+                map_ref = _merge_cmap_shards.remote(*cmap.to_arrow_refs())
+                edges = live.map_batches(_ref_remap(map_ref),
+                                         batch_format="pyarrow",
+                                         zero_copy_batch=True)
+                _log("round", r, "plasma remap built")
+                n_msf += n_sel
+                total_w += w_sel
+                if metrics_out is not None:
+                    metrics_out.append({"round": r, "picked": n_sel,
+                                        "weight": w_sel})
+                edges = rd.from_arrow_refs(
+                    list(edges.materialize().to_arrow_refs()))
+                _log("round", r, "edges rebuilt",
+                     "(plasma-remap tier)")
+                continue
             # lineage cut: the cmap leaf is referenced by BOTH attach
             # joins below — rebuild it from its cached blocks so the
             # whole contraction plan is not duplicated into each join

@@ -3018,16 +3018,31 @@ def test_msf_join_path_matches_broadcast_path():
 
     from raylink.kernels import minimum_spanning_forest
 
+    import os
+
     base = overlay_pairs(seed=101, n=25, m=55)
     pairs = base + base[::3]
     sg = G.build_graph(edges_ds(pairs), P=P, symmetric=True, weighted=True,
                        already_deduped=True)
     s_b, e_b = minimum_spanning_forest(sg)
-    s_j, e_j = minimum_spanning_forest(sg, broadcast_max_map=0)
-    assert s_b.to_pydict() == s_j.to_pydict()
     db = e_b.to_pandas().sort_values(["lo", "hi"]).reset_index(drop=True)
-    dj = e_j.to_pandas().sort_values(["lo", "hi"]).reset_index(drop=True)
-    assert db.equals(dj)
+    # broadcast_max_map=0 routes the distributed branch; its three
+    # variants must all agree with the driver path: the plasma-remap
+    # middle tier (default), the attach-JOIN path (plasma cap 0), and
+    # the Dataset min-pick fallback (exchange off)
+    variants = ({}, {"RAYLINK_MSF_PLASMA_MAX_MAP": "0"},
+                {"RAYLINK_MSF_PICK_EXCHANGE": "dataset"})
+    for env in variants:
+        for k, v in env.items():
+            os.environ[k] = v
+        try:
+            s_j, e_j = minimum_spanning_forest(sg, broadcast_max_map=0)
+        finally:
+            for k in env:
+                os.environ.pop(k, None)
+        assert s_b.to_pydict() == s_j.to_pydict(), env
+        dj = e_j.to_pandas().sort_values(["lo", "hi"]).reset_index(drop=True)
+        assert db.equals(dj), env
 
 
 def test_msf_actor_contraction_matches_dataset_fallback():
