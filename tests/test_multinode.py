@@ -18,6 +18,11 @@ _SCRIPT = r"""
 import os
 
 os.environ["RAYLINK_BSP_EXCHANGE"] = "grouped"
+# force the distributed build (not the driver-local small path) so the
+# round-5 raw-task exchanges (ranks dictionary, CSR blocks, triangle
+# wedge join) run their num_returns scatter across the two REAL object
+# stores — the transfer shape they exist for
+os.environ["RAYLINK_SMALL_BUILD_MAX_EDGES"] = "0"
 
 import numpy as np
 import pyarrow as pa
@@ -73,7 +78,45 @@ assert len(nodes_used) == 2, (
 pr_s, scc_s = run("single")
 assert np.array_equal(pr_g, pr_s), "grouped vs single PageRank differ"
 assert np.array_equal(scc_g, scc_s), "grouped vs single SCC differ"
-print("MULTINODE_OK", len(pr_g), len(set(scc_g.tolist())))
+
+# round-5 exchange parity ON the 2-node cluster: the task-exchange
+# builds (ranks/CSR), the wedge-join exchange, and the MSF pick/dedup
+# exchanges must match their Dataset fallbacks bit-for-bit when every
+# scatter object crosses a real store boundary
+from raylink.kernels import minimum_spanning_forest, triangle_count
+
+sg = build_graph(edges, P=16, symmetric=True, weighted=True,
+                 already_deduped=True)
+tri_x = triangle_count(sg)
+os.environ["RAYLINK_TRI_EXCHANGE"] = "dataset"
+tri_d = triangle_count(sg)
+os.environ.pop("RAYLINK_TRI_EXCHANGE")
+assert tri_x == tri_d, (tri_x, tri_d)
+
+s_x, e_x = minimum_spanning_forest(sg, broadcast_max_map=0)
+ex = e_x.to_pandas().sort_values(["lo", "hi"]).reset_index(drop=True)
+for k, v in (("RAYLINK_MSF_PICK_EXCHANGE", "dataset"),
+             ("RAYLINK_MSF_PLASMA_MAX_MAP", "0")):
+    os.environ[k] = v
+s_d, e_d = minimum_spanning_forest(sg, broadcast_max_map=0)
+for k in ("RAYLINK_MSF_PICK_EXCHANGE", "RAYLINK_MSF_PLASMA_MAX_MAP"):
+    os.environ.pop(k)
+assert s_x.to_pydict() == s_d.to_pydict()
+assert ex.equals(e_d.to_pandas().sort_values(["lo", "hi"])
+                 .reset_index(drop=True))
+
+# Dataset-path parity for the builds themselves (ranks + CSR exchanges
+# vs the groupby pipelines, same 2-node cluster)
+for k in ("RAYLINK_RANKS_EXCHANGE", "RAYLINK_CSR_EXCHANGE"):
+    os.environ[k] = "dataset"
+g2 = build_graph(edges, P=16)
+pr_ds = (pagerank(g2, tol=0.0, max_iter=8, fused=False)
+         .to_pandas().sort_values("vid")["score"].to_numpy())
+for k in ("RAYLINK_RANKS_EXCHANGE", "RAYLINK_CSR_EXCHANGE"):
+    os.environ.pop(k)
+assert np.array_equal(pr_s, pr_ds), "exchange vs dataset build differ"
+
+print("MULTINODE_OK", len(pr_g), len(set(scc_g.tolist())), tri_x)
 ray.shutdown()
 cluster.shutdown()
 """
