@@ -428,6 +428,41 @@ def test_fused_partitioned_build_matches_broadcast():
     assert np.array_equal(hb["auth"].to_numpy(), hf["auth"].to_numpy())
 
 
+def test_fused_exchange_matches_dataset_fused():
+    """The 4-round task exchange behind the partitioned-fused build must
+    match the Dataset fused path bit-for-bit — including a float weight
+    column riding the exchange and the transpose direction."""
+    import os
+
+    import pyarrow as pa
+
+    pairs = overlay_pairs(seed=77, n=30, m=70)
+    w = [round(0.5 + (i % 7) * 0.25, 2) for i in range(len(pairs))]
+    ew = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in pairs], pa.string()),
+        "dst": pa.array([b for _, b in pairs], pa.string()),
+        "wt": pa.array(w, pa.float64())}))
+
+    def build(mode):
+        os.environ["RAYLINK_FUSED_EXCHANGE"] = mode
+        try:
+            prep = G.prepare_edges(ew, P=P, encode="partitioned-fused",
+                                   weight_col="wt")
+            g = G.build_graph_from_prepared(prep, weighted=True)
+            gt = G.build_graph_from_prepared(prep, transpose=True,
+                                            weighted=True)
+            pr = (pagerank(g, tol=0.0, max_iter=4)
+                  .to_pandas().sort_values("vid")["score"].to_numpy())
+            return g.n, g.m, gt.m, pr
+        finally:
+            os.environ.pop("RAYLINK_FUSED_EXCHANGE", None)
+
+    nx, mx, mtx, prx = build("tasks")
+    nd, md, mtd, prd = build("dataset")
+    assert (nx, mx, mtx) == (nd, md, mtd)
+    assert np.array_equal(prx, prd)
+
+
 def test_empty_graph_kernels_return_typed_empty():
     from raylink.kernels import bfs_hops, hits, k_core
 
