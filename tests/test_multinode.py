@@ -116,6 +116,16 @@ for k in ("RAYLINK_RANKS_EXCHANGE", "RAYLINK_CSR_EXCHANGE"):
     os.environ.pop(k)
 assert np.array_equal(pr_s, pr_ds), "exchange vs dataset build differ"
 
+# the 4-round fused exchange (10^12 path: request/respond dictionary
+# resolution, no broadcast) across the two stores
+from raylink.graph import build_graph_from_prepared
+
+g3 = build_graph_from_prepared(
+    prepare_edges(edges, P=16, encode="partitioned-fused"))
+pr_fx = (pagerank(g3, tol=0.0, max_iter=8, fused=False)
+         .to_pandas().sort_values("vid")["score"].to_numpy())
+assert np.array_equal(pr_s, pr_fx), "fused exchange differs on 2 nodes"
+
 print("MULTINODE_OK", len(pr_g), len(set(scc_g.tolist())), tri_x)
 ray.shutdown()
 cluster.shutdown()
