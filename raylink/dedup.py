@@ -646,6 +646,86 @@ def embedding_near_dups_lsh(emb: rd.Dataset, *, threshold: float = 0.95,
 # chunk-level exact dedup (exact-substring / paragraph dedup analog)
 # ---------------------------------------------------------------------------
 
+def _cdd_fp_map(tabs, K: int):
+    """Exchange map: partition (f1, f2, id) chunk-fp triples by f1 % K."""
+    f1 = np.concatenate([t["f1"].to_numpy(zero_copy_only=False)
+                         for t in tabs if t.num_rows]
+                        or [np.array([], np.uint64)])
+    f2 = np.concatenate([t["f2"].to_numpy(zero_copy_only=False)
+                         for t in tabs if t.num_rows]
+                        or [np.array([], np.uint64)])
+    ids = np.concatenate([t["id"].to_numpy(zero_copy_only=False)
+                          for t in tabs if t.num_rows]
+                         or [np.array([], np.int64)])
+    part = (f1 % np.uint64(K)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    f1, f2, ids, part = f1[order], f2[order], ids[order], part[order]
+    bounds = np.searchsorted(part, np.arange(K + 1)).astype(np.int64)
+    return [(f1[bounds[k]: bounds[k + 1]], f2[bounds[k]: bounds[k + 1]],
+             ids[bounds[k]: bounds[k + 1]]) for k in range(K)]
+
+
+def _cdd_fp_reduce(k: int, slices):
+    """Exchange reduce: corpus-wide dup decision for this fp partition
+    (equal fps always co-partition), pre-aggregated PER DOC before the
+    second exchange — output rows are (id, n, ndup) partials."""
+    f1 = np.concatenate([s[0] for s in slices] or [np.array([], np.uint64)])
+    f2 = np.concatenate([s[1] for s in slices] or [np.array([], np.uint64)])
+    ids = np.concatenate([s[2] for s in slices] or [np.array([], np.int64)])
+    if len(f1):
+        order = np.lexsort((f2, f1))
+        s1, s2 = f1[order], f2[order]
+        new = np.r_[True, (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])]
+        gid = np.cumsum(new) - 1
+        cnt = np.bincount(gid)
+        dup_sorted = cnt[gid] > 1
+        dup = np.empty(len(f1), dtype=np.int64)
+        dup[order] = dup_sorted.astype(np.int64)
+        uid, inv = np.unique(ids, return_inverse=True)
+        n = np.bincount(inv)
+        ndup = np.bincount(inv, weights=dup).astype(np.int64)
+    else:
+        uid = np.array([], np.int64)
+        n = ndup = np.array([], np.int64)
+    return pa.table({"id": pa.array(uid.astype(np.int64), pa.int64()),
+                     "n": pa.array(n.astype(np.int64), pa.int64()),
+                     "ndup": pa.array(ndup, pa.int64())})
+
+
+def _cdd_doc_map(tabs, K: int):
+    """Second exchange map: partition per-doc partials by id % K."""
+    ids = np.concatenate([t["id"].to_numpy(zero_copy_only=False)
+                          for t in tabs if t.num_rows]
+                         or [np.array([], np.int64)])
+    n = np.concatenate([t["n"].to_numpy(zero_copy_only=False)
+                        for t in tabs if t.num_rows]
+                       or [np.array([], np.int64)])
+    nd = np.concatenate([t["ndup"].to_numpy(zero_copy_only=False)
+                         for t in tabs if t.num_rows]
+                        or [np.array([], np.int64)])
+    part = ids % K
+    order = np.argsort(part, kind="stable")
+    ids, n, nd, part = ids[order], n[order], nd[order], part[order]
+    bounds = np.searchsorted(part, np.arange(K + 1)).astype(np.int64)
+    return [(ids[bounds[k]: bounds[k + 1]], n[bounds[k]: bounds[k + 1]],
+             nd[bounds[k]: bounds[k + 1]]) for k in range(K)]
+
+
+def _cdd_doc_reduce(k: int, slices, id_col: str):
+    """Second exchange reduce: sum each doc's partials."""
+    ids = np.concatenate([s[0] for s in slices] or [np.array([], np.int64)])
+    n = np.concatenate([s[1] for s in slices] or [np.array([], np.int64)])
+    nd = np.concatenate([s[2] for s in slices] or [np.array([], np.int64)])
+    uid, inv = np.unique(ids, return_inverse=True)
+    return pa.table({
+        id_col: pa.array(uid.astype(np.int64), pa.int64()),
+        "n_chunks": pa.array(np.bincount(inv, weights=n).astype(np.int64),
+                             pa.int64()),
+        "n_dup_chunks": pa.array(np.bincount(inv, weights=nd).astype(
+            np.int64), pa.int64()),
+    })
+
+
 def chunk_dup_stats(docs: rd.Dataset, id_col: str = "doc_id",
                     text_col: str = "text", *,
                     width: int = 8,
@@ -661,10 +741,14 @@ def chunk_dup_stats(docs: rd.Dataset, id_col: str = "doc_id",
     ``dup_chunk_ratio``) where a chunk occurrence is duplicated when its
     md5 appears more than once in the whole corpus (same doc included).
 
-    Scale shape: stage 1 shuffles only (16-byte fp, doc_id) pairs — the
-    text never leaves its read partition; stage 2 is one groupby(fp) and
-    one per-doc re-aggregation; zero-chunk docs come from a shuffle-free
-    side pass, so no outer join is needed.
+    Scale shape: stage 1 shuffles only (16-byte fp, doc_id) triples — the
+    text never leaves its read partition; the corpus-wide dup decision
+    and the per-doc re-aggregation run as TWO raw-task exchange rounds
+    (`exchange.exchange`: fp-keyed partition count K, then doc-keyed with
+    per-doc partials pre-aggregated inside the fp reduce — the same
+    point-to-point shuffle shape as the graph build; Dataset sort-shuffle
+    twin behind ``RAYLINK_CHUNKDD_EXCHANGE=dataset``). Zero-chunk docs
+    come from a shuffle-free side pass, so no outer join is needed.
     """
 
     step = int(stride) if stride is not None else int(width)
@@ -677,9 +761,9 @@ def chunk_dup_stats(docs: rd.Dataset, id_col: str = "doc_id",
         n = toks.str.len().fillna(0).astype("int64").to_numpy()
         nch = np.maximum(0, (n - width) // step + 1)
         if not int(nch.sum()):
-            return pd.DataFrame({"fp": pd.Series([], dtype=object),
-                                 "__bkt": pd.Series([], dtype="int64"),
-                                 id_col: pd.Series([], dtype="int64")})
+            return pd.DataFrame({"f1": pd.Series([], dtype="uint64"),
+                                 "f2": pd.Series([], dtype="uint64"),
+                                 "id": pd.Series([], dtype="int64")})
         flat = np.concatenate(
             [np.asarray(t, dtype=object) for t in toks.to_numpy()])
         doc_off = np.concatenate([[0], np.cumsum(n)[:-1]])
@@ -693,35 +777,66 @@ def chunk_dup_stats(docs: rd.Dataset, id_col: str = "doc_id",
         gather = starts[:, None] + np.arange(width, dtype=np.int64)[None, :]
         mat = flat[gather]
         ids = batch[id_col].to_numpy()
-        fps = [hashlib.md5(" ".join(row).encode()).hexdigest()
-               for row in mat]
+        # md5 digest as two uint64 halves: the shuffle ships 16 bytes of
+        # ints per occurrence, never a hex string
+        dig = b"".join(hashlib.md5(" ".join(row).encode()).digest()
+                       for row in mat)
+        halves = np.frombuffer(dig, dtype=np.uint64).reshape(-1, 2)
         return pd.DataFrame({
-            "fp": fps,
-            "__bkt": np.array([int(f[:8], 16) & 63 for f in fps],
-                              dtype=np.int64),
-            id_col: ids[chunk_own],
+            "f1": halves[:, 0],
+            "f2": halves[:, 1],
+            "id": ids[chunk_own].astype(np.int64),
         })
 
     pairs = docs.select_columns([id_col, text_col]).map_batches(
         chunks, batch_format="pandas")
 
-    # ONE shuffle for the corpus-wide dup decision: group by a 64-way fp
-    # PREFIX bucket (equal fps always co-bucket), then a vectorized
-    # within-bucket count — not groupby(fp).map_groups, which would make
-    # one Python call per (near-unique) fingerprint.
-    def mark_bucket(g: pa.Table) -> pa.Table:
-        fp = g["fp"].to_numpy(zero_copy_only=False)
-        _, inv, cnt = np.unique(fp, return_inverse=True,
-                                return_counts=True)
-        return pa.table({
-            id_col: g[id_col],
-            "dup": pa.array((cnt[inv] > 1).astype(np.int64), pa.int64()),
-        })
+    import os
 
-    occ = pairs.groupby("__bkt").map_groups(mark_bucket,
-                                            batch_format="pyarrow")
-    agg = occ.groupby(id_col).aggregate(
-        Count(alias_name="n_chunks"), Sum("dup", alias_name="n_dup_chunks"))
+    if os.environ.get("RAYLINK_CHUNKDD_EXCHANGE", "") != "dataset":
+        from .exchange import exchange
+
+        refs = pairs.materialize().to_arrow_refs()
+        K = min(32, max(1, len(refs)))
+        partials = exchange(refs, K, _cdd_fp_map, _cdd_fp_reduce)
+        totals = exchange(partials, K, _cdd_doc_map, _cdd_doc_reduce,
+                          reduce_args=(id_col,))
+        agg = rd.from_arrow_refs(totals)
+    else:
+        # Dataset twin: one sort shuffle for the corpus-wide dup decision
+        # — group by a 64-way fp partition (equal fps always co-bucket),
+        # then a vectorized within-bucket count — and one per-doc
+        # aggregate. Not groupby(fp).map_groups, which would make one
+        # Python call per (near-unique) fingerprint.
+        import pyarrow.compute as pc
+
+        def bucket(batch: pa.Table) -> pa.Table:
+            b = pc.cast(
+                pc.bit_wise_and(batch["f1"], pa.scalar(63, pa.uint64())),
+                pa.int64())
+            return batch.append_column("__bkt", b)
+
+        def mark_bucket(g: pa.Table) -> pa.Table:
+            f1 = g["f1"].to_numpy(zero_copy_only=False)
+            f2 = g["f2"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((f2, f1))
+            s1, s2 = f1[order], f2[order]
+            new = np.r_[True, (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])]
+            gid = np.cumsum(new) - 1
+            cnt = np.bincount(gid)
+            dup = np.empty(len(f1), dtype=np.int64)
+            dup[order] = (cnt[gid] > 1).astype(np.int64)
+            return pa.table({
+                id_col: g["id"].cast(pa.int64()),
+                "dup": pa.array(dup, pa.int64()),
+            })
+
+        occ = (pairs.map_batches(bucket, batch_format="pyarrow")
+               .groupby("__bkt").map_groups(mark_bucket,
+                                            batch_format="pyarrow"))
+        agg = occ.groupby(id_col).aggregate(
+            Count(alias_name="n_chunks"),
+            Sum("dup", alias_name="n_dup_chunks"))
 
     def zeros(batch: pd.DataFrame) -> pd.DataFrame:
         txt = batch[text_col].fillna("")

@@ -876,6 +876,23 @@ def test_chunk_dup_stats_cross_and_within_doc():
     assert got["dup_chunk_ratio"].tolist() == [500000, 500000, 0, 1000000, 0]
 
 
+def test_chunk_dup_stats_exchange_matches_dataset_path(monkeypatch):
+    from raylink.dedup import chunk_dup_stats
+
+    rng = np.random.RandomState(7)
+    texts = [" ".join(f"w{rng.randint(0, 12)}" for _ in range(rng.randint(0, 30)))
+             for _ in range(60)]
+    df = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64),
+                       "text": texts})
+    ds = rd.from_pandas(df).repartition(4)
+    a = (chunk_dup_stats(ds, width=4, stride=2).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    monkeypatch.setenv("RAYLINK_CHUNKDD_EXCHANGE", "dataset")
+    b = (chunk_dup_stats(ds, width=4, stride=2).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_decontaminate_flags_exact_ngram_overlap():
     from raylink.dedup import decontaminate
 
