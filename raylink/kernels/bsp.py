@@ -1083,24 +1083,31 @@ class ActorEngine:
 def actor_int_loop(graph, state, make_scatter, make_combine, *,
                    max_iter: int, metrics_out: list | None = None,
                    expand: bool = True, dtype: str = "int64",
-                   scalar_cols: tuple = ("changed",)):
+                   scalar_cols: tuple = ("changed",),
+                   store=None, start_iter: int = 0):
     """Fixed-closure 'superstep until changed == 0' loop on the actor
     engine — the shape shared by BFS/SSSP/DAG-levels/k-core/coreness/
     widest-path/multi-BFS and the bow-tie reachability floods. Integer
     reductions, so the final state is bit-equal to the Dataset path's.
-    Returns (final (part, vec) table, converged)."""
+    ``store``: durable runs — actors write their own partition state
+    files per checkpoint_interval() supersteps (convergence / max_iter
+    always commit). Returns (final (part, vec) table, converged)."""
     eng = ActorEngine({"g": graph})
     eng.load("s", state, dtype)
     converged = False
-    for it in range(1, max_iter + 1):
+    every = checkpoint_interval()
+    for it in range(start_iter + 1, max_iter + 1):
         t0 = time.perf_counter()
         changed = eng.superstep(make_scatter, make_combine, view="g",
                                 read={"vec": "s"}, write={"vec": "s"},
                                 scalar_cols=scalar_cols, expand=expand)[0]
+        metrics = {"iter": it, "changed": int(changed),
+                   "engine": "actors", "sec": time.perf_counter() - t0}
         if metrics_out is not None:
-            metrics_out.append({"iter": it, "changed": int(changed),
-                                "engine": "actors",
-                                "sec": time.perf_counter() - t0})
+            metrics_out.append(metrics)
+        if store is not None and (changed == 0 or it == max_iter
+                                  or it % every == 0):
+            eng.checkpoint("s", store, it, metrics)
         if changed == 0:
             converged = True
             break

@@ -156,12 +156,19 @@ def _fused_katz(view, state_tab: pa.Table, alpha_inv: int, max_iter: int):
 
 
 def katz(graph: Graph, *, alpha_inv: int = 100, max_iter: int = 5,
-         fused: bool | None = None,
+         fused: bool | None = None, checkpoint_dir: str | None = None,
          metrics_out: list | None = None) -> rd.Dataset:
     """Per-vertex Dataset (vid, katz float64 = y_K / alpha_inv**K) after
     exactly ``max_iter`` supersteps with alpha = 1/alpha_inv, beta = 1.
     The division is the ONLY float op, applied once per vertex at the end
-    — every upstream sum is exact int64."""
+    — every upstream sum is exact int64.
+
+    ``checkpoint_dir``: durable runs — per-partition int64 y state saved
+    through CheckpointStore (actors write their own files on the actor
+    engine, same as pagerank/cc/labelprop); resume replays from the
+    latest committed superstep. The y recurrence multiplies by absolute
+    ``alpha_inv ** it``, so a resumed iterate is bit-equal to a fresh
+    one."""
     from .bsp import (empty_vertex_result, fused_eligible, graph_view,
                       state_table)
 
@@ -170,7 +177,24 @@ def katz(graph: Graph, *, alpha_inv: int = 100, max_iter: int = 5,
     state = init_state(graph, lambda p: np.ones(int(graph.n_per_part[p]),
                                                 np.int64),
                        dtype=pa.int64())
-    if fused_eligible(graph, fused):
+    store = None
+    start_iter = 0
+    if checkpoint_dir:
+        from ..checkpoint import CheckpointStore, graph_fingerprint
+
+        # max_iter deliberately NOT in the params: a truncated run
+        # resumes into a longer one (same recurrence, absolute iters)
+        store = CheckpointStore(checkpoint_dir, "katz",
+                                graph_fingerprint(graph),
+                                {"alpha_inv": alpha_inv})
+        resumed = store.latest()
+        if resumed is not None:
+            start_iter, state = resumed
+            if start_iter >= max_iter:
+                final = state
+                yvt = state_to_vertex_table(final, graph, "vec", "y")
+                return _katz_finish(yvt, alpha_inv, max_iter)
+    if store is None and fused_eligible(graph, fused):
         final_tab, metrics = ray.get(_fused_katz.remote(
             graph_view(graph), state_table(state), alpha_inv, max_iter))
         if metrics_out is not None:
@@ -186,25 +210,31 @@ def katz(graph: Graph, *, alpha_inv: int = 100, max_iter: int = 5,
             # actor-BSP engine (round 3): same closures, exact integers
             # -> bit-equal; plain state rows (this scatter walks CSR
             # chunks internally), no convergence scalars (fixed K)
-            from .bsp import (actor_state_table, actor_superstep,
+            from .bsp import (actor_checkpoint, actor_state_table,
+                              actor_superstep, checkpoint_interval,
                               start_bsp_actors)
 
             actors, parts_of = start_bsp_actors(
                 graph, state, _int_sum_scatter, None, dtype="int64",
                 scalar_cols=(), plain_state=True)
-            for it in range(1, max_iter + 1):
+            every = checkpoint_interval()
+            for it in range(start_iter + 1, max_iter + 1):
                 t0 = time.perf_counter()
                 actor_superstep(
                     actors, parts_of,
                     lambda view, _k=alpha_inv ** it: _int_sum_combine(_k),
                     scalar_cols=())
+                metrics = {"iter": it, "engine": "actors",
+                           "sec": time.perf_counter() - t0}
                 if metrics_out is not None:
-                    metrics_out.append({"iter": it, "engine": "actors",
-                                        "sec": time.perf_counter() - t0})
+                    metrics_out.append(metrics)
+                if store is not None and (it == max_iter
+                                          or it % every == 0):
+                    actor_checkpoint(actors, store, it, metrics)
             final = rd.from_arrow(actor_state_table(actors))
         else:
             scatter = _int_sum_scatter(graph)
-            for it in range(1, max_iter + 1):
+            for it in range(start_iter + 1, max_iter + 1):
                 t0 = time.perf_counter()
                 state = (state.map_batches(scatter, batch_format="pyarrow",
                                            batch_size=1,
@@ -213,11 +243,20 @@ def katz(graph: Graph, *, alpha_inv: int = 100, max_iter: int = 5,
                          .map_groups(_int_sum_combine(alpha_inv ** it),
                                      batch_format="pyarrow")
                          .materialize())
+                metrics = {"iter": it, "fused": False,
+                           "sec": time.perf_counter() - t0}
                 if metrics_out is not None:
-                    metrics_out.append({"iter": it, "fused": False,
-                                        "sec": time.perf_counter() - t0})
+                    metrics_out.append(metrics)
+                if store is not None:
+                    store.save(it, state.select_columns(["part", "vec"]),
+                               metrics)
             final = state
     yvt = state_to_vertex_table(final, graph, "vec", "y")
+    return _katz_finish(yvt, alpha_inv, max_iter)
+
+
+def _katz_finish(yvt: rd.Dataset, alpha_inv: int,
+                 max_iter: int) -> rd.Dataset:
     p = float(alpha_inv ** max_iter)
 
     def to_float(batch: pa.Table) -> pa.Table:

@@ -199,31 +199,39 @@ def _fused_min_loop(view, state_tab: pa.Table, max_iter: int,
 
 def bfs_hops(graph: Graph, source_vid: int, *, max_iter: int = 10_000,
              metrics_out: list | None = None,
-             fused: bool | None = None) -> rd.Dataset:
+             fused: bool | None = None,
+             checkpoint_dir: str | None = None) -> rd.Dataset:
     """(vid, hops) for vertices reachable from ``source_vid``. Run on a
     symmetric build for undirected hop distance, directed for reachability
-    distance."""
+    distance. ``checkpoint_dir``: durable supersteps + resume (actors
+    write their own partition state files, same as pagerank)."""
     return _min_plus_single(graph, source_vid, "hops", False, max_iter,
-                            metrics_out, fused)
+                            metrics_out, fused, checkpoint_dir)
 
 
 def sssp(graph: Graph, source_vid: int, *, max_iter: int = 10_000,
          metrics_out: list | None = None,
-         fused: bool | None = None) -> rd.Dataset:
+         fused: bool | None = None,
+         checkpoint_dir: str | None = None) -> rd.Dataset:
     """Single-source shortest paths over a WEIGHTED build (edge length =
     multiplicity weight): (vid, dist) for reachable vertices. Bellman-Ford
     as min-plus supersteps — same physical shape as BFS, each slot relaxes
     by its weight; converges in <= (longest shortest-path hop count)
     rounds, ``max_iter`` caps rounds for fixed-unroll oracle parity. On an
-    unweighted build this degrades to hop distance (weight 1)."""
+    unweighted build this degrades to hop distance (weight 1).
+    ``checkpoint_dir``: durable supersteps + resume — the relevant case
+    at scale is a large-diameter weighted graph whose Bellman-Ford round
+    count makes the run multi-hour; integer min reductions make a resumed
+    run bit-equal to a fresh one."""
     return _min_plus_single(graph, source_vid, "dist", True, max_iter,
-                            metrics_out, fused)
+                            metrics_out, fused, checkpoint_dir)
 
 
 def _min_plus_single(graph: Graph, source_vid: int, out_col: str,
                      use_weights: bool, max_iter: int,
                      metrics_out: list | None,
-                     fused: bool | None) -> rd.Dataset:
+                     fused: bool | None,
+                     checkpoint_dir: str | None = None) -> rd.Dataset:
     if graph.n == 0:
         from .bsp import empty_vertex_result
 
@@ -238,6 +246,18 @@ def _min_plus_single(graph: Graph, source_vid: int, out_col: str,
         return v
 
     state = init_state(graph, init_of, dtype=pa.int64())
+    store = None
+    start_iter = 0
+    if checkpoint_dir:
+        from ..checkpoint import CheckpointStore, graph_fingerprint
+
+        store = CheckpointStore(checkpoint_dir, f"minplus_{out_col}",
+                                graph_fingerprint(graph),
+                                {"source_vid": int(source_vid),
+                                 "weighted": bool(use_weights)})
+        resumed = store.latest()
+        if resumed is not None:
+            start_iter, state = resumed
 
     def decode_f(batch: pa.Table) -> pa.Table:
         # enc = dist*2 + fresh -> dist; INF rows (unreachable) dropped
@@ -251,7 +271,7 @@ def _min_plus_single(graph: Graph, source_vid: int, out_col: str,
     from .bsp import (actor_engine_enabled, actor_int_loop, fused_eligible,
                       graph_view, state_table)
 
-    if fused_eligible(graph, fused):
+    if store is None and fused_eligible(graph, fused):
         final_tab, metrics = ray.get(_fused_min_loop.remote(
             graph_view(graph), state_table(state), max_iter, use_weights))
         if metrics_out is not None:
@@ -265,7 +285,8 @@ def _min_plus_single(graph: Graph, source_vid: int, out_col: str,
             graph, state,
             lambda v, uw=use_weights: _min_scatter(v, plus_one=True,
                                                    use_weights=uw),
-            _min_combine, max_iter=max_iter, metrics_out=metrics_out)
+            _min_combine, max_iter=max_iter, metrics_out=metrics_out,
+            store=store, start_iter=start_iter)
         out = state_to_vertex_table(rd.from_arrow(tab), graph, "vec",
                                     out_col)
         return out.map_batches(decode_f, batch_format="pyarrow")
@@ -273,7 +294,7 @@ def _min_plus_single(graph: Graph, source_vid: int, out_col: str,
     scatter = _min_scatter(graph, plus_one=True, use_weights=use_weights)
     combine = _min_combine(graph)
 
-    for it in range(1, max_iter + 1):
+    for it in range(start_iter + 1, max_iter + 1):
         t0 = time.perf_counter()
         state = (
             maybe_expand_chunks(state, graph)
@@ -284,9 +305,12 @@ def _min_plus_single(graph: Graph, source_vid: int, out_col: str,
             .materialize()
         )
         changed = int(sum_columns(state, ["changed"])["changed"])
+        metrics = {"iter": it, "changed": changed,
+                   "sec": time.perf_counter() - t0}
         if metrics_out is not None:
-            metrics_out.append({"iter": it, "changed": changed,
-                                "sec": time.perf_counter() - t0})
+            metrics_out.append(metrics)
+        if store is not None:
+            store.save(it, state.select_columns(["part", "vec"]), metrics)
         if changed == 0:
             break
 

@@ -200,6 +200,62 @@ def test_actor_checkpoint_interval(tmp_path, monkeypatch):
     assert store.latest()[0] == 5
 
 
+def test_actor_katz_checkpoint_resume_bit_equal(tmp_path):
+    """Katz torn-run resume on the actor path: truncate at 2 supersteps,
+    resume to the full 5 — the integer y recurrence multiplies by the
+    ABSOLUTE alpha_inv**it, so the resumed iterate is bit-equal to a
+    fresh uncheckpointed run."""
+    from raylink.kernels import katz
+
+    g = G.build_graph(edges_ds(chain_pairs(60)), P=4)
+    ckpt = str(tmp_path / "ck")
+    metrics = []
+    katz(g, alpha_inv=10, max_iter=2, checkpoint_dir=ckpt,
+         metrics_out=metrics)
+    assert all(m.get("engine") == "actors" for m in metrics)
+    resumed = katz(g, alpha_inv=10, max_iter=5,
+                   checkpoint_dir=ckpt).to_pandas()
+    fresh = katz(g, alpha_inv=10, max_iter=5).to_pandas()
+    merged = resumed.merge(fresh, on="vid", suffixes=("_r", "_f"))
+    assert len(merged) == g.n
+    assert (merged["katz_r"] == merged["katz_f"]).all()
+    store = CheckpointStore(ckpt, "katz", graph_fingerprint(g),
+                            {"alpha_inv": 10})
+    hist = store.metrics_history()
+    assert min(hist) == 1 and max(hist) == 5
+    # a fully-complete store resumes without running any superstep
+    again = katz(g, alpha_inv=10, max_iter=5,
+                 checkpoint_dir=ckpt).to_pandas()
+    merged2 = again.merge(fresh, on="vid", suffixes=("_r", "_f"))
+    assert (merged2["katz_r"] == merged2["katz_f"]).all()
+
+
+def test_actor_sssp_checkpoint_resume_bit_equal(tmp_path):
+    """Min-plus torn-run resume on the multi-view actor engine: truncate
+    SSSP at 3 supersteps, resume — the fresh-bit encoded state replays
+    the frontier and the integer min reductions make the resumed
+    distances exactly a fresh run's."""
+    from raylink.kernels import sssp
+
+    # duplicate pairs -> multiplicity weights on the symmetric build
+    pairs = chain_pairs(50) + chain_pairs(50)[: 25]
+    g = G.build_graph(edges_ds(pairs), P=4, symmetric=True, weighted=True)
+    src = 0
+    ckpt = str(tmp_path / "ck")
+    metrics = []
+    sssp(g, src, max_iter=3, checkpoint_dir=ckpt, metrics_out=metrics)
+    assert all(m.get("engine") == "actors" for m in metrics)
+    resumed = sssp(g, src, checkpoint_dir=ckpt).to_pandas()
+    fresh = sssp(g, src).to_pandas()
+    merged = resumed.merge(fresh, on="vid", suffixes=("_r", "_f"))
+    assert len(merged) == len(fresh)
+    assert (merged["dist_r"] == merged["dist_f"]).all()
+    store = CheckpointStore(ckpt, "minplus_dist", graph_fingerprint(g),
+                            {"source_vid": src, "weighted": True})
+    hist = store.metrics_history()
+    assert min(hist) == 1 and max(hist) > 3
+
+
 def test_scc_round_checkpoint_resume(tmp_path):
     """SCC persists the per-partition assignment state per outer round: a
     run truncated to 1 round leaves the first SCC committed; resuming
