@@ -802,13 +802,16 @@ def _fused_multi_min(view, state_tab: pa.Table, S: int, max_iter: int):
 
 def bfs_hops_multi(graph: Graph, source_vids, *, max_iter: int = 10_000,
                    metrics_out: list | None = None,
-                   fused: bool | None = None) -> rd.Dataset:
+                   fused: bool | None = None,
+                   checkpoint_dir: str | None = None) -> rd.Dataset:
     """Hop distances from S sources in ONE propagation: rows
     (vid, source_idx, hops) for reachable pairs, source_idx = position in
     ``source_vids``. State is the flattened (n_local x S) matrix per
     partition, so every superstep serves all sources (landmark-distance /
     closeness-estimation shape). Requires n_local * S < 2^31 per
-    partition (int32 sparse indices)."""
+    partition (int32 sparse indices). ``checkpoint_dir``: durable
+    supersteps + resume over the flattened matrix state (same store hook
+    as :func:`sssp`)."""
     sources = [int(v) for v in source_vids]
     S = len(sources)
     if S == 0:
@@ -830,12 +833,23 @@ def bfs_hops_multi(graph: Graph, source_vids, *, max_iter: int = 10_000,
         return v
 
     state = init_state(graph, init_of, dtype=pa.int64())
+    store = None
+    start_iter = 0
+    if checkpoint_dir:
+        from ..checkpoint import CheckpointStore, graph_fingerprint
+
+        store = CheckpointStore(checkpoint_dir, "bfs_multi",
+                                graph_fingerprint(graph),
+                                {"sources": sources})
+        resumed = store.latest()
+        if resumed is not None:
+            start_iter, state = resumed
 
     from .bsp import fused_eligible, graph_view, state_table
 
     from .bsp import actor_engine_enabled, actor_int_loop
 
-    if fused_eligible(graph, fused):
+    if store is None and fused_eligible(graph, fused):
         final_tab, metrics = ray.get(_fused_multi_min.remote(
             graph_view(graph), state_table(state), S, max_iter))
         if metrics_out is not None:
@@ -846,12 +860,13 @@ def bfs_hops_multi(graph: Graph, source_vids, *, max_iter: int = 10_000,
             graph, state,
             lambda v, s=S: _multi_min_scatter(v, s),
             lambda v, s=S: _multi_min_combine(v, s),
-            max_iter=max_iter, metrics_out=metrics_out)
+            max_iter=max_iter, metrics_out=metrics_out,
+            store=store, start_iter=start_iter)
         state = rd.from_arrow(tab)
     else:
         scatter = _multi_min_scatter(graph, S)
         combine = _multi_min_combine(graph, S)
-        for it in range(1, max_iter + 1):
+        for it in range(start_iter + 1, max_iter + 1):
             t0 = time.perf_counter()
             state = (
                 maybe_expand_chunks(state, graph)
@@ -862,9 +877,13 @@ def bfs_hops_multi(graph: Graph, source_vids, *, max_iter: int = 10_000,
                 .materialize()
             )
             changed = int(sum_columns(state, ["changed"])["changed"])
+            metrics = {"iter": it, "changed": changed,
+                       "sec": time.perf_counter() - t0}
             if metrics_out is not None:
-                metrics_out.append({"iter": it, "changed": changed,
-                                    "sec": time.perf_counter() - t0})
+                metrics_out.append(metrics)
+            if store is not None:
+                store.save(it, state.select_columns(["part", "vec"]),
+                           metrics)
             if changed == 0:
                 break
 
@@ -1167,7 +1186,8 @@ def _fused_widest_loop(view, state_tab: pa.Table, max_iter: int):
 
 def widest_path(graph: Graph, source_vid: int, *, max_iter: int = 10_000,
                 metrics_out: list | None = None,
-                fused: bool | None = None) -> rd.Dataset:
+                fused: bool | None = None,
+                checkpoint_dir: str | None = None) -> rd.Dataset:
     """Bottleneck / maximin path capacity from ``source_vid``: (vid, width)
     where width(v) = max over paths of the minimum edge weight along the
     path — the max-min semiring twin of :func:`sssp` on a WEIGHTED build
@@ -1175,7 +1195,9 @@ def widest_path(graph: Graph, source_vid: int, *, max_iter: int = 10_000,
     itself is excluded from the output (its capacity is unbounded); per-
     round widths are identical to the dense sweep, so a fixed ``max_iter``
     unroll matches the SQL oracle round-for-round. Unweighted builds
-    degrade to reachability (width 1)."""
+    degrade to reachability (width 1). ``checkpoint_dir``: durable
+    supersteps + resume, same store hook as :func:`sssp` (integer max
+    reductions — resumed runs bit-equal)."""
     if graph.n == 0:
         from .bsp import empty_vertex_result
 
@@ -1190,6 +1212,17 @@ def widest_path(graph: Graph, source_vid: int, *, max_iter: int = 10_000,
         return v
 
     state = init_state(graph, init_of, dtype=pa.int64())
+    store = None
+    start_iter = 0
+    if checkpoint_dir:
+        from ..checkpoint import CheckpointStore, graph_fingerprint
+
+        store = CheckpointStore(checkpoint_dir, "widest",
+                                graph_fingerprint(graph),
+                                {"source_vid": int(source_vid)})
+        resumed = store.latest()
+        if resumed is not None:
+            start_iter, state = resumed
 
     def decode_f(batch: pa.Table) -> pa.Table:
         enc = batch["width"].to_numpy(zero_copy_only=False)
@@ -1202,7 +1235,7 @@ def widest_path(graph: Graph, source_vid: int, *, max_iter: int = 10_000,
 
     from .bsp import fused_eligible, graph_view, state_table
 
-    if fused_eligible(graph, fused):
+    if store is None and fused_eligible(graph, fused):
         final_tab, metrics = ray.get(_fused_widest_loop.remote(
             graph_view(graph), state_table(state), max_iter))
         if metrics_out is not None:
@@ -1216,14 +1249,15 @@ def widest_path(graph: Graph, source_vid: int, *, max_iter: int = 10_000,
     if actor_engine_enabled(graph):
         tab, _ = actor_int_loop(graph, state, _widest_scatter,
                                 _widest_combine, max_iter=max_iter,
-                                metrics_out=metrics_out)
+                                metrics_out=metrics_out,
+                                store=store, start_iter=start_iter)
         out = state_to_vertex_table(rd.from_arrow(tab), graph, "vec",
                                     "width")
         return out.map_batches(decode_f, batch_format="pyarrow")
 
     scatter = _widest_scatter(graph)
     combine = _widest_combine(graph)
-    for it in range(1, max_iter + 1):
+    for it in range(start_iter + 1, max_iter + 1):
         t0 = time.perf_counter()
         state = (
             maybe_expand_chunks(state, graph)
@@ -1234,9 +1268,12 @@ def widest_path(graph: Graph, source_vid: int, *, max_iter: int = 10_000,
             .materialize()
         )
         changed = int(sum_columns(state, ["changed"])["changed"])
+        metrics = {"iter": it, "changed": changed,
+                   "sec": time.perf_counter() - t0}
         if metrics_out is not None:
-            metrics_out.append({"iter": it, "changed": changed,
-                                "sec": time.perf_counter() - t0})
+            metrics_out.append(metrics)
+        if store is not None:
+            store.save(it, state.select_columns(["part", "vec"]), metrics)
         if changed == 0:
             break
 

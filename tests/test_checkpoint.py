@@ -256,6 +256,30 @@ def test_actor_sssp_checkpoint_resume_bit_equal(tmp_path):
     assert min(hist) == 1 and max(hist) > 3
 
 
+def test_actor_widest_and_multibfs_checkpoint_resume(tmp_path):
+    """The two other min-plus-family kernels exposing the generic
+    actor_int_loop store hook: truncated runs resume bit-equal."""
+    from raylink.kernels import bfs_hops_multi, widest_path
+
+    pairs = chain_pairs(40) + chain_pairs(40)[: 10]
+    g = G.build_graph(edges_ds(pairs), P=4, symmetric=True, weighted=True)
+
+    ck_w = str(tmp_path / "w")
+    widest_path(g, 0, max_iter=2, checkpoint_dir=ck_w)
+    rw = widest_path(g, 0, checkpoint_dir=ck_w).to_pandas()
+    fw = widest_path(g, 0).to_pandas()
+    mw = rw.merge(fw, on="vid", suffixes=("_r", "_f"))
+    assert len(mw) == len(fw) and (mw["width_r"] == mw["width_f"]).all()
+
+    ck_m = str(tmp_path / "m")
+    srcs = [0, 5]
+    bfs_hops_multi(g, srcs, max_iter=2, checkpoint_dir=ck_m)
+    rm = bfs_hops_multi(g, srcs, checkpoint_dir=ck_m).to_pandas()
+    fm = bfs_hops_multi(g, srcs).to_pandas()
+    mm = rm.merge(fm, on=["vid", "source_idx"], suffixes=("_r", "_f"))
+    assert len(mm) == len(fm) and (mm["hops_r"] == mm["hops_f"]).all()
+
+
 def test_scc_round_checkpoint_resume(tmp_path):
     """SCC persists the per-partition assignment state per outer round: a
     run truncated to 1 round leaves the first SCC committed; resuming
