@@ -208,12 +208,16 @@ def _fused_jp_loop(view, state_tab: pa.Table, max_iter: int):
 
 def graph_coloring(graph: Graph, *, max_iter: int = 128,
                    metrics_out: list | None = None,
-                   fused: bool | None = None) -> rd.Dataset:
+                   fused: bool | None = None,
+                   checkpoint_dir: str | None = None) -> rd.Dataset:
     """(vid, color) over a SYMMETRIC build: a proper distance-1 coloring
     (adjacent vertices always differ) using at most maxdeg+1 colors
     (unbounded palette — colors >= 62 ride the spill channel). Vertices
     still uncolored when ``max_iter`` cuts convergence short report
-    color -1, exactly like the fixed-unroll SQL oracle."""
+    color -1, exactly like the fixed-unroll SQL oracle.
+    ``checkpoint_dir``: durable rounds + resume (the spill channel lives
+    inside a superstep's exchange, so the carried (part, vec) state is
+    the complete resume point)."""
     if graph.n == 0:
         from .bsp import empty_vertex_result
 
@@ -231,12 +235,22 @@ def graph_coloring(graph: Graph, *, max_iter: int = 128,
 
     vt = graph.vertices.map_batches(enc_f, batch_format="pyarrow")
     state = vertex_table_to_state(vt, graph, "enc", pa.int64()).materialize()
+    store = None
+    start_iter = 0
+    if checkpoint_dir:
+        from ..checkpoint import CheckpointStore, graph_fingerprint
+
+        store = CheckpointStore(checkpoint_dir, "coloring",
+                                graph_fingerprint(graph), {})
+        resumed = store.latest()
+        if resumed is not None:
+            start_iter, state = resumed
 
     from .bsp import fused_eligible, graph_view, state_table
 
     from .bsp import actor_engine_enabled, actor_int_loop
 
-    if fused_eligible(graph, fused):
+    if store is None and fused_eligible(graph, fused):
         final_tab, metrics = ray.get(_fused_jp_loop.remote(
             graph_view(graph), state_table(state), max_iter))
         if metrics_out is not None:
@@ -244,12 +258,13 @@ def graph_coloring(graph: Graph, *, max_iter: int = 128,
         state = rd.from_arrow(final_tab)
     elif actor_engine_enabled(graph):
         tab, _ = actor_int_loop(graph, state, _jp_scatter, _jp_combine,
-                                max_iter=max_iter, metrics_out=metrics_out)
+                                max_iter=max_iter, metrics_out=metrics_out,
+                                store=store, start_iter=start_iter)
         state = rd.from_arrow(tab)
     else:
         scatter = _jp_scatter(graph)
         combine = _jp_combine(graph)
-        for it in range(1, max_iter + 1):
+        for it in range(start_iter + 1, max_iter + 1):
             t0 = time.perf_counter()
             state = (
                 maybe_expand_chunks(state, graph)
@@ -260,9 +275,13 @@ def graph_coloring(graph: Graph, *, max_iter: int = 128,
                 .materialize()
             )
             changed = int(sum_columns(state, ["changed"])["changed"])
+            metrics = {"iter": it, "changed": changed,
+                       "sec": time.perf_counter() - t0}
             if metrics_out is not None:
-                metrics_out.append({"iter": it, "changed": changed,
-                                    "sec": time.perf_counter() - t0})
+                metrics_out.append(metrics)
+            if store is not None:
+                store.save(it, state.select_columns(["part", "vec"]),
+                           metrics)
             if changed == 0:
                 break
         state = state.select_columns(["part", "vec"])

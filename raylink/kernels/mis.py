@@ -128,12 +128,15 @@ def _fused_mis_loop(view, state_tab: pa.Table, max_iter: int):
 
 def maximal_independent_set(graph: Graph, *, max_iter: int = 64,
                             metrics_out: list | None = None,
-                            fused: bool | None = None) -> rd.Dataset:
+                            fused: bool | None = None,
+                            checkpoint_dir: str | None = None
+                            ) -> rd.Dataset:
     """(vid, in_mis) over a SYMMETRIC build: in_mis = 1 iff the vertex is
     in the deterministic maximal independent set after ``max_iter`` rounds
     (earlier if the fixpoint hits; vertices still undecided at the cap —
     possible only when the cap cuts convergence short — report 0, exactly
-    like the fixed-unroll SQL oracle)."""
+    like the fixed-unroll SQL oracle). ``checkpoint_dir``: durable rounds
+    + resume via the shared actor_int_loop store hook."""
     if graph.n == 0:
         from .bsp import empty_vertex_result
 
@@ -151,12 +154,22 @@ def maximal_independent_set(graph: Graph, *, max_iter: int = 64,
 
     vt = graph.vertices.map_batches(enc_f, batch_format="pyarrow")
     state = vertex_table_to_state(vt, graph, "enc", pa.int64()).materialize()
+    store = None
+    start_iter = 0
+    if checkpoint_dir:
+        from ..checkpoint import CheckpointStore, graph_fingerprint
+
+        store = CheckpointStore(checkpoint_dir, "mis",
+                                graph_fingerprint(graph), {})
+        resumed = store.latest()
+        if resumed is not None:
+            start_iter, state = resumed
 
     from .bsp import fused_eligible, graph_view, state_table
 
     from .bsp import actor_engine_enabled, actor_int_loop
 
-    if fused_eligible(graph, fused):
+    if store is None and fused_eligible(graph, fused):
         final_tab, metrics = ray.get(_fused_mis_loop.remote(
             graph_view(graph), state_table(state), max_iter))
         if metrics_out is not None:
@@ -165,12 +178,13 @@ def maximal_independent_set(graph: Graph, *, max_iter: int = 64,
     elif actor_engine_enabled(graph):
         tab, _ = actor_int_loop(
             graph, state, lambda v: _min_scatter(v, plus_one=False),
-            _mis_combine, max_iter=max_iter, metrics_out=metrics_out)
+            _mis_combine, max_iter=max_iter, metrics_out=metrics_out,
+            store=store, start_iter=start_iter)
         state = rd.from_arrow(tab)
     else:
         scatter = _min_scatter(graph, plus_one=False)
         combine = _mis_combine(graph)
-        for it in range(1, max_iter + 1):
+        for it in range(start_iter + 1, max_iter + 1):
             t0 = time.perf_counter()
             state = (
                 maybe_expand_chunks(state, graph)
@@ -181,9 +195,13 @@ def maximal_independent_set(graph: Graph, *, max_iter: int = 64,
                 .materialize()
             )
             changed = int(sum_columns(state, ["changed"])["changed"])
+            metrics = {"iter": it, "changed": changed,
+                       "sec": time.perf_counter() - t0}
             if metrics_out is not None:
-                metrics_out.append({"iter": it, "changed": changed,
-                                    "sec": time.perf_counter() - t0})
+                metrics_out.append(metrics)
+            if store is not None:
+                store.save(it, state.select_columns(["part", "vec"]),
+                           metrics)
             if changed == 0:
                 break
         state = state.select_columns(["part", "vec"])

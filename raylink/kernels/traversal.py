@@ -320,7 +320,8 @@ def _min_plus_single(graph: Graph, source_vid: int, out_col: str,
 
 def dag_levels(graph: Graph, *, max_iter: int = 1024,
                metrics_out: list | None = None,
-               fused: bool | None = None) -> rd.Dataset:
+               fused: bool | None = None,
+               checkpoint_dir: str | None = None) -> rd.Dataset:
     """(vid, level) longest-path layering of a DAG: level(v) = 0 for
     sources, else 1 + max over in-neighbors — the topological depth used
     to schedule/visualize a condensation DAG.
@@ -341,6 +342,32 @@ def dag_levels(graph: Graph, *, max_iter: int = 1024,
         return np.ones(int(graph.n_per_part[p]), dtype=np.int64)
 
     state = init_state(graph, init_of, dtype=pa.int64())
+    store = None
+    start_iter = 0
+    if checkpoint_dir:
+        from ..checkpoint import CheckpointStore, graph_fingerprint
+
+        store = CheckpointStore(checkpoint_dir, "dag_levels",
+                                graph_fingerprint(graph), {})
+        resumed = store.latest()
+        if resumed is not None:
+            start_iter, state = resumed
+            last = store.metrics_history().get(start_iter, {})
+            if last.get("changed") == 0:
+                # already at the fixpoint: don't re-run (and don't
+                # mis-raise when start_iter == max_iter)
+                out = state_to_vertex_table(
+                    state.select_columns(["part", "vec"]), graph, "vec",
+                    "level")
+
+                def dec(batch: pa.Table) -> pa.Table:
+                    enc = batch["level"].to_numpy(zero_copy_only=False)
+                    return pa.table({
+                        "vid": batch["vid"],
+                        "level": pa.array(-(enc >> 1), pa.int64()),
+                    })
+
+                return out.map_batches(dec, batch_format="pyarrow")
 
     def decode_f(batch: pa.Table) -> pa.Table:
         enc = batch["level"].to_numpy(zero_copy_only=False)
@@ -353,7 +380,7 @@ def dag_levels(graph: Graph, *, max_iter: int = 1024,
                       graph_view, state_table)
 
     converged = False
-    if fused_eligible(graph, fused):
+    if store is None and fused_eligible(graph, fused):
         final_tab, metrics = ray.get(_fused_min_loop.remote(
             graph_view(graph), state_table(state), max_iter, False, -1))
         if metrics_out is not None:
@@ -364,12 +391,13 @@ def dag_levels(graph: Graph, *, max_iter: int = 1024,
         tab, converged = actor_int_loop(
             graph, state,
             lambda v: _min_scatter(v, plus_one=True, step=-1),
-            _min_combine, max_iter=max_iter, metrics_out=metrics_out)
+            _min_combine, max_iter=max_iter, metrics_out=metrics_out,
+            store=store, start_iter=start_iter)
         state = rd.from_arrow(tab)
     else:
         scatter = _min_scatter(graph, plus_one=True, step=-1)
         combine = _min_combine(graph)
-        for it in range(1, max_iter + 1):
+        for it in range(start_iter + 1, max_iter + 1):
             t0 = time.perf_counter()
             state = (
                 maybe_expand_chunks(state, graph)
@@ -380,9 +408,13 @@ def dag_levels(graph: Graph, *, max_iter: int = 1024,
                 .materialize()
             )
             changed = int(sum_columns(state, ["changed"])["changed"])
+            metrics = {"iter": it, "changed": changed,
+                       "sec": time.perf_counter() - t0}
             if metrics_out is not None:
-                metrics_out.append({"iter": it, "changed": changed,
-                                    "sec": time.perf_counter() - t0})
+                metrics_out.append(metrics)
+            if store is not None:
+                store.save(it, state.select_columns(["part", "vec"]),
+                           metrics)
             if changed == 0:
                 converged = True
                 break
@@ -637,12 +669,15 @@ def _fused_kcore(view, state_tab: pa.Table, k: int, max_iter: int):
 
 def k_core(graph: Graph, k: int, *, max_iter: int = 10_000,
            metrics_out: list | None = None,
-           fused: bool | None = None) -> rd.Dataset:
+           fused: bool | None = None,
+           checkpoint_dir: str | None = None) -> rd.Dataset:
     """(vid, in_core) 0/1 membership of the k-core (run on a symmetric
     build). Iterative peeling: each round counts ALIVE neighbors (alive
     indicator scattered through the same bincount partials as PageRank
     contributions) and kills vertices below ``k``; fixpoint = exact
-    k-core. ``max_iter`` caps rounds for fixed-round oracle parity."""
+    k-core. ``max_iter`` caps rounds for fixed-round oracle parity.
+    ``checkpoint_dir``: durable peel rounds + resume (actor_int_loop
+    store hook; monotone integer peeling — resumes bit-equal)."""
     if graph.n == 0:
         from .bsp import empty_vertex_result
 
@@ -650,10 +685,20 @@ def k_core(graph: Graph, k: int, *, max_iter: int = 10_000,
     state = init_state(graph,
                        lambda p: np.ones(int(graph.n_per_part[p]), np.int64),
                        dtype=pa.int64())
+    store = None
+    start_iter = 0
+    if checkpoint_dir:
+        from ..checkpoint import CheckpointStore, graph_fingerprint
+
+        store = CheckpointStore(checkpoint_dir, "kcore",
+                                graph_fingerprint(graph), {"k": int(k)})
+        resumed = store.latest()
+        if resumed is not None:
+            start_iter, state = resumed
 
     from .bsp import fused_eligible, graph_view, state_table
 
-    if fused_eligible(graph, fused):
+    if store is None and fused_eligible(graph, fused):
         final_tab, metrics = ray.get(_fused_kcore.remote(
             graph_view(graph), state_table(state), k, max_iter))
         if metrics_out is not None:
@@ -667,14 +712,15 @@ def k_core(graph: Graph, k: int, *, max_iter: int = 10_000,
         tab, _ = actor_int_loop(
             graph, state, _make_alive_scatter,
             lambda v, kk=k: _make_kcore_combine(v, kk),
-            max_iter=max_iter, metrics_out=metrics_out)
+            max_iter=max_iter, metrics_out=metrics_out,
+            store=store, start_iter=start_iter)
         return state_to_vertex_table(rd.from_arrow(tab), graph, "vec",
                                      "in_core")
 
     scatter = _make_alive_scatter(graph)
     combine = _make_kcore_combine(graph, k)
 
-    for it in range(1, max_iter + 1):
+    for it in range(start_iter + 1, max_iter + 1):
         t0 = time.perf_counter()
         state = (
             maybe_expand_chunks(state, graph)
@@ -685,9 +731,12 @@ def k_core(graph: Graph, k: int, *, max_iter: int = 10_000,
             .materialize()
         )
         changed = int(sum_columns(state, ["changed"])["changed"])
+        metrics = {"iter": it, "changed": changed,
+                   "sec": time.perf_counter() - t0}
         if metrics_out is not None:
-            metrics_out.append({"iter": it, "changed": changed,
-                                "sec": time.perf_counter() - t0})
+            metrics_out.append(metrics)
+        if store is not None:
+            store.save(it, state.select_columns(["part", "vec"]), metrics)
         if changed == 0:
             break
 
@@ -992,7 +1041,8 @@ def _fused_coreness(view, state_tab: pa.Table, max_iter: int):
 
 def coreness(graph: Graph, *, max_iter: int = 10_000,
              metrics_out: list | None = None,
-             fused: bool | None = None) -> rd.Dataset:
+             fused: bool | None = None,
+             checkpoint_dir: str | None = None) -> rd.Dataset:
     """Full core decomposition of a SYMMETRIC build: (vid, core) with
     core = the largest k such that v is in the k-core. Lu et al.'s
     h-index iteration: state starts at degree and each round replaces a
@@ -1021,10 +1071,20 @@ def coreness(graph: Graph, *, max_iter: int = 10_000,
                 deg_of_part[p] = np.zeros(int(graph.n_per_part[p]), np.int64)
 
     state = init_state(graph, lambda p: deg_of_part[p], dtype=pa.int64())
+    store = None
+    start_iter = 0
+    if checkpoint_dir:
+        from ..checkpoint import CheckpointStore, graph_fingerprint
+
+        store = CheckpointStore(checkpoint_dir, "coreness",
+                                graph_fingerprint(graph), {})
+        resumed = store.latest()
+        if resumed is not None:
+            start_iter, state = resumed
 
     from .bsp import fused_eligible, graph_view, state_table
 
-    if fused_eligible(graph, fused):
+    if store is None and fused_eligible(graph, fused):
         final_tab, metrics = ray.get(_fused_coreness.remote(
             graph_view(graph), state_table(state), max_iter))
         if metrics_out is not None:
@@ -1037,13 +1097,14 @@ def coreness(graph: Graph, *, max_iter: int = 10_000,
     if actor_engine_enabled(graph):
         tab, _ = actor_int_loop(graph, state, _lp_scatter,
                                 _coreness_combine, max_iter=max_iter,
-                                metrics_out=metrics_out)
+                                metrics_out=metrics_out,
+                                store=store, start_iter=start_iter)
         return state_to_vertex_table(rd.from_arrow(tab), graph, "vec",
                                      "core")
 
     scatter = _lp_scatter(graph)
     combine = _coreness_combine(graph)
-    for it in range(1, max_iter + 1):
+    for it in range(start_iter + 1, max_iter + 1):
         t0 = time.perf_counter()
         state = (
             maybe_expand_chunks(state, graph)
@@ -1054,9 +1115,12 @@ def coreness(graph: Graph, *, max_iter: int = 10_000,
             .materialize()
         )
         changed = int(sum_columns(state, ["changed"])["changed"])
+        metrics = {"iter": it, "changed": changed,
+                   "sec": time.perf_counter() - t0}
         if metrics_out is not None:
-            metrics_out.append({"iter": it, "changed": changed,
-                                "sec": time.perf_counter() - t0})
+            metrics_out.append(metrics)
+        if store is not None:
+            store.save(it, state.select_columns(["part", "vec"]), metrics)
         if changed == 0:
             break
     return state_to_vertex_table(state, graph, "vec", "core")

@@ -280,6 +280,51 @@ def test_actor_widest_and_multibfs_checkpoint_resume(tmp_path):
     assert len(mm) == len(fm) and (mm["hops_r"] == mm["hops_f"]).all()
 
 
+def test_actor_int_loop_family_checkpoint_resume(tmp_path):
+    """Every remaining actor_int_loop kernel exposing checkpoint_dir
+    (dag_levels / k_core / coreness / MIS / coloring): truncate at 2
+    supersteps, resume, results equal a fresh run (integer reductions)."""
+    import pytest as _pytest
+
+    from raylink.kernels import (coreness, dag_levels, graph_coloring,
+                                 k_core, maximal_independent_set)
+
+    pairs = ([(i, i + 1) for i in range(40)]
+             + [(i, i + 2) for i in range(0, 40, 3)])
+    eds = edges_ds(pairs)
+    gs = G.build_graph(eds, P=4, symmetric=True)
+    gd = G.build_graph(eds, P=4)  # i < j always -> a DAG
+
+    # dag_levels: the torn run RAISES (no fixpoint in 2 rounds) but has
+    # committed both rounds; resume completes and matches fresh
+    ck = str(tmp_path / "dag")
+    with _pytest.raises(ValueError, match="fixpoint"):
+        dag_levels(gd, max_iter=2, checkpoint_dir=ck)
+    resumed = dag_levels(gd, checkpoint_dir=ck).to_pandas()
+    fresh = dag_levels(gd).to_pandas()
+    m = resumed.merge(fresh, on="vid", suffixes=("_r", "_f"))
+    assert len(m) == len(fresh) and (m["level_r"] == m["level_f"]).all()
+    # converged-store re-entry returns without running a superstep
+    again = dag_levels(gd, checkpoint_dir=ck).to_pandas()
+    m2 = again.merge(fresh, on="vid", suffixes=("_r", "_f"))
+    assert (m2["level_r"] == m2["level_f"]).all()
+
+    cases = [
+        ("kcore", lambda **kw: k_core(gs, 2, **kw), "in_core"),
+        ("coreness", lambda **kw: coreness(gs, **kw), "core"),
+        ("mis", lambda **kw: maximal_independent_set(gs, **kw), "in_mis"),
+        ("coloring", lambda **kw: graph_coloring(gs, **kw), "color"),
+    ]
+    for name, fn, col in cases:
+        ck = str(tmp_path / name)
+        fn(max_iter=2, checkpoint_dir=ck)
+        resumed = fn(checkpoint_dir=ck).to_pandas()
+        fresh = fn().to_pandas()
+        m = resumed.merge(fresh, on="vid", suffixes=("_r", "_f"))
+        assert len(m) == len(fresh), name
+        assert (m[f"{col}_r"] == m[f"{col}_f"]).all(), name
+
+
 def test_scc_round_checkpoint_resume(tmp_path):
     """SCC persists the per-partition assignment state per outer round: a
     run truncated to 1 round leaves the first SCC committed; resuming
