@@ -148,9 +148,14 @@ def main() -> None:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
-    # small-block workloads: let shuffle map tasks stay fine-grained so the
-    # sort/groupby stages use the full CPU budget at sandbox scale
-    ctx.target_min_block_size = 64 * 1024
+    # GRAFT_BENCH_MIN_BLOCK (bytes; 0 = Ray default): the 64KB value that
+    # served the pre-round-5 sort-shuffle flagship is measured HARMFUL now
+    # that the build/wedge shuffles run as raw-task exchanges — with no
+    # sort stages left on the hot path, fine-grained blocks just multiply
+    # per-task overhead (pricing_summary 0.8 -> 2.3 s at sf0.1)
+    min_block = int(os.environ.get("GRAFT_BENCH_MIN_BLOCK", "0"))
+    if min_block > 0:
+        ctx.target_min_block_size = min_block
 
     import gc
     import logging
