@@ -32,6 +32,23 @@ import numpy as np  # noqa: F401  (commonly used by callers' fns)
 import ray
 
 
+def arrow_col_type(ds, col: str):
+    """The pyarrow type of ``ds[col]`` — works for Arrow-block datasets
+    (parquet reads, from_arrow) AND pandas-block ones (from_pandas),
+    whose schema reports numpy dtypes (object -> string)."""
+    import numpy as _np
+    import pyarrow as _pa
+
+    base = getattr(ds.schema(), "base_schema", None)
+    if isinstance(base, _pa.Schema):
+        return base.field(col).type
+    t = dict(zip(base.names, base.types)).get(col)
+    if isinstance(t, _np.dtype):
+        return (_pa.string() if t == _np.dtype(object)
+                else _pa.from_numpy_dtype(t))
+    return _pa.string()
+
+
 @ray.remote
 def _x_map(fn, K: int, args: tuple, *tabs):
     out = list(fn(tabs, K, *args))

@@ -105,6 +105,36 @@ def _local_dedup(batch: pa.Table) -> pa.Table:
 DEDUP_BUCKETS = 256
 
 
+def _dedup_map_task(tabs, K: int):
+    """Exchange map for dedup_edges: batch-local distinct + self-loop
+    drop (the _local_dedup combiner), then partition by the pair hash
+    % K. Returns per-part pa.Tables (None = empty)."""
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:
+        return [None] * K
+    tab = pa.concat_tables([_local_dedup(t.select(["src", "dst"]))
+                            for t in tabs])
+    if tab.num_rows == 0:
+        return [None] * K
+    b = ((part_of_keys(tab["src"], 1 << 30) * 1_000_003
+          + part_of_keys(tab["dst"], 1 << 30)) % K).astype(np.int64)
+    order = np.argsort(b, kind="stable")
+    bounds = np.searchsorted(b[order], np.arange(K + 1))
+    return [tab.take(pa.array(order[bounds[k]: bounds[k + 1]]))
+            if bounds[k + 1] > bounds[k] else None for k in range(K)]
+
+
+def _dedup_reduce_task(k: int, slices, key_type):
+    """Exchange reduce: global distinct within this pair-hash partition
+    (a given (src, dst) always co-partitions)."""
+    tabs = [s for s in slices if s is not None and s.num_rows]
+    if not tabs:
+        return pa.table({"src": pa.array([], key_type),
+                         "dst": pa.array([], key_type)})
+    return (pa.concat_tables(tabs).group_by(["src", "dst"]).aggregate([])
+            .rename_columns(["src", "dst"]))
+
+
 def dedup_edges(edges: rd.Dataset, *, buckets: int = DEDUP_BUCKETS) -> rd.Dataset:
     """Exact (src,dst) distinct, self-loops dropped.
 
@@ -113,7 +143,26 @@ def dedup_edges(edges: rd.Dataset, *, buckets: int = DEDUP_BUCKETS) -> rd.Datase
     int key, far cheaper to shuffle than sorting the string pair globally)
     and dedup within each bucket with an Arrow hash group-by. A given
     (src,dst) always lands in the same bucket, so the result is globally
-    distinct."""
+    distinct.
+
+    Default physical plan (round-5 session 3): ONE `exchange.exchange`
+    round — map = local dedup + pair-hash partition (one plasma object
+    per (map task, partition)), reduce = per-partition Arrow hash
+    distinct; the Dataset sort-shuffle twin stays behind
+    ``RAYLINK_EDGEDEDUP_EXCHANGE=dataset``."""
+    import os as _os
+
+    if _os.environ.get("RAYLINK_EDGEDEDUP_EXCHANGE", "") != "dataset":
+        from .exchange import arrow_col_type, exchange as _exchange
+
+        edges = edges.materialize()
+        key_type = arrow_col_type(edges, "src")
+        refs = edges.to_arrow_refs()
+        K = min(32, max(1, buckets))
+        red = _exchange(refs, K, _dedup_map_task, _dedup_reduce_task,
+                        reduce_args=(key_type,))
+        return rd.from_arrow_refs(red)
+
     pre = edges.map_batches(_local_dedup, batch_format="pyarrow", zero_copy_batch=True)
 
     def add_bucket(batch: pa.Table) -> pa.Table:

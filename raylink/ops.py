@@ -295,6 +295,70 @@ def count_in_window_join(
 # transition graph from an ordered event log (§2.10 lag as self-join)
 # ---------------------------------------------------------------------------
 
+def _te_map_task(tabs, K: int, id_col: str, actor_col: str,
+                 value_col, chunk: int):
+    """Exchange map for transition_edges: route each row to range bucket
+    ``id // chunk`` (chunk-boundary rows mirrored to the previous bucket
+    too), partition buckets by ``bkt % K``. Returns per-part pa.Tables
+    (None = empty)."""
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:
+        return [None] * K
+    tab = pa.concat_tables(tabs)
+    eid = tab[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = eid // chunk
+    bound = (eid % chunk == 0) & (eid > 0)
+    idx = np.arange(len(eid), dtype=np.int64)
+    idx_all = np.concatenate([idx, idx[bound]])
+    bkt_all = np.concatenate([b, b[bound] - 1])
+    part = (bkt_all % K).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    take_idx, part = idx_all[order], part[order]
+    bounds = np.searchsorted(part, np.arange(K + 1))
+    sel = [id_col, actor_col] + ([value_col] if value_col else [])
+    sub = tab.select(sel)
+    return [sub.take(pa.array(take_idx[bounds[k]: bounds[k + 1]]))
+            if bounds[k + 1] > bounds[k] else None for k in range(K)]
+
+
+def _te_reduce_task(k: int, slices, id_col: str, actor_col: str,
+                    value_col, actor_type):
+    """Exchange reduce: ordered successor pairing over this partition's
+    buckets. Buckets in one partition are >= (K-1) chunks apart, so no
+    (i, i+1) pair spans two of them; chunk-boundary mirror rows can
+    duplicate an id within the partition — deduped before pairing (the
+    copies are identical rows). Self-transitions dropped."""
+    tabs = [s for s in slices if s is not None and s.num_rows]
+    if not tabs:
+        cols = {"src": pa.array([], actor_type),
+                "dst": pa.array([], actor_type)}
+        if value_col is not None:
+            cols["w"] = pa.array([], pa.float64())
+        return pa.table(cols)
+    tab = pa.concat_tables(tabs)
+    eid = tab[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(eid, kind="stable")
+    eid_s = eid[order]
+    keep = np.r_[True, eid_s[1:] != eid_s[:-1]]
+    order, eid_s = order[keep], eid_s[keep]
+    act = tab[actor_col].combine_chunks().take(pa.array(order))
+    pos = np.searchsorted(eid_s, eid_s + 1)
+    safe = np.minimum(pos, len(eid_s) - 1)
+    ok = (pos < len(eid_s)) & (eid_s[safe] == eid_s + 1)
+    import pyarrow.compute as _pc
+
+    src = act.take(pa.array(np.flatnonzero(ok)))
+    dst = act.take(pa.array(pos[ok]))
+    m = _pc.invert(_pc.equal(src, dst))
+    cols = {"src": src.filter(m), "dst": dst.filter(m)}
+    if value_col is not None:
+        val = tab[value_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)[order]
+        cols["w"] = pa.array(
+            val[pos[ok]][m.to_numpy(zero_copy_only=False)], pa.float64())
+    return pa.table(cols)
+
+
 def transition_edges(events: rd.Dataset, *, id_col: str = "event_id",
                      actor_col: str = "user_id",
                      chunk: int = 1 << 14,
@@ -312,12 +376,38 @@ def transition_edges(events: rd.Dataset, *, id_col: str = "event_id",
     to the SQL join on ``event_id + 1``). Self-transitions dropped; result
     deduplicated (distinct edges).
 
+    Default physical plan (round-5 session 3): ONE `exchange.exchange`
+    raw-task round (map = bucket routing + ``bkt % K`` partition, reduce
+    = per-partition searchsorted pairing) instead of the Dataset
+    sort-shuffle ``groupby("bkt")``; twin kept behind
+    ``RAYLINK_TRANSITION_EXCHANGE=dataset``. Non-adjacent buckets share a
+    partition safely (ranges are >= (K-1) chunks apart) and mirror-row id
+    duplicates within a partition are deduped before pairing.
+
     ``value_col``: also emit a float ``w`` column per raw edge — the
     SUCCESSOR event's value (SQL ``b.<value_col>``); feed the result to
     ``build_graph(weight_col="w")`` which sums duplicates. Requires
     ``distinct=False`` (dedup would drop the weights)."""
     if value_col is not None and distinct:
         raise ValueError("value_col requires distinct=False")
+
+    import os as _os
+
+    if _os.environ.get("RAYLINK_TRANSITION_EXCHANGE", "") != "dataset":
+        from .exchange import arrow_col_type, exchange as _exchange
+        from .graph import dedup_edges as _dedup
+
+        sel = [id_col, actor_col] + ([value_col] if value_col else [])
+        ds = events.select_columns(sel).materialize()
+        actor_type = arrow_col_type(ds, actor_col)
+        refs = ds.to_arrow_refs()
+        K = min(32, max(1, len(refs)))
+        red = _exchange(refs, K, _te_map_task, _te_reduce_task,
+                        map_args=(id_col, actor_col, value_col, chunk),
+                        reduce_args=(id_col, actor_col, value_col,
+                                     actor_type))
+        paired = rd.from_arrow_refs(red)
+        return _dedup(paired) if distinct else paired
 
     def bucketize(batch: pa.Table) -> pa.Table:
         eid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)

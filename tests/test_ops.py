@@ -50,6 +50,48 @@ def test_transition_edges_dedup():
     assert got == [(7, 8), (8, 7)]
 
 
+def test_transition_and_dedup_exchange_match_dataset_paths(monkeypatch):
+    """The round-5 session-3 exchange rewrites of transition_edges and
+    dedup_edges produce exactly the Dataset sort-shuffle paths' rows —
+    including chunk-boundary mirroring (tiny chunk), id gaps, string
+    keys, and the weighted distinct=False variant."""
+    from raylink.graph import dedup_edges
+    from raylink.ops import transition_edges
+
+    rng = np.random.RandomState(3)
+    ids = np.sort(rng.choice(np.arange(500), size=300, replace=False))
+    ev = rd.from_pandas(pd.DataFrame({
+        "event_id": ids.astype(np.int64),
+        "user_id": np.array([f"u{v}" for v in rng.randint(0, 12, 300)],
+                            dtype=object),
+        "val": rng.randint(1, 5, 300).astype(np.int64),
+    })).repartition(5)
+
+    def rows(ds, cols):
+        return sorted(map(tuple, ds.to_pandas()[cols].values.tolist()))
+
+    a1 = rows(transition_edges(ev, chunk=16), ["src", "dst"])
+    a2 = rows(transition_edges(ev, chunk=16, distinct=False,
+                               value_col="val"), ["src", "dst", "w"])
+    eds = rd.from_pandas(pd.DataFrame({
+        "src": np.array([f"u{v}" for v in rng.randint(0, 9, 400)],
+                        dtype=object),
+        "dst": np.array([f"u{v}" for v in rng.randint(0, 9, 400)],
+                        dtype=object)})).repartition(4)
+    a3 = rows(dedup_edges(eds), ["src", "dst"])
+
+    monkeypatch.setenv("RAYLINK_TRANSITION_EXCHANGE", "dataset")
+    monkeypatch.setenv("RAYLINK_EDGEDEDUP_EXCHANGE", "dataset")
+    b1 = rows(transition_edges(ev, chunk=16), ["src", "dst"])
+    b2 = rows(transition_edges(ev, chunk=16, distinct=False,
+                               value_col="val"), ["src", "dst", "w"])
+    b3 = rows(dedup_edges(eds), ["src", "dst"])
+    assert a1 == b1
+    assert a2 == b2
+    assert a3 == b3
+    assert len(a3) == len(set(a3))
+
+
 def test_exact_dedup_and_fingerprints():
     from raylink.dedup import exact_dedup_groups
     from raylink.textops import fingerprints
