@@ -126,6 +126,45 @@ pr_fx = (pagerank(g3, tol=0.0, max_iter=8, fused=False)
          .to_pandas().sort_values("vid")["score"].to_numpy())
 assert np.array_equal(pr_s, pr_fx), "fused exchange differs on 2 nodes"
 
+# session-3 exchanges across the two stores: ordered successor
+# self-join + pair-distinct (the graph batteries' shared prefix) and
+# the two-round chunk-dedup — each vs its Dataset twin
+from raylink.ops import transition_edges
+from raylink.dedup import chunk_dup_stats
+import pandas as pd
+
+ev = rd.from_arrow(pa.table({
+    # consecutive ids with a few gaps: pairs exist, boundaries exercised
+    "event_id": pa.array(np.setdiff1d(np.arange(2100, dtype=np.int64),
+                                      np.arange(0, 2100, 97))),
+    "user_id": pa.array([f"u{i}" for i in rng.integers(0, 40, 2078)],
+                        pa.string()),
+})).repartition(6)
+def te_rows():
+    return sorted(map(tuple, transition_edges(ev, chunk=64).to_pandas()
+                      [["src", "dst"]].values.tolist()))
+te_x = te_rows()
+os.environ["RAYLINK_TRANSITION_EXCHANGE"] = "dataset"
+os.environ["RAYLINK_EDGEDEDUP_EXCHANGE"] = "dataset"
+te_d = te_rows()
+os.environ.pop("RAYLINK_TRANSITION_EXCHANGE")
+os.environ.pop("RAYLINK_EDGEDEDUP_EXCHANGE")
+assert te_x == te_d, "transition/dedup exchange differs on 2 nodes"
+
+docs = rd.from_arrow(pa.table({
+    "doc_id": pa.array(np.arange(120, dtype=np.int64)),
+    "text": pa.array([" ".join(f"w{j % 9}" for j in range(i, i + 20))
+                      for i in range(120)], pa.string()),
+})).repartition(5)
+def cdd_rows():
+    return (chunk_dup_stats(docs, width=6, stride=3).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+cdd_x = cdd_rows()
+os.environ["RAYLINK_CHUNKDD_EXCHANGE"] = "dataset"
+cdd_d = cdd_rows()
+os.environ.pop("RAYLINK_CHUNKDD_EXCHANGE")
+pd.testing.assert_frame_equal(cdd_x, cdd_d)
+
 print("MULTINODE_OK", len(pr_g), len(set(scc_g.tolist())), tri_x)
 ray.shutdown()
 cluster.shutdown()
