@@ -1628,6 +1628,44 @@ def anti_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
 # global ordered prefix scan / sequence packing (LLM training-data op)
 # ---------------------------------------------------------------------------
 
+def _pack_map_task(tabs, K: int, id_col: str, count_col: str):
+    """Exchange map for pack_sequences: partition tagged rows by their
+    range bucket (the partition IS the bucket: K = num_buckets)."""
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:
+        return [None] * K
+    tab = pa.concat_tables(tabs)
+    b = tab["__bkt"].to_numpy(zero_copy_only=False)
+    order = np.argsort(b, kind="stable")
+    bounds = np.searchsorted(b[order], np.arange(K + 1))
+    sub = tab.select([id_col, count_col])
+    return [sub.take(pa.array(order[bounds[k]: bounds[k + 1]]))
+            if bounds[k + 1] > bounds[k] else None for k in range(K)]
+
+
+def _pack_reduce_task(k: int, slices, id_col: str, count_col: str,
+                      offsets: np.ndarray, budget: int):
+    """Exchange reduce: in-bucket ordered prefix scan + broadcast bucket
+    offset (exact int64, identical rows to the Dataset map_groups)."""
+    tabs = [s for s in slices if s is not None and s.num_rows]
+    if not tabs:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         count_col: pa.array([], pa.int64()),
+                         "start_tok": pa.array([], pa.int64()),
+                         "seq_id": pa.array([], pa.int64())})
+    tab = pa.concat_tables(tabs)
+    ids = tab[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    n = tab[count_col].to_numpy(zero_copy_only=False).astype(
+        np.int64)[order]
+    start = int(offsets[k]) + np.cumsum(n) - n
+    return pa.table({id_col: pa.array(ids, pa.int64()),
+                     count_col: pa.array(n, pa.int64()),
+                     "start_tok": pa.array(start, pa.int64()),
+                     "seq_id": pa.array(start // budget, pa.int64())})
+
+
 def pack_sequences(ds: rd.Dataset, id_col: str, count_col: str,
                    budget: int, *, num_buckets: int = 64) -> rd.Dataset:
     """Concat-then-chunk sequence packing (GPT-style training-data prep):
@@ -1643,9 +1681,11 @@ def pack_sequences(ds: rd.Dataset, id_col: str, count_col: str,
     1. per-batch (bucket, partial-sum) rows over order-preserving id
        ranges — tiny: <= num_buckets rows per batch to the driver;
     2. driver exclusive scan over the num_buckets totals (O(B) bytes);
-    3. ``groupby(bucket).map_groups``: sort within bucket, local cumsum +
-       broadcast bucket offset. Skewed ids only imbalance bucket sizes,
-       never correctness.
+    3. in-bucket sort + local cumsum + broadcast bucket offset — ONE
+       `exchange.exchange` raw-task round by default (partition = range
+       bucket; Dataset ``groupby(bucket).map_groups`` twin behind
+       ``RAYLINK_PACK_EXCHANGE=dataset``). Skewed ids only imbalance
+       bucket sizes, never correctness.
     """
     ds = ds.select_columns([id_col, count_col])
 
@@ -1690,6 +1730,20 @@ def pack_sequences(ds: rd.Dataset, id_col: str, count_col: str,
     for row in tagged.map_batches(partial, batch_format="pyarrow").take_all():
         totals[row["b"]] += row["s"]
     offsets = np.concatenate([[0], np.cumsum(totals)[:-1]]).astype(np.int64)
+
+    import os as _os
+
+    if _os.environ.get("RAYLINK_PACK_EXCHANGE", "") != "dataset":
+        # bucket scan as ONE raw-task exchange round (same shape as the
+        # graph-build / chunk-dedup rewrites); Dataset twin below
+        from .exchange import exchange as _exchange
+
+        red = _exchange(tagged.to_arrow_refs(), nb, _pack_map_task,
+                        _pack_reduce_task,
+                        map_args=(id_col, count_col),
+                        reduce_args=(id_col, count_col, offsets,
+                                     int(budget)))
+        return rd.from_arrow_refs(red)
 
     def scan(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col, kind="mergesort")

@@ -896,6 +896,22 @@ def test_pack_sequences_matches_sequential_scan():
     assert got["seq_id"].tolist() == (start // 512).tolist()
 
 
+def test_pack_sequences_exchange_matches_dataset_path(monkeypatch):
+    from raylink.ops import pack_sequences
+
+    rng = np.random.default_rng(11)
+    ids = np.unique(rng.integers(0, 50_000, size=300).astype(np.int64))
+    df = pd.DataFrame({"id": ids,
+                       "n": rng.integers(0, 90, len(ids)).astype(np.int64)})
+    ds = rd.from_pandas(df.sample(frac=1.0, random_state=5)).repartition(4)
+    a = (pack_sequences(ds, "id", "n", 128, num_buckets=6)
+         .to_pandas().sort_values("id").reset_index(drop=True))
+    monkeypatch.setenv("RAYLINK_PACK_EXCHANGE", "dataset")
+    b = (pack_sequences(ds, "id", "n", 128, num_buckets=6)
+         .to_pandas().sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_chunk_dup_stats_cross_and_within_doc():
     from raylink.dedup import chunk_dup_stats
 
