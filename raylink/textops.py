@@ -500,14 +500,54 @@ def regex_extract(ds: rd.Dataset, id_col: str = "doc_id",
     return ds.map_batches(f, batch_format="pandas")
 
 
+def _tt_map_task(tabs, K: int):
+    """Exchange map for top_terms: partition per-batch (term, n) partial
+    counts by hash64(term) % K — every term fully owned by one reduce."""
+    import pyarrow as _pa
+
+    from .graph import part_of_keys
+
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:
+        return [None] * K
+    tab = _pa.concat_tables(tabs)
+    part = part_of_keys(tab["term"], K)
+    order = np.argsort(part, kind="stable")
+    bounds = np.searchsorted(part[order], np.arange(K + 1))
+    return [tab.take(_pa.array(order[bounds[j]: bounds[j + 1]]))
+            if bounds[j + 1] > bounds[j] else None for j in range(K)]
+
+
+def _tt_reduce_task(j: int, slices, k: int):
+    """Exchange reduce: exact per-term sum, then the local top-k under
+    the SAME (count desc, term asc) full tiebreak — the global top-k is
+    contained in the union of per-partition top-ks because each term
+    lives wholly in one partition."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    tabs = [s for s in slices if s is not None and s.num_rows]
+    if not tabs:
+        return _pa.table({"term": _pa.array([], _pa.string()),
+                          "n": _pa.array([], _pa.int64())})
+    tab = (_pa.concat_tables(tabs).group_by("term")
+           .aggregate([("n", "sum")]).rename_columns(["term", "n"]))
+    order = _pc.sort_indices(tab, sort_keys=[("n", "descending"),
+                                             ("term", "ascending")])
+    return tab.take(order[: k])
+
+
 def top_terms(ds: rd.Dataset, *, k: int = 20,
               text_col: str = "text") -> rd.Dataset:
     """Corpus-level top-k vocabulary terms by total occurrence count (the
     Zipf-head / vocab-coverage signal of a training-data mix). Per-batch
     tokenize + count is the map-side combiner — the shuffle carries one
     (term, n) row per distinct term per batch, never token occurrences —
-    then one ``groupby(term)`` sum and a global sort+limit with (count
-    desc, term) full tiebreak."""
+    then one term-hash-partitioned exact sum with a per-partition top-k
+    preselect (ONE `exchange.exchange` raw-task round by default;
+    Dataset ``groupby(term)`` twin behind
+    ``RAYLINK_TOPTERMS_EXCHANGE=dataset``) and a global sort+limit with
+    (count desc, term) full tiebreak over the <= K*k survivors."""
     from ray.data.aggregate import Sum
 
     from .ops import top_k
@@ -519,9 +559,21 @@ def top_terms(ds: rd.Dataset, *, k: int = 20,
         return pd.DataFrame({"term": vc.index.astype(str),
                              "n": vc.to_numpy().astype(np.int64)})
 
-    agg = (ds.select_columns([text_col])
-           .map_batches(counts, batch_format="pandas")
-           .groupby("term").aggregate(Sum("n", alias_name="n")))
+    partials = (ds.select_columns([text_col])
+                .map_batches(counts, batch_format="pandas"))
+
+    import os as _os
+
+    if _os.environ.get("RAYLINK_TOPTERMS_EXCHANGE", "") != "dataset":
+        from .exchange import exchange as _exchange
+
+        refs = partials.materialize().to_arrow_refs()
+        K = min(32, max(1, len(refs)))
+        red = _exchange(refs, K, _tt_map_task, _tt_reduce_task,
+                        reduce_args=(int(k),))
+        agg = rd.from_arrow_refs(red)
+    else:
+        agg = partials.groupby("term").aggregate(Sum("n", alias_name="n"))
     return top_k(agg, [("n", True), ("term", False)], k)
 
 

@@ -1360,6 +1360,19 @@ def test_top_terms_counts_and_tiebreak():
                                                 ("bb", 2)]
 
 
+def test_top_terms_exchange_matches_dataset_path(monkeypatch):
+    from raylink.textops import top_terms
+
+    rng = np.random.RandomState(5)
+    texts = [" ".join(f"t{rng.randint(0, 50)}" for _ in range(40))
+             for _ in range(80)]
+    ds = rd.from_pandas(pd.DataFrame({"text": texts})).repartition(4)
+    a = top_terms(ds, k=15).to_pandas().reset_index(drop=True)
+    monkeypatch.setenv("RAYLINK_TOPTERMS_EXCHANGE", "dataset")
+    b = top_terms(ds, k=15).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_grouped_entropy_hand_computed():
     from raylink.ops import grouped_entropy
 
