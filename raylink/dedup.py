@@ -39,10 +39,40 @@ from ray.data.aggregate import Count, Min, Sum
 # exact dedup
 # ---------------------------------------------------------------------------
 
+def _xd_map_task(tabs, K: int, id_col: str):
+    """Exchange map for exact_dedup_groups: partition (fp, id) pairs by
+    the fp prefix % K (equal fps always co-partition)."""
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:
+        return [None] * K
+    tab = pa.concat_tables(tabs)
+    pre = np.array([int(f[:8], 16) for f in
+                    tab["fp"].to_pylist()], dtype=np.int64)
+    part = pre % K
+    order = np.argsort(part, kind="stable")
+    bounds = np.searchsorted(part[order], np.arange(K + 1))
+    return [tab.take(pa.array(order[bounds[k]: bounds[k + 1]]))
+            if bounds[k + 1] > bounds[k] else None for k in range(K)]
+
+
+def _xd_reduce_task(k: int, slices, id_col: str):
+    """Exchange reduce: per-fp (min id, count) — exact, fp wholly owned."""
+    tabs = [s for s in slices if s is not None and s.num_rows]
+    if not tabs:
+        return pa.table({"fp": pa.array([], pa.string()),
+                         "keep_id": pa.array([], pa.int64()),
+                         "n_copies": pa.array([], pa.int64())})
+    return (pa.concat_tables(tabs).group_by("fp")
+            .aggregate([(id_col, "min"), ([], "count_all")])
+            .rename_columns(["fp", "keep_id", "n_copies"]))
+
+
 def exact_dedup_groups(docs: rd.Dataset, id_col: str = "doc_id",
                        text_col: str = "text") -> rd.Dataset:
     """(fp, keep_id, n_copies): md5 group -> min id kept. The shuffle moves
-    only (fp, id) pairs."""
+    only (fp, id) pairs — as ONE `exchange.exchange` raw-task round by
+    default (fp-prefix partition, per-partition Arrow min/count; Dataset
+    groupby twin behind ``RAYLINK_EXACTDD_EXCHANGE=dataset``)."""
 
     def fp(batch: pa.Table) -> pa.Table:
         ids = batch[id_col]
@@ -51,6 +81,18 @@ def exact_dedup_groups(docs: rd.Dataset, id_col: str = "doc_id",
         return pa.table({"fp": pa.array(fps, pa.string()), id_col: ids})
 
     pairs = docs.map_batches(fp, batch_format="pyarrow")
+
+    import os as _os
+
+    if _os.environ.get("RAYLINK_EXACTDD_EXCHANGE", "") != "dataset":
+        from .exchange import exchange as _exchange
+
+        refs = pairs.materialize().to_arrow_refs()
+        K = min(32, max(1, len(refs)))
+        red = _exchange(refs, K, _xd_map_task, _xd_reduce_task,
+                        map_args=(id_col,), reduce_args=(id_col,))
+        return rd.from_arrow_refs(red)
+
     return pairs.groupby("fp").aggregate(
         Min(id_col, alias_name="keep_id"), Count(alias_name="n_copies")
     )
@@ -190,6 +232,102 @@ _BAND_COEFS = np.random.default_rng(1234).integers(
 _GOLD64 = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _lshb_map_task(tabs, K: int):
+    """Exchange map for LSH banding: partition (band, bucket, doc_id)
+    rows by a (band, bucket) hash % K — a bucket is wholly owned by one
+    reduce."""
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:
+        return [None] * K
+    tab = pa.concat_tables(tabs)
+    band = tab["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    bucket = tab["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    part = ((bucket * np.uint64(1_000_003) + band)
+            % np.uint64(K)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    bounds = np.searchsorted(part[order], np.arange(K + 1))
+    return [tab.take(pa.array(order[bounds[k]: bounds[k + 1]]))
+            if bounds[k + 1] > bounds[k] else None for k in range(K)]
+
+
+def _lshb_reduce_task(k: int, slices, cap: int):
+    """Exchange reduce: per-(band, bucket) pair explosion with the SAME
+    logged cap-truncation as the Dataset twin, then a local distinct
+    (cross-band duplicates within this partition collapse here; the
+    global distinct is the second exchange)."""
+    tabs = [s for s in slices if s is not None and s.num_rows]
+    if not tabs:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    tab = pa.concat_tables(tabs)
+    band = tab["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bucket = tab["bucket"].to_numpy(zero_copy_only=False)
+    ids = tab["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, band, bucket))
+    band, bucket, ids = band[order], bucket[order], ids[order]
+    new = np.r_[True, (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])]
+    seg = np.flatnonzero(new)
+    seg = np.append(seg, len(ids))
+    outs_a, outs_b = [], []
+    for s, e in zip(seg[:-1], seg[1:]):
+        g = np.sort(ids[s:e])
+        if len(g) > cap:
+            import logging
+
+            logging.getLogger("raylink.dedup").warning(
+                "LSH bucket truncated: band=%s bucket=%s had %d docs, "
+                "kept %d (dropped %d candidate sources)",
+                band[s], bucket[s], len(g), cap, len(g) - cap)
+            g = g[:cap]
+        if len(g) < 2:
+            continue
+        ii, jj = np.triu_indices(len(g), k=1)
+        outs_a.append(g[ii])
+        outs_b.append(g[jj])
+    if not outs_a:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    a = np.concatenate(outs_a)
+    b = np.concatenate(outs_b)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    return pa.table({"a": pa.array(a[keep], pa.int64()),
+                     "b": pa.array(b[keep], pa.int64())})
+
+
+def _pairdist_map_task(tabs, K: int):
+    """Second exchange map: partition (a, b) pairs by a pair hash % K."""
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:
+        return [None] * K
+    tab = pa.concat_tables(tabs)
+    a = tab["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    b = tab["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    part = ((a * np.uint64(1_000_003) + b)
+            % np.uint64(K)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    bounds = np.searchsorted(part[order], np.arange(K + 1))
+    return [tab.take(pa.array(order[bounds[k]: bounds[k + 1]]))
+            if bounds[k + 1] > bounds[k] else None for k in range(K)]
+
+
+def _pairdist_reduce_task(k: int, slices):
+    """Second exchange reduce: global distinct (a, b) in this partition."""
+    tabs = [s for s in slices if s is not None and s.num_rows]
+    if not tabs:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    tab = pa.concat_tables(tabs)
+    a = tab["a"].to_numpy(zero_copy_only=False)
+    b = tab["b"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    return pa.table({"a": pa.array(a[keep], pa.int64()),
+                     "b": pa.array(b[keep], pa.int64())})
+
+
 def lsh_candidate_pairs(sigs: rd.Dataset, *, bands: int = 16,
                         cap: int = 256) -> rd.Dataset:
     """signatures -> banded buckets -> distinct candidate pairs (a < b).
@@ -201,6 +339,11 @@ def lsh_candidate_pairs(sigs: rd.Dataset, *, bands: int = 16,
     yields C(g,2) pairs, so buckets larger than ``cap`` are truncated to
     bound degenerate blowup — every truncation is LOGGED (bucket id +
     dropped count) rather than silent.
+
+    Default physical plan (round-5 session 3): TWO `exchange.exchange`
+    raw-task rounds — (band, bucket)-keyed explosion with an in-reduce
+    local distinct, then pair-keyed global distinct; the Dataset
+    sort-shuffle twins stay behind ``RAYLINK_LSH_EXCHANGE=dataset``.
     """
 
     def to_buckets(batch: pa.Table) -> pa.Table:
@@ -226,6 +369,18 @@ def lsh_candidate_pairs(sigs: rd.Dataset, *, bands: int = 16,
 
     buckets = sigs.map_batches(to_buckets, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+    import os as _os
+
+    if _os.environ.get("RAYLINK_LSH_EXCHANGE", "") != "dataset":
+        from .exchange import exchange as _exchange
+
+        refs = buckets.materialize().to_arrow_refs()
+        K = min(32, max(1, len(refs)))
+        red = _exchange(refs, K, _lshb_map_task, _lshb_reduce_task,
+                        reduce_args=(int(cap),))
+        red2 = _exchange(red, K, _pairdist_map_task, _pairdist_reduce_task)
+        return rd.from_arrow_refs(red2)
 
     def pairs(g: pa.Table) -> pa.Table:
         ids = np.sort(g["doc_id"].to_numpy(zero_copy_only=False))

@@ -104,6 +104,35 @@ def test_exact_dedup_and_fingerprints():
     assert fp[fp.doc_id == 3]["fp"].iloc[0] == fp[fp.doc_id == 1]["fp"].iloc[0]
 
 
+def test_exact_dedup_and_lsh_exchange_match_dataset_paths(monkeypatch):
+    from raylink.dedup import (exact_dedup_groups, lsh_candidate_pairs,
+                               minhash_signatures)
+
+    rng = np.random.RandomState(9)
+    words = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(words, 25)) for _ in range(50)]
+    texts += texts[:10]  # exact duplicates
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(60, dtype=np.int64), "text": texts}
+    )).repartition(4)
+    sigs = minhash_signatures(docs).materialize()
+
+    def dd_rows():
+        return sorted(map(tuple, exact_dedup_groups(docs).to_pandas()
+                          [["fp", "keep_id", "n_copies"]].values.tolist()))
+
+    def lsh_rows():
+        return sorted(map(tuple, lsh_candidate_pairs(sigs, cap=8)
+                          .to_pandas()[["a", "b"]].values.tolist()))
+
+    a_dd, a_lsh = dd_rows(), lsh_rows()
+    monkeypatch.setenv("RAYLINK_EXACTDD_EXCHANGE", "dataset")
+    monkeypatch.setenv("RAYLINK_LSH_EXCHANGE", "dataset")
+    assert dd_rows() == a_dd
+    assert lsh_rows() == a_lsh  # incl. identical cap-truncation picks
+    assert len(a_lsh) == len(set(a_lsh))
+
+
 def test_minhash_lsh_finds_near_dups():
     from raylink.dedup import (
         lsh_candidate_pairs,
