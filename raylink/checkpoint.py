@@ -89,6 +89,21 @@ def graph_fingerprint(graph) -> str:
     return h.hexdigest()
 
 
+def check_resume_bound(kernel: str, start_iter: int, max_iter: int) -> None:
+    """A checkpoint ahead of the requested unroll cannot be truncated:
+    the loop `range(start_iter + 1, max_iter + 1)` would be empty and the
+    LONGER run's state would silently come back as if it were the
+    ``max_iter``-round result (fixed-unroll oracle parity breaks, and
+    scaled iterates like Katz's y_k would even be misnormalized). Raise
+    instead of returning a wrong-horizon result."""
+    if start_iter > max_iter:
+        raise ValueError(
+            f"{kernel}: checkpoint resumes at superstep {start_iter} but "
+            f"max_iter={max_iter} was requested — a resumed run cannot be "
+            f"truncated below its checkpoint; pass max_iter >= "
+            f"{start_iter} or a fresh checkpoint_dir")
+
+
 class CheckpointStore:
     def __init__(self, root: str, kernel: str, fingerprint: str, params: dict,
                  retain: int | None = None):

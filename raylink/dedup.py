@@ -41,18 +41,16 @@ from ray.data.aggregate import Count, Min, Sum
 
 def _xd_map_task(tabs, K: int, id_col: str):
     """Exchange map for exact_dedup_groups: partition (fp, id) pairs by
-    the fp prefix % K (equal fps always co-partition)."""
+    the precomputed int64 fp prefix % K (equal fps always
+    co-partition) — pure vectorized modulo, no fp re-parsing."""
     tabs = [t for t in tabs if t.num_rows]
     if not tabs:
         return [None] * K
+    from .exchange import scatter_by_part
+
     tab = pa.concat_tables(tabs)
-    pre = np.array([int(f[:8], 16) for f in
-                    tab["fp"].to_pylist()], dtype=np.int64)
-    part = pre % K
-    order = np.argsort(part, kind="stable")
-    bounds = np.searchsorted(part[order], np.arange(K + 1))
-    return [tab.take(pa.array(order[bounds[k]: bounds[k + 1]]))
-            if bounds[k + 1] > bounds[k] else None for k in range(K)]
+    pre = tab["pre"].to_numpy(zero_copy_only=False)
+    return scatter_by_part(tab, pre % K, K, ["fp", id_col])
 
 
 def _xd_reduce_task(k: int, slices, id_col: str):
@@ -76,9 +74,17 @@ def exact_dedup_groups(docs: rd.Dataset, id_col: str = "doc_id",
 
     def fp(batch: pa.Table) -> pa.Table:
         ids = batch[id_col]
-        fps = [hashlib.md5((t or "").encode()).hexdigest()
-               for t in batch[text_col].to_pylist()]
-        return pa.table({"fp": pa.array(fps, pa.string()), id_col: ids})
+        digs = [hashlib.md5((t or "").encode()).digest()
+                for t in batch[text_col].to_pylist()]
+        # int64 fp prefix computed ONCE here (the md5 loop already runs);
+        # the exchange map's partitioning is then a vectorized modulo
+        pre = (np.frombuffer(b"".join(d[:8] for d in digs), dtype=">u8")
+               .astype(np.int64) & np.int64((1 << 62) - 1)
+               if digs else np.array([], np.int64))
+        return pa.table({"fp": pa.array([d.hex() for d in digs],
+                                        pa.string()),
+                         "pre": pa.array(pre, pa.int64()),
+                         id_col: ids})
 
     pairs = docs.map_batches(fp, batch_format="pyarrow")
 
@@ -93,7 +99,7 @@ def exact_dedup_groups(docs: rd.Dataset, id_col: str = "doc_id",
                         map_args=(id_col,), reduce_args=(id_col,))
         return rd.from_arrow_refs(red)
 
-    return pairs.groupby("fp").aggregate(
+    return pairs.select_columns(["fp", id_col]).groupby("fp").aggregate(
         Min(id_col, alias_name="keep_id"), Count(alias_name="n_copies")
     )
 
@@ -239,15 +245,14 @@ def _lshb_map_task(tabs, K: int):
     tabs = [t for t in tabs if t.num_rows]
     if not tabs:
         return [None] * K
+    from .exchange import scatter_by_part
+
     tab = pa.concat_tables(tabs)
     band = tab["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
     bucket = tab["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
     part = ((bucket * np.uint64(1_000_003) + band)
             % np.uint64(K)).astype(np.int64)
-    order = np.argsort(part, kind="stable")
-    bounds = np.searchsorted(part[order], np.arange(K + 1))
-    return [tab.take(pa.array(order[bounds[k]: bounds[k + 1]]))
-            if bounds[k + 1] > bounds[k] else None for k in range(K)]
+    return scatter_by_part(tab, part, K)
 
 
 def _lshb_reduce_task(k: int, slices, cap: int):
@@ -301,15 +306,14 @@ def _pairdist_map_task(tabs, K: int):
     tabs = [t for t in tabs if t.num_rows]
     if not tabs:
         return [None] * K
+    from .exchange import scatter_by_part
+
     tab = pa.concat_tables(tabs)
     a = tab["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
     b = tab["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
     part = ((a * np.uint64(1_000_003) + b)
             % np.uint64(K)).astype(np.int64)
-    order = np.argsort(part, kind="stable")
-    bounds = np.searchsorted(part[order], np.arange(K + 1))
-    return [tab.take(pa.array(order[bounds[k]: bounds[k + 1]]))
-            if bounds[k + 1] > bounds[k] else None for k in range(K)]
+    return scatter_by_part(tab, part, K)
 
 
 def _pairdist_reduce_task(k: int, slices):

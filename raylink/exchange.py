@@ -32,6 +32,21 @@ import numpy as np  # noqa: F401  (commonly used by callers' fns)
 import ray
 
 
+def scatter_by_part(tab, part, K: int, columns=None):
+    """The common exchange-map scatter: stable-partition ``tab``'s rows
+    by the int array ``part`` (values in [0, K)) and return a list of K
+    ``pa.Table`` slices (None for empty partitions — reduces skip
+    None). ``columns`` optionally projects before the take."""
+    import pyarrow as _pa
+
+    part = np.asarray(part)
+    order = np.argsort(part, kind="stable")
+    bounds = np.searchsorted(part[order], np.arange(K + 1))
+    sub = tab.select(columns) if columns is not None else tab
+    return [sub.take(_pa.array(order[bounds[k]: bounds[k + 1]]))
+            if bounds[k + 1] > bounds[k] else None for k in range(K)]
+
+
 def arrow_col_type(ds, col: str):
     """The pyarrow type of ``ds[col]`` — works for Arrow-block datasets
     (parquet reads, from_arrow) AND pandas-block ones (from_pandas),

@@ -116,12 +116,11 @@ def _dedup_map_task(tabs, K: int):
                             for t in tabs])
     if tab.num_rows == 0:
         return [None] * K
+    from .exchange import scatter_by_part
+
     b = ((part_of_keys(tab["src"], 1 << 30) * 1_000_003
           + part_of_keys(tab["dst"], 1 << 30)) % K).astype(np.int64)
-    order = np.argsort(b, kind="stable")
-    bounds = np.searchsorted(b[order], np.arange(K + 1))
-    return [tab.take(pa.array(order[bounds[k]: bounds[k + 1]]))
-            if bounds[k + 1] > bounds[k] else None for k in range(K)]
+    return scatter_by_part(tab, b, K)
 
 
 def _dedup_reduce_task(k: int, slices, key_type):

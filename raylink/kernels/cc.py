@@ -328,6 +328,9 @@ def connected_components(
         resumed = store.latest()
         if resumed is not None:
             start_iter, state = resumed
+            from ..checkpoint import check_resume_bound
+
+            check_resume_bound('cc', start_iter, max_iter)
 
     from .bsp import fused_eligible, graph_view, state_table
 

@@ -245,6 +245,9 @@ def graph_coloring(graph: Graph, *, max_iter: int = 128,
         resumed = store.latest()
         if resumed is not None:
             start_iter, state = resumed
+            from ..checkpoint import check_resume_bound
+
+            check_resume_bound('coloring', start_iter, max_iter)
 
     from .bsp import fused_eligible, graph_view, state_table
 

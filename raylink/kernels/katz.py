@@ -190,7 +190,11 @@ def katz(graph: Graph, *, alpha_inv: int = 100, max_iter: int = 5,
         resumed = store.latest()
         if resumed is not None:
             start_iter, state = resumed
-            if start_iter >= max_iter:
+            from ..checkpoint import check_resume_bound
+
+            check_resume_bound("katz", start_iter, max_iter)
+            if start_iter == max_iter:
+                # y_max_iter is already on the requested horizon
                 final = state
                 yvt = state_to_vertex_table(final, graph, "vec", "y")
                 return _katz_finish(yvt, alpha_inv, max_iter)

@@ -274,6 +274,9 @@ def label_propagation(
         resumed = store.latest()
         if resumed is not None:
             start_iter, state = resumed
+            from ..checkpoint import check_resume_bound
+
+            check_resume_bound('labelprop', start_iter, max_iter)
 
     from .bsp import fused_eligible, graph_view, state_table
 

@@ -164,6 +164,9 @@ def maximal_independent_set(graph: Graph, *, max_iter: int = 64,
         resumed = store.latest()
         if resumed is not None:
             start_iter, state = resumed
+            from ..checkpoint import check_resume_bound
+
+            check_resume_bound('mis', start_iter, max_iter)
 
     from .bsp import fused_eligible, graph_view, state_table
 

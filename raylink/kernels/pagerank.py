@@ -361,6 +361,9 @@ def pagerank(
         resumed = store.latest()
         if resumed is not None:
             start_iter, state = resumed
+            from ..checkpoint import check_resume_bound
+
+            check_resume_bound('pagerank', start_iter, max_iter)
 
     from .bsp import fused_eligible, graph_view, state_table
 

@@ -258,6 +258,9 @@ def _min_plus_single(graph: Graph, source_vid: int, out_col: str,
         resumed = store.latest()
         if resumed is not None:
             start_iter, state = resumed
+            from ..checkpoint import check_resume_bound
+
+            check_resume_bound('minplus', start_iter, max_iter)
 
     def decode_f(batch: pa.Table) -> pa.Table:
         # enc = dist*2 + fresh -> dist; INF rows (unreachable) dropped
@@ -344,30 +347,13 @@ def dag_levels(graph: Graph, *, max_iter: int = 1024,
     state = init_state(graph, init_of, dtype=pa.int64())
     store = None
     start_iter = 0
+    resumed = None
     if checkpoint_dir:
         from ..checkpoint import CheckpointStore, graph_fingerprint
 
         store = CheckpointStore(checkpoint_dir, "dag_levels",
                                 graph_fingerprint(graph), {})
         resumed = store.latest()
-        if resumed is not None:
-            start_iter, state = resumed
-            last = store.metrics_history().get(start_iter, {})
-            if last.get("changed") == 0:
-                # already at the fixpoint: don't re-run (and don't
-                # mis-raise when start_iter == max_iter)
-                out = state_to_vertex_table(
-                    state.select_columns(["part", "vec"]), graph, "vec",
-                    "level")
-
-                def dec(batch: pa.Table) -> pa.Table:
-                    enc = batch["level"].to_numpy(zero_copy_only=False)
-                    return pa.table({
-                        "vid": batch["vid"],
-                        "level": pa.array(-(enc >> 1), pa.int64()),
-                    })
-
-                return out.map_batches(dec, batch_format="pyarrow")
 
     def decode_f(batch: pa.Table) -> pa.Table:
         enc = batch["level"].to_numpy(zero_copy_only=False)
@@ -375,6 +361,20 @@ def dag_levels(graph: Graph, *, max_iter: int = 1024,
             "vid": batch["vid"],
             "level": pa.array(-(enc >> 1), pa.int64()),
         })
+
+    if resumed is not None:
+        start_iter, state = resumed
+        from ..checkpoint import check_resume_bound
+
+        check_resume_bound('dag_levels', start_iter, max_iter)
+        last = store.metrics_history().get(start_iter, {})
+        if last.get("changed") == 0:
+            # already at the fixpoint: don't re-run (and don't mis-raise
+            # when start_iter == max_iter)
+            out = state_to_vertex_table(
+                state.select_columns(["part", "vec"]), graph, "vec",
+                "level")
+            return out.map_batches(decode_f, batch_format="pyarrow")
 
     from .bsp import (actor_engine_enabled, actor_int_loop, fused_eligible,
                       graph_view, state_table)
@@ -695,6 +695,9 @@ def k_core(graph: Graph, k: int, *, max_iter: int = 10_000,
         resumed = store.latest()
         if resumed is not None:
             start_iter, state = resumed
+            from ..checkpoint import check_resume_bound
+
+            check_resume_bound('kcore', start_iter, max_iter)
 
     from .bsp import fused_eligible, graph_view, state_table
 
@@ -893,6 +896,9 @@ def bfs_hops_multi(graph: Graph, source_vids, *, max_iter: int = 10_000,
         resumed = store.latest()
         if resumed is not None:
             start_iter, state = resumed
+            from ..checkpoint import check_resume_bound
+
+            check_resume_bound('coreness', start_iter, max_iter)
 
     from .bsp import fused_eligible, graph_view, state_table
 
@@ -1081,6 +1087,9 @@ def coreness(graph: Graph, *, max_iter: int = 10_000,
         resumed = store.latest()
         if resumed is not None:
             start_iter, state = resumed
+            from ..checkpoint import check_resume_bound
+
+            check_resume_bound('bfs_multi', start_iter, max_iter)
 
     from .bsp import fused_eligible, graph_view, state_table
 
@@ -1287,6 +1296,9 @@ def widest_path(graph: Graph, source_vid: int, *, max_iter: int = 10_000,
         resumed = store.latest()
         if resumed is not None:
             start_iter, state = resumed
+            from ..checkpoint import check_resume_bound
+
+            check_resume_bound('widest', start_iter, max_iter)
 
     def decode_f(batch: pa.Table) -> pa.Table:
         enc = batch["width"].to_numpy(zero_copy_only=False)

@@ -312,10 +312,13 @@ def _te_map_task(tabs, K: int, id_col: str, actor_col: str,
     idx_all = np.concatenate([idx, idx[bound]])
     bkt_all = np.concatenate([b, b[bound] - 1])
     part = (bkt_all % K).astype(np.int64)
-    order = np.argsort(part, kind="stable")
-    take_idx, part = idx_all[order], part[order]
-    bounds = np.searchsorted(part, np.arange(K + 1))
     sel = [id_col, actor_col] + ([value_col] if value_col else [])
+    # mirrored rows ride as DUPLICATE row indices, so this scatters
+    # (row index, part) pairs rather than table rows directly (the one
+    # map helper scatter_by_part can't serve)
+    order = np.argsort(part, kind="stable")
+    take_idx, part_s = idx_all[order], part[order]
+    bounds = np.searchsorted(part_s, np.arange(K + 1))
     sub = tab.select(sel)
     return [sub.take(pa.array(take_idx[bounds[k]: bounds[k + 1]]))
             if bounds[k + 1] > bounds[k] else None for k in range(K)]
@@ -325,9 +328,13 @@ def _te_reduce_task(k: int, slices, id_col: str, actor_col: str,
                     value_col, actor_type):
     """Exchange reduce: ordered successor pairing over this partition's
     buckets. Buckets in one partition are >= (K-1) chunks apart, so no
-    (i, i+1) pair spans two of them; chunk-boundary mirror rows can
-    duplicate an id within the partition — deduped before pairing (the
-    copies are identical rows). Self-transitions dropped."""
+    (i, i+1) pair spans two of them; chunk-boundary mirror rows duplicate
+    an id within the partition — deduped before pairing with a
+    DETERMINISTIC (id, actor) order so the pick never depends on map
+    slice order (mirror copies are identical rows; genuinely duplicated
+    event ids are outside the op's contract — see transition_edges).
+    Self-transitions dropped with the twin's numpy semantics (null
+    actors compare as ordinary values, never crash)."""
     tabs = [s for s in slices if s is not None and s.num_rows]
     if not tabs:
         cols = {"src": pa.array([], actor_type),
@@ -337,25 +344,31 @@ def _te_reduce_task(k: int, slices, id_col: str, actor_col: str,
         return pa.table(cols)
     tab = pa.concat_tables(tabs)
     eid = tab[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(eid, kind="stable")
+    act_all = tab[actor_col].to_numpy(zero_copy_only=False)
+    # stable sort by id; a deterministic within-id order comes from the
+    # actors' own argsort rather than comparing possibly-None objects
+    try:
+        within = np.argsort(act_all, kind="stable")
+    except TypeError:  # None alongside strings: fall back to repr order
+        within = np.argsort(np.array([repr(v) for v in act_all]),
+                            kind="stable")
+    order = within[np.argsort(eid[within], kind="stable")]
     eid_s = eid[order]
     keep = np.r_[True, eid_s[1:] != eid_s[:-1]]
     order, eid_s = order[keep], eid_s[keep]
-    act = tab[actor_col].combine_chunks().take(pa.array(order))
+    act = act_all[order]
     pos = np.searchsorted(eid_s, eid_s + 1)
     safe = np.minimum(pos, len(eid_s) - 1)
     ok = (pos < len(eid_s)) & (eid_s[safe] == eid_s + 1)
-    import pyarrow.compute as _pc
-
-    src = act.take(pa.array(np.flatnonzero(ok)))
-    dst = act.take(pa.array(pos[ok]))
-    m = _pc.invert(_pc.equal(src, dst))
-    cols = {"src": src.filter(m), "dst": dst.filter(m)}
+    src = act[ok]
+    dst = act[pos[ok]]
+    m = src != dst  # numpy semantics: None != "x" keeps the pair
+    cols = {"src": pa.array(src[m], actor_type),
+            "dst": pa.array(dst[m], actor_type)}
     if value_col is not None:
         val = tab[value_col].to_numpy(zero_copy_only=False).astype(
             np.float64)[order]
-        cols["w"] = pa.array(
-            val[pos[ok]][m.to_numpy(zero_copy_only=False)], pa.float64())
+        cols["w"] = pa.array(val[pos[ok]][m], pa.float64())
     return pa.table(cols)
 
 
@@ -374,7 +387,11 @@ def transition_edges(events: rd.Dataset, *, id_col: str = "event_id",
     group. Within a group the successor lookup is one vectorized
     ``searchsorted``. Gaps in the id space simply yield no pair (identical
     to the SQL join on ``event_id + 1``). Self-transitions dropped; result
-    deduplicated (distinct edges).
+    deduplicated (distinct edges). PRECONDITION: ``id_col`` values are
+    unique (they are event identifiers); rows sharing an id get
+    unspecified pairing on BOTH physical plans (the exchange picks
+    deterministically by (id, actor); the Dataset twin by bucket-local
+    order).
 
     Default physical plan (round-5 session 3): ONE `exchange.exchange`
     raw-task round (map = bucket routing + ``bkt % K`` partition, reduce
@@ -1634,13 +1651,11 @@ def _pack_map_task(tabs, K: int, id_col: str, count_col: str):
     tabs = [t for t in tabs if t.num_rows]
     if not tabs:
         return [None] * K
+    from .exchange import scatter_by_part
+
     tab = pa.concat_tables(tabs)
     b = tab["__bkt"].to_numpy(zero_copy_only=False)
-    order = np.argsort(b, kind="stable")
-    bounds = np.searchsorted(b[order], np.arange(K + 1))
-    sub = tab.select([id_col, count_col])
-    return [sub.take(pa.array(order[bounds[k]: bounds[k + 1]]))
-            if bounds[k + 1] > bounds[k] else None for k in range(K)]
+    return scatter_by_part(tab, b, K, [id_col, count_col])
 
 
 def _pack_reduce_task(k: int, slices, id_col: str, count_col: str,

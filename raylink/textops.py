@@ -510,12 +510,10 @@ def _tt_map_task(tabs, K: int):
     tabs = [t for t in tabs if t.num_rows]
     if not tabs:
         return [None] * K
+    from .exchange import scatter_by_part
+
     tab = _pa.concat_tables(tabs)
-    part = part_of_keys(tab["term"], K)
-    order = np.argsort(part, kind="stable")
-    bounds = np.searchsorted(part[order], np.arange(K + 1))
-    return [tab.take(_pa.array(order[bounds[j]: bounds[j + 1]]))
-            if bounds[j + 1] > bounds[j] else None for j in range(K)]
+    return scatter_by_part(tab, part_of_keys(tab["term"], K), K)
 
 
 def _tt_reduce_task(j: int, slices, k: int):

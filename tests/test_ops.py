@@ -92,6 +92,63 @@ def test_transition_and_dedup_exchange_match_dataset_paths(monkeypatch):
     assert len(a3) == len(set(a3))
 
 
+def test_transition_edges_null_actor_matches_dataset_path(monkeypatch):
+    """Null actors must neither crash the exchange reduce nor change the
+    edge set vs the Dataset twin (numpy semantics: None != 'x' keeps the
+    pair; None != None drops it as a self-transition)."""
+    from raylink.ops import transition_edges
+
+    ev = rd.from_pandas(pd.DataFrame({
+        "event_id": np.arange(12, dtype=np.int64),
+        "user_id": pd.array(["a", None, "b", "b", None, None,
+                             "c", "a", None, "c", "b", "a"], dtype=object),
+        "val": np.arange(12, dtype=np.int64),
+    })).repartition(3)
+
+    def rows(**kw):
+        df = transition_edges(ev, chunk=4, **kw).to_pandas()
+        return sorted(map(tuple, df.fillna("<null>").values.tolist()))
+
+    a1 = rows()
+    a2 = rows(distinct=False, value_col="val")
+    monkeypatch.setenv("RAYLINK_TRANSITION_EXCHANGE", "dataset")
+    monkeypatch.setenv("RAYLINK_EDGEDEDUP_EXCHANGE", "dataset")
+    assert rows() == a1
+    assert rows(distinct=False, value_col="val") == a2
+    assert len(a2) > 0
+
+
+def test_checkpoint_resume_cannot_truncate(tmp_path):
+    """Resuming with max_iter below the checkpointed superstep raises
+    instead of silently returning the longer run's state (Katz would
+    even return ~alpha_inv**k-misnormalized scores)."""
+    import pytest as _pytest
+
+    from raylink import graph as G
+    from raylink.kernels import katz, sssp
+
+    src, dst = zip(*[(f"v{i}", f"v{i + 1}") for i in range(30)])
+    eds = rd.from_arrow(pa.table({"src": pa.array(src),
+                                  "dst": pa.array(dst)}))
+    g = G.build_graph(eds, P=4)
+    ck = str(tmp_path / "k")
+    katz(g, alpha_inv=10, max_iter=4, checkpoint_dir=ck)
+    with _pytest.raises(ValueError, match="cannot be truncated"):
+        katz(g, alpha_inv=10, max_iter=2, checkpoint_dir=ck)
+    # equal horizon resumes cleanly and matches fresh
+    again = katz(g, alpha_inv=10, max_iter=4,
+                 checkpoint_dir=ck).to_pandas()
+    fresh = katz(g, alpha_inv=10, max_iter=4).to_pandas()
+    m = again.merge(fresh, on="vid", suffixes=("_r", "_f"))
+    assert (m["katz_r"] == m["katz_f"]).all()
+
+    gs = G.build_graph(eds, P=4, symmetric=True)
+    ck2 = str(tmp_path / "s")
+    sssp(gs, 0, max_iter=5, checkpoint_dir=ck2)
+    with _pytest.raises(ValueError, match="cannot be truncated"):
+        sssp(gs, 0, max_iter=3, checkpoint_dir=ck2)
+
+
 def test_exact_dedup_and_fingerprints():
     from raylink.dedup import exact_dedup_groups
     from raylink.textops import fingerprints
